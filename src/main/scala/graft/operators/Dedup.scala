@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * Exact dedup is a hash-groupBy (one shuffle on the content hash — the
+  * canonical 100 TB dedup shape: the shuffle key is the 128-bit digest, so
+  * data distributes uniformly regardless of content skew).
+  *
+  * Near-dup (MinHash/LSH, Jaccard) follows shingle → minhash → band →
+  * bucket-join: candidate generation is an equi-join on band keys (shuffle by
+  * band hash — again uniform), and only candidates pay the exact-verify cost.
+  * Pairwise O(n²) work never materializes globally, only within buckets.
+  *
+  * All hashes are md5 (portable to the DuckDB oracle); signatures use the
+  * "k independent hashes" construction h_i(t) = md5(i ':' t).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: content-hash groupBy, representative = min id.
+    * Returns one row per distinct content with `dup_count`. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: keep one row (min id) per distinct normalized content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol)
+      .select(col("rep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct lowercase token set of a text column. */
+  def tokenSet(text: Column): Column =
+    array_distinct(TextAnalysis.tokens(lower(text)))
+
+  /** Exact word-level Jaccard similarity of two token-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0, inter / uni).otherwise(lit(1.0))
+  }
+
+  /** MinHash signature: array of `k` values, element i = min over the token
+    * set of md5(i ':' token). */
+  def minhashSignature(tokSet: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(tokSet,
+        t => md5(concat(i.cast("string"), lit(":"), t)))))
+
+  /** Band keys for LSH: split the k-signature into `bands` bands of
+    * k/bands rows each; band key = (band index, md5 of joined rows). */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit("|"),
+        md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))))))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: explode band keys, self-join on the
+    * band key (candidates collide in ≥1 band), then verify with exact
+    * Jaccard ≥ `threshold`. Output: (id_a < id_b, jaccard) distinct pairs.
+    *
+    * Scale shape: the join key is a band hash → uniform shuffle; the
+    * verify step only touches colliding pairs. For 100 TB, `bands`/`k`
+    * tune the collision probability curve (s-curve at threshold).
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      tokenSet(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("band", explode(bandKeys(
+        minhashSignature(col("toks"), k), k, bands)))
+    val a = withSig.select(col("band"), col("id").as("id_a"),
+      col("toks").as("toks_a"))
+    val b = withSig.select(col("band"), col("id").as("id_b"),
+      col("toks").as("toks_b"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .distinct()
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram (word unigram) Jaccard duplicate pairs within
+    * blocking buckets — the exact baseline the LSH path approximates.
+    * Blocking keys bound the quadratic blowup (pairs only form inside a
+    * bucket); at scale the bucket column would be a cheap locality key. */
+  def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val t = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+      tokenSet(col(textCol)).as("toks"): _*)
+    val a = t.toDF(t.columns.map(c => if (c == "id" || c == "toks") s"${c}_a" else c): _*)
+    val b = t.toDF(t.columns.map(c => if (c == "id" || c == "toks") s"${c}_b" else c): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit-ish SimHash (60 bits to stay in a signed long): per token take
+    * the first 15 hex chars of md5 as a 60-bit integer; document hash bit b
+    * is the sign of Σ_tokens (±1 by token bit b). Near-dups share most bits.
+    */
+  def simhash(tokSet: Column, bits: Int = 60): Column = {
+    val h = transform(tokSet,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bitCols: Seq[Column] = (0 until bits).map { b =>
+      val mask = 1L << b
+      val vote = aggregate(h, lit(0L),
+        (acc, x) => acc + when(x.bitwiseAND(lit(mask)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, lit(mask)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs via banded LSH over the 60-bit hash: split into
+    * `bands` contiguous bit-bands; pairs sharing any band are candidates,
+    * verified by Hamming distance ≤ `maxHamming`. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 12): DataFrame = {
+    val bits = 60
+    val bandBits = bits / bands
+    val t = df.select(col(idCol).as("id"),
+      simhash(tokenSet(col(textCol))).as("sh"))
+    val banded = t.withColumn("band", explode(array((0 until bands).map { i =>
+      concat(lit(s"$i|"),
+        shiftright(col("sh"), i * bandBits).bitwiseAND((1L << bandBits) - 1))
+    }: _*)))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val xorBits = (0 until bits).map { bb =>
+      when(col("sh_a").bitwiseXOR(col("sh_b")).bitwiseAND(lit(1L << bb)) =!= 0L, 1)
+        .otherwise(0)
+    }.reduce((a: Column, b: Column) => a + b)
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), xorBits.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

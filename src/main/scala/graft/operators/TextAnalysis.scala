@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization, token
+  * counting, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Everything is built-in column expressions (codegen'd, no UDF), and every
+  * formula is chosen to be reproducible in ANSI-ish SQL (DuckDB oracle):
+  * md5 is the portable hash, regexp token split is the portable tokenizer.
+  * At scale these are pure map-side transforms — no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer; empty text → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Token count (whitespace); cheap proxy for a BPE count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words + digit runs + punctuation runs, counted by
+    * a regex that approximates byte-pair segmentation granularity. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Stopword-hit count among tokens. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Language-ID heuristic: score each language by marker-token hits,
+    * pick argmax; ties break by the languages' declared order. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scored = markers.map { case (lang, words) =>
+      val w = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(w, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax with first-wins tie-break: fold keeping the strictly-greater
+    scored.reduceLeft { (best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword ratio + mean word
+    * length band. Deterministic, portable arithmetic. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / 100.0, lit(1.0))
+    val swRatio = when(n > 0, stopwordHits(text, stopwords) / n).otherwise(0.0)
+    val meanWordLen = when(n > 0,
+      aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)) / n)
+      .otherwise(0.0)
+    val wordLenScore = when(meanWordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + swRatio * 0.3 + wordLenScore * 0.3, 4)
+  }
+
+  /** Whole-document fingerprint: md5 of whitespace-normalized lowercase text
+    * (a content-defined hash both engines share). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", transform(tokens(text), t => lower(t))))
+
+  /** Min-shingle fingerprint: minimum md5 over all `k`-word shingles —
+    * a 1-permutation MinHash, robust to local edits. Documents shorter than
+    * `k` words fall back to the whole-document fingerprint. */
+  def minShingleFingerprint(text: Column, k: Int): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val n = size(toks)
+    val shingles = transform(sequence(lit(1), n - (k - 1)),
+      i => md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    when(n >= k, array_min(shingles)).otherwise(fingerprint(text))
+  }
+}

@@ -1,0 +1,400 @@
+package graft.queries
+
+import QuerySpec._
+import graft.operators.Similarity
+
+/** DuckDB oracle SQL for every query in [[Queries]]. Each statement is the
+  * exact relational twin of the Spark plan: same constants (via QuerySpec),
+  * same md5 hashing, same left-to-right double folds (emitted as explicit
+  * `0.0 + t1 + t2 + ...` chains), same DECIMAL(18,2) money accumulation,
+  * same total ORDER BY.
+  */
+object Oracles {
+
+  // ---- shared SQL fragments ----------------------------------------------
+
+  /** raw whitespace tokens (no lowercasing) of a text expression. */
+  private def rawToks(t: String) =
+    s"list_filter(regexp_split_to_array(trim($t), '\\s+'), x -> x <> '')"
+
+  /** lowercased token sequence (order-preserving). */
+  private def lowSeq(t: String) =
+    s"list_transform(${rawToks(t)}, x -> lower(x))"
+
+  /** distinct lowercased token set (Spark: array_distinct(split(lower))). */
+  private def lowSet(t: String) =
+    s"list_distinct(${rawToks(s"lower($t)")})"
+
+  private def dsum(c: String) =
+    s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private val hourFloor = s"epoch_ms(ts)//$HourMs*$HourMs"
+
+  /** explicit left-fold dot-product chain: 0.0 + a[1]*b[1] + ... */
+  private def dotChain(a: String, b: String): String =
+    (1 to EmbeddingDim).map(i =>
+      s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+      .mkString("0.0 + ", " + ", "")
+
+  /** sign-LSH bucket chain over `vec`, mirroring Similarity.lshBucket. */
+  private def bucketChain(vec: String): String = {
+    val signs = Similarity.signMatrix(LshBits, EmbeddingDim)
+    signs.map { row =>
+      val proj = row.zipWithIndex.map { case (sgn, d) =>
+        s"(CAST($vec[${d + 1}] AS DOUBLE) * $sgn)"
+      }.mkString("0.0 + ", " + ", "")
+      s"(CASE WHEN $proj > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
+
+  // ---- the oracle map ----------------------------------------------------
+
+  val all: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND epoch_ms(o_orderdate) < $Ms1998
+         |  AND epoch_ms(l_shipdate) > $Ms1996
+         |GROUP BY o_orderkey, o_orderdate_ms
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND epoch_ms(o_orderdate) >= $Ms1996
+         |  AND epoch_ms(o_orderdate) < $Ms1997
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "a1_watermark_max" ->
+      """SELECT user_id, event_type, max(epoch_ms(ts)) AS max_ts_ms, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "a2_integrity_hours" ->
+      s"""WITH counts AS (
+         |  SELECT event_type, $hourFloor AS hour_ms, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |hours AS (SELECT unnest(generate_series($RangeStartMs, $LastHourMs, $HourMs)) AS hour_ms),
+         |types AS (SELECT DISTINCT event_type FROM events)
+         |SELECT t.event_type, h.hour_ms, coalesce(c.n, 0) AS n,
+         |  CASE WHEN coalesce(c.n, 0) = 0 THEN 'EMPTY'
+         |       WHEN coalesce(c.n, 0) < $PartialThreshold THEN 'PARTIAL'
+         |       ELSE 'OK' END AS status
+         |FROM types t CROSS JOIN hours h
+         |LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_ms = h.hour_ms
+         |ORDER BY t.event_type, h.hour_ms""".stripMargin,
+
+    "a3_latest_per_user" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, event_type, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "a5_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w1_gap_scan" ->
+      s"""WITH e AS (SELECT DISTINCT user_id, $hourFloor AS ts FROM events),
+         |l AS (SELECT user_id, ts,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM e)
+         |SELECT user_id, prev_ts + $GapIvlMs AS gap_start, ts - $GapIvlMs AS gap_end
+         |FROM l WHERE prev_ts IS NOT NULL AND ts - prev_ts > $GapIvlMs
+         |ORDER BY user_id, gap_start""".stripMargin,
+
+    "w2_boundary_gaps" ->
+      s"""WITH e AS (SELECT DISTINCT user_id, $hourFloor AS ts FROM events),
+         |ext AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM e GROUP BY 1),
+         |k AS (SELECT DISTINCT user_id FROM events),
+         |j AS (SELECT k.user_id, first_ts, last_ts FROM k LEFT JOIN ext ON k.user_id = ext.user_id),
+         |g AS (
+         |  SELECT user_id, $RangeStartMs AS gap_start,
+         |    coalesce(first_ts - $GapIvlMs, $LastHourMs) AS gap_end
+         |  FROM j WHERE first_ts IS NULL OR first_ts > $RangeStartMs
+         |  UNION ALL
+         |  SELECT user_id, last_ts + $GapIvlMs AS gap_start, $LastHourMs AS gap_end
+         |  FROM j WHERE last_ts IS NOT NULL AND last_ts < $LastHourMs)
+         |SELECT user_id, gap_start, gap_end FROM g WHERE gap_start <= gap_end
+         |ORDER BY user_id, gap_start""".stripMargin,
+
+    "w3_gap_islands" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id, $hourFloor AS ts FROM events),
+         |er AS (SELECT * FROM e WHERE ts BETWEEN $RangeStartMs AND $LastHourMs),
+         |l AS (SELECT user_id, ts,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM er),
+         |interior AS (
+         |  SELECT user_id, prev_ts + $GapIvlMs AS gap_start, ts - $GapIvlMs AS gap_end
+         |  FROM l WHERE prev_ts IS NOT NULL AND ts - prev_ts > $GapIvlMs),
+         |ext AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM er GROUP BY 1),
+         |k AS (SELECT DISTINCT user_id FROM events),
+         |j AS (SELECT k.user_id, first_ts, last_ts FROM k LEFT JOIN ext ON k.user_id = ext.user_id),
+         |bound AS (
+         |  SELECT user_id, CAST($RangeStartMs AS BIGINT) AS gap_start,
+         |    coalesce(first_ts - $GapIvlMs, $LastHourMs) AS gap_end
+         |  FROM j WHERE first_ts IS NULL OR first_ts > $RangeStartMs
+         |  UNION ALL
+         |  SELECT user_id, last_ts + $GapIvlMs AS gap_start, CAST($LastHourMs AS BIGINT) AS gap_end
+         |  FROM j WHERE last_ts IS NOT NULL AND last_ts < $LastHourMs),
+         |gaps AS (
+         |  SELECT * FROM interior UNION ALL
+         |  SELECT * FROM bound WHERE gap_start <= gap_end),
+         |f AS (SELECT user_id, gap_start, gap_end,
+         |  max(gap_end) OVER (PARTITION BY user_id ORDER BY gap_start, gap_end
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM gaps),
+         |fl AS (SELECT *, CASE WHEN prev_end IS NULL OR gap_start - prev_end >= $MergeWithinMs
+         |  THEN 1 ELSE 0 END AS ni FROM f),
+         |i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY gap_start, gap_end
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+         |SELECT user_id, min(gap_start) AS gap_start, max(gap_end) AS gap_end
+         |FROM i GROUP BY user_id, island ORDER BY user_id, gap_start""".stripMargin,
+
+    "j1_dim_join" ->
+      s"""SELECT r_name, n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name IN ('ASIA', 'EUROPE')
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_fullouter_merge" ->
+      s"""WITH c AS (SELECT $hourFloor AS bucket_ms, ${dsum("value")} AS click_sum
+         |  FROM events WHERE event_type = 'click' GROUP BY 1),
+         |v AS (SELECT $hourFloor AS bucket_ms, ${dsum("value")} AS view_sum
+         |  FROM events WHERE event_type = 'view' GROUP BY 1),
+         |p AS (SELECT $hourFloor AS bucket_ms, ${dsum("value")} AS purchase_sum
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |cv AS (SELECT coalesce(c.bucket_ms, v.bucket_ms) AS bucket_ms, click_sum, view_sum
+         |  FROM c FULL JOIN v ON c.bucket_ms = v.bucket_ms)
+         |SELECT coalesce(cv.bucket_ms, p.bucket_ms) AS bucket_ms, click_sum, view_sum, purchase_sum
+         |FROM cv FULL JOIN p ON cv.bucket_ms = p.bucket_ms
+         |ORDER BY bucket_ms""".stripMargin,
+
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j8_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "p2_align_floor" ->
+      s"""WITH b AS (SELECT epoch_ms(ts)//$FiveMinMs*$FiveMinMs AS bucket_ms FROM events)
+         |SELECT bucket_ms, count(*) AS n,
+         |  strftime(make_timestamp(bucket_ms * 1000), '%Y-%m-%d %H:%M:%S') AS dt
+         |FROM b GROUP BY bucket_ms ORDER BY bucket_ms""".stripMargin,
+
+    "p6_precision" ->
+      """WITH s AS (SELECT printf('%.2f', l_discount) AS v FROM lineitem)
+        |SELECT CAST(length(regexp_replace(split_part(v, '.', 2), '0+$', '')) AS BIGINT) AS prec,
+        |  count(*) AS n
+        |FROM s GROUP BY 1 ORDER BY prec""".stripMargin,
+
+    "p8_enum_map" ->
+      """SELECT CASE WHEN o_orderstatus = 'O' THEN 0
+        |            WHEN o_orderstatus = 'F' THEN 1
+        |            WHEN o_orderstatus = 'P' THEN 2 END AS status_code,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY status_code""".stripMargin,
+
+    "p12_prob_norm" ->
+      """WITH a AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_sum,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_sum
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, purchase_sum, view_sum,
+        |  round(CASE WHEN purchase_sum IS NULL OR view_sum IS NULL
+        |    OR purchase_sum + view_sum = 0 THEN NULL
+        |    ELSE purchase_sum / (purchase_sum + view_sum) END, 6) AS purchase_ratio
+        |FROM a ORDER BY user_id""".stripMargin,
+
+    "p13_entity_classify" -> {
+      val cases = EntityRules.map { case (kw, label) =>
+        s"WHEN contains(lower(text), '$kw') THEN '$label'"
+      }.mkString(" ")
+      s"""WITH e AS (SELECT CASE $cases ELSE '$EntityDefault' END AS entity FROM documents)
+         |SELECT entity, count(*) AS n FROM e GROUP BY entity ORDER BY entity""".stripMargin
+    },
+
+    "p16_filter_scan" ->
+      s"""SELECT p_brand, count(*) AS n, ${dsum("p_retailprice")} AS retail_sum
+         |FROM part WHERE p_type = 'PROMO' AND p_size IN (1, 5, 9, 13)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "o1_topn" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "o5_union_distinct" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE event_type IN ('error', 'signup') ORDER BY user_id""".stripMargin,
+
+    "d1_exact_dedup" ->
+      s"""SELECT md5(array_to_string(${lowSeq("text")}, ' ')) AS fp,
+         |  min(doc_id) AS rep_id, count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "d2_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang, source, ${lowSet("text")} AS toks FROM documents),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+         |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss
+         |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id),
+         |j AS (SELECT id_a, id_b,
+         |  round(CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END, 4) AS jaccard
+         |  FROM p)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d3_minhash_lsh" -> {
+      val rows = MinhashK / MinhashBands
+      val sigs = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(toks, x -> md5('$i:' || x))) AS m$i").mkString(",\n  ")
+      val bandKeys = (0 until MinhashBands).map { b =>
+        val parts = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString(" || ',' || ")
+        s"'$b|' || md5($parts)"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id AS id, ${lowSet("text")} AS toks FROM documents),
+         |t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+         |sig AS (SELECT id,
+         |  $sigs
+         |FROM t2),
+         |bands AS (SELECT id, unnest([$bandKeys]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+         |p AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) AS inter,
+         |    CAST(len(ta.toks) + len(tb.toks) AS DOUBLE) AS ss
+         |  FROM cand JOIN t2 ta ON ta.id = id_a JOIN t2 tb ON tb.id = id_b),
+         |j AS (SELECT id_a, id_b,
+         |  CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END AS jac FROM p)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= $MinhashThreshold
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "d4_simhash" -> {
+      // portable hex→int: value of first 15 md5 hex chars, char i weight 16^(15-i)
+      val hexVal = (1 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${w}"
+      }.mkString(" + ")
+      val votes = (0 until SimhashBits).map { b =>
+        s"sum(CASE WHEN (hv // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n  ")
+      val assemble = (0 until SimhashBits).map { b =>
+        s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id AS id, ${lowSet("text")} AS toks FROM documents),
+         |t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+         |u AS (SELECT id, unnest(toks) AS tok FROM t2),
+         |h AS (SELECT id, $hexVal AS hv FROM u),
+         |v AS (SELECT id,
+         |  $votes
+         |FROM h GROUP BY id)
+         |SELECT id AS doc_id, $assemble AS simhash FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    "t1_lang_id" -> {
+      val scores = LangMarkers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(${rawToks("text")}, x -> list_contains($arr, x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = LangMarkers.map(_._1)
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.init.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents),
+         |gg AS (SELECT *, $g AS g FROM s)
+         |SELECT doc_id, lang, CASE $pick ELSE '${langs.last}' END AS predicted
+         |FROM gg ORDER BY doc_id""".stripMargin
+    },
+
+    "t2_quality_score" -> {
+      val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(${rawToks("text")}) AS DOUBLE) AS n,
+         |  len(list_filter(${rawToks("text")}, x -> list_contains($sw, x))) AS hits,
+         |  CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS lsum
+         |FROM documents)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(least(n / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN n > 0 AND lsum / n BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3,
+         |  4) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_token_stats" ->
+      s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars
+         |FROM documents)
+         |SELECT source, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(tc) AS DOUBLE) / count(*), 6) AS avg_tokens,
+         |  max(n_chars) AS max_chars
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)
+         |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+         |  CASE WHEN len(toks) >= $ShingleK
+         |    THEN list_min([md5(array_to_string(toks[i:i+${ShingleK - 1}], ' '))
+         |                   for i in range(1, len(toks) - ${ShingleK - 2})])
+         |    ELSE md5(array_to_string(toks, ' ')) END AS shingle_fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "s1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |  (${dotChain("qv", "cv")}) /
+         |  (sqrt(${dotChain("qv", "qv")}) * sqrt(${dotChain("cv", "cv")})) AS sim
+         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+
+    "s2_lsh_ann" ->
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |  ${bucketChain("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |  ${bucketChain("embedding")} AS bucket FROM embeddings WHERE vec_id < $NumQueries),
+         |s AS (SELECT query_id, neighbor_id,
+         |  (${dotChain("qv", "cv")}) /
+         |  (sqrt(${dotChain("qv", "qv")}) * sqrt(${dotChain("cv", "cv")})) AS sim
+         |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $LshTopK ORDER BY query_id, rank""".stripMargin
+  )
+}

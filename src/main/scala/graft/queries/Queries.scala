@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.time.Align
+import graft.gaps.GapEngine
+import graft.functions.Funcs
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import QuerySpec._
+
+/** The declared query surface: one entry per operator family from
+  * SURVEY.md §2 plus the training-data-pipeline operators. Each query has a
+  * DuckDB twin in [[Oracles]]; cross-engine determinism rules:
+  *
+  *  - money sums go through exact DECIMAL(18,2), then cast to DOUBLE
+  *    (both engines produce the identical double);
+  *  - timestamps are epoch-ms LONGs end to end;
+  *  - md5 is the only hash; double chains fold left-to-right;
+  *  - every result has a total ORDER BY on a unique key set.
+  */
+object Queries {
+
+  /** exact money sum: decimal accumulate, double out. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def tsMs(c: Column): Column = Tables.unixMillis(c)
+
+  private def floorMs(c: Column, ivl: Long): Column = Align.floorTo(c, ivl)
+
+  // ---- TPC-H-ish relational core (bench headliners) ----------------------
+
+  /** Q1-style pricing summary: full-scan groupBy aggregation. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val tax = col("l_tax").cast("decimal(18,2)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 6).as("avg_qty"),
+        round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q3-style: dim filter → fact join → agg → top-N. Broadcast the dim. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).where(tsMs(col("o_orderdate")) < Ms1998)
+    val li = Tables.lineitem(s, d).where(tsMs(col("l_shipdate")) > Ms1996)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), tsMs(col("o_orderdate")).as("o_orderdate_ms"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+        col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style: 5-way join (3 broadcast dims), region-filtered revenue. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+      .where(tsMs(col("o_orderdate")) >= Ms1996 &&
+        tsMs(col("o_orderdate")) < Ms1997)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+        col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---- Aggregations (SURVEY §2.5) ----------------------------------------
+
+  /** A1 generalized: incremental watermark = max(ts) per key, one job for
+    * every key instead of the reference's per-symbol round-trips. */
+  def a1WatermarkMax(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("ts_ms")).as("max_ts_ms"), count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** A2 integrity scan as ONE shuffle: counts per (type, hour) left-joined
+    * against the full expected calendar; EMPTY/PARTIAL/OK classification
+    * (reference runs 24×days×symbols separate COUNT queries). */
+  def a2IntegrityHours(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val counts = ev
+      .groupBy(col("event_type"), floorMs(col("ts_ms"), HourMs).as("hour_ms"))
+      .agg(count(lit(1)).as("n"))
+    val hours = s.range(1).select(explode(sequence(
+      lit(RangeStartMs), lit(LastHourMs), lit(HourMs))).as("hour_ms"))
+    val types = ev.select(col("event_type")).distinct()
+    types.crossJoin(hours)
+      .join(counts, Seq("event_type", "hour_ms"), "left_outer")
+      .select(col("event_type"), col("hour_ms"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("status",
+        when(col("n") === 0, "EMPTY")
+          .when(col("n") < PartialThreshold, "PARTIAL")
+          .otherwise("OK"))
+      .orderBy(col("event_type"), col("hour_ms"))
+  }
+
+  /** A3: latest row per key via row_number over a desc window. */
+  def a3LatestPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** A5: distinct-set cardinalities per group. */
+  def a5DistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  // ---- Gap engine (SURVEY §2.6 W1-W3, the signature queries) -------------
+
+  /** Hour-aligned distinct per-user event grid — the "kline table" analogue
+    * the gap engine scans. */
+  private def alignedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), floorMs(col("ts_ms"), GapIvlMs).as("ts"))
+      .distinct()
+
+  /** W1: interior gap scan — LAG per key, one windowed job for all keys. */
+  def w1GapScan(s: SparkSession, d: String): DataFrame =
+    GapEngine.interiorGaps(alignedEvents(s, d), Seq("user_id"), "ts", GapIvlMs)
+      .orderBy(col("user_id"), col("gap_start"))
+
+  /** W2: head/tail boundary gaps vs the requested range (keys with no rows
+    * at all get the whole-range gap). */
+  def w2BoundaryGaps(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.events(s, d).select(col("user_id")).distinct()
+    GapEngine.boundaryGaps(alignedEvents(s, d), keys, Seq("user_id"), "ts",
+      GapIvlMs, RangeStartMs, LastHourMs)
+      .orderBy(col("user_id"), col("gap_start"))
+  }
+
+  /** W3: full gap plan — interior ∪ boundary, islands-merged. */
+  def w3GapIslands(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.events(s, d).select(col("user_id")).distinct()
+    GapEngine.gapPlan(alignedEvents(s, d), keys, Seq("user_id"), "ts",
+      GapIvlMs, RangeStartMs, LastHourMs, MergeWithinMs)
+      .orderBy(col("user_id"), col("gap_start"))
+  }
+
+  // ---- Joins (SURVEY §2.4) -----------------------------------------------
+
+  /** J1/J2: dim equi-joins with filters — all broadcast. */
+  def j1DimJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** J3: timestamp-keyed full-outer merge of per-type series (the reference's
+    * 3-endpoint long/short-ratio merge, `binance/perp.py:168-185`). */
+  def j3FullOuterMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def series(t: String, alias: String): DataFrame =
+      ev.where(col("event_type") === t)
+        .groupBy(floorMs(col("ts_ms"), HourMs).as("bucket_ms"))
+        .agg(dsum(col("value")).as(alias))
+    series("click", "click_sum")
+      .join(series("view", "view_sum"), Seq("bucket_ms"), "full_outer")
+      .join(series("purchase", "purchase_sum"), Seq("bucket_ms"), "full_outer")
+      .orderBy(col("bucket_ms"))
+  }
+
+  /** J6: anti-join — customers that never ordered. */
+  def j6AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+
+  /** J8: semi-join — parts that appear in lineitem, counted per brand. */
+  def j8SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d).select(col("l_partkey").as("p_partkey")),
+        Seq("p_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  // ---- Projections / scalar transforms (SURVEY §2.3) ---------------------
+
+  /** P2/P3: floor-to-grid alignment + dt string derivation (P5). */
+  def p2AlignFloor(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floorMs(col("ts_ms"), FiveMinMs).as("bucket_ms"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dt", Align.dtString(col("bucket_ms")))
+      .orderBy(col("bucket_ms"))
+
+  /** P6: decimal-precision derivation over a printf-rendered numeric. */
+  def p6Precision(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(Funcs.precisionOf(
+        format_string("%.2f", col("l_discount"))).cast("long").as("prec"))
+      .groupBy(col("prec")).agg(count(lit(1)).as("n"))
+      .orderBy(col("prec"))
+
+  /** P8: status-enum mapping. */
+  def p8EnumMap(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(Funcs.enumMap(col("o_orderstatus"), StatusMap).as("status_code"))
+      .groupBy(col("status_code")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status_code"))
+
+  /** P12: guarded ratio normalization per user (yes/(yes+no) shape). */
+  def p12ProbNorm(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val agg = ev.groupBy(col("user_id")).agg(
+      dsum(when(col("event_type") === "purchase", col("value"))).as("purchase_sum"),
+      dsum(when(col("event_type") === "view", col("value"))).as("view_sum"))
+    agg.select(col("user_id"), col("purchase_sum"), col("view_sum"),
+      round(Funcs.probNorm(col("purchase_sum"), col("view_sum")), 6)
+        .as("purchase_ratio"))
+      .orderBy(col("user_id"))
+  }
+
+  /** P13: ordered keyword entity classification. */
+  def p13EntityClassify(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Funcs.classifyByKeywords(col("text"), EntityRules, EntityDefault)
+          .as("entity"))
+      .groupBy(col("entity")).agg(count(lit(1)).as("n"))
+      .orderBy(col("entity"))
+
+  /** P16: predicate filter scan (pushdown-visible in explain). */
+  def p16FilterScan(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .where(col("p_type") === "PROMO" && col("p_size").isin(1, 5, 9, 13))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("retail_sum"))
+      .orderBy(col("p_brand"))
+
+  // ---- Sorts / limits / set ops (SURVEY §2.7) ----------------------------
+
+  /** O1/O2: global top-N with total tie-break. */
+  def o1TopN(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** O5: set union + distinct. */
+  def o5UnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.where(col("event_type") === "error").select(col("user_id"))
+      .union(ev.where(col("event_type") === "signup").select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  // ---- Dedup suite -------------------------------------------------------
+
+  /** D1: exact dedup groups via content hash. */
+  def d1ExactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("fp"))
+
+  /** D2: blocked exact n-gram Jaccard pairs. */
+  def d2JaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardDupPairs(Tables.documents(s, d), "doc_id", "text",
+      Seq("lang", "source"), JaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D3: MinHash-LSH near-dup pairs. */
+  def d3MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDupPairs(Tables.documents(s, d), "doc_id", "text",
+      MinhashK, MinhashBands, MinhashThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D4: per-document SimHash value. */
+  def d4Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), Dedup.simhash(col("toks"), SimhashBits).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---- Text analysis -----------------------------------------------------
+
+  /** T1: language-ID heuristic vs labeled lang. */
+  def t1LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text"), LangMarkers).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  /** T2: per-doc quality score. */
+  def t2QualityScore(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** T3: token stats per source. */
+  def t3TokenStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("tc"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("total_tokens"),
+        round(sum(col("tc")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+
+  /** T4: whole-doc + min-shingle fingerprints. */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.minShingleFingerprint(col("text"), ShingleK).as("shingle_fp"))
+      .orderBy(col("doc_id"))
+
+  // ---- Similarity search -------------------------------------------------
+
+  /** S1: brute-force cosine top-k. */
+  def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.cosineTopK(emb, emb.where(col("vec_id") < NumQueries),
+      "vec_id", "embedding", TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S2: sign-LSH bucketed ANN. */
+  def s2LshAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < NumQueries),
+      "vec_id", "embedding", LshTopK, LshBits, EmbeddingDim)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** name → query fn, in SURVEY §2 inventory order. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "a1_watermark_max" -> a1WatermarkMax _,
+    "a2_integrity_hours" -> a2IntegrityHours _,
+    "a3_latest_per_user" -> a3LatestPerUser _,
+    "a5_distinct_users" -> a5DistinctUsers _,
+    "w1_gap_scan" -> w1GapScan _,
+    "w2_boundary_gaps" -> w2BoundaryGaps _,
+    "w3_gap_islands" -> w3GapIslands _,
+    "j1_dim_join" -> j1DimJoin _,
+    "j3_fullouter_merge" -> j3FullOuterMerge _,
+    "j6_anti_join" -> j6AntiJoin _,
+    "j8_semi_join" -> j8SemiJoin _,
+    "p2_align_floor" -> p2AlignFloor _,
+    "p6_precision" -> p6Precision _,
+    "p8_enum_map" -> p8EnumMap _,
+    "p12_prob_norm" -> p12ProbNorm _,
+    "p13_entity_classify" -> p13EntityClassify _,
+    "p16_filter_scan" -> p16FilterScan _,
+    "o1_topn" -> o1TopN _,
+    "o5_union_distinct" -> o5UnionDistinct _,
+    "d1_exact_dedup" -> d1ExactDedup _,
+    "d2_jaccard_pairs" -> d2JaccardPairs _,
+    "d3_minhash_lsh" -> d3MinhashLsh _,
+    "d4_simhash" -> d4Simhash _,
+    "t1_lang_id" -> t1LangId _,
+    "t2_quality_score" -> t2QualityScore _,
+    "t3_token_stats" -> t3TokenStats _,
+    "t4_fingerprint" -> t4Fingerprint _,
+    "s1_cosine_topk" -> s1CosineTopK _,
+    "s2_lsh_ann" -> s2LshAnn _)
+}

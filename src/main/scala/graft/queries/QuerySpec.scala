@@ -1,0 +1,65 @@
+package graft.queries
+
+/** Shared constants between the Spark queries and their DuckDB oracle SQL.
+  * Single source of truth — both sides derive from these values, so the two
+  * engines compute the same thing by construction.
+  */
+object QuerySpec {
+  // events table time domain: [2024-01-01, 2024-01-31) UTC
+  val RangeStartMs = 1704067200000L
+  val RangeEndMs = 1706659200000L
+  val HourMs = 3600000L
+  val FiveMinMs = 300000L
+  // last hour-grid point inside the range (inclusive end for calendars)
+  val LastHourMs: Long = RangeEndMs - HourMs
+
+  // gap engine params (hour grid over per-user event streams)
+  val GapIvlMs: Long = HourMs
+  val MergeWithinMs: Long = 6 * HourMs
+
+  // integrity thresholds (A2): rows/hour below this → PARTIAL
+  val PartialThreshold = 5L
+
+  // TPC-H-ish date cuts (epoch ms, UTC)
+  val Ms1996 = 820454400000L
+  val Ms1997 = 852076800000L
+  val Ms1998 = 883612800000L
+
+  // dedup / text params
+  val MinhashK = 16
+  val MinhashBands = 4
+  val MinhashThreshold = 0.6
+  val JaccardThreshold = 0.8
+  val ShingleK = 5
+  val SimhashBits = 60
+
+  // similarity params
+  val EmbeddingDim = 64
+  val NumQueries = 8 // query set = vec_id < NumQueries
+  val TopK = 5
+  val LshBits = 8
+  val LshTopK = 3
+
+  // P13 entity rules — order-sensitive, first match wins
+  val EntityRules: Seq[(String, String)] = Seq(
+    "spark" -> "engine",
+    "join" -> "relational",
+    "stream" -> "streaming",
+    "vector" -> "ml",
+    "window" -> "windowing")
+  val EntityDefault = "other"
+
+  // T1 language markers — order is the tie-break priority
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("order", "part"),
+    "de" -> Seq("window", "batch"),
+    "fr" -> Seq("merge", "filter"),
+    "zh" -> Seq("vector", "hash"))
+
+  // T2 stopwords
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  // P8 order-status enum
+  val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
+}
