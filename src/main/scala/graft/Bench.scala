@@ -13,7 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
+    // untimed warm-up: JIT/codegen + parquet footer priming, so the first
+    // timed query doesn't absorb JVM startup
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -63,27 +63,72 @@ object Dedup {
     * band key (candidates collide in ≥1 band), then verify with exact
     * Jaccard ≥ `threshold`. Output: (id_a < id_b, jaccard) distinct pairs.
     *
-    * Scale shape: the join key is a band hash → uniform shuffle; the
-    * verify step only touches colliding pairs. For 100 TB, `bands`/`k`
-    * tune the collision probability curve (s-curve at threshold).
+    * Scale shape: md5 is computed once per DISTINCT corpus token (vocabulary
+    * ≪ token occurrences — Heaps' law), not once per (doc, token, hash-index);
+    * the signature then falls out of a single groupBy(id).agg(min×k). The
+    * candidate join key is a band hash → uniform shuffle; only colliding
+    * pairs pay the exact-verify cost. For 100 TB, `bands`/`k` tune the
+    * collision s-curve at the threshold.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      tokenSet(col(textCol)).as("toks"))
+    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
-      .withColumn("band", explode(bandKeys(
-        minhashSignature(col("toks"), k), k, bands)))
-    val a = withSig.select(col("band"), col("id").as("id_a"),
-      col("toks").as("toks_a"))
-    val b = withSig.select(col("band"), col("id").as("id_b"),
-      col("toks").as("toks_b"))
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
-      .distinct()
-      .where(col("jaccard") >= threshold)
+    // (id, tok) pairs; token sets are already distinct per doc
+    val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
+    // hash each distinct token once: vocab row = (tok, h0..h{k-1})
+    val vocabToks = exploded.select(col("tok")).distinct()
+    val vocab = vocabToks
+      .select(col("tok") +: (0 until k).map(i =>
+        md5(concat(lit(s"$i:"), col("tok"))).as(s"h$i")): _*)
+    val rows = k / bands
+    def bandCol(): Column = explode(array((0 until bands).map { b =>
+      concat(lit(s"$b|"), md5(concat_ws(",",
+        (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)))
+    }: _*))
+    // Tiny-vocabulary fast path: dictionary-encode each token set into a
+    // 64-bit mask so pairwise verification is two bit_counts instead of a
+    // string-array intersection, and candidate rows shuffle as (long, long)
+    // instead of (array, array). Kicks in when the corpus vocabulary fits
+    // in 62 bits; the general path handles unbounded vocabularies.
+    if (vocabToks.count() <= 62) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
+      val dict = broadcast(vocab.withColumn("bit", row_number().over(w) - 1))
+      val sig = exploded.join(dict, "tok")
+        .groupBy(col("id"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"),
+          (0 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      val banded = sig.select(col("id"), col("mask"), bandCol().as("band"))
+      val a = banded.select(col("band"), col("id").as("id_a"), col("mask").as("mask_a"))
+      val b = banded.select(col("band"), col("id").as("id_b"), col("mask").as("mask_b"))
+      val inter = expr("bit_count(mask_a & mask_b)").cast("double")
+      val uni = (expr("bit_count(mask_a)") + expr("bit_count(mask_b)")).cast("double") - inter
+      a.join(b, Seq("band"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("mask_a"), col("mask_b"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          when(uni > 0, inter / uni).otherwise(lit(1.0)).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    } else {
+      // per-doc signature: min of each hash column over the doc's tokens
+      val sig = exploded.join(vocab, "tok")
+        .groupBy(col("id"))
+        .agg(min(col("h0")).as("m0"),
+          (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      val banded = sig.select(col("id"), bandCol().as("band"))
+      val cand = banded.select(col("band"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      cand
+        .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+        .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
   }
 
   /** Brute-force n-gram (word unigram) Jaccard duplicate pairs within
