@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "THE  Quick   brown fox"),      // exact dup of 1 after normalization
+    (3L, "the quick brown wolf"),        // near dup (jaccard 3/5 = 0.6)
+    (4L, "completely different text entirely"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactGroups groups normalized-identical docs") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    val byRep = g.map(r => r._2 -> r._3).toMap
+    assert(byRep(1L) == 2) // docs 1+2 collapse
+    assert(byRep(3L) == 1)
+    assert(byRep(4L) == 1)
+    assert(g.map(_._3).sum == 5)
+  }
+
+  test("exactDedup keeps one representative per content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("jaccard column matches hand computation") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard($"x", $"y")).as[Double].head()
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("minhashDupPairs finds the near-dup cluster (small-vocab bitmask path)") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 1-2 identical (jaccard 1), 1-3 and 2-3 at 0.6; with 8 bands of 2 rows
+    // identical sets always collide; 0.6 pairs collide with high probability
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash general path (string-array verify) agrees with bitmask path") {
+    // force the general path by exceeding 62 distinct tokens
+    val bigVocab = (0 until 80).map(i => (100L + i, s"tok$i filler$i"))
+    val all = docs.union(bigVocab.toDF("doc_id", "text"))
+    val pairs = Dedup.minhashDupPairs(all, "doc_id", "text",
+      k = 16, bands = 8, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical sets identical hash; near sets near hamming") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "the quick brown wolf"), (4L, "zebra xylophone quartz jackdaw"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash(Dedup.tokenSet($"text")).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("simhashDupPairs returns close pairs only") {
+    val pairs = Dedup.simhashDupPairs(docs.where($"doc_id" =!= 5L),
+      "doc_id", "text", bands = 6, maxHamming = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L && p._1 != 4L))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+  test("dot and cosine match hand math") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(Similarity.dot($"a", $"b")).as[Double].head() == 11.0)
+    val c = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosineTopK ranks by similarity, excludes self, breaks ties by id") {
+    val out = Similarity.cosineTopK(vecs, vecs.where($"vec_id" === 0),
+      "vec_id", "embedding", 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.toList == List((0L, 1L, 1L), (0L, 2L, 2L)))
+  }
+
+  test("signMatrix is deterministic") {
+    val a = Similarity.signMatrix(4, 8)
+    val b = Similarity.signMatrix(4, 8)
+    assert(a.map(_.toList).toList == b.map(_.toList).toList)
+    assert(a.flatten.forall(s => s == 1 || s == -1))
+  }
+
+  test("lshTopK returns bucket-mates ranked by cosine") {
+    val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, nBits = 2, dim = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect()
+    // every returned neighbor shares the query's bucket; rank starts at 1
+    assert(out.forall(_._3 >= 1))
+    assert(out.forall(r => r._1 != r._2))
+  }
+}
