@@ -166,27 +166,38 @@ object Dedup {
 
   /** SimHash near-dup pairs via banded LSH over the 60-bit hash: split into
     * `bands` contiguous bit-bands; pairs sharing any band are candidates,
-    * verified by Hamming distance ≤ `maxHamming`. */
+    * verified by Hamming distance ≤ `maxHamming`.
+    *
+    * Scale shape: simhash is a pure function of the token SET, so the
+    * expensive work (hashing, banding, candidate join, Hamming verify) runs
+    * once per DISTINCT set; qualifying set pairs expand back to doc pairs by
+    * two key joins. The set-pair candidate list is symmetric and includes the
+    * diagonal, so after expansion the `id_a < id_b` filter emits each
+    * qualifying doc pair exactly once. Hamming is one bit_count(xor), not a
+    * 60-term conditional chain. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 12): DataFrame = {
     val bits = 60
     val bandBits = bits / bands
-    val t = df.select(col(idCol).as("id"),
-      simhash(tokenSet(col(textCol))).as("sh"))
-    val banded = t.withColumn("band", explode(array((0 until bands).map { i =>
+    val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+    val sets = docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
+      .select(col("setkey"), simhash(col("toks"), bits).as("sh"))
+    val banded = sets.withColumn("band", explode(array((0 until bands).map { i =>
       concat(lit(s"$i|"),
         shiftright(col("sh"), i * bandBits).bitwiseAND((1L << bandBits) - 1))
     }: _*)))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val xorBits = (0 until bits).map { bb =>
-      when(col("sh_a").bitwiseXOR(col("sh_b")).bitwiseAND(lit(1L << bb)) =!= 0L, 1)
-        .otherwise(0)
-    }.reduce((a: Column, b: Column) => a + b)
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), xorBits.as("hamming"))
+    val a = banded.select(col("band"), col("setkey").as("sk_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("setkey").as("sk_b"), col("sh").as("sh_b"))
+    val setPairs = a.join(b, Seq("band"))
+      .select(col("sk_a"), col("sk_b"), col("sh_a"), col("sh_b"))
       .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .where(col("hamming") <= maxHamming)
+    setPairs
+      .join(docs.select(col("setkey").as("sk_a"), col("id").as("id_a")), Seq("sk_a"))
+      .join(docs.select(col("setkey").as("sk_b"), col("id").as("id_b")), Seq("sk_b"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -71,6 +71,58 @@ object Similarity {
     concat(bitCols: _*)
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-LSH buckets generate
+    * candidates (pairs colliding on the full `nBits` code), exact cosine
+    * verifies against `threshold`. The candidate join is an equi-join on the
+    * bucket code — a uniform shuffle; no O(n²) pair list ever materializes,
+    * only bucket-mates. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, dim: Int, threshold: Double): DataFrame = {
+    val signs = signMatrix(nBits, dim)
+    val coded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    val a = coded.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = coded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** IVF-flat ANN, probe=1: the coarse quantizer is a fixed centroid table
+    * (here: a designated row subset standing in for k-means output — training
+    * the quantizer is an offline driver-side step at any scale). Every vector
+    * is assigned to its max-cosine cell by a broadcast join + window argmax;
+    * search touches only the query's own cell. The corpus-side assignment
+    * shuffles once by cell — at 100 TB the cell id becomes the partition key
+    * and each query probes one partition instead of the full corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_sim", cosine(col(outVec), col("cvec")))
+        .withColumn("arn", row_number().over(w))
+        .where(col("arn") === 1)
+        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+    }
+    val c = assign(corpus, "neighbor_id", "cv")
+    val q = assign(queries, "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ANN via sign-LSH: bucket everything, then exact cosine only within the
     * query's bucket; top-k per query among bucket-mates. Recall < 1 by
     * construction; `nBits` trades bucket size vs recall. */

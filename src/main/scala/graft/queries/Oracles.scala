@@ -37,8 +37,8 @@ object Oracles {
       .mkString("0.0 + ", " + ", "")
 
   /** sign-LSH bucket chain over `vec`, mirroring Similarity.lshBucket. */
-  private def bucketChain(vec: String): String = {
-    val signs = Similarity.signMatrix(LshBits, EmbeddingDim)
+  private def bucketChain(vec: String, bits: Int = LshBits): String = {
+    val signs = Similarity.signMatrix(bits, EmbeddingDim)
     signs.map { row =>
       val proj = row.zipWithIndex.map { case (sgn, d) =>
         s"(CAST($vec[${d + 1}] AS DOUBLE) * $sgn)"
@@ -46,6 +46,44 @@ object Oracles {
       s"(CASE WHEN $proj > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
   }
+
+  /** cosine similarity fragment between two array expressions. */
+  private def cosChain(a: String, b: String): String =
+    s"(${dotChain(a, b)}) / (sqrt(${dotChain(a, a)}) * sqrt(${dotChain(b, b)}))"
+
+  /** Shared W3 core (interior ∪ boundary gaps, islands-merged) ending in CTE
+    * `m(user_id, gap_start, gap_end)` — reused by w3 and w4. */
+  private val w3With: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id, $hourFloor AS ts FROM events),
+       |er AS (SELECT * FROM e WHERE ts BETWEEN $RangeStartMs AND $LastHourMs),
+       |l AS (SELECT user_id, ts,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM er),
+       |interior AS (
+       |  SELECT user_id, prev_ts + $GapIvlMs AS gap_start, ts - $GapIvlMs AS gap_end
+       |  FROM l WHERE prev_ts IS NOT NULL AND ts - prev_ts > $GapIvlMs),
+       |ext AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM er GROUP BY 1),
+       |k AS (SELECT DISTINCT user_id FROM events),
+       |j AS (SELECT k.user_id, first_ts, last_ts FROM k LEFT JOIN ext ON k.user_id = ext.user_id),
+       |bound AS (
+       |  SELECT user_id, CAST($RangeStartMs AS BIGINT) AS gap_start,
+       |    coalesce(first_ts - $GapIvlMs, $LastHourMs) AS gap_end
+       |  FROM j WHERE first_ts IS NULL OR first_ts > $RangeStartMs
+       |  UNION ALL
+       |  SELECT user_id, last_ts + $GapIvlMs AS gap_start, CAST($LastHourMs AS BIGINT) AS gap_end
+       |  FROM j WHERE last_ts IS NOT NULL AND last_ts < $LastHourMs),
+       |gaps AS (
+       |  SELECT * FROM interior UNION ALL
+       |  SELECT * FROM bound WHERE gap_start <= gap_end),
+       |f AS (SELECT user_id, gap_start, gap_end,
+       |  max(gap_end) OVER (PARTITION BY user_id ORDER BY gap_start, gap_end
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM gaps),
+       |fl AS (SELECT *, CASE WHEN prev_end IS NULL OR gap_start - prev_end >= $MergeWithinMs
+       |  THEN 1 ELSE 0 END AS ni FROM f),
+       |i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY gap_start, gap_end
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+       |m AS (SELECT user_id, min(gap_start) AS gap_start, max(gap_end) AS gap_end
+       |  FROM i GROUP BY user_id, island)""".stripMargin
 
   // ---- the oracle map ----------------------------------------------------
 
@@ -87,6 +125,88 @@ object Oracles {
          |  AND epoch_ms(o_orderdate) >= $Ms1996
          |  AND epoch_ms(o_orderdate) < $Ms1997
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "j7_scalar_lookup" ->
+      """SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice
+        |FROM orders
+        |WHERE o_custkey = (SELECT c_custkey FROM customer
+        |                   ORDER BY c_acctbal DESC, c_custkey LIMIT 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p4_unit_normalize" ->
+      """WITH s AS (SELECT event_id, (epoch_ms(ts)//1000)*1000 AS ts_norm_ms FROM events)
+        |SELECT event_id, ts_norm_ms,
+        |  strftime(make_timestamp(ts_norm_ms * 1000), '%Y-%m-%d %H:%M:%S') AS dt
+        |FROM s ORDER BY event_id""".stripMargin,
+
+    "p7_decimal_str" ->
+      """WITH s AS (SELECT p_size % 9 AS p FROM part)
+        |SELECT CASE WHEN p <= 0 THEN '1'
+        |            ELSE '0.' || repeat('0', p - 1) || '1' END AS tick,
+        |  count(*) AS n
+        |FROM s GROUP BY 1 ORDER BY tick""".stripMargin,
+
+    "p9_canonical_map" -> {
+      val codes = P9Codes.map(c => s"'$c'").mkString("[", ", ", "]")
+      val cases = graft.functions.Funcs.krakenAssetMap.toSeq.sorted
+        .map { case (k, v) => s"WHEN '$k' THEN '$v'" }.mkString(" ")
+      s"""WITH c AS (SELECT $codes[CAST(c_custkey % ${P9Codes.size} AS INT) + 1] AS code
+         |  FROM customer)
+         |SELECT CASE code $cases ELSE code END AS asset, count(*) AS n
+         |FROM c GROUP BY 1 ORDER BY asset""".stripMargin
+    },
+
+    "p10_ratio_split" ->
+      """SELECT event_id, value AS r,
+        |  round(value / (value + 1), 6) AS long_ratio,
+        |  round(1 - value / (value + 1), 6) AS short_ratio
+        |FROM events WHERE value >= 0 ORDER BY event_id""".stripMargin,
+
+    "p11_interval_snap" ->
+      """WITH m AS (SELECT abs(CAST(trunc(value * 10) AS BIGINT)) % 800 AS minutes FROM events)
+        |SELECT CASE WHEN minutes <= 90 THEN 60 WHEN minutes <= 150 THEN 120
+        |            WHEN minutes <= 210 THEN 180 WHEN minutes <= 300 THEN 240
+        |            WHEN minutes <= 420 THEN 360 WHEN minutes <= 600 THEN 480
+        |            ELSE 720 END AS bucket,
+        |  count(*) AS n
+        |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "p14_tag_fallback" ->
+      """WITH e AS (SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
+        |SELECT coalesce(CASE WHEN k % 2 = 0 THEN k END,
+        |                CASE WHEN k % 3 = 0 THEN k + 100 END,
+        |                -1) AS tag,
+        |  count(*) AS n
+        |FROM e GROUP BY 1 ORDER BY tag""".stripMargin,
+
+    "p15_aes_roundtrip" ->
+      // decrypt(encrypt(text)) must be the identity — the oracle IS the
+      // original column (non-SQL crypto verified by round-trip)
+      """SELECT doc_id, text AS decrypted FROM documents ORDER BY doc_id""",
+
+    "p17_threshold_filter" -> {
+      val cases = P17Rules.map { case (p, t) =>
+        s"WHEN event_type LIKE '$p%' THEN $t"
+      }.mkString(" ")
+      s"""WITH e AS (SELECT event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+         |  FROM events),
+         |f AS (SELECT * FROM e WHERE k >= CASE $cases ELSE $P17Default END)
+         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum
+         |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin
+    },
 
     "a1_watermark_max" ->
       """SELECT user_id, event_type, max(epoch_ms(ts)) AS max_ts_ms, count(*) AS n
@@ -142,37 +262,18 @@ object Oracles {
          |SELECT user_id, gap_start, gap_end FROM g WHERE gap_start <= gap_end
          |ORDER BY user_id, gap_start""".stripMargin,
 
-    "w3_gap_islands" ->
-      s"""WITH e AS (
-         |  SELECT DISTINCT user_id, $hourFloor AS ts FROM events),
-         |er AS (SELECT * FROM e WHERE ts BETWEEN $RangeStartMs AND $LastHourMs),
-         |l AS (SELECT user_id, ts,
-         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM er),
-         |interior AS (
-         |  SELECT user_id, prev_ts + $GapIvlMs AS gap_start, ts - $GapIvlMs AS gap_end
-         |  FROM l WHERE prev_ts IS NOT NULL AND ts - prev_ts > $GapIvlMs),
-         |ext AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM er GROUP BY 1),
-         |k AS (SELECT DISTINCT user_id FROM events),
-         |j AS (SELECT k.user_id, first_ts, last_ts FROM k LEFT JOIN ext ON k.user_id = ext.user_id),
-         |bound AS (
-         |  SELECT user_id, CAST($RangeStartMs AS BIGINT) AS gap_start,
-         |    coalesce(first_ts - $GapIvlMs, $LastHourMs) AS gap_end
-         |  FROM j WHERE first_ts IS NULL OR first_ts > $RangeStartMs
-         |  UNION ALL
-         |  SELECT user_id, last_ts + $GapIvlMs AS gap_start, CAST($LastHourMs AS BIGINT) AS gap_end
-         |  FROM j WHERE last_ts IS NOT NULL AND last_ts < $LastHourMs),
-         |gaps AS (
-         |  SELECT * FROM interior UNION ALL
-         |  SELECT * FROM bound WHERE gap_start <= gap_end),
-         |f AS (SELECT user_id, gap_start, gap_end,
-         |  max(gap_end) OVER (PARTITION BY user_id ORDER BY gap_start, gap_end
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM gaps),
-         |fl AS (SELECT *, CASE WHEN prev_end IS NULL OR gap_start - prev_end >= $MergeWithinMs
-         |  THEN 1 ELSE 0 END AS ni FROM f),
-         |i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY gap_start, gap_end
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
-         |SELECT user_id, min(gap_start) AS gap_start, max(gap_end) AS gap_end
-         |FROM i GROUP BY user_id, island ORDER BY user_id, gap_start""".stripMargin,
+    "w3_gap_islands" -> s"$w3With\nSELECT user_id, gap_start, gap_end FROM m ORDER BY user_id, gap_start",
+
+    "w4_fetch_windows" -> {
+      val step = FetchLimit * GapIvlMs
+      s"""$w3With,
+         |wnd AS (SELECT user_id, gap_end,
+         |  unnest(generate_series(gap_start, gap_end, $step)) AS req_start FROM m)
+         |SELECT user_id, req_start,
+         |  least(req_start + ${step - GapIvlMs}, gap_end) AS req_end
+         |FROM wnd ORDER BY user_id, req_start""".stripMargin
+    },
+
 
     "j1_dim_join" ->
       s"""SELECT r_name, n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS total_acctbal
@@ -368,6 +469,82 @@ object Oracles {
          |                   for i in range(1, len(toks) - ${ShingleK - 2})])
          |    ELSE md5(array_to_string(toks, ' ')) END AS shingle_fp
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "d5_embedding_dups" ->
+      s"""WITH c AS (SELECT vec_id AS id, embedding AS v,
+         |  ${bucketChain("embedding", D5Bits)} AS bucket FROM embeddings),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    round(${cosChain("a.v", "b.v")}, 6) AS cos_sim
+         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= $D5Threshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d6_simhash_pairs" -> {
+      val bits = SimhashBits
+      val bands = 6
+      val bandBits = bits / bands
+      // reuse d4's simhash construction, then band + hamming verify
+      val hexVal = (1 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${w}"
+      }.mkString(" + ")
+      val votes = (0 until bits).map { b =>
+        s"sum(CASE WHEN (hv // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(",\n  ")
+      val assemble = (0 until bits).map { b =>
+        s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      val bandKeys = (0 until bands).map { i =>
+        s"'$i|' || CAST((sh // ${1L << (i * bandBits)}) % ${1L << bandBits} AS VARCHAR)"
+      }.mkString(", ")
+      val hamming = (0 until bits).map { b =>
+        s"(CASE WHEN (xor(sh_a, sh_b) // ${1L << b}) % 2 = 1 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id AS id, ${lowSet("text")} AS toks FROM documents),
+         |t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+         |u AS (SELECT id, unnest(toks) AS tok FROM t2),
+         |h AS (SELECT id, $hexVal AS hv FROM u),
+         |v AS (SELECT id,
+         |  $votes
+         |FROM h GROUP BY id),
+         |sh AS (SELECT id, $assemble AS sh FROM v),
+         |bands AS (SELECT id, sh, unnest([$bandKeys]) AS band FROM sh),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+         |hm AS (SELECT id_a, id_b, $hamming AS hamming FROM cand)
+         |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 18
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+        |  concat_ws('-',
+        |    lower(hex(encode(substr(text, 1, 4)))),
+        |    lower(hex(encode(substr(text, 17, 4)))),
+        |    lower(hex(encode(substr(text, 33, 4)))),
+        |    lower(hex(encode(substr(text, 49, 4))))) AS frame_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s3_ivf_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, cell FROM cass WHERE nid < $NumQueries),
+         |s AS (SELECT query_id, nid AS neighbor_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -88,6 +88,24 @@ object Queries {
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
         col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q18-style: shuffle-heavy groupBy-HAVING on the fact, then join back. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        tsMs(col("o_orderdate")).as("o_orderdate_ms"), col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
   }
 
   // ---- Aggregations (SURVEY §2.5) ----------------------------------------
@@ -219,6 +237,20 @@ object Queries {
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("p_brand"))
 
+  /** J7: scalar-subquery lookup (exchange-id pattern): all orders of the
+    * top-balance customer; the 1-row lookup broadcasts. */
+  def j7ScalarLookup(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.customer(s, d)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(1)
+      .select(col("c_custkey").as("o_custkey"))
+    Tables.orders(s, d)
+      .join(broadcast(top), Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        tsMs(col("o_orderdate")).as("o_orderdate_ms"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---- Projections / scalar transforms (SURVEY §2.3) ---------------------
 
   /** P2/P3: floor-to-grid alignment + dt string derivation (P5). */
@@ -273,6 +305,92 @@ object Queries {
       .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("retail_sum"))
       .orderBy(col("p_brand"))
 
+  /** P4/P5: time-unit normalization (s→ms, the gate/bitmart/mexc path) plus
+    * dt wall-clock derivation. */
+  def p4UnitNormalize(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), (col("ts_ms") / 1000).cast("long").as("ts_s"))
+      .select(col("event_id"), (col("ts_s") * 1000).as("ts_norm_ms"))
+      .withColumn("dt", Align.dtString(col("ts_norm_ms")))
+      .orderBy(col("event_id"))
+
+  /** P7: 10^-p fixed-point rendering. */
+  def p7DecimalStr(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(Funcs.toDecimalStr(pmod(col("p_size"), lit(9))).as("tick"))
+      .groupBy(col("tick")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tick"))
+
+  /** P9: asset-code canonicalization with passthrough fallback. */
+  def p9CanonicalMap(s: SparkSession, d: String): DataFrame = {
+    val codes = array(P9Codes.map(lit): _*)
+    Tables.customer(s, d)
+      .select(element_at(codes,
+        (pmod(col("c_custkey"), lit(P9Codes.size)) + 1).cast("int")).as("code"))
+      .select(Funcs.canonicalizeKrakenAsset(col("code")).as("asset"))
+      .groupBy(col("asset")).agg(count(lit(1)).as("n"))
+      .orderBy(col("asset"))
+  }
+
+  /** P10: long/short ratio decomposition r → (r/(1+r), 1-r/(1+r)). Double
+    * arithmetic here (IEEE-identical across engines); the exact-decimal
+    * variant is [[Funcs.ratioSplit]], unit-tested. */
+  def p10RatioSplit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("value") >= 0)
+      .select(col("event_id"), col("value").as("r"))
+      .withColumn("long_ratio", round(col("r") / (col("r") + 1), 6))
+      .withColumn("short_ratio", round(lit(1) - col("r") / (col("r") + 1), 6))
+      .orderBy(col("event_id"))
+
+  /** P11: funding-interval snap to the nearest standard bucket. */
+  def p11IntervalSnap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(pmod(abs((col("value") * 10).cast("long")), lit(800L)).as("minutes"))
+      .select(Align.snapFundingInterval(col("minutes")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** P14: JSON field extraction + ordered fallback chain (entityTag →
+    * hoverEntityTag → tokenTag shape). */
+  def p14TagFallback(s: SparkSession, d: String): DataFrame = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+    Tables.events(s, d)
+      .select(coalesce(
+        when(k % 2 === 0, k),
+        when(k % 3 === 0, k + 100),
+        lit(-1L)).as("tag"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tag"))
+  }
+
+  /** P15: AES-128-ECB decrypt (the reference's tag decryption) — proven by
+    * round-trip: decrypt(encrypt(text)) must equal the original. */
+  def p15AesRoundtrip(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aes_decrypt(
+          aes_encrypt(col("text").cast("binary"), lit(AesKey), lit("ECB")),
+          lit(AesKey), lit("ECB")).cast("string").as("decrypted"))
+      .orderBy(col("doc_id"))
+
+  /** P17: per-prefix threshold filter (Kalshi OI threshold shape): threshold
+    * resolved by first matching event-type prefix, default otherwise; keep
+    * rows whose props.k clears it. */
+  def p17ThresholdFilter(s: SparkSession, d: String): DataFrame = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("long")
+    val threshold = P17Rules.foldRight(lit(P17Default): Column) {
+      case ((prefix, t), acc) =>
+        when(col("event_type").startsWith(prefix), t).otherwise(acc)
+    }
+    Tables.events(s, d)
+      .withColumn("k", k)
+      .where(col("k") >= threshold)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- Sorts / limits / set ops (SURVEY §2.7) ----------------------------
 
   /** O1/O2: global top-N with total tie-break. */
@@ -318,6 +436,38 @@ object Queries {
       .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), Dedup.simhash(col("toks"), SimhashBits).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** W4: gap plan → paginated fetch windows (the generator/UDTF surface:
+    * explode(sequence) pagination of each merged gap). */
+  def w4FetchWindows(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.events(s, d).select(col("user_id")).distinct()
+    val plan = GapEngine.gapPlan(alignedEvents(s, d), keys, Seq("user_id"),
+      "ts", GapIvlMs, RangeStartMs, LastHourMs, MergeWithinMs)
+    GapEngine.fetchWindows(plan, Seq("user_id"), GapIvlMs, FetchLimit)
+      .select(col("user_id"), col("req_start"), col("req_end"))
+      .orderBy(col("user_id"), col("req_start"))
+  }
+
+  /** D5: embedding-cosine near-dup pairs via full-code sign-LSH blocking. */
+  def d5EmbeddingDups(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingDupPairs(Tables.embeddings(s, d), "vec_id",
+      "embedding", D5Bits, EmbeddingDim, D5Threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** D6: SimHash near-dup pairs — banded 60-bit simhash, Hamming-verified. */
+  def d6SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDupPairs(Tables.documents(s, d), "doc_id", "text",
+      bands = 6, maxHamming = 18)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** M1: multimodal payload metadata — binary column + byte-offset frame
+    * sampling (decode itself is the stubbed step; see Multimodal). */
+  def m1MultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractMeta(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload")
       .orderBy(col("doc_id"))
 
   // ---- Text analysis -----------------------------------------------------
@@ -374,11 +524,20 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S3: IVF-flat ANN (probe=1) with a fixed centroid table. */
+  def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < NumQueries),
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding", IvfTopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** name → query fn, in SURVEY §2 inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
+    "q18_large_orders" -> q18LargeOrders _,
     "a1_watermark_max" -> a1WatermarkMax _,
     "a2_integrity_hours" -> a2IntegrityHours _,
     "a3_latest_per_user" -> a3LatestPerUser _,
@@ -386,26 +545,40 @@ object Queries {
     "w1_gap_scan" -> w1GapScan _,
     "w2_boundary_gaps" -> w2BoundaryGaps _,
     "w3_gap_islands" -> w3GapIslands _,
+    "w4_fetch_windows" -> w4FetchWindows _,
     "j1_dim_join" -> j1DimJoin _,
     "j3_fullouter_merge" -> j3FullOuterMerge _,
     "j6_anti_join" -> j6AntiJoin _,
+    "j7_scalar_lookup" -> j7ScalarLookup _,
     "j8_semi_join" -> j8SemiJoin _,
     "p2_align_floor" -> p2AlignFloor _,
+    "p4_unit_normalize" -> p4UnitNormalize _,
     "p6_precision" -> p6Precision _,
+    "p7_decimal_str" -> p7DecimalStr _,
     "p8_enum_map" -> p8EnumMap _,
+    "p9_canonical_map" -> p9CanonicalMap _,
+    "p10_ratio_split" -> p10RatioSplit _,
+    "p11_interval_snap" -> p11IntervalSnap _,
     "p12_prob_norm" -> p12ProbNorm _,
     "p13_entity_classify" -> p13EntityClassify _,
+    "p14_tag_fallback" -> p14TagFallback _,
+    "p15_aes_roundtrip" -> p15AesRoundtrip _,
     "p16_filter_scan" -> p16FilterScan _,
+    "p17_threshold_filter" -> p17ThresholdFilter _,
     "o1_topn" -> o1TopN _,
     "o5_union_distinct" -> o5UnionDistinct _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d3_minhash_lsh" -> d3MinhashLsh _,
     "d4_simhash" -> d4Simhash _,
+    "d5_embedding_dups" -> d5EmbeddingDups _,
+    "d6_simhash_pairs" -> d6SimhashPairs _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,
+    "m1_multimodal_meta" -> m1MultimodalMeta _,
     "s1_cosine_topk" -> s1CosineTopK _,
-    "s2_lsh_ann" -> s2LshAnn _)
+    "s2_lsh_ann" -> s2LshAnn _,
+    "s3_ivf_ann" -> s3IvfAnn _)
 }

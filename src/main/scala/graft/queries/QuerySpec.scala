@@ -40,6 +40,27 @@ object QuerySpec {
   val LshBits = 8
   val LshTopK = 3
 
+  // embedding near-dup (D5): sign-LSH candidate bits + cosine threshold
+  val D5Bits = 12
+  val D5Threshold = 0.4
+  // IVF (S3): coarse cells = centroid rows vec_id < NumCentroids, probe=1
+  val NumCentroids = 8
+  val IvfTopK = 5
+
+  // W4 fetch-window pagination: requests of FetchLimit × interval span
+  val FetchLimit = 24
+
+  // P9 canonicalization input codes (synthesized from custkey)
+  val P9Codes: Seq[String] =
+    Seq("XXBT", "XETH", "ZUSD", "SOL", "ZEUR", "ADA", "XXRP", "DOGE")
+
+  // P15 AES key (16 bytes → AES-128, ECB like the reference's decrypt_post)
+  val AesKey = "0123456789abcdef"
+
+  // P17 per-prefix thresholds over props.k, first match wins, default 50
+  val P17Rules: Seq[(String, Int)] = Seq("c" -> 60, "v" -> 70, "p" -> 80)
+  val P17Default = 50
+
   // P13 entity rules — order-sensitive, first match wins
   val EntityRules: Seq[(String, String)] = Seq(
     "spark" -> "engine",
