@@ -2,6 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Fixture REST endpoint for the flow demo (top level so executor closures
+  * don't capture the driver object). */
+object DemoFixtures {
+  def serve(sym: String, s: Long, e: Long): String =
+    (s to e by 60000L).map { ts =>
+      s"""[$ts,"100.1","101.2","99.3","100.5","7.5",${ts + 59999},"750.0",42,"1","1","0"]"""
+    }.mkString("[", ",", "]")
+}
+
 /** Local profiling scratchpad — not part of the driver contract. */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -21,6 +30,30 @@ object Scratch {
       println(f"TIMER $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     args.headOption match {
+      case Some("flow") =>
+        // end-to-end sync_klines demo: cold-start backfill from a fixture
+        // endpoint, then show watermarks and a closed gap scan
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val M = 60000L
+        val start = 1704067200000L
+        val end = start + 119 * M
+        val sink = java.nio.file.Files.createTempDirectory("flowdemo")
+          .toString + "/kline_1m"
+        val keys = Seq((1.toShort, 1.toByte, "BTCUSDT"),
+          (1.toShort, 1.toByte, "ETHUSDT"))
+          .toDF("exchange_id", "inst_type", "symbol")
+        flows.SyncKlines.run(spark, sink, keys, "binance", 1, 1, M,
+          start, end, limit = 50, mergeWithinMs = M)(
+          graft.DemoFixtures.serve)
+        println("WATERMARKS:")
+        flows.SyncKlines.watermarks(spark, sink).show(false)
+        val gapsAfter = gaps.GapEngine.gapPlan(
+          spark.read.parquet(sink).select($"exchange_id", $"inst_type",
+            $"symbol", $"ts"),
+          keys, flows.SyncKlines.KeyCols, "ts", M, start, end, M).count()
+        println(s"GAPS AFTER BACKFILL: $gapsAfter")
+        println(s"SINK ROWS: ${spark.read.parquet(sink).count()}")
       case Some("w3") =>
         time("w3_first")(queries.Queries.w3GapIslands(spark, sfDir).count())
         time("w3_second")(queries.Queries.w3GapIslands(spark, sfDir).count())

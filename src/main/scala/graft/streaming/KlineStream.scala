@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import graft.sinks.UpsertSink
+
+/** Structured-Streaming shell for the reference's scheduler-driven flows
+  * (SURVEY §2.9). The reference is micro-batch by scheduler (Prefect cron /
+  * interval, `deploy.py:68-181`); here the same cadences map onto triggers:
+  *
+  *  - 30 s / 60 s loops (onchain, macro, kalshi)  → `Trigger.ProcessingTime`
+  *  - hourly / daily flows (klines, symbols)      → `Trigger.AvailableNow`
+  *
+  * Overlap guards (`max_instances=1`) are Spark's own guarantee: one
+  * micro-batch at a time per query. Restart safety is the reference's
+  * self-watermarking pattern — state lives in the sink (max ts per key), so
+  * the checkpoint only tracks source offsets.
+  *
+  * The reference NEVER drops late data (gaps are re-fetched instead,
+  * `_base_.py:178-245`), so no `withWatermark` eviction is used on the
+  * ingest path; dedup/idempotence comes from the keyed upsert sink.
+  */
+object KlineStream {
+
+  /** Cadence table (deploy.py:49-181) → trigger. */
+  def triggerFor(flow: String): Trigger = flow match {
+    case "onchain" | "macro"          => Trigger.ProcessingTime("30 seconds")
+    case "kalshi"                     => Trigger.ProcessingTime("60 seconds")
+    case "ratio_5m"                   => Trigger.ProcessingTime("5 minutes")
+    case "klines_1m" | "cex_inflow" | "symbols" => Trigger.AvailableNow()
+    case _                            => Trigger.AvailableNow()
+  }
+
+  /** Micro-batch kline ingest: watch a drop directory of raw response files
+    * `(symbol TAB body)` — the landing zone a fetcher writes — normalize
+    * through the exchange adapter, and MERGE each micro-batch into the keyed
+    * sink. Exactly-once-ish: replays of a batch upsert the same keys. */
+  def ingest(spark: SparkSession, dropDir: String, checkpointDir: String,
+      sinkPath: String, exchange: String, exchangeId: Int, instType: Int,
+      ivlMs: Long, trigger: Trigger): StreamingQuery = {
+    val adapter = graft.sources.KlineAdapters.registry((exchange, instType))
+    val raw = spark.readStream
+      .format("text")
+      .load(dropDir)
+      .select(
+        split(col("value"), "\t").getItem(0).as("symbol"),
+        split(col("value"), "\t").getItem(1).as("body"))
+    raw.writeStream
+      .queryName(s"kline-ingest-$exchange-$instType")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = adapter(batch, exchangeId, instType, ivlMs)
+        UpsertSink.upsert(batch.sparkSession, sinkPath, rows,
+          Seq("exchange_id", "inst_type", "symbol", "ts"), "ts")
+      }
+      .start()
+  }
+
+  /** Per-key fetch-cursor state (the reference's `current = max(ts)+ivl`
+    * pagination cursor, `_base_.py:287`, and J8's next_funding_time skip) as
+    * managed streaming state: for each key, track the max seen ts across
+    * batches and emit only rows that advance it — late/duplicate rows are
+    * filtered without any external store. */
+  case class Cursor(maxTs: Long)
+  case class Keyed(key: String, ts: Long)
+
+  def advanceCursor(
+      key: String, rows: Iterator[Keyed],
+      state: GroupState[Cursor]): Iterator[Keyed] = {
+    val cur = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
+    val fresh = rows.filter(_.ts > cur).toSeq
+    if (fresh.nonEmpty) {
+      state.update(Cursor(fresh.map(_.ts).max))
+      fresh.sortBy(_.ts).iterator
+    } else Iterator.empty
+  }
+
+  /** Wire [[advanceCursor]] over a keyed stream. */
+  def dedupAdvancing(spark: SparkSession, input: DataFrame): DataFrame = {
+    import spark.implicits._
+    input.as[Keyed]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(advanceCursor)
+      .toDF()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.flows
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.gaps.GapEngine
+
+/** SURVEY §7.3 — the minimum end-to-end slice: backfill and verify a
+  * symbol's 1m klines. Fixture responses → normalize → sink with holes →
+  * gap scan reports exactly the holes → fetch plan → ingest → re-scan ∅ →
+  * watermark/count checks. Exercises S2/S3, P1/P2/P5, W1-W3, A1-A3, K1. */
+class SyncKlinesFlowSpec extends SparkSpec {
+  import spark.implicits._
+  import SyncKlinesFlowSpec._
+
+  test("backfill closes all gaps and is idempotent end to end") {
+    val sink = Files.createTempDirectory("klines").toString + "/kline_1m"
+    val keys = Seq((1.toShort, 1.toByte, "BTCUSDT"))
+      .toDF("exchange_id", "inst_type", "symbol")
+
+    // 1. seed the sink with two holes: [t10,t19] and [t40,t44] missing
+    val present = (0 to 59).filterNot(i => (10 to 19 contains i) ||
+      (40 to 44 contains i)).map(i => Start + i * M)
+    val seedBody = present.map { ts =>
+      s"""[$ts,"100.1","101.2","99.3","100.5","7.5",${ts + M - 1},"750.0",42,"1","1","0"]"""
+    }.mkString("[", ",", "]")
+    val seed = graft.sources.KlineAdapters.binance(
+      Seq(("BTCUSDT", seedBody)).toDF("symbol", "body"), 1, 1, M)
+    graft.sinks.UpsertSink.upsert(spark, sink, seed,
+      SyncKlines.KeyCols :+ "ts", "ts")
+
+    // 2. gap scan must report exactly the two holes (no boundary gaps)
+    val existing = spark.read.parquet(sink)
+      .select($"exchange_id", $"inst_type", $"symbol", $"ts")
+    val gaps = GapEngine.gapPlan(existing, keys, SyncKlines.KeyCols, "ts",
+      M, Start, End, mergeWithinMs = M)
+      .select($"gap_start", $"gap_end").as[(Long, Long)].collect().sortBy(_._1)
+    assert(gaps.toList == List(
+      (Start + 10 * M, Start + 19 * M), (Start + 40 * M, Start + 44 * M)))
+
+    // 3. run the sync flow with the fixture endpoint
+    SyncKlines.run(spark, sink, keys, "binance", 1, 1, M, Start, End,
+      limit = 5, mergeWithinMs = M)(serve)
+
+    // 4. re-scan → no gaps; full grid present
+    val after = GapEngine.gapPlan(
+      spark.read.parquet(sink).select($"exchange_id", $"inst_type", $"symbol", $"ts"),
+      keys, SyncKlines.KeyCols, "ts", M, Start, End, M).count()
+    assert(after == 0)
+    assert(spark.read.parquet(sink).count() == 60)
+
+    // 5. A1 watermark + A3 latest row
+    val wm = SyncKlines.watermarks(spark, sink)
+      .select($"max_ts", $"n_rows").as[(Long, Long)].head()
+    assert(wm == ((End, 60L)))
+
+    // 6. idempotence: running the flow again changes nothing
+    SyncKlines.run(spark, sink, keys, "binance", 1, 1, M, Start, End, 5, M)(serve)
+    assert(spark.read.parquet(sink).count() == 60)
+  }
+
+  test("cold start (no sink) plans the whole range") {
+    val sink = Files.createTempDirectory("klines").toString + "/cold"
+    val keys = Seq((1.toShort, 1.toByte, "ETHUSDT"))
+      .toDF("exchange_id", "inst_type", "symbol")
+    val plan = SyncKlines.fetchPlan(spark, sink, keys, M, Start, Start + 9 * M,
+      limit = 4, mergeWithinMs = M)
+      .select($"req_start", $"req_end").as[(Long, Long)].collect().sortBy(_._1)
+    // whole range [0..9] paginated by 4: [0,3],[4,7],[8,9]
+    assert(plan.toList == List(
+      (Start, Start + 3 * M), (Start + 4 * M, Start + 7 * M),
+      (Start + 8 * M, Start + 9 * M)))
+  }
+}
+
+/** Fixtures live outside the suite so the fetch closure shipped to executors
+  * doesn't capture the (non-serializable) ScalaTest engine. */
+object SyncKlinesFlowSpec {
+  val M = 60000L
+  val Start = 1704067200000L            // 2024-01-01 00:00
+  val End: Long = Start + 59 * M        // one hour of 1m klines
+
+  /** fixture "REST endpoint": serves binance-shaped bodies for any window. */
+  def serve(sym: String, s: Long, e: Long): String =
+    (s to e by M).map { ts =>
+      s"""[$ts,"100.1","101.2","99.3","100.5","7.5",${ts + M - 1},"750.0",42,"1","1","0"]"""
+    }.mkString("[", ",", "]")
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+class KlineStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cadence map mirrors deploy.py triggers") {
+    assert(KlineStream.triggerFor("onchain") ==
+      Trigger.ProcessingTime("30 seconds"))
+    assert(KlineStream.triggerFor("kalshi") ==
+      Trigger.ProcessingTime("60 seconds"))
+    assert(KlineStream.triggerFor("klines_1m") == Trigger.AvailableNow())
+  }
+
+  test("file-drop ingest stream normalizes and upserts (AvailableNow)") {
+    val base = Files.createTempDirectory("stream")
+    val drop = base.resolve("drop"); Files.createDirectories(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val body =
+      """[[1704067200000,"1","2","0.5","1.5","10",1704067259999,"15",7,"1","1","0"]]"""
+    Files.write(drop.resolve("b1.txt"), s"BTCUSDT\t$body".getBytes)
+
+    val q = KlineStream.ingest(spark, drop.toString, ckpt, sink,
+      "binance", 1, 1, 60000L, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val rows = spark.read.parquet(sink)
+      .select($"symbol", $"ts", $"close".cast("string"))
+      .as[(String, Long, String)].collect()
+    assert(rows.length == 1)
+    assert(rows.head._1 == "BTCUSDT")
+    assert(rows.head._2 == 1704067200000L)
+    assert(BigDecimal(rows.head._3) == BigDecimal("1.5"))
+
+    // second drop with an overlapping key: upsert replaces, not duplicates
+    val body2 =
+      """[[1704067200000,"1","2","0.5","1.6","11",1704067259999,"16",8,"1","1","0"]]"""
+    Files.write(drop.resolve("b2.txt"), s"BTCUSDT\t$body2".getBytes)
+    val q2 = KlineStream.ingest(spark, drop.toString, ckpt, sink,
+      "binance", 1, 1, 60000L, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val after = spark.read.parquet(sink)
+      .select($"close".cast("string")).as[String].collect()
+    assert(after.map(BigDecimal(_)).toList == List(BigDecimal("1.6")))
+  }
+
+  test("advanceCursor keeps only rows that advance the per-key max ts") {
+    import KlineStream._
+    // simulate state across two batches with a manual GroupState double
+    val out1 = advanceCursor("k",
+      Iterator(Keyed("k", 5L), Keyed("k", 3L)), FakeState(None)).toList
+    assert(out1.map(_.ts) == List(3L, 5L)) // no state yet: all pass, sorted
+  }
+
+  /** minimal GroupState stub for the pure-function test */
+  private case class FakeState(init: Option[KlineStream.Cursor])
+      extends org.apache.spark.sql.streaming.GroupState[KlineStream.Cursor] {
+    private var cur = init
+    override def exists: Boolean = cur.isDefined
+    override def get: KlineStream.Cursor = cur.get
+    override def getOption: Option[KlineStream.Cursor] = cur
+    override def update(s: KlineStream.Cursor): Unit = cur = Some(s)
+    override def remove(): Unit = cur = None
+    override def hasTimedOut: Boolean = false
+    override def setTimeoutDuration(d: Long): Unit = ()
+    override def setTimeoutDuration(d: String): Unit = ()
+    override def setTimeoutTimestamp(t: Long): Unit = ()
+    override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+    override def getCurrentWatermarkMs(): Long = 0L
+    override def getCurrentProcessingTimeMs(): Long = 0L
+  }
+}
