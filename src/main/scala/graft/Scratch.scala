@@ -54,6 +54,51 @@ object Scratch {
           keys, flows.SyncKlines.KeyCols, "ts", M, start, end, M).count()
         println(s"GAPS AFTER BACKFILL: $gapsAfter")
         println(s"SINK ROWS: ${spark.read.parquet(sink).count()}")
+      case Some("flows") =>
+        // drive symbols/sentiment/kalshi/onchain flows with inline fixtures
+        import spark.implicits._
+        val base = java.nio.file.Files.createTempDirectory("flowsdemo").toString
+        val info =
+          """{"symbols":[{"symbol":"BTCUSDT","baseAsset":"BTC","quoteAsset":"USDT",
+            |"status":"TRADING","contractType":"PERPETUAL","pricePrecision":2,
+            |"quantityPrecision":3,"filters":[
+            |{"filterType":"PRICE_FILTER","tickSize":"0.01000000"},
+            |{"filterType":"LOT_SIZE","stepSize":"0.00100000"}]}]}"""
+            .stripMargin.replace("\n", "")
+        flows.SyncSymbols.run(spark, s"$base/dim",
+          Seq(("x", info)).toDF("symbol", "body"), 1, 1)
+        println("DIM:"); spark.read.parquet(s"$base/dim").show(false)
+        def lsr(ts: Long, l: String, sh: String) =
+          s"""[{"symbol":"BTCUSDT","longAccount":"$l","shortAccount":"$sh","timestamp":$ts}]"""
+        flows.SyncSentiment.run(spark, s"$base/sent",
+          Seq(("BTCUSDT", lsr(1704067200000L, "0.6", "0.4"))).toDF("symbol", "body"),
+          Seq(("BTCUSDT", lsr(1704067200000L, "0.7", "0.3"))).toDF("symbol", "body"),
+          Seq(("BTCUSDT", lsr(1704067500000L, "0.5", "0.5"))).toDF("symbol", "body"),
+          1, 1)
+        println("SENTIMENT:"); spark.read.parquet(s"$base/sent").show(false)
+        val markets = Seq(
+          (1704067200000L, "KXBTC-24DEC", "M1", 1, 55, 60, 65, 30, 40, 1000L, 500L, 1500L),
+          (1704067200000L, "OTHER-X", "M2", 4, 55, 60, 65, 30, 40, 1000L, 500L, 400L))
+          .toDF("updated_ts", "event_ticker", "ticker", "status", "last_price",
+            "yes_bid", "yes_ask", "no_bid", "no_ask", "liquidity", "volume",
+            "open_interest")
+        flows.SyncKalshi.run(spark, s"$base/kmeta", s"$base/ksnap", markets)
+        println("KALSHI META rows: " +
+          spark.read.parquet(s"$base/kmeta").count())
+        println("KALSHI SNAPSHOT:"); spark.read.parquet(s"$base/ksnap").show(false)
+        val ts = "1704067200123"
+        val enc = functions.TagCrypto.encryptTag("Binance Cold", ts)
+        val txb =
+          """{"data":{"hits":[{"chain":"ETH","txHash":"0xabc","fromAddress":"0xf1",
+            |"toAddress":"0xt1","tokenSymbol":"ETH","tokenContractAddress":null,
+            |"value":5000.0,"price":2000.0,"valueUsd":1.0E7,"timestamp":1704067200000}]}}"""
+            .stripMargin.replace("\n", "")
+        val tagb =
+          s"""{"data":{"ETH":{"0xt1":{"entityTag":"$enc","hoverEntityTag":null,
+             |"tokenTag":null,"entityTags":[]}}}}""".stripMargin.replace("\n", "")
+        flows.SyncOnchain.run(spark, s"$base/onchain",
+          Seq(txb).toDF("body"), Seq((ts, tagb)).toDF("ts", "body"))
+        println("ONCHAIN:"); spark.read.parquet(s"$base/onchain").show(false)
       case Some("w3") =>
         time("w3_first")(queries.Queries.w3GapIslands(spark, sfDir).count())
         time("w3_second")(queries.Queries.w3GapIslands(spark, sfDir).count())

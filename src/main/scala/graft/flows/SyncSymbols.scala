@@ -1,0 +1,69 @@
+package graft.flows
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funcs
+import graft.sinks.UpsertSink
+
+/** `sync_symbols` (SURVEY §3 honorable mention #4; reference
+  * `flows/sync_symbols.py:45-60` + `binance/perp.py:41-72` +
+  * `_base_.py:105-122`): fetch the symbol catalog, normalize per exchange
+  * (S2/P1), derive precision metadata (P6/P7), map status enums (P8), and
+  * upsert ONLY the five mutable fields into the `exchange_symbol` dim —
+  * MySQL `ON DUPLICATE KEY UPDATE` semantics (K2).
+  */
+object SyncSymbols {
+
+  /** reference `binance/perp.py:30-39` */
+  val BinanceStatusMap: Map[String, Int] = Map(
+    "TRADING" -> 1, "PENDING_TRADING" -> 0, "PRE_DELIVERING" -> 2,
+    "DELIVERING" -> 2, "DELIVERED" -> 2, "PRE_SETTLE" -> 2,
+    "SETTLING" -> 2, "CLOSE" -> 3)
+
+  /** Normalize a binance exchangeInfo body: PERPETUAL-only filter (P16),
+    * tick/step extracted from the filters array, status enum (P8),
+    * precision derivation from tick strings (P6). */
+  def binanceSymbols(raw: DataFrame, exchangeId: Int, instType: Int): DataFrame = {
+    val schema = "struct<symbols array<struct<symbol string, baseAsset string, " +
+      "quoteAsset string, status string, contractType string, " +
+      "pricePrecision int, quantityPrecision int, " +
+      "filters array<struct<filterType string, tickSize string, stepSize string>>>>>"
+    val rows = raw.select(explode(
+      from_json(col("body"),
+        org.apache.spark.sql.types.DataType.fromDDL(schema))
+        .getField("symbols")).as("s"))
+      .where(col("s.contractType") === "PERPETUAL")
+    val tick = element_at(
+      filter(col("s.filters"), f => f.getField("filterType") === "PRICE_FILTER"), 1)
+      .getField("tickSize")
+    val step = element_at(
+      filter(col("s.filters"), f => f.getField("filterType") === "LOT_SIZE"), 1)
+      .getField("stepSize")
+    rows.select(
+      lit(exchangeId).cast("short").as("exchange_id"),
+      col("s.symbol").as("symbol"),
+      lit(instType).cast("byte").as("inst_type"),
+      col("s.baseAsset").as("base_asset"),
+      col("s.quoteAsset").as("quote_asset"),
+      Funcs.enumMap(col("s.status"), BinanceStatusMap).cast("byte").as("status"),
+      tick.as("tick_size"),
+      step.as("step_size"),
+      col("s.pricePrecision").cast("byte").as("price_precision"),
+      col("s.quantityPrecision").cast("byte").as("quantity_precision"),
+      Funcs.precisionOf(tick).as("derived_price_precision"))
+  }
+
+  /** The five mutable fields the reference updates in place
+    * (`_base_.py:111-121`). */
+  val UpdateFields: Seq[String] =
+    Seq("tick_size", "step_size", "price_precision", "quantity_precision", "status")
+
+  def run(spark: SparkSession, dimPath: String, raw: DataFrame,
+      exchangeId: Int, instType: Int): Unit = {
+    val rows = binanceSymbols(raw, exchangeId, instType)
+      .drop("derived_price_precision")
+    UpsertSink.updateFields(spark, dimPath, rows,
+      Seq("exchange_id", "symbol", "inst_type"), UpdateFields)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import javax.crypto.Cipher
+import javax.crypto.spec.SecretKeySpec
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** P15 — OKLink tag decryption (reference
+  * `src/macro_markets/oklink/decrypt_post.py:40-122`): tags arrive as
+  * base64(AES-128-ECB(ciphertext)) segments joined by '.', keyed by a
+  * CryptoJS-compatible derivation from the response timestamp:
+  *
+  *   key = SHA1( hex(SHA1(ts)) )[:16 bytes]
+  *
+  * Decrypt: base64-decode, zero-pad to a 16-byte block, AES-ECB decrypt,
+  * strip the trailing PKCS7 pad byte, UTF-8 decode; non-base64 or keyless
+  * segments pass through unchanged; multi-segment tags join with ": ".
+  *
+  * Runs as a scalar UDF over tag columns — crypto cannot be expressed in
+  * built-in expressions (SURVEY §2.10); everything around it stays codegen'd.
+  */
+object TagCrypto {
+
+  /** key = first 16 bytes of SHA1(hexdigest(SHA1(ts))). */
+  def deriveKey(ts: String): Array[Byte] = {
+    val sha1 = MessageDigest.getInstance("SHA-1")
+    val inner = sha1.digest(ts.getBytes(UTF_8))
+    val innerHex = inner.map("%02x".format(_)).mkString
+    val outer = MessageDigest.getInstance("SHA-1")
+      .digest(innerHex.getBytes(UTF_8))
+    // hex[:32] == first 16 raw bytes
+    outer.take(16)
+  }
+
+  private def decryptSegment(b64: String, key: Array[Byte]): String = {
+    val raw = try Base64.getDecoder.decode(b64)
+              catch { case _: IllegalArgumentException => return b64 }
+    val block = raw.padTo(16, 0.toByte)
+    val cipher = Cipher.getInstance("AES/ECB/NoPadding")
+    cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
+    val dec = cipher.doFinal(block)
+    val pad = dec.last & 0xff
+    val unpadded = if (pad >= 1 && pad <= 16) dec.dropRight(pad) else dec
+    new String(unpadded, UTF_8)
+  }
+
+  /** Decrypt a (possibly multi-segment) tag string; pass-through for
+    * non-encrypted values (no '='). */
+  def decryptTag(tag: String, ts: String): String = {
+    if (tag == null || !tag.contains("=")) return tag
+    val key = deriveKey(ts)
+    tag.split("\\.").map(_.trim).map(decryptSegment(_, key)).mkString(": ")
+  }
+
+  /** Encrypt helper (tests + fixture generation): inverse of decryptTag for
+    * a single segment. */
+  def encryptTag(plain: String, ts: String): String = {
+    val key = deriveKey(ts)
+    val cipher = Cipher.getInstance("AES/ECB/PKCS5Padding")
+    cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"))
+    Base64.getEncoder.encodeToString(cipher.doFinal(plain.getBytes(UTF_8)))
+  }
+
+  val decryptTagUdf: UserDefinedFunction =
+    udf((tag: String, ts: String) => decryptTag(tag, ts))
+}
