@@ -181,22 +181,36 @@ object Dedup {
     val bandBits = bits / bands
     val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+    // integer surrogate per distinct set: candidate rows shuffle as 4 longs
+    // instead of 2×32-char digests (the distinct below is the big shuffle)
+    val sidW = org.apache.spark.sql.expressions.Window.orderBy(col("setkey"))
     val sets = docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
       .select(col("setkey"), simhash(col("toks"), bits).as("sh"))
+      .withColumn("sid", row_number().over(sidW))
     val banded = sets.withColumn("band", explode(array((0 until bands).map { i =>
-      concat(lit(s"$i|"),
-        shiftright(col("sh"), i * bandBits).bitwiseAND((1L << bandBits) - 1))
+      shiftright(col("sh"), i * bandBits).bitwiseAND((1L << bandBits) - 1) +
+        lit(i.toLong << bandBits) // disjoint band-id spaces, stays a long
     }: _*)))
-    val a = banded.select(col("band"), col("setkey").as("sk_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("setkey").as("sk_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("sid").as("sid_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("sid").as("sid_b"), col("sh").as("sh_b"))
     val setPairs = a.join(b, Seq("band"))
-      .select(col("sk_a"), col("sk_b"), col("sh_a"), col("sh_b"))
+      .where(expr(s"bit_count(sh_a ^ sh_b) <= $maxHamming") &&
+        // fold the symmetric+diagonal pair space before the distinct
+        col("sid_a") <= col("sid_b"))
+      .select(col("sid_a"), col("sid_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-      .where(col("hamming") <= maxHamming)
-    setPairs
-      .join(docs.select(col("setkey").as("sk_a"), col("id").as("id_a")), Seq("sk_a"))
-      .join(docs.select(col("setkey").as("sk_b"), col("id").as("id_b")), Seq("sk_b"))
+    val ids = docs.join(sets.select(col("setkey"), col("sid")), Seq("setkey"))
+      .select(col("sid"), col("id"))
+    // expand unordered set pairs both ways; id_a < id_b emits each doc pair once
+    val sym = setPairs.unionByName(
+      setPairs.where(col("sid_a") =!= col("sid_b")).select(
+        col("sid_b").as("sid_a"), col("sid_a").as("sid_b"), col("hamming")))
+    sym
+      .join(broadcast(ids).withColumnRenamed("sid", "sid_a")
+        .withColumnRenamed("id", "id_a"), Seq("sid_a"))
+      .join(broadcast(ids).withColumnRenamed("sid", "sid_b")
+        .withColumnRenamed("id", "id_b"), Seq("sid_b"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
