@@ -29,6 +29,19 @@ object Queries {
 
   private def tsMs(c: Column): Column = Tables.unixMillis(c)
 
+  /** Filter-side epoch-ms comparison: compare the RAW timestamp column to a
+    * timestamp literal so the predicate pushes into the parquet scan
+    * (`unix_millis(col) < x` wraps the column and blocks pushdown; this form
+    * shows up as PushedFilters: [LessThan(col, ...)]). Equivalent because
+    * ms-floor is monotonic and the bound is an integer millisecond. */
+  private def tsBefore(c: Column, ms: Long): Column =
+    c.cast("timestamp") < timestamp_millis(lit(ms))
+  private def tsAtOrAfter(c: Column, ms: Long): Column =
+    c.cast("timestamp") >= timestamp_millis(lit(ms))
+  private def tsAfter(c: Column, ms: Long): Column =
+    // strict >: ms-floor(ts) > ms  ⇔  ts >= (ms+1) milliseconds
+    c.cast("timestamp") >= timestamp_millis(lit(ms + 1))
+
   private def floorMs(c: Column, ivl: Long): Column = Align.floorTo(c, ivl)
 
   // ---- TPC-H-ish relational core (bench headliners) ----------------------
@@ -55,8 +68,8 @@ object Queries {
   /** Q3-style: dim filter → fact join → agg → top-N. Broadcast the dim. */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
-    val ord = Tables.orders(s, d).where(tsMs(col("o_orderdate")) < Ms1998)
-    val li = Tables.lineitem(s, d).where(tsMs(col("l_shipdate")) > Ms1996)
+    val ord = Tables.orders(s, d).where(tsBefore(col("o_orderdate"), Ms1998))
+    val li = Tables.lineitem(s, d).where(tsAfter(col("l_shipdate"), Ms1996))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), tsMs(col("o_orderdate")).as("o_orderdate_ms"))
@@ -73,8 +86,8 @@ object Queries {
     val cust = Tables.customer(s, d)
     val supp = Tables.supplier(s, d)
     val ord = Tables.orders(s, d)
-      .where(tsMs(col("o_orderdate")) >= Ms1996 &&
-        tsMs(col("o_orderdate")) < Ms1997)
+      .where(tsAtOrAfter(col("o_orderdate"), Ms1996) &&
+        tsBefore(col("o_orderdate"), Ms1997))
     val li = Tables.lineitem(s, d)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust.select("c_custkey", "c_nationkey")),
