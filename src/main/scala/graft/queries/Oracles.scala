@@ -296,6 +296,21 @@ object Oracles {
          |FROM cv FULL JOIN p ON cv.bucket_ms = p.bucket_ms
          |ORDER BY bucket_ms""".stripMargin,
 
+    "j5_double_lookup" ->
+      """SELECT coalesce(s_nationkey, -1) AS nation, count(*) AS n,
+        |  count(s_nationkey) AS n_supp_tagged, count(p_brand) AS n_part_tagged
+        |FROM lineitem
+        |LEFT JOIN (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_acctbal > 5000) s
+        |  ON l_suppkey = s_suppkey
+        |LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 25) p
+        |  ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+
+    "m2_payload_sha256" ->
+      """SELECT doc_id, sha256(text) AS sha256,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "j6_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -241,6 +241,23 @@ object Queries {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .orderBy(col("c_custkey"))
 
+  /** J5: double lookup — the same dim probed for two different foreign keys
+    * per fact row (the reference's from/to address-tag probes), misses NULL. */
+  def j5DoubleLookup(s: SparkSession, d: String): DataFrame = {
+    val supp = Tables.supplier(s, d).where(col("s_acctbal") > 5000)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val prt = Tables.part(s, d).where(col("p_size") > 25)
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, d)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_outer")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"), "left_outer")
+      .groupBy(coalesce(col("s_nationkey"), lit(-1)).as("nation"))
+      .agg(count(lit(1)).as("n"),
+        count(col("s_nationkey")).as("n_supp_tagged"),
+        count(col("p_brand")).as("n_part_tagged"))
+      .orderBy(col("nation"))
+  }
+
   /** J8: semi-join — parts that appear in lineitem, counted per brand. */
   def j8SemiJoin(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
@@ -483,6 +500,15 @@ object Queries {
       "doc_id", "payload")
       .orderBy(col("doc_id"))
 
+  /** M2: payload integrity digests — sha256 over the binary payload (the
+    * reference's archive checksum, S7) + byte length. */
+  def m2PayloadSha256(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("sha256"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+
   // ---- Text analysis -----------------------------------------------------
 
   /** T1: language-ID heuristic vs labeled lang. */
@@ -561,6 +587,7 @@ object Queries {
     "w4_fetch_windows" -> w4FetchWindows _,
     "j1_dim_join" -> j1DimJoin _,
     "j3_fullouter_merge" -> j3FullOuterMerge _,
+    "j5_double_lookup" -> j5DoubleLookup _,
     "j6_anti_join" -> j6AntiJoin _,
     "j7_scalar_lookup" -> j7ScalarLookup _,
     "j8_semi_join" -> j8SemiJoin _,
@@ -591,6 +618,7 @@ object Queries {
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
+    "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann" -> s2LshAnn _,
     "s3_ivf_ann" -> s3IvfAnn _)
