@@ -99,6 +99,24 @@ object Scratch {
         flows.SyncOnchain.run(spark, s"$base/onchain",
           Seq(txb).toDF("body"), Seq((ts, tagb)).toDF("ts", "body"))
         println("ONCHAIN:"); spark.read.parquet(s"$base/onchain").show(false)
+        // integrity scan + archive repair
+        val T0 = 1704067200000L; val H = 3600000L
+        val facts = Seq(("A", T0 + 1, 1.0), ("A", T0 + 2, 2.0), ("A", T0 + 3, 3.0))
+          .toDF("sym", "ts", "v")
+        graft.sinks.UpsertSink.upsert(spark, s"$base/facts", facts,
+          Seq("sym", "ts"), "ts")
+        val status = flows.CheckIntegrity.hourlyStatus(
+          spark.read.parquet(s"$base/facts"), Seq("A").toDF("sym"),
+          Seq("sym"), "ts", T0, T0 + 2 * H, 3)
+        println("INTEGRITY:"); status.show(false)
+        val archive = Seq(("A", T0 + H + 7, 7.0), ("A", T0 + H + 8, 8.0),
+          ("A", T0 + H + 9, 9.0)).toDF("sym", "ts", "v")
+        flows.CheckIntegrity.repairFromArchive(spark, s"$base/facts", archive,
+          flows.CheckIntegrity.deficientHours(status), Seq("sym"), "ts")
+        println("DEFICIENT AFTER REPAIR: " +
+          flows.CheckIntegrity.deficientHours(flows.CheckIntegrity.hourlyStatus(
+            spark.read.parquet(s"$base/facts"), Seq("A").toDF("sym"),
+            Seq("sym"), "ts", T0, T0 + 2 * H, 3)).count())
       case Some("w3") =>
         time("w3_first")(queries.Queries.w3GapIslands(spark, sfDir).count())
         time("w3_second")(queries.Queries.w3GapIslands(spark, sfDir).count())
