@@ -291,13 +291,18 @@ object Queries {
       .withColumn("dt", Align.dtString(col("bucket_ms")))
       .orderBy(col("bucket_ms"))
 
-  /** P6: decimal-precision derivation over a printf-rendered numeric. */
-  def p6Precision(s: SparkSession, d: String): DataFrame =
+  /** P6: decimal-precision derivation over a printf-rendered numeric — runs
+    * through the NATIVE codegen'd Catalyst expression
+    * [[graft.plans.PrecisionOf]] (registered via SparkSessionExtensions);
+    * [[Funcs.precisionOf]] is the built-in-composition equivalent. */
+  def p6Precision(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     Tables.lineitem(s, d)
-      .select(Funcs.precisionOf(
+      .select(call_function("precision_of",
         format_string("%.2f", col("l_discount"))).cast("long").as("prec"))
       .groupBy(col("prec")).agg(count(lit(1)).as("n"))
       .orderBy(col("prec"))
+  }
 
   /** P8: status-enum mapping. */
   def p8EnumMap(s: SparkSession, d: String): DataFrame =
