@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as primitives, built the scalable way
+  * (SURVEY §7.4 preference (a): compose existing ops).
+  *
+  * - [[asofBackward]] — time-series as-of join without any per-key loop or
+  *   theta join: union both sides tagged, ONE window sorted by (ts, side)
+  *   per key carries the latest right-side values forward
+  *   (`last(..., ignoreNulls)`), then keep left rows. Cost = one shuffle by
+  *   key + one sort — same shape as the gap engine, scales by key count.
+  *   The naive alternative (range theta join / per-key collect) explodes at
+  *   100 TB; this stays a single exchange.
+  *
+  * - [[rangeJoin]] — interval containment join via bucket expansion: each
+  *   range explodes to the fixed-width buckets it covers, the probe side
+  *   computes its bucket, candidates equi-join on the bucket (uniform
+  *   shuffle), and the exact `between` filter runs only on bucket-mates.
+  *   This is the standard replacement for BroadcastNestedLoop range joins
+  *   when neither side broadcasts.
+  */
+object Joins {
+
+  /** For every left row, attach the payload of the latest right row with
+    * `right.ts <= left.ts` within the same key (backward as-of, the
+    * market-data "latest quote at event time" join). Right payload columns
+    * come back NULL when no earlier right row exists. */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // union-compatible frames: left rows carry NULL payloads, right rows
+    // carry NULL left-extras; side 0 sorts before side 1 at equal ts so a
+    // right row at exactly left.ts matches (inclusive <=)
+    val lExtra = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    val l = left
+      .select((keys ++ Seq(tsCol) ++ lExtra).map(col) ++
+        payloadCols.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"_p_$c")): _*)
+      .withColumn("_side", lit(1))
+    val r = right
+      .select((keys :+ tsCol).map(col) ++
+        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"_p_$c")): _*)
+      .withColumn("_side", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(col("*") +: payloadCols.map(c =>
+        last(col(s"_p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    carried.where(col("_side") === 1)
+      .select((leftCols ++ payloadCols).map(col): _*)
+  }
+
+  /** Probe rows joined to every range containing them:
+    * `probe.valueCol BETWEEN ranges.loCol AND ranges.hiCol`, bucket-expanded
+    * with `bucketWidth`. Ranges may overlap; output one row per (probe row,
+    * containing range). */
+  def rangeJoin(probe: DataFrame, ranges: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    val expanded = ranges.withColumn("_bucket",
+      explode(sequence(
+        (col(loCol) / bucketWidth).cast("long"),
+        (col(hiCol) / bucketWidth).cast("long"))))
+    val probed = probe.withColumn("_bucket",
+      (col(valueCol) / bucketWidth).cast("long"))
+    probed.join(expanded, Seq("_bucket"))
+      .where(col(valueCol).between(col(loCol), col(hiCol)))
+      .drop("_bucket")
+  }
+}

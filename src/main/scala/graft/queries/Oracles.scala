@@ -208,6 +208,39 @@ object Oracles {
          |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin
     },
 
+    "q7_trade_flows" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "x1_asof_join" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+         |hourly AS (SELECT user_id, $hourFloor AS ts_ms,
+         |    ${dsum("value")} AS hour_sum, count(*) AS hour_n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, e.ts_ms, h.hour_sum, h.hour_n
+         |FROM ev e ASOF LEFT JOIN hourly h
+         |  ON e.user_id = h.user_id AND e.ts_ms >= h.ts_ms
+         |ORDER BY event_id""".stripMargin,
+
+    "x2_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (0, 0, 25000), (1, 20000, 60000), (2, 50000, 90000), (3, 85000, 110000))
+        |SELECT band_id, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+        |GROUP BY 1 ORDER BY band_id""".stripMargin,
+
     "a1_watermark_max" ->
       """SELECT user_id, event_type, max(epoch_ms(ts)) AS max_ts_ms, count(*) AS n
         |FROM events GROUP BY user_id, event_type

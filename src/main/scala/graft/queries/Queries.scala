@@ -121,6 +121,33 @@ object Queries {
       .limit(100)
   }
 
+  /** Q7-style: two-dim-role join (supplier nation × customer nation) over
+    * the fact, yearly revenue per directed pair. */
+  def q7TradeFlows(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where(col("supp_nation").isin("NATION_1", "NATION_2") &&
+        col("cust_nation").isin("NATION_1", "NATION_2") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast("timestamp")).as("l_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+        col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   // ---- Aggregations (SURVEY §2.5) ----------------------------------------
 
   /** A1 generalized: incremental watermark = max(ts) per key, one job for
@@ -279,6 +306,37 @@ object Queries {
       .select(col("o_orderkey"), col("o_custkey"),
         tsMs(col("o_orderdate")).as("o_orderdate_ms"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** X1: backward as-of join — each event picks up the latest hourly
+    * per-user aggregate at or before its timestamp (windowed union
+    * implementation, no theta join; see [[Joins.asofBackward]]). */
+  def x1AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), floorMs(col("ts_ms"), HourMs).as("ts_ms"))
+      .agg(dsum(col("value")).as("hour_sum"), count(lit(1)).as("hour_n"))
+    graft.operators.Joins.asofBackward(ev, hourly, Seq("user_id"), "ts_ms",
+      Seq("hour_sum", "hour_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** X2: range join — lineitems matched to overlapping price bands via
+    * bucket expansion (see [[Joins.rangeJoin]]). */
+  def x2RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0, 0L, 25000L), (1, 20000L, 60000L), (2, 50000L, 90000L),
+      (3, 85000L, 110000L))
+      .toDF("band_id", "lo", "hi")
+    graft.operators.Joins.rangeJoin(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")),
+      bands, "l_extendedprice", "lo", "hi", bucketWidth = 10000L)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy(col("band_id"))
   }
 
   // ---- Projections / scalar transforms (SURVEY §2.3) ---------------------
@@ -582,6 +640,9 @@ object Queries {
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q18_large_orders" -> q18LargeOrders _,
+    "q7_trade_flows" -> q7TradeFlows _,
+    "x1_asof_join" -> x1AsofJoin _,
+    "x2_range_join" -> x2RangeJoin _,
     "a1_watermark_max" -> a1WatermarkMax _,
     "a2_integrity_hours" -> a2IntegrityHours _,
     "a3_latest_per_user" -> a3LatestPerUser _,

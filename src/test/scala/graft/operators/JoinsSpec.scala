@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward picks latest right row at or before left ts, per key") {
+    val left = Seq(("k", 5L, "e1"), ("k", 10L, "e2"), ("k", 99L, "e3"),
+      ("z", 7L, "z1")).toDF("key", "ts", "ev")
+    val right = Seq(("k", 5L, 50.0), ("k", 9L, 90.0), ("k", 20L, 200.0))
+      .toDF("key", "ts", "px")
+    val out = Joins.asofBackward(left, right, Seq("key"), "ts", Seq("px"))
+      .select($"ev", $"px").as[(String, Option[Double])].collect().toMap
+    assert(out("e1").contains(50.0))  // inclusive: right at exactly ts matches
+    assert(out("e2").contains(90.0))  // latest ≤ 10 is 9
+    assert(out("e3").contains(200.0)) // carried far forward
+    assert(out("z1").isEmpty)         // key with no right rows → NULL
+  }
+
+  test("rangeJoin matches overlapping ranges, bucket expansion exact") {
+    val probe = Seq((1L, 15L), (2L, 25L), (3L, 95L)).toDF("id", "v")
+    val ranges = Seq((0, 0L, 20L), (1, 10L, 30L), (2, 90L, 100L))
+      .toDF("rid", "lo", "hi")
+    val out = Joins.rangeJoin(probe, ranges, "v", "lo", "hi", bucketWidth = 7L)
+      .select($"id", $"rid").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 0), (1L, 1), (2L, 1), (3L, 2)))
+  }
+}
