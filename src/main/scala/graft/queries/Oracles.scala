@@ -268,6 +268,23 @@ object Oracles {
         |SELECT user_id, event_id, ts_ms, event_type, value FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
+    "a8_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+
+    "w5_rolling_stats" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  round(avg(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS nwin
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "a5_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -200,6 +200,30 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** A8: hierarchical rollup — revenue subtotals at (status, priority),
+    * (status), and grand-total levels in one pass. */
+  def a8Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** W5: rolling frame — trailing 3-event moving average per user
+    * (rowsBetween frame spec). */
+  def w5RollingStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        round(avg(col("value")).over(w), 6).as("mavg3"),
+        count(lit(1)).over(w).as("nwin"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- Gap engine (SURVEY §2.6 W1-W3, the signature queries) -------------
 
   /** Hour-aligned distinct per-user event grid — the "kline table" analogue
@@ -647,6 +671,8 @@ object Queries {
     "a2_integrity_hours" -> a2IntegrityHours _,
     "a3_latest_per_user" -> a3LatestPerUser _,
     "a5_distinct_users" -> a5DistinctUsers _,
+    "a8_rollup" -> a8Rollup _,
+    "w5_rolling_stats" -> w5RollingStats _,
     "w1_gap_scan" -> w1GapScan _,
     "w2_boundary_gaps" -> w2BoundaryGaps _,
     "w3_gap_islands" -> w3GapIslands _,
