@@ -134,18 +134,48 @@ object Dedup {
   /** Brute-force n-gram (word unigram) Jaccard duplicate pairs within
     * blocking buckets — the exact baseline the LSH path approximates.
     * Blocking keys bound the quadratic blowup (pairs only form inside a
-    * bucket); at scale the bucket column would be a cheap locality key. */
+    * bucket); at scale the bucket column would be a cheap locality key.
+    * Small corpora vocabularies (≤62 distinct tokens) verify via 64-bit
+    * dictionary masks (two bit_counts per pair) instead of array
+    * intersections — identical values, far lighter shuffle rows. */
   def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double): DataFrame = {
     val t = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
       tokenSet(col(textCol)).as("toks"): _*)
-    val a = t.toDF(t.columns.map(c => if (c == "id" || c == "toks") s"${c}_a" else c): _*)
-    val b = t.toDF(t.columns.map(c => if (c == "id" || c == "toks") s"${c}_b" else c): _*)
-    a.join(b, blockCols)
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val vocabToks = t.select(explode(col("toks")).as("tok")).distinct()
+    if (vocabToks.count() <= 62) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
+      val dict = broadcast(vocabToks.withColumn("bit", row_number().over(w) - 1))
+      val masks = t.select(col("id"), explode(col("toks")).as("tok"))
+        .join(dict, "tok")
+        .groupBy(col("id"))
+        .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"))
+      // left join keeps empty-token docs (mask 0 → both-empty pairs score 1.0,
+      // matching the array-path semantics)
+      val masked = t.select((col("id") +: blockCols.map(col)): _*)
+        .join(masks, Seq("id"), "left_outer")
+        .withColumn("mask", coalesce(col("mask"), lit(0L)))
+      val a = masked.select((col("id").as("id_a") +: col("mask").as("mask_a") +:
+        blockCols.map(col)): _*)
+      val b = masked.select((col("id").as("id_b") +: col("mask").as("mask_b") +:
+        blockCols.map(col)): _*)
+      val inter = expr("bit_count(mask_a & mask_b)").cast("double")
+      val uni = (expr("bit_count(mask_a)") + expr("bit_count(mask_b)"))
+        .cast("double") - inter
+      a.join(b, blockCols)
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(when(uni > 0, inter / uni).otherwise(lit(1.0)), 4).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    } else {
+      val a = t.toDF(t.columns.map(c => if (c == "id" || c == "toks") s"${c}_a" else c): _*)
+      val b = t.toDF(t.columns.map(c => if (c == "id" || c == "toks") s"${c}_b" else c): _*)
+      a.join(b, blockCols)
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
   }
 
   /** 64-bit-ish SimHash (60 bits to stay in a signed long): per token take

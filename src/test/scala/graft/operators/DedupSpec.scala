@@ -55,6 +55,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("jaccardDupPairs bitmask and array paths agree (incl. empty docs)") {
+    val blocked = Seq(
+      (1L, "b1", "the quick brown fox"),
+      (2L, "b1", "the quick brown fox jumps"),
+      (3L, "b1", ""),
+      (4L, "b1", ""),
+      (5L, "b2", "the quick brown fox")).toDF("doc_id", "blk", "text")
+    val small = Dedup.jaccardDupPairs(blocked, "doc_id", "text", Seq("blk"), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // force the array path with a >62-token vocab appended in another block
+    val bigVocab = (0 until 70).map(i => (100L + i, "bx", s"tok$i")).toDF("doc_id", "blk", "text")
+    val large = Dedup.jaccardDupPairs(blocked.union(bigVocab), "doc_id",
+      "text", Seq("blk"), 0.5)
+      .where($"id_a" < 100L).as[(Long, Long, Double)].collect().toSet
+    assert(small == large)
+    assert(small.contains((1L, 2L, 0.8)))  // 4/5
+    assert(small.contains((3L, 4L, 1.0)))  // both empty → 1.0
+    assert(!small.exists(p => p._1 == 1L && p._2 == 5L)) // cross-block never pairs
+  }
+
   test("simhash: identical sets identical hash; near sets near hamming") {
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "the quick brown wolf"), (4L, "zebra xylophone quartz jackdaw"))
