@@ -113,6 +113,31 @@ object Scratch {
           ("A", T0 + H + 9, 9.0)).toDF("sym", "ts", "v")
         flows.CheckIntegrity.repairFromArchive(spark, s"$base/facts", archive,
           flows.CheckIntegrity.deficientHours(status), Seq("sym"), "ts")
+        // watermarked live window view over a file-drop kline stream
+        val wbase = java.nio.file.Files.createTempDirectory("wdemo")
+        java.nio.file.Files.createDirectories(wbase.resolve("drop"))
+        def kb(ts2: Long, c: String) =
+          s"""BTCUSDT\t[[$ts2,"1","2","0.5","$c","10",${ts2 + 59999},"15",7,"1","1","0"]]"""
+        java.nio.file.Files.write(wbase.resolve("drop/a.txt"),
+          Seq(kb(T0, "1.5"), kb(T0 + 60000, "2.5"), kb(T0 + 1200000, "9.9"))
+            .mkString("\n").getBytes)
+        val wq = streaming.KlineStream.liveWindowQuery(spark,
+          wbase.resolve("drop").toString, wbase.resolve("ckpt").toString,
+          wbase.resolve("sink").toString, "binance", 1, 1, 60000L,
+          "5 minutes", "1 minute",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        wq.awaitTermination(120000)
+        java.nio.file.Files.write(wbase.resolve("drop/b.txt"),
+          kb(T0 + 2400000, "5.0").getBytes)
+        val wq2 = streaming.KlineStream.liveWindowQuery(spark,
+          wbase.resolve("drop").toString, wbase.resolve("ckpt").toString,
+          wbase.resolve("sink").toString, "binance", 1, 1, 60000L,
+          "5 minutes", "1 minute",
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        wq2.awaitTermination(120000)
+        println("LIVE WINDOWS:")
+        spark.read.parquet(wbase.resolve("sink").toString)
+          .orderBy("w_start").show(false)
         println("DEFICIENT AFTER REPAIR: " +
           flows.CheckIntegrity.deficientHours(flows.CheckIntegrity.hourlyStatus(
             spark.read.parquet(s"$base/facts"), Seq("A").toDF("sym"),

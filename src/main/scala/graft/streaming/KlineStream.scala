@@ -59,6 +59,51 @@ object KlineStream {
       .start()
   }
 
+  /** Watermarked tumbling-window aggregation over a kline stream: per
+    * (symbol, window) close stats, tolerating `lateness` of event-time
+    * disorder before state eviction. NOTE the semantic difference from the
+    * batch gap-engine path (which NEVER drops late data — it re-fetches,
+    * `_base_.py:178-245`): this is the low-latency live view; the gap scan
+    * remains the source of truth for completeness. */
+  def windowedStats(spark: SparkSession, input: DataFrame, windowSpec: String,
+      lateness: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    input
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("symbol"), window(col("event_time"), windowSpec))
+      .agg(count(lit(1)).as("n"),
+        max(col("close")).as("max_close"),
+        min(col("close")).as("min_close"))
+      .select(col("symbol"), col("window.start").as("w_start"),
+        col("n"), col("max_close"), col("min_close"))
+  }
+
+  /** Wire [[windowedStats]] over the file drop-dir into an append-mode sink
+    * (finalized windows only — emitted once the watermark passes). */
+  def liveWindowQuery(spark: SparkSession, dropDir: String,
+      checkpointDir: String, sinkDir: String, exchange: String,
+      exchangeId: Int, instType: Int, ivlMs: Long, windowSpec: String,
+      lateness: String, trigger: Trigger): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val adapter = graft.sources.KlineAdapters.registry((exchange, instType))
+    val raw = spark.readStream.format("text").load(dropDir)
+      .select(
+        split(col("value"), "\t").getItem(0).as("symbol"),
+        split(col("value"), "\t").getItem(1).as("body"))
+    // adapters are pure column maps, so they lift to streaming DataFrames
+    val klines = adapter(raw, exchangeId, instType, ivlMs)
+    windowedStats(spark, klines, windowSpec, lateness)
+      .writeStream
+      .queryName(s"kline-window-$exchange")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", sinkDir)
+      .start()
+  }
+
   /** Per-key fetch-cursor state (the reference's `current = max(ts)+ivl`
     * pagination cursor, `_base_.py:287`, and J8's next_funding_time skip) as
     * managed streaming state: for each key, track the max seen ts across

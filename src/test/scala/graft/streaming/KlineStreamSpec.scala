@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 
@@ -47,6 +48,38 @@ class KlineStreamSpec extends SparkSpec {
     val after = spark.read.parquet(sink)
       .select($"close".cast("string")).as[String].collect()
     assert(after.map(BigDecimal(_)).toList == List(BigDecimal("1.6")))
+  }
+
+  test("watermarked windowed agg finalizes windows in append mode") {
+    val base = Files.createTempDirectory("wstream")
+    val drop = base.resolve("drop"); Files.createDirectories(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val t0 = 1704067200000L
+    def k(ts: Long, close: String) =
+      s"""[[$ts,"1","2","0.5","$close","10",${ts + 59999},"15",7,"1","1","0"]]"""
+    // batch 1: two klines in window0, one in window1
+    Files.write(drop.resolve("w1.txt"),
+      (Seq(s"BTCUSDT\t${k(t0, "1.5")}", s"BTCUSDT\t${k(t0 + 60000, "2.5")}",
+        s"BTCUSDT\t${k(t0 + 300000, "3.5")}")).mkString("\n").getBytes)
+    val q = KlineStream.liveWindowQuery(spark, drop.toString, ckpt, sink,
+      "binance", 1, 1, 60000L, "5 minutes", "1 minute",
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    // batch 2: advance event time far enough to close earlier windows
+    Files.write(drop.resolve("w2.txt"),
+      s"BTCUSDT\t${k(t0 + 1200000, "9.9")}".getBytes)
+    val q2 = KlineStream.liveWindowQuery(spark, drop.toString, ckpt, sink,
+      "binance", 1, 1, 60000L, "5 minutes", "1 minute",
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val rows = spark.read.parquet(sink)
+      .select(unix_millis($"w_start"), $"n", $"max_close".cast("string"))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    // window0 [t0, t0+5m) finalized with 2 rows, max close 2.5
+    val w0 = rows.find(_._1 == t0).get
+    assert(w0._2 == 2)
+    assert(BigDecimal(w0._3) == BigDecimal("2.5"))
   }
 
   test("advanceCursor keeps only rows that advance the per-key max ts") {
