@@ -208,6 +208,19 @@ object Oracles {
          |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin
     },
 
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND epoch_ms(o_orderdate) >= $Ms1996
+         |  AND epoch_ms(o_orderdate) < $Ms1997
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
     "q7_trade_flows" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  year(l_shipdate) AS l_year,

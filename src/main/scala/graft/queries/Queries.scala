@@ -148,6 +148,22 @@ object Queries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Q10-style: returned-item revenue per customer, top 20. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+        .where(tsAtOrAfter(col("o_orderdate"), Ms1996) &&
+          tsBefore(col("o_orderdate"), Ms1997)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+        col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   // ---- Aggregations (SURVEY §2.5) ----------------------------------------
 
   /** A1 generalized: incremental watermark = max(ts) per key, one job for
@@ -665,6 +681,7 @@ object Queries {
     "q5_local_supplier" -> q5LocalSupplier _,
     "q18_large_orders" -> q18LargeOrders _,
     "q7_trade_flows" -> q7TradeFlows _,
+    "q10_returned_items" -> q10ReturnedItems _,
     "x1_asof_join" -> x1AsofJoin _,
     "x2_range_join" -> x2RangeJoin _,
     "a1_watermark_max" -> a1WatermarkMax _,
