@@ -281,6 +281,25 @@ object Oracles {
         |SELECT user_id, event_id, ts_ms, event_type, value FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
+    "a9_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) * 1.0
+        |    / count(DISTINCT user_id) < 0.1 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w6_session_windows" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
+         |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev
+         |  FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev >= 1800000
+         |  THEN 1 ELSE 0 END AS ns FROM l),
+         |i AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f)
+         |SELECT user_id, min(ts_ms) AS session_start_ms, count(*) AS n,
+         |  ${dsum("value")} AS value_sum
+         |FROM i GROUP BY user_id, sess
+         |ORDER BY user_id, session_start_ms""".stripMargin,
+
     "a8_rollup" ->
       s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
          |  coalesce(o_orderpriority, 'ALL') AS priority,

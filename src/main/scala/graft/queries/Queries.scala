@@ -240,6 +240,33 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** A9: sketch aggregation — HLL approx distinct beside the exact count.
+    * Sketches differ across engines, so the cross-checked contract is
+    * "each engine's sketch lands within 10% of the (exactly-matching)
+    * true count" — deterministic per engine and data. */
+  def a9ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact") < 0.1).as("approx_ok"))
+      .orderBy(col("event_type"))
+
+  /** W6: session windows — per-user activity sessions with a 30-minute idle
+    * gap, via Spark's native session_window (oracle: gap-and-islands). */
+  def w6SessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
   // ---- Gap engine (SURVEY §2.6 W1-W3, the signature queries) -------------
 
   /** Hour-aligned distinct per-user event grid — the "kline table" analogue
@@ -689,7 +716,9 @@ object Queries {
     "a3_latest_per_user" -> a3LatestPerUser _,
     "a5_distinct_users" -> a5DistinctUsers _,
     "a8_rollup" -> a8Rollup _,
+    "a9_approx_distinct" -> a9ApproxDistinct _,
     "w5_rolling_stats" -> w5RollingStats _,
+    "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,
     "w2_boundary_gaps" -> w2BoundaryGaps _,
     "w3_gap_islands" -> w3GapIslands _,
