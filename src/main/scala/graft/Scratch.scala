@@ -113,6 +113,12 @@ object Scratch {
           ("A", T0 + H + 9, 9.0)).toDF("sym", "ts", "v")
         flows.CheckIntegrity.repairFromArchive(spark, s"$base/facts", archive,
           flows.CheckIntegrity.deficientHours(status), Seq("sym"), "ts")
+        // funding settlement: J4 lookup + P11 interval snap
+        val fh = """[{"symbol":"BTCUSDT","fundingTime":1704067200000,"fundingRate":"0.0001"}]"""
+        val fi = """[{"symbol":"BTCUSDT","fundingIntervalHours":8,"adjustedFundingRateCap":"0.02","adjustedFundingRateFloor":"-0.02"}]"""
+        flows.SyncFunding.run(spark, s"$base/funding",
+          Seq(fh).toDF("body"), Seq(fi).toDF("body"), 1, 1)
+        println("FUNDING:"); spark.read.parquet(s"$base/funding").show(false)
         // watermarked live window view over a file-drop kline stream
         val wbase = java.nio.file.Files.createTempDirectory("wdemo")
         java.nio.file.Files.createDirectories(wbase.resolve("drop"))
