@@ -148,6 +148,15 @@ object Scratch {
           flows.CheckIntegrity.deficientHours(flows.CheckIntegrity.hourlyStatus(
             spark.read.parquet(s"$base/facts"), Seq("A").toDF("sym"),
             Seq("sym"), "ts", T0, T0 + 2 * H, 3)).count())
+      case Some("rest") =>
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("restdemo")
+        java.nio.file.Files.write(dir.resolve("BTCUSDT.json"),
+          """[[1704067200000,"1","2","0.5","1.5","10",1704067259999,"15",7,"1","1","0"]]""".getBytes)
+        val raw = spark.read.format(classOf[sources.RestSource].getName)
+          .option("path", dir.toString).load()
+        println(s"REST PARTITIONS: ${raw.rdd.getNumPartitions}")
+        sources.KlineAdapters.binance(raw, 1, 1, 60000L).show(false)
       case Some("w3") =>
         time("w3_first")(queries.Queries.w3GapIslands(spark, sfDir).count())
         time("w3_second")(queries.Queries.w3GapIslands(spark, sfDir).count())
