@@ -103,13 +103,17 @@ object Dedup {
       val b = banded.select(col("band"), col("id").as("id_b"), col("mask").as("mask_b"))
       val inter = expr("bit_count(mask_a & mask_b)").cast("double")
       val uni = (expr("bit_count(mask_a)") + expr("bit_count(mask_b)")).cast("double") - inter
-      a.join(b, Seq("band"))
+      // verify INSIDE the band join (codegen'd bit math) so only passing
+      // pairs reach the cross-band distinct — the shuffle shrinks to the
+      // result size instead of the candidate count. The banded side is tiny
+      // (docs × bands rows of longs) → broadcast-hash keeps the hot band
+      // keys O(output) instead of a duplicate-degenerate merge join.
+      a.join(broadcast(b), Seq("band"))
         .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("mask_a"), col("mask_b"))
-        .distinct()
         .select(col("id_a"), col("id_b"),
           when(uni > 0, inter / uni).otherwise(lit(1.0)).as("jaccard"))
         .where(col("jaccard") >= threshold)
+        .distinct()
     } else {
       // per-doc signature: min of each hash column over the doc's tokens
       val sig = exploded.join(vocab, "tok")
@@ -223,7 +227,7 @@ object Dedup {
     }: _*)))
     val a = banded.select(col("band"), col("sid").as("sid_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("sid").as("sid_b"), col("sh").as("sh_b"))
-    val setPairs = a.join(b, Seq("band"))
+    val setPairs = a.join(broadcast(b), Seq("band"))
       .where(expr(s"bit_count(sh_a ^ sh_b) <= $maxHamming") &&
         // fold the symmetric+diagonal pair space before the distinct
         col("sid_a") <= col("sid_b"))

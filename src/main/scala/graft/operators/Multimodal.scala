@@ -46,6 +46,26 @@ object Multimodal {
       }
     }
 
+  /** STUB feature extractor: binary → fixed-width float vector (the
+    * embedding an image/audio model would produce). Deterministic fake:
+    * `dim` rolling byte aggregates, L2-normalized — the real model swaps in
+    * behind the same `binary → array<float>` signature, preserving the
+    * map-only plan and the downstream similarity operators' input shape. */
+  def featureExtractStub(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null || payload.isEmpty) Array.fill(dim)(0.0f)
+      else {
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < payload.length) {
+          acc(i % dim) += (payload(i) & 0xff) / 255.0f
+          i += 1
+        }
+        val norm = math.sqrt(acc.map(x => x.toDouble * x).sum).toFloat
+        if (norm == 0f) acc else acc.map(_ / norm)
+      }
+    }
+
   /** Full metadata extraction over a table with a binary `payloadCol`:
     * one narrow map stage, fully codegen'd except the stub decode. */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String,

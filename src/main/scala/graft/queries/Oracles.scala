@@ -558,6 +558,13 @@ object Oracles {
          |  max(n_chars) AS max_chars
          |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
+    "t5_subword_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${rawToks("text")}) AS BIGINT) AS n_words,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+         |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,

@@ -667,6 +667,15 @@ object Queries {
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("source"))
 
+  /** T5: BPE-ish subword counting — alnum runs + punctuation characters, a
+    * cheap deterministic proxy for a tokenizer's piece count. */
+  def t5SubwordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+      .orderBy(col("doc_id"))
+
   /** T4: whole-doc + min-shingle fingerprints. */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -755,6 +764,7 @@ object Queries {
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,
+    "t5_subword_count" -> t5SubwordCount _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,
