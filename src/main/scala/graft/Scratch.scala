@@ -68,6 +68,13 @@ object Scratch {
         flows.SyncSymbols.run(spark, s"$base/dim",
           Seq(("x", info)).toDF("symbol", "body"), 1, 1)
         println("DIM:"); spark.read.parquet(s"$base/dim").show(false)
+        val kinfo =
+          """{"result":{"XXBTZUSD":{"altname":"XBTUSD","base":"XXBT","quote":"ZUSD",
+            |"status":"online","tick_size":"0.1","lot_multiplier":1.0,
+            |"lot_decimals":8,"pair_decimals":1}}}""".stripMargin.replace("\n", "")
+        println("KRAKEN SYMBOLS:")
+        flows.SyncSymbols.krakenSymbols(
+          Seq(("x", kinfo)).toDF("symbol", "body"), 5, 0).show(false)
         def lsr(ts: Long, l: String, sh: String) =
           s"""[{"symbol":"BTCUSDT","longAccount":"$l","shortAccount":"$sh","timestamp":$ts}]"""
         flows.SyncSentiment.run(spark, s"$base/sent",

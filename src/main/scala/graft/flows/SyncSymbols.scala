@@ -54,6 +54,58 @@ object SyncSymbols {
       Funcs.precisionOf(tick).as("derived_price_precision"))
   }
 
+  /** okx: `{data: [{instId, instFamily, state, tickSz, lotSz, listTime}]}`
+    * (`okx/perp.py:19-54`): base/quote from instFamily split, precisions
+    * DERIVED from the tick/lot strings (P6 via the native expression's
+    * composed twin). */
+  def okxSymbols(raw: DataFrame, exchangeId: Int, instType: Int): DataFrame = {
+    val schema = "struct<data array<struct<instId string, instFamily string, " +
+      "state string, tickSz string, lotSz string, listTime string>>>"
+    val statusMap = Map("live" -> 1, "suspend" -> 2, "preopen" -> 0, "test" -> 0)
+    raw.select(explode(from_json(col("body"),
+        org.apache.spark.sql.types.DataType.fromDDL(schema))
+        .getField("data")).as("s"))
+      .select(
+        lit(exchangeId).cast("short").as("exchange_id"),
+        col("s.instId").as("symbol"),
+        lit(instType).cast("byte").as("inst_type"),
+        element_at(split(col("s.instFamily"), "-"), 1).as("base_asset"),
+        element_at(split(col("s.instFamily"), "-"), 2).as("quote_asset"),
+        Funcs.enumMap(col("s.state"), statusMap).cast("byte").as("status"),
+        col("s.tickSz").as("tick_size"),
+        col("s.lotSz").as("step_size"),
+        Funcs.precisionOf(col("s.tickSz")).cast("byte").as("price_precision"),
+        Funcs.precisionOf(col("s.lotSz")).cast("byte").as("quantity_precision"),
+        col("s.listTime").cast("long").as("onboard_time"))
+  }
+
+  /** kraken: `{result: {PAIR: {altname, base, quote, status, tick_size,
+    * lot_multiplier, lot_decimals, pair_decimals}}}` (`kraken/spot.py:36-71`):
+    * P9 asset canonicalization (XXBT→BTC, ZUSD→USD, …) and step_size derived
+    * as lot_multiplier / 10^lot_decimals. */
+  def krakenSymbols(raw: DataFrame, exchangeId: Int, instType: Int): DataFrame = {
+    val schema = "struct<result map<string, struct<altname string, base string, " +
+      "quote string, status string, tick_size string, lot_multiplier double, " +
+      "lot_decimals int, pair_decimals int>>>"
+    val statusMap = Map("online" -> 1, "cancel_only" -> 2, "post_only" -> 2,
+      "limit_only" -> 2, "reduce_only" -> 2)
+    raw.select(explode(from_json(col("body"),
+        org.apache.spark.sql.types.DataType.fromDDL(schema))
+        .getField("result")).as(Seq("pair", "s")))
+      .select(
+        lit(exchangeId).cast("short").as("exchange_id"),
+        col("s.altname").as("symbol"),
+        lit(instType).cast("byte").as("inst_type"),
+        Funcs.canonicalizeKrakenAsset(col("s.base")).as("base_asset"),
+        Funcs.canonicalizeKrakenAsset(col("s.quote")).as("quote_asset"),
+        Funcs.enumMap(col("s.status"), statusMap).cast("byte").as("status"),
+        col("s.tick_size").as("tick_size"),
+        (col("s.lot_multiplier") / pow(lit(10), col("s.lot_decimals")))
+          .cast("string").as("step_size"),
+        col("s.pair_decimals").cast("byte").as("price_precision"),
+        col("s.lot_decimals").cast("byte").as("quantity_precision"))
+  }
+
   /** The five mutable fields the reference updates in place
     * (`_base_.py:111-121`). */
   val UpdateFields: Seq[String] =

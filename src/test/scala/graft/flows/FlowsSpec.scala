@@ -53,6 +53,34 @@ class FlowsSpec extends SparkSpec {
     assert(tick == "0.10000000")
   }
 
+  test("okxSymbols: instFamily split, P6 precision derivation, status enum") {
+    val body =
+      """{"data":[{"instId":"BTC-USDT-SWAP","instFamily":"BTC-USDT","state":"live",
+        |"tickSz":"0.1","lotSz":"0.01","listTime":"1611916828000"}]}"""
+        .stripMargin.replace("\n", "")
+    val out = SyncSymbols.okxSymbols(Seq(("x", body)).toDF("symbol", "body"), 2, 1)
+      .select($"symbol", $"base_asset", $"quote_asset", $"status".cast("int"),
+        $"price_precision".cast("int"), $"quantity_precision".cast("int"),
+        $"onboard_time")
+      .as[(String, String, String, Int, Int, Int, Long)].head()
+    assert(out == (("BTC-USDT-SWAP", "BTC", "USDT", 1, 1, 2, 1611916828000L)))
+  }
+
+  test("krakenSymbols: P9 canonicalization and derived step size") {
+    val body =
+      """{"result":{"XXBTZUSD":{"altname":"XBTUSD","base":"XXBT","quote":"ZUSD",
+        |"status":"online","tick_size":"0.1","lot_multiplier":1.0,
+        |"lot_decimals":8,"pair_decimals":1}}}""".stripMargin.replace("\n", "")
+    val out = SyncSymbols.krakenSymbols(Seq(("x", body)).toDF("symbol", "body"), 5, 0)
+      .select($"symbol", $"base_asset", $"quote_asset", $"status".cast("int"),
+        $"step_size")
+      .as[(String, String, String, Int, String)].head()
+    assert(out._1 == "XBTUSD")
+    assert(out._2 == "BTC" && out._3 == "USD") // XXBT→BTC, ZUSD→USD
+    assert(out._4 == 1)
+    assert(BigDecimal(out._5) == BigDecimal("0.00000001")) // 1/10^8
+  }
+
   // ---- SyncSentiment -----------------------------------------------------
 
   private def lsrBody(ts: Long, long: String, short: String) =
