@@ -23,8 +23,11 @@ object Bench {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      // crashed queries record a NEGATIVE timing so failures are visible in
+      // the bench JSON instead of blending into the total
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

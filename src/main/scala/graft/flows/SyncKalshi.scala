@@ -70,9 +70,17 @@ object SyncKalshi {
   def run(spark: SparkSession, metaPath: String, snapshotPath: String,
       markets: DataFrame): Unit = {
     val finalized: DataFrame =
+      // cold start only on a missing path — a transient read error must NOT
+      // empty the finalized set (that would let finalized markets be
+      // overwritten, violating the reference's rule)
       try spark.read.parquet(metaPath).where(col("status") === 4)
         .select(col("ticker"))
-      catch { case _: Throwable => markets.select(col("ticker")).limit(0) }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          markets.select(col("ticker")).limit(0)
+      }
     UpsertSink.upsert(spark, metaPath, nonFinalized(markets, finalized),
       Seq("ticker"), "updated_ts")
     UpsertSink.append(spark, snapshotPath, snapshot(markets))

@@ -36,11 +36,16 @@ object SyncKlines {
       ivlMs: Long, startMs: Long, endMs: Long, limit: Int,
       mergeWithinMs: Long): DataFrame = {
     val existing: DataFrame =
+      // only a missing path is a cold start; any other failure (corrupt
+      // files, permissions) must surface, not silently replan a full refetch
       try spark.read.parquet(sinkPath).select(
         (KeyCols.map(col) :+ col("ts")): _*)
-      catch { case _: Throwable => // cold start: no sink yet → whole-range gaps
-        activeKeys.select(KeyCols.map(col): _*).limit(0)
-          .withColumn("ts", lit(0L))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          activeKeys.select(KeyCols.map(col): _*).limit(0)
+            .withColumn("ts", lit(0L))
       }
     val plan = GapEngine.gapPlan(existing, activeKeys, KeyCols, "ts", ivlMs,
       startMs, endMs, mergeWithinMs)

@@ -100,8 +100,12 @@ object SyncSymbols {
         Funcs.canonicalizeKrakenAsset(col("s.quote")).as("quote_asset"),
         Funcs.enumMap(col("s.status"), statusMap).cast("byte").as("status"),
         col("s.tick_size").as("tick_size"),
-        (col("s.lot_multiplier") / pow(lit(10), col("s.lot_decimals")))
-          .cast("string").as("step_size"),
+        // plain-decimal rendering ("0.00000001"), not the double's "1.0E-8":
+        // fixed-scale decimal string, then trim trailing zeros / bare dot
+        regexp_replace(regexp_replace(
+          (col("s.lot_multiplier") / pow(lit(10), col("s.lot_decimals")))
+            .cast("decimal(28,12)").cast("string"),
+          "0+$", ""), "\\.$", "").as("step_size"),
         col("s.pair_decimals").cast("byte").as("price_precision"),
         col("s.lot_decimals").cast("byte").as("quantity_precision"))
   }

@@ -40,6 +40,10 @@ object TagCrypto {
     val raw = try Base64.getDecoder.decode(b64)
               catch { case _: IllegalArgumentException => return b64 }
     val block = raw.padTo(16, 0.toByte)
+    // non-block-aligned base64 (a plain tag that happens to decode) must
+    // pass through, not kill the job — the reference would crash here, a
+    // divergence we take deliberately for distributed robustness
+    if (block.length % 16 != 0) return b64
     val cipher = Cipher.getInstance("AES/ECB/NoPadding")
     cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
     val dec = cipher.doFinal(block)
@@ -49,7 +53,10 @@ object TagCrypto {
   }
 
   /** Decrypt a (possibly multi-segment) tag string; pass-through for
-    * non-encrypted values (no '='). */
+    * non-encrypted values (no '=') — the reference's own heuristic
+    * (`decrypt_post.py:80-82`), kept bug-compatible: a ciphertext whose
+    * byte length is a multiple of 3 base64-encodes without '=' padding and
+    * is skipped by BOTH implementations. */
   def decryptTag(tag: String, ts: String): String = {
     if (tag == null || !tag.contains("=")) return tag
     val key = deriveKey(ts)

@@ -105,10 +105,11 @@ object Dedup {
       val uni = (expr("bit_count(mask_a)") + expr("bit_count(mask_b)")).cast("double") - inter
       // verify INSIDE the band join (codegen'd bit math) so only passing
       // pairs reach the cross-band distinct — the shuffle shrinks to the
-      // result size instead of the candidate count. The banded side is tiny
-      // (docs × bands rows of longs) → broadcast-hash keeps the hot band
-      // keys O(output) instead of a duplicate-degenerate merge join.
-      a.join(broadcast(b), Seq("band"))
+      // result size instead of the candidate count. shuffle_hash (not
+      // broadcast: the banded side scales with the corpus; not sort-merge:
+      // duplicate-heavy band keys degenerate a merge join) keeps hot keys
+      // O(output).
+      a.hint("shuffle_hash").join(b, Seq("band"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           when(uni > 0, inter / uni).otherwise(lit(1.0)).as("jaccard"))
@@ -216,7 +217,10 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
     // integer surrogate per distinct set: candidate rows shuffle as 4 longs
-    // instead of 2×32-char digests (the distinct below is the big shuffle)
+    // instead of 2×32-char digests (the distinct below is the big shuffle).
+    // The global-window id assignment routes DISTINCT SETS (not corpus rows)
+    // through one task — fine to ~10M sets; beyond that swap in an RDD
+    // zipWithIndex assignment.
     val sidW = org.apache.spark.sql.expressions.Window.orderBy(col("setkey"))
     val sets = docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
       .select(col("setkey"), simhash(col("toks"), bits).as("sh"))
@@ -227,7 +231,9 @@ object Dedup {
     }: _*)))
     val a = banded.select(col("band"), col("sid").as("sid_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("sid").as("sid_b"), col("sh").as("sh_b"))
-    val setPairs = a.join(broadcast(b), Seq("band"))
+    // shuffle_hash: band sides scale with the corpus (no broadcast) and
+    // duplicate-heavy band keys degenerate a merge join
+    val setPairs = a.hint("shuffle_hash").join(b, Seq("band"))
       .where(expr(s"bit_count(sh_a ^ sh_b) <= $maxHamming") &&
         // fold the symmetric+diagonal pair space before the distinct
         col("sid_a") <= col("sid_b"))
@@ -241,9 +247,11 @@ object Dedup {
       setPairs.where(col("sid_a") =!= col("sid_b")).select(
         col("sid_b").as("sid_a"), col("sid_a").as("sid_b"), col("hamming")))
     sym
-      .join(broadcast(ids).withColumnRenamed("sid", "sid_a")
+      .hint("shuffle_hash")
+      .join(ids.withColumnRenamed("sid", "sid_a")
         .withColumnRenamed("id", "id_a"), Seq("sid_a"))
-      .join(broadcast(ids).withColumnRenamed("sid", "sid_b")
+      .hint("shuffle_hash")
+      .join(ids.withColumnRenamed("sid", "sid_b")
         .withColumnRenamed("id", "id_b"), Seq("sid_b"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -31,28 +31,34 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // union-compatible frames: left rows carry NULL payloads, right rows
-    // carry NULL left-extras; side 0 sorts before side 1 at equal ts so a
-    // right row at exactly left.ts matches (inclusive <=)
+    require(payloadCols.intersect(leftCols).isEmpty,
+      s"payload columns ${payloadCols.intersect(leftCols)} collide with left columns")
+    // union-compatible frames: left rows carry a NULL payload STRUCT, right
+    // rows a populated one; the whole struct is carried atomically so the
+    // matched values all come from the SAME latest right row — including its
+    // legitimately-NULL fields (last(ignoreNulls) per column would smear
+    // older values over them). Side 0 sorts before side 1 at equal ts so a
+    // right row at exactly left.ts matches (inclusive <=).
     val lExtra = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    val pStructType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val l = left
-      .select((keys ++ Seq(tsCol) ++ lExtra).map(col) ++
-        payloadCols.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"_p_$c")): _*)
+      .select((keys ++ Seq(tsCol) ++ lExtra).map(col) :+
+        lit(null).cast(pStructType).as("_p"): _*)
       .withColumn("_side", lit(1))
     val r = right
       .select((keys :+ tsCol).map(col) ++
-        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"_p_$c")): _*)
+        lExtra.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("_p"): _*)
       .withColumn("_side", lit(0))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(col("*") +: payloadCols.map(c =>
-        last(col(s"_p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
     carried.where(col("_side") === 1)
-      .select((leftCols ++ payloadCols).map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("_m").getField(c).as(c)): _*)
   }
 
   /** Probe rows joined to every range containing them:

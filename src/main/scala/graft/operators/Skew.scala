@@ -23,9 +23,12 @@ object Skew {
     * the right (build) side replicated `factor` times. */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       factor: Int): DataFrame = {
-    // deterministic salt: stable hash of the whole probe row spread uniformly
+    // per-row uniform salt: rand() spreads IDENTICAL duplicate rows of a hot
+    // key (a row hash would give them all the same salt — no-op mitigation).
+    // Salt instability across task retries is harmless: the build side
+    // carries every salt value, so any drawn salt joins correctly.
     val salted = probe.withColumn("_salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(factor)).cast("int"))
+      floor(rand(42) * factor).cast("int"))
     val replicated = build
       .withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("_salt", col("_salt").cast("int"))

@@ -620,6 +620,10 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // NOTE: DuckDB cannot slice BLOBs, so these twins slice the VARCHAR —
+    // byte-equivalent ONLY because the corpus is pure ASCII (verified);
+    // a multi-byte char before an offset would desynchronize char vs byte
+    // indexing between the engines.
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -32,16 +32,26 @@ object UpsertSink {
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** Write to a temp dir, move the old table ASIDE (rename, not delete),
+    * move the new one in, then drop the old copy. A crash mid-swap leaves
+    * the previous table recoverable in `<path>.old-*` rather than gone; the
+    * no-table window shrinks to two renames. (True atomic swap needs a
+    * transactional table format / metastore pointer — out of scope here;
+    * this is the strongest guarantee plain directories give.) */
   private def swapWrite(spark: SparkSession, df: DataFrame, path: String,
       partitionCol: Option[String]): Unit = {
-    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = path + ".tmp-" + suffix
     val w = df.write.mode(SaveMode.Overwrite)
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    val aside = new org.apache.hadoop.fs.Path(path + ".old-" + suffix)
+    val hadOld = fs.exists(dst)
+    if (hadOld) fs.rename(dst, aside)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (hadOld) fs.delete(aside, true)
   }
 
   /** K3: append, skipping empty batches. */

@@ -45,8 +45,9 @@ object KlineStream {
       .format("text")
       .load(dropDir)
       .select(
-        split(col("value"), "\t").getItem(0).as("symbol"),
-        split(col("value"), "\t").getItem(1).as("body"))
+        // limit=2: a tab inside the body must not truncate it
+        split(col("value"), "\t", 2).getItem(0).as("symbol"),
+        split(col("value"), "\t", 2).getItem(1).as("body"))
     raw.writeStream
       .queryName(s"kline-ingest-$exchange-$instType")
       .option("checkpointLocation", checkpointDir)
@@ -89,8 +90,9 @@ object KlineStream {
     val adapter = graft.sources.KlineAdapters.registry((exchange, instType))
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
-        split(col("value"), "\t").getItem(0).as("symbol"),
-        split(col("value"), "\t").getItem(1).as("body"))
+        // limit=2: a tab inside the body must not truncate it
+        split(col("value"), "\t", 2).getItem(0).as("symbol"),
+        split(col("value"), "\t", 2).getItem(1).as("body"))
     // adapters are pure column maps, so they lift to streaming DataFrames
     val klines = adapter(raw, exchangeId, instType, ivlMs)
     windowedStats(spark, klines, windowSpec, lateness)

@@ -19,6 +19,18 @@ class JoinsSpec extends SparkSpec {
     assert(out("z1").isEmpty)         // key with no right rows → NULL
   }
 
+  test("asofBackward takes the LATEST right row even when its payload is NULL") {
+    // true as-of semantics (= DuckDB ASOF JOIN): the match is the latest
+    // ROW; a NULL field in it must not be papered over by an older value
+    val left = Seq(("k", 25L, "e")).toDF("key", "ts", "ev")
+    val right = Seq(("k", 10L, Some(5.0), "a"), ("k", 20L, None, "b"))
+      .toDF("key", "ts", "px", "src")
+    val out = Joins.asofBackward(left, right, Seq("key"), "ts",
+      Seq("px", "src"))
+      .select($"px", $"src").as[(Option[Double], String)].head()
+    assert(out == ((None, "b"))) // from the ts=20 row, px stays NULL
+  }
+
   test("rangeJoin matches overlapping ranges, bucket expansion exact") {
     val probe = Seq((1L, 15L), (2L, 25L), (3L, 95L)).toDF("id", "v")
     val ranges = Seq((0, 0L, 20L), (1, 10L, 30L), (2, 90L, 100L))
