@@ -155,6 +155,25 @@ object Scratch {
           flows.CheckIntegrity.deficientHours(flows.CheckIntegrity.hourlyStatus(
             spark.read.parquet(s"$base/facts"), Seq("A").toDF("sym"),
             Seq("sym"), "ts", T0, T0 + 2 * H, 3)).count())
+      case Some("scale") =>
+        // scale-headroom probe: replicate lineitem in-memory and watch the
+        // q1 aggregation throughput hold as rows grow 1x -> 16x
+        import org.apache.spark.sql.functions._
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        def agg(df: org.apache.spark.sql.DataFrame): Long = df
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+            avg(col("l_discount")), count(lit(1)))
+          .count()
+        for (k <- Seq(1, 4, 16)) {
+          val big = Seq.fill(k)(li).reduce(_ unionByName _)
+          val rows = big.count()
+          val t0 = System.nanoTime()
+          agg(big)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE x$k%-3d rows=$rows%10d  q1agg=${dt}%6.2f s  " +
+            f"${rows / dt / 1e6}%8.2f M rows/s")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")
