@@ -208,6 +208,27 @@ object Oracles {
          |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin
     },
 
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+         |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE contains(p_name, 'red')
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "s4_centroids" -> {
+      val dims = (0 until EmbeddingDim).map(i =>
+        s"round(CAST(sum(CAST(CAST(embedding[${i + 1}] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS c$i")
+        .mkString(",\n  ")
+      s"""SELECT label, count(*) AS n,
+         |  $dims
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    },
+
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -103,6 +103,46 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Q9-style: product-line profit by supplier nation and year (substring
+    * product filter + 4-way join + two-level rollup grain). */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).where(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate").cast("timestamp")).as("o_year"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+          col("l_discount").cast("decimal(18,2)")) -
+          col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** S4: per-label embedding centroids — the IVF coarse-quantizer training
+    * step as a single vector aggregation (element-wise means). Sums
+    * accumulate in exact decimal (commutative — partial-aggregation order
+    * can't perturb the result), means divide in double. */
+  def s4Centroids(s: SparkSession, d: String): DataFrame = {
+    val agged = Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (0 until EmbeddingDim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double")
+            .cast("decimal(27,9)")).cast("double").as(s"s$i")): _*)
+    agged.select(col("label") +: col("n") +:
+      (0 until EmbeddingDim).map(i =>
+        round(col(s"s$i") / col("n"), 6).as(s"c$i")): _*)
+      .orderBy(col("label"))
+  }
+
   /** Q18-style: shuffle-heavy groupBy-HAVING on the fact, then join back. */
   def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
     val big = Tables.lineitem(s, d)
@@ -718,6 +758,8 @@ object Queries {
     "q18_large_orders" -> q18LargeOrders _,
     "q7_trade_flows" -> q7TradeFlows _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q9_product_profit" -> q9ProductProfit _,
+    "s4_centroids" -> s4Centroids _,
     "x1_asof_join" -> x1AsofJoin _,
     "x2_range_join" -> x2RangeJoin _,
     "a1_watermark_max" -> a1WatermarkMax _,
