@@ -76,8 +76,11 @@ object SyncKlines {
     val adapter = graft.sources.KlineAdapters.registry((exchange, instType))
     val rows = adapter(raw, exchangeId, instType, ivlMs)
       .where(col("ts").between(startMs, endMs))
+      // date-partition the fact table: a sync pass rewrites only the days
+      // it touched, not the table (the 100 TB layout lever)
+      .withColumn("dt_date", date_format(col("dt"), "yyyy-MM-dd"))
     UpsertSink.upsert(spark, sinkPath, rows,
-      KeyCols :+ "ts", "ts")
+      KeyCols :+ "ts", "ts", partitionCol = Some("dt_date"))
   }
 
   /** A1: per-key watermark over the sink (one job for all keys). */

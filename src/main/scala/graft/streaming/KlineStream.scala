@@ -54,8 +54,10 @@ object KlineStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = adapter(batch, exchangeId, instType, ivlMs)
+          .withColumn("dt_date", date_format(col("dt"), "yyyy-MM-dd"))
         UpsertSink.upsert(batch.sparkSession, sinkPath, rows,
-          Seq("exchange_id", "inst_type", "symbol", "ts"), "ts")
+          Seq("exchange_id", "inst_type", "symbol", "ts"), "ts",
+          partitionCol = Some("dt_date"))
       }
       .start()
   }

@@ -26,8 +26,9 @@ class SyncKlinesFlowSpec extends SparkSpec {
     }.mkString("[", ",", "]")
     val seed = graft.sources.KlineAdapters.binance(
       Seq(("BTCUSDT", seedBody)).toDF("symbol", "body"), 1, 1, M)
+      .withColumn("dt_date", date_format($"dt", "yyyy-MM-dd"))
     graft.sinks.UpsertSink.upsert(spark, sink, seed,
-      SyncKlines.KeyCols :+ "ts", "ts")
+      SyncKlines.KeyCols :+ "ts", "ts", Some("dt_date"))
 
     // 2. gap scan must report exactly the two holes (no boundary gaps)
     val existing = spark.read.parquet(sink)
