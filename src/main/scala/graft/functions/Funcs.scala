@@ -62,6 +62,21 @@ object Funcs {
     element_at(m, c)
   }
 
+  /** P8 variant for integer-coded raw statuses (reference `mexc/perp.py:14-21`
+    * keys its status_map on the raw `state` int). */
+  def enumMapInt(c: Column, mapping: Map[Int, Int]): Column = {
+    val m = map(mapping.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    element_at(m, c.cast("int"))
+  }
+
+  /** Canonical plain-decimal rendering: strip trailing FRACTIONAL zeros and a
+    * bare trailing dot. "0.001000" → "0.001", "1.000" → "1", "10.0" → "10"
+    * (a naive `0+$` strip would eat integer zeros: "10.0" → "1"). Apply only
+    * to strings that are plain decimal renderings (no exponent). */
+  def trimZeros(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+
   /** P9 Kraken asset canonicalization (reference `kraken/spot.py:8-26`). */
   val krakenAssetMap: Map[String, String] = Map(
     "XXBT" -> "BTC", "XBT" -> "BTC", "XETH" -> "ETH", "XXRP" -> "XRP",

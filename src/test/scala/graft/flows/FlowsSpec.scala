@@ -81,6 +81,225 @@ class FlowsSpec extends SparkSpec {
     assert(BigDecimal(out._5) == BigDecimal("0.00000001")) // 1/10^8
   }
 
+  // ---- SyncSymbols: round-3 exchange clients (S2 completion) -------------
+
+  private def oneBody(body: String) =
+    Seq(("x", body.stripMargin.replace("\n", ""))).toDF("symbol", "body")
+
+  private def normalized(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("symbol")
+      .select($"symbol", $"base_asset", $"quote_asset", $"status".cast("int"),
+        $"tick_size", $"step_size", $"price_precision".cast("int"),
+        $"quantity_precision".cast("int"))
+      .as[(String, String, String, Int, String, String, Int, Int)].collect()
+
+  test("binanceSpotSymbols: no contract filter, rstrip-0 ticks, spot status vocab") {
+    val body =
+      """{"symbols":[
+        |{"symbol":"BTCUSDT","baseAsset":"BTC","quoteAsset":"USDT","status":"TRADING",
+        | "filters":[{"filterType":"PRICE_FILTER","tickSize":"0.01000000"},
+        |            {"filterType":"LOT_SIZE","stepSize":"1.00000000"}]},
+        |{"symbol":"OLDUSDT","baseAsset":"OLD","quoteAsset":"USDT","status":"BREAK",
+        | "filters":[{"filterType":"PRICE_FILTER","tickSize":"0.00001000"},
+        |            {"filterType":"LOT_SIZE","stepSize":"0.10000000"}]}]}"""
+    val out = normalized(SyncSymbols.binanceSpotSymbols(oneBody(body), 1, 0))
+    // the reference's literal rstrip("0"): "1.00000000" -> "1." (kept faithful)
+    assert(out(0) == (("BTCUSDT", "BTC", "USDT", 1, "0.01", "1.", 2, 0)))
+    assert(out(1) == (("OLDUSDT", "OLD", "USDT", 2, "0.00001", "0.1", 5, 1)))
+  }
+
+  test("okxSpotSymbols: baseCcy/quoteCcy fields, preopen->PENDING") {
+    val body =
+      """{"data":[{"instId":"BTC-USDT","baseCcy":"BTC","quoteCcy":"USDT",
+        |"state":"preopen","tickSz":"0.1","lotSz":"0.0001","listTime":"1611916828000"}]}"""
+    val out = normalized(SyncSymbols.okxSpotSymbols(oneBody(body), 2, 0))
+    assert(out(0) == (("BTC-USDT", "BTC", "USDT", 0, "0.1", "0.0001", 1, 4)))
+  }
+
+  test("bybitPerpSymbols: LinearPerpetual filter, priceScale preferred over derived") {
+    val body =
+      """{"result":{"list":[
+        |{"symbol":"BTCUSDT","baseCoin":"BTC","quoteCoin":"USDT","status":"Trading",
+        | "contractType":"LinearPerpetual","priceScale":"2",
+        | "priceFilter":{"tickSize":"0.10"},"lotSizeFilter":{"qtyStep":"0.001"}},
+        |{"symbol":"BTCUSDH25","baseCoin":"BTC","quoteCoin":"USDT","status":"Trading",
+        | "contractType":"LinearFutures","priceScale":"1",
+        | "priceFilter":{"tickSize":"0.5"},"lotSizeFilter":{"qtyStep":"0.01"}}]}}"""
+    val out = normalized(SyncSymbols.bybitPerpSymbols(oneBody(body), 6, 1))
+    assert(out.length == 1) // futures contract filtered out
+    // priceScale=2 wins over precision("0.10")=1
+    assert(out(0) == (("BTCUSDT", "BTC", "USDT", 1, "0.10", "0.001", 2, 3)))
+  }
+
+  test("bybitSpotSymbols: basePrecision step, both precisions derived") {
+    val body =
+      """{"result":{"list":[
+        |{"symbol":"ETHUSDC","baseCoin":"ETH","quoteCoin":"USDC","status":"Trading",
+        | "priceFilter":{"tickSize":"0.01"},
+        | "lotSizeFilter":{"qtyStep":"9","basePrecision":"0.00001"}}]}}"""
+    val out = normalized(SyncSymbols.bybitSpotSymbols(oneBody(body), 6, 0))
+    assert(out(0) == (("ETHUSDC", "ETH", "USDC", 1, "0.01", "0.00001", 2, 5)))
+  }
+
+  test("bitgetPerpSymbols: tick rendered 10^-pricePlace, 6-state vocab") {
+    val body =
+      """{"data":[
+        |{"symbol":"BTCUSDT_UMCBL","baseCoin":"BTC","quoteCoin":"USDT",
+        | "symbolStatus":"normal","pricePlace":"1","sizeMultiplier":"0.001",
+        | "volumePlace":"3"},
+        |{"symbol":"NEWUSDT_UMCBL","baseCoin":"NEW","quoteCoin":"USDT",
+        | "symbolStatus":"listed","pricePlace":"0","sizeMultiplier":"1",
+        | "volumePlace":"0"}]}"""
+    val out = normalized(SyncSymbols.bitgetPerpSymbols(oneBody(body), 8, 1))
+    assert(out(0) == (("BTCUSDT_UMCBL", "BTC", "USDT", 1, "0.1", "0.001", 1, 3)))
+    assert(out(1) == (("NEWUSDT_UMCBL", "NEW", "USDT", 0, "1", "1", 0, 0)))
+  }
+
+  test("bitgetSpotSymbols: both sizes rendered from precisions, re-derived") {
+    val body =
+      """{"data":[{"symbol":"BTCUSDT","baseCoin":"BTC","quoteCoin":"USDT",
+        |"status":"gray","pricePrecision":"4","quantityPrecision":"6"}]}"""
+    val out = normalized(SyncSymbols.bitgetSpotSymbols(oneBody(body), 8, 0))
+    assert(out(0) == (("BTCUSDT", "BTC", "USDT", 0, "0.0001", "0.000001", 4, 6)))
+  }
+
+  test("mexcPerpSymbols: int state map, s->ms onboard") {
+    val body =
+      """{"data":[{"symbol":"BTC_USDT","baseCoin":"BTC","quoteCoin":"USDT",
+        |"state":4,"priceUnit":"0.5","volUnit":"0.0001","priceScale":1,
+        |"amountScale":4,"openingTime":1700000000}]}"""
+    val df = SyncSymbols.mexcPerpSymbols(oneBody(body), 10, 1)
+    val out = normalized(df)
+    assert(out(0) == (("BTC_USDT", "BTC", "USDT", 2, "0.5", "0.0001", 1, 4)))
+    assert(df.select($"onboard_time").as[Long].head() == 1700000000000L)
+  }
+
+  test("mexcSpotSymbols: precisions from asset-precision fields, not the sizes") {
+    val body =
+      """{"symbols":[{"symbol":"MXUSDT","baseAsset":"MX","quoteAsset":"USDT",
+        |"status":"1","quoteAmountPrecision":"5.0","baseSizePrecision":"0.0001",
+        |"quoteAssetPrecision":6,"baseAssetPrecision":2}]}"""
+    val out = normalized(SyncSymbols.mexcSpotSymbols(oneBody(body), 10, 0))
+    assert(out(0) == (("MXUSDT", "MX", "USDT", 1, "5.0", "0.0001", 6, 2)))
+  }
+
+  test("gatePerpSymbols: name split, integer lots (step=1, qty precision 0)") {
+    val body =
+      """[{"name":"BTC_USDT","status":"trading","order_price_round":"0.1",
+        |"launch_time":1500000000}]"""
+    val df = SyncSymbols.gatePerpSymbols(oneBody(body), 12, 1)
+    val out = normalized(df)
+    assert(out(0) == (("BTC_USDT", "BTC", "USDT", 1, "0.1", "1", 1, 0)))
+    assert(df.select($"onboard_time").as[Long].head() == 1500000000000L)
+  }
+
+  test("gateSpotSymbols: P7 ticks from precisions, min(sell,buy) onboard") {
+    val body =
+      """[{"id":"ETH_USDT","base":"ETH","quote":"USDT","trade_status":"buyable",
+        |"precision":2,"amount_precision":3,"sell_start":200,"buy_start":100}]"""
+    val df = SyncSymbols.gateSpotSymbols(oneBody(body), 12, 0)
+    val out = normalized(df)
+    assert(out(0) == (("ETH_USDT", "ETH", "USDT", 1, "0.01", "0.001", 2, 3)))
+    assert(df.select($"onboard_time").as[Long].head() == 100000L)
+  }
+
+  test("coinbaseSpotSymbols: increments through, precisions derived") {
+    val body =
+      """[{"id":"BTC-USD","base_currency":"BTC","quote_currency":"USD",
+        |"status":"internal","quote_increment":"0.01","base_increment":"0.00000001"}]"""
+    val out = normalized(SyncSymbols.coinbaseSpotSymbols(oneBody(body), 13, 0))
+    assert(out(0) == (("BTC-USD", "BTC", "USD", 2, "0.01", "0.00000001", 2, 8)))
+  }
+
+  test("bitmartPerpSymbols: step = vol_precision x contract_size, Delisted->PENDING") {
+    val body =
+      """{"data":{"symbols":[
+        |{"symbol":"BTCUSDT","base_currency":"BTC","quote_currency":"USDT",
+        | "status":"Trading","price_precision":"0.1","vol_precision":"0.001",
+        | "contract_size":"10"},
+        |{"symbol":"GONEUSDT","base_currency":"GONE","quote_currency":"USDT",
+        | "status":"Delisted","price_precision":"0.01","vol_precision":"1",
+        | "contract_size":"1"}]}}"""
+    val out = normalized(SyncSymbols.bitmartPerpSymbols(oneBody(body), 14, 1))
+    // 0.001 * 10 = 0.01 exactly, in decimal
+    assert(out(0) == (("BTCUSDT", "BTC", "USDT", 1, "0.1", "0.01", 1, 2)))
+    assert(out(1) == (("GONEUSDT", "GONE", "USDT", 0, "0.01", "1", 2, 0)))
+  }
+
+  test("bitmartSpotSymbols: P7 tick from max precision") {
+    val body =
+      """{"data":{"symbols":[{"symbol":"BMX_ETH","base_currency":"BMX",
+        |"quote_currency":"ETH","trade_status":"pre-trade",
+        |"price_max_precision":8,"base_min_size":"1.0"}]}}"""
+    val out = normalized(SyncSymbols.bitmartSpotSymbols(oneBody(body), 14, 0))
+    assert(out(0) == (("BMX_ETH", "BMX", "ETH", 0, "0.00000001", "1.0", 8, 0)))
+  }
+
+  test("weexPerpSymbols: qty precision from minOrderSize, step from size_increment") {
+    val body =
+      """[{"symbol":"cmt_btcusdt","underlying_index":"BTC","quote_currency":"USDT",
+        |"status":"SUSPENDED","tick_size":"0.5","size_increment":"0.001",
+        |"minOrderSize":"0.01"}]"""
+    val out = normalized(SyncSymbols.weexPerpSymbols(oneBody(body), 16, 1))
+    // step 0.001 but precision(minOrderSize 0.01) = 2 — reference asymmetry
+    assert(out(0) == (("cmt_btcusdt", "BTC", "USDT", 2, "0.5", "0.001", 1, 2)))
+  }
+
+  test("wooxSymbols: TYPE_BASE_QUOTE segment filter selects the book") {
+    val body =
+      """{"rows":[
+        |{"symbol":"PERP_BTC_USDT","status":"TRADING","quote_tick":"0.1",
+        | "base_tick":"0.0001","listing_time":"1600000000.125"},
+        |{"symbol":"SPOT_BTC_USDT","status":"TRADING","quote_tick":"0.01",
+        | "base_tick":"0.00001","listing_time":"1600000001.5"}]}"""
+    val perp = SyncSymbols.wooxSymbols(oneBody(body), 17, 1)
+    val spot = SyncSymbols.wooxSymbols(oneBody(body), 17, 0)
+    assert(normalized(perp)(0) ==
+      (("PERP_BTC_USDT", "BTC", "USDT", 1, "0.1", "0.0001", 1, 4)))
+    assert(normalized(spot)(0) ==
+      (("SPOT_BTC_USDT", "BTC", "USDT", 1, "0.01", "0.00001", 2, 5)))
+    assert(perp.select($"onboard_time").as[Long].head() == 1600000000125L)
+  }
+
+  test("asterSymbols: perp filters PERPETUAL, spot keeps all") {
+    val body =
+      """{"symbols":[
+        |{"symbol":"BTCUSDT","baseAsset":"BTC","quoteAsset":"USDT",
+        | "status":"SETTLING","contractType":"PERPETUAL","pricePrecision":1,
+        | "quantityPrecision":3,
+        | "filters":[{"filterType":"PRICE_FILTER","tickSize":"0.1"},
+        |            {"filterType":"LOT_SIZE","stepSize":"0.001"}]},
+        |{"symbol":"ETHUSDT_Q","baseAsset":"ETH","quoteAsset":"USDT",
+        | "status":"TRADING","contractType":"CURRENT_QUARTER","pricePrecision":2,
+        | "quantityPrecision":2,
+        | "filters":[{"filterType":"PRICE_FILTER","tickSize":"0.01"},
+        |            {"filterType":"LOT_SIZE","stepSize":"0.01"}]}]}"""
+    assert(normalized(SyncSymbols.asterSymbols(oneBody(body), 20, 1)).toSeq ==
+      Seq(("BTCUSDT", "BTC", "USDT", 2, "0.1", "0.001", 1, 3)))
+    assert(normalized(SyncSymbols.asterSymbols(oneBody(body), 20, 0)).length == 2)
+  }
+
+  test("symbol registry covers all 21 reference client pairs") {
+    val r = SyncSymbols.registry
+    assert(r.size == 21)
+    val spotOnly = Seq("kraken", "coinbase")
+    val perpOnly = Seq("weex") // weex/spot.py is an empty stub
+    val both = Seq("binance", "okx", "bybit", "bitget", "mexc", "gate",
+      "bitmart", "woox", "aster")
+    spotOnly.foreach(e => assert(r.contains((e, 0)) && !r.contains((e, 1))))
+    perpOnly.foreach(e => assert(r.contains((e, 1)) && !r.contains((e, 0))))
+    both.foreach(e => assert(r.contains((e, 0)) && r.contains((e, 1))))
+  }
+
+  test("bitgetSentimentEligible: base blacklist + _UMCBL strip") {
+    val df = Seq(
+      ("BTCUSDT_UMCBL", "BTC"), ("DOGEUSDT_UMCBL", "DOGE"),
+      ("ASTERUSDT_UMCBL", "ASTER")).toDF("symbol", "base_asset")
+    val out = SyncSymbols.bitgetSentimentEligible(df)
+      .select($"symbol", $"api_symbol").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("BTCUSDT_UMCBL", "BTCUSDT")))
+  }
+
   // ---- SyncSentiment -----------------------------------------------------
 
   private def lsrBody(ts: Long, long: String, short: String) =
