@@ -675,6 +675,62 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
+    // S2: expected symbol catalog computed directly from the same part-table
+    // derivations the Spark side renders into per-exchange JSON. Status lists
+    // are each exchange's vocabulary mapped to the repo status codes
+    // (PENDING=0, ACTIVE=1, HALTED=2, CLOSED=3); gate perp trades integer
+    // lots (step '1', quantity precision 0).
+    "s5_symbol_catalog" ->
+      """WITH f AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS pk,
+        |         CAST(p_partkey % 21 AS INT) AS pidx,
+        |         CAST(p_size % 7 AS INT) AS p,
+        |         CAST((p_size + 3) % 6 AS INT) AS q
+        |  FROM part),
+        |g AS (
+        |  SELECT pk, pidx, p, q,
+        |    'C' || CAST(pk AS VARCHAR) AS base,
+        |    (['USDT','USDC','USD','BTC'])[CAST(pk % 4 AS INT) + 1] AS quote
+        |  FROM f)
+        |SELECT
+        |  pidx + 1 AS exchange_id,
+        |  CASE WHEN pidx = 17 THEN 'PERP_' WHEN pidx = 18 THEN 'SPOT_'
+        |       ELSE '' END || base || '_' || quote AS symbol,
+        |  ([1,0,1,0,0,1,0,1,0,1,0,1,0,0,1,0,1,1,0,1,0])[pidx + 1] AS inst_type,
+        |  base AS base_asset,
+        |  quote AS quote_asset,
+        |  CASE pidx
+        |    WHEN 0 THEN ([1,0,2,2,2,2,2,3])[CAST(pk % 8 AS INT) + 1]
+        |    WHEN 1 THEN ([1,3,2,2])[CAST(pk % 4 AS INT) + 1]
+        |    WHEN 2 THEN ([1,2,0,0])[CAST(pk % 4 AS INT) + 1]
+        |    WHEN 3 THEN ([1,2,0,0])[CAST(pk % 4 AS INT) + 1]
+        |    WHEN 4 THEN ([1,2,2,2,2])[CAST(pk % 5 AS INT) + 1]
+        |    WHEN 5 THEN 1
+        |    WHEN 6 THEN 1
+        |    WHEN 7 THEN ([1,0,2,2,2,3])[CAST(pk % 6 AS INT) + 1]
+        |    WHEN 8 THEN ([1,2,0,3])[CAST(pk % 4 AS INT) + 1]
+        |    WHEN 9 THEN ([1,2,3,3,2])[CAST(pk % 5 AS INT) + 1]
+        |    WHEN 10 THEN ([1,2,3])[CAST(pk % 3 AS INT) + 1]
+        |    WHEN 11 THEN ([0,1,2,3,2])[CAST(pk % 5 AS INT) + 1]
+        |    WHEN 12 THEN ([3,1,1,1])[CAST(pk % 4 AS INT) + 1]
+        |    WHEN 13 THEN ([1,3,2,3])[CAST(pk % 4 AS INT) + 1]
+        |    WHEN 14 THEN ([1,0])[CAST(pk % 2 AS INT) + 1]
+        |    WHEN 15 THEN ([1,0])[CAST(pk % 2 AS INT) + 1]
+        |    WHEN 16 THEN ([1,2])[CAST(pk % 2 AS INT) + 1]
+        |    WHEN 17 THEN ([1,2])[CAST(pk % 2 AS INT) + 1]
+        |    WHEN 18 THEN ([1,2])[CAST(pk % 2 AS INT) + 1]
+        |    WHEN 19 THEN ([1,0,2,2,2,2,2,3])[CAST(pk % 8 AS INT) + 1]
+        |    WHEN 20 THEN ([1,0,2,2,2,2,2,3])[CAST(pk % 8 AS INT) + 1]
+        |  END AS status,
+        |  CASE WHEN p = 0 THEN '1'
+        |       ELSE '0.' || repeat('0', p - 1) || '1' END AS tick_size,
+        |  CASE WHEN pidx = 11 THEN '1'
+        |       WHEN q = 0 THEN '1'
+        |       ELSE '0.' || repeat('0', q - 1) || '1' END AS step_size,
+        |  p AS price_precision,
+        |  CASE WHEN pidx = 11 THEN 0 ELSE q END AS quantity_precision
+        |FROM g ORDER BY exchange_id, symbol""".stripMargin,
+
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

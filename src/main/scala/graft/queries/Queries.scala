@@ -811,5 +811,26 @@ object Queries {
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann" -> s2LshAnn _,
-    "s3_ivf_ann" -> s3IvfAnn _)
+    "s3_ivf_ann" -> s3IvfAnn _,
+    "s5_symbol_catalog" -> s5SymbolCatalog _)
+
+  /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
+    * part-table-derived fixtures into each exchange's raw exchange-info JSON
+    * shape, runs the real [[graft.flows.SyncSymbols.registry]] normalizer
+    * (JSON parse → status enum → precision derivation → tick rendering), and
+    * unions the normalized catalogs. Metadata-scale by nature. */
+  def s5SymbolCatalog(s: SparkSession, d: String): DataFrame = {
+    val fx = SymbolFixtures.base(s, d)
+    val outs = SymbolFixtures.pairs.zipWithIndex.map { case ((exch, inst), pidx) =>
+      val body = SymbolFixtures.builders(pidx)(fx.where(col("pidx") === pidx))
+      graft.flows.SyncSymbols.registry((exch, inst))(body, pidx + 1, inst)
+        .select(col("exchange_id").cast("int").as("exchange_id"), col("symbol"),
+          col("inst_type").cast("int").as("inst_type"), col("base_asset"),
+          col("quote_asset"), col("status").cast("int").as("status"),
+          col("tick_size"), col("step_size"),
+          col("price_precision").cast("int").as("price_precision"),
+          col("quantity_precision").cast("int").as("quantity_precision"))
+    }
+    outs.reduce(_ unionByName _).orderBy(col("exchange_id"), col("symbol"))
+  }
 }
