@@ -72,9 +72,17 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    // Tokenization (regexp split + lower + distinct) is the most expensive
+    // map-side work and feeds three consumers (vocab probe, signature join,
+    // exact verify) — persist it for the query lifetime so the corpus is
+    // tokenized ONCE, not once per consumer. Spark evicts the block LRU
+    // after the query; at 100 TB this trades executor storage for two full
+    // corpus re-tokenizations.
     val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
-    // (id, tok) pairs; token sets are already distinct per doc
+      .persist()
+    // (id, tok) pairs; token sets are already distinct per doc. Derived from
+    // the cached toks, so re-deriving it is a cheap explode, not a re-scan.
     val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
     // hash each distinct token once: vocab row = (tok, h0..h{k-1})
     val vocabToks = exploded.select(col("tok")).distinct()
@@ -90,8 +98,11 @@ object Dedup {
     // 64-bit mask so pairwise verification is two bit_counts instead of a
     // string-array intersection, and candidate rows shuffle as (long, long)
     // instead of (array, array). Kicks in when the corpus vocabulary fits
-    // in 62 bits; the general path handles unbounded vocabularies.
-    if (vocabToks.count() <= 62) {
+    // in 62 bits; the general path handles unbounded vocabularies. The
+    // branch probe needs only "are there ≥63 distinct tokens", so it scans
+    // at most 63 vocab rows (limit + early termination), not the corpus —
+    // the old full distinct-count was a driver-blocking full scan.
+    if (vocabToks.limit(63).count() <= 62) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
       val dict = broadcast(vocab.withColumn("bit", row_number().over(w) - 1))
       val sig = exploded.join(dict, "tok")
@@ -144,11 +155,25 @@ object Dedup {
     * dictionary masks (two bit_counts per pair) instead of array
     * intersections — identical values, far lighter shuffle rows. */
   def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], threshold: Double): DataFrame = {
-    val t = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+      blockCols: Seq[String], threshold: Double,
+      maxBlock: Long = 1000000L): DataFrame = {
+    val all = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
       tokenSet(col(textCol)).as("toks"): _*)
+      .persist() // tokenize once; feeds the vocab probe, masks, and verify
+    // Block-size guard: a hot (block) key makes the within-block pair space
+    // a cartesian bomb (n² rows from one key). Count per block with a
+    // partitioned window (no driver action, same hash partitioning the pair
+    // join needs anyway) and keep only blocks within budget; oversized
+    // blocks are excluded here and belong on the LSH path
+    // ([[minhashDupPairs]]), whose banded candidate generation is the
+    // scale-safe approximation of this exact baseline.
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+    val t = all.withColumn("block_n", count(lit(1)).over(bw))
+      .where(col("block_n") <= maxBlock)
+      .drop("block_n")
     val vocabToks = t.select(explode(col("toks")).as("tok")).distinct()
-    if (vocabToks.count() <= 62) {
+    if (vocabToks.limit(63).count() <= 62) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
       val dict = broadcast(vocabToks.withColumn("bit", row_number().over(w) - 1))
       val masks = t.select(col("id"), explode(col("toks")).as("tok"))
@@ -188,15 +213,20 @@ object Dedup {
     * is the sign of Σ_tokens (±1 by token bit b). Near-dups share most bits.
     */
   def simhash(tokSet: Column, bits: Int = 60): Column = {
-    val h = transform(tokSet,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val bitCols: Seq[Column] = (0 until bits).map { b =>
-      val mask = 1L << b
-      val vote = aggregate(h, lit(0L),
-        (acc, x) => acc + when(x.bitwiseAND(lit(mask)) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, lit(mask)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    // Single pass over the token set with a `bits`-wide vote array — NOT one
+    // aggregate per bit: 60 separate aggregate lambdas generate a huge
+    // Janino compilation (plan-compile dominated the operator's wall time)
+    // and re-hash every token per bit; here each token is md5'd once and
+    // votes fold through one zip_with.
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(tokSet, array_repeat(lit(0L), bits), (acc, t) => {
+      val h = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L))
+    })
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup pairs via banded LSH over the 60-bit hash: split into
@@ -218,13 +248,28 @@ object Dedup {
       .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
     // integer surrogate per distinct set: candidate rows shuffle as 4 longs
     // instead of 2×32-char digests (the distinct below is the big shuffle).
-    // The global-window id assignment routes DISTINCT SETS (not corpus rows)
-    // through one task — fine to ~10M sets; beyond that swap in an RDD
-    // zipWithIndex assignment.
-    val sidW = org.apache.spark.sql.expressions.Window.orderBy(col("setkey"))
-    val sets = docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
+    // sid assignment is RDD zipWithIndex — per-partition offsets from one
+    // lightweight count job, NO single-task global window funnel; any
+    // bijection works because sid never reaches the output. The tiny
+    // (setkey, sh, sid) frame is persisted: it feeds both the band join and
+    // the doc-expansion join, and an RDD round trip has no exchange reuse.
+    // persisted: zipWithIndex's partition-size count job would otherwise
+    // compute the expensive per-set simhash a second time
+    val hashed = docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
       .select(col("setkey"), simhash(col("toks"), bits).as("sh"))
-      .withColumn("sid", row_number().over(sidW))
+      .persist()
+    val sets = df.sparkSession.createDataFrame(
+      hashed.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i + 1L)
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("setkey",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sid",
+          org.apache.spark.sql.types.LongType))))
+      .persist()
     val banded = sets.withColumn("band", explode(array((0 until bands).map { i =>
       shiftright(col("sh"), i * bandBits).bitwiseAND((1L << bandBits) - 1) +
         lit(i.toLong << bandBits) // disjoint band-id spaces, stays a long
