@@ -23,6 +23,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the dedup/ANN operators persist() intermediates for intra-query
+      // reuse; this is the "after the terminal action" unpersist — without
+      // it a 61-query session accumulates every query's cached frames
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -45,17 +45,33 @@ object CheckIntegrity {
     status.where(col("status") =!= "OK")
 
   /** S7 repair: verify the restored archive's digest column against its
-    * payload (sha256), then merge rows for deficient hours only. */
+    * payload (sha256 hex, matching
+    * `restore_market_snapshot_from_s3.py:37-42,134-137` — the reference
+    * aborts the restore on a digest mismatch), then merge rows for deficient
+    * hours only. Rows whose recomputed `sha2(payload, 256)` differs from the
+    * recorded digest NEVER reach the sink; they are returned for reporting
+    * (`payloadCol`/`digestCol` unset ⇒ no verification, empty reject frame —
+    * for archives that carry no digest column). Digest comparison is
+    * case-insensitive on the recorded side (hex casing varies by producer).
+    */
   def repairFromArchive(spark: SparkSession, sinkPath: String,
       archive: DataFrame, deficient: DataFrame, keyCols: Seq[String],
-      tsCol: String): Unit = {
+      tsCol: String, payloadCol: Option[String] = None,
+      digestCol: Option[String] = None): DataFrame = {
     val HourMs = 3600000L
-    val needed = archive
+    val (verified, rejected) = (payloadCol, digestCol) match {
+      case (Some(pl), Some(dg)) =>
+        val ok = sha2(col(pl).cast("binary"), 256) === lower(col(dg))
+        (archive.where(ok), archive.where(!ok || col(dg).isNull))
+      case _ => (archive, archive.limit(0))
+    }
+    val needed = verified
       .withColumn("hour_ms", Align.floorTo(col(tsCol), HourMs))
       .join(broadcast(deficient.select(
         (keyCols.map(col) :+ col("hour_ms")): _*)),
         keyCols :+ "hour_ms", "left_semi")
       .drop("hour_ms")
     UpsertSink.upsert(spark, sinkPath, needed, keyCols :+ tsCol, tsCol)
+    rejected
   }
 }

@@ -71,16 +71,20 @@ object Dedup {
     * collision s-curve at the threshold.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.6,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
     // Tokenization (regexp split + lower + distinct) is the most expensive
     // map-side work and feeds three consumers (vocab probe, signature join,
-    // exact verify) — persist it for the query lifetime so the corpus is
-    // tokenized ONCE, not once per consumer. Spark evicts the block LRU
-    // after the query; at 100 TB this trades executor storage for two full
-    // corpus re-tokenizations.
-    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
-      .where(size(col("toks")) > 0)
-      .persist()
+    // exact verify) — cache it for the query lifetime so the corpus is
+    // tokenized ONCE, not once per consumer. The default persists and leaves
+    // eviction to LRU (right for run-one-query sessions); a long-lived
+    // session passes its own `cache` hook to track the frames and unpersist
+    // them once its terminal action completes — the operator itself cannot:
+    // it returns a LAZY frame, so an internal unpersist would fire before
+    // the caller ever runs it.
+    val toks = cache(
+      df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+        .where(size(col("toks")) > 0))
     // (id, tok) pairs; token sets are already distinct per doc. Derived from
     // the cached toks, so re-deriving it is a cheap explode, not a re-scan.
     val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
@@ -133,7 +137,11 @@ object Dedup {
         .agg(min(col("h0")).as("m0"),
           (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
       val banded = sig.select(col("id"), bandCol().as("band"))
+      // shuffle_hash for the same reason as the fast path above: the banded
+      // side scales with the corpus (no broadcast) and duplicate-heavy band
+      // keys degenerate a sort-merge join
       val cand = banded.select(col("band"), col("id").as("id_a"))
+        .hint("shuffle_hash")
         .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
@@ -156,10 +164,12 @@ object Dedup {
     * intersections — identical values, far lighter shuffle rows. */
   def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      maxBlock: Long = 1000000L): DataFrame = {
-    val all = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      tokenSet(col(textCol)).as("toks"): _*)
-      .persist() // tokenize once; feeds the vocab probe, masks, and verify
+      maxBlock: Long = 1000000L,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    // tokenize once; feeds the vocab probe, masks, and verify. `cache` hook:
+    // see minhashDupPairs.
+    val all = cache(df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+      tokenSet(col(textCol)).as("toks"): _*))
     // Block-size guard: a hot (block) key makes the within-block pair space
     // a cartesian bomb (n² rows from one key). Count per block with a
     // partitioned window (no driver action, same hash partitioning the pair
@@ -241,7 +251,8 @@ object Dedup {
     * qualifying doc pair exactly once. Hamming is one bit_count(xor), not a
     * 60-term conditional chain. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 12): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 12,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
     val bits = 60
     val bandBits = bits / bands
     val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
@@ -255,10 +266,10 @@ object Dedup {
     // the doc-expansion join, and an RDD round trip has no exchange reuse.
     // persisted: zipWithIndex's partition-size count job would otherwise
     // compute the expensive per-set simhash a second time
-    val hashed = docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
-      .select(col("setkey"), simhash(col("toks"), bits).as("sh"))
-      .persist()
-    val sets = df.sparkSession.createDataFrame(
+    val hashed = cache(
+      docs.groupBy(col("setkey")).agg(first(col("toks")).as("toks"))
+        .select(col("setkey"), simhash(col("toks"), bits).as("sh")))
+    val sets = cache(df.sparkSession.createDataFrame(
       hashed.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i + 1L)
       },
@@ -268,8 +279,7 @@ object Dedup {
         org.apache.spark.sql.types.StructField("sh",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sid",
-          org.apache.spark.sql.types.LongType))))
-      .persist()
+          org.apache.spark.sql.types.LongType)))))
     val banded = sets.withColumn("band", explode(array((0 until bands).map { i =>
       shiftright(col("sh"), i * bandBits).bitwiseAND((1L << bandBits) - 1) +
         lit(i.toLong << bandBits) // disjoint band-id spaces, stays a long

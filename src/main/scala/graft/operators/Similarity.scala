@@ -59,16 +59,25 @@ object Similarity {
   }
 
   /** LSH bucket code: bit j = (Σ_d sign(j,d)·v[d]) > 0, packed into a
-    * string of '0'/'1'. */
+    * string of '0'/'1'.
+    *
+    * Single pass: ONE aggregate over the vector accumulating all `nBits`
+    * projections at once — not one aggregate per bit, which walks the vector
+    * nBits times and explodes Janino codegen (the same per-bit disease
+    * [[graft.operators.Dedup.simhash]] was cured of). The sign matrix ships
+    * as one transposed `typedlit` (dim × nBits) literal node. Per-bit
+    * addition order over d is unchanged (left fold), so projections — and
+    * therefore bucket codes — are bit-identical to the per-bit form, and the
+    * DuckDB oracle twins stay valid. */
   def lshBucket(vec: Column, signs: Array[Array[Int]]): Column = {
-    val bitCols = signs.map { row =>
-      val proj = aggregate(
-        zip_with(vec, array(row.map(lit): _*),
-          (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bitCols: _*)
+    val nBits = signs.length
+    val signsT = typedlit(signs.transpose.map(_.toSeq).toSeq)
+    val projs = aggregate(
+      zip_with(vec, signsT, (x, row) =>
+        transform(row, s => x.cast("double") * s)),
+      array_repeat(lit(0.0), nBits),
+      (acc, arr) => zip_with(acc, arr, (a, v) => a + v))
+    array_join(transform(projs, p => when(p > 0, "1").otherwise("0")), "")
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH buckets generate

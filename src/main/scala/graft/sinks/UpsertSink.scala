@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,41 +18,122 @@ import org.apache.spark.sql.functions._
   *  - [[append]] — plain Stream-Load append with the reference's
   *    empty-batch skip (K3, `doris/__init__.py:170-171`).
   *
-  * Scale notes: the rewrite unions existing+updates and dedupes by key — a
-  * single shuffle on the key columns. With a `partitionCol`, only partitions
-  * present in the update batch are read and rewritten (dynamic-partition
-  * overwrite), so a 100 TB table with daily partitions pays for the touched
-  * days, not the table. Writes go to a temp dir then swap, so readers never
-  * see a half-written table.
+  * Scale notes: the merge unions touched-partition rows + updates and dedupes
+  * by key — one shuffle sized by the TOUCHED partitions, not the table. With
+  * a `partitionCol`, only partitions present in the update batch are read,
+  * merged, written (to a temp dir) and swapped in dir-by-dir; untouched
+  * partition directories are never read or rewritten, so a 100 TB table with
+  * daily partitions pays for the touched days, not the table. Writes always
+  * land in a temp dir first and move in by rename, so readers never see a
+  * half-written partition.
+  *
+  * Crash safety: every rename-based swap first moves the displaced data
+  * ASIDE (`<path>.old-<id>`), then renames the new data in, then drops the
+  * aside copy. A crash anywhere in that window leaves either the aside copy
+  * or the finished swap on disk; [[recoverCrash]] runs at the start of every
+  * sink call and restores/cleans leftovers, so a crashed swap can never be
+  * mistaken for an empty sink (which would silently rebuild the table from
+  * one batch). True atomic swap needs a transactional table format /
+  * metastore pointer — out of scope; this is the strongest guarantee plain
+  * directories give.
   */
 object UpsertSink {
 
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    val fs = fsFor(spark, path)
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
+  /** Detect and resolve leftovers of a crashed swap before any read of the
+    * sink. Leftover kinds, by sibling-name suffix:
+    *
+    *  - `<path>.tmp-*` — an unfinished temp write: never swapped in, safe to
+    *    discard (the producing upsert failed; re-running it re-creates it).
+    *  - `<path>.old-*` — displaced pre-swap data. If the table (or the
+    *    matching partition dir) is MISSING, the crash hit between the two
+    *    renames: restore the aside copy — otherwise the next call would take
+    *    the cold-start branch and rebuild the sink from a single batch,
+    *    orphaning all prior data. If the destination exists, the swap
+    *    completed and only the cleanup was lost: drop the aside copy.
+    *
+    * Partitioned asides hold `col=value` child dirs and are reconciled
+    * per-partition; whole-table asides are restored/dropped wholesale.
+    */
+  private[sinks] def recoverCrash(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val dst = new Path(path)
+    val parent = dst.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = dst.getName
+    fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(name + ".tmp-") ||
+        p.getName.startsWith(name + ".old-"))
+      .sortBy(_.getName)
+      .foreach { p =>
+        if (p.getName.startsWith(name + ".tmp-")) {
+          fs.delete(p, true)
+        } else if (!fs.exists(dst)) {
+          // whole table gone mid-swap: the aside copy IS the table
+          fs.rename(p, dst)
+        } else {
+          val partChildren = fs.listStatus(p)
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          if (partChildren.isEmpty) {
+            // whole-table aside and the table exists: swap completed
+            fs.delete(p, true)
+          } else {
+            partChildren.foreach { st =>
+              val partDst = new Path(dst, st.getPath.getName)
+              if (!fs.exists(partDst)) fs.rename(st.getPath, partDst)
+              else fs.delete(st.getPath, true)
+            }
+            fs.delete(p, true)
+          }
+        }
+      }
+  }
+
   /** Write to a temp dir, move the old table ASIDE (rename, not delete),
-    * move the new one in, then drop the old copy. A crash mid-swap leaves
-    * the previous table recoverable in `<path>.old-*` rather than gone; the
-    * no-table window shrinks to two renames. (True atomic swap needs a
-    * transactional table format / metastore pointer — out of scope here;
-    * this is the strongest guarantee plain directories give.) */
+    * move the new one in, then drop the old copy. See [[recoverCrash]] for
+    * what happens if we die in between. */
   private def swapWrite(spark: SparkSession, df: DataFrame, path: String,
       partitionCol: Option[String]): Unit = {
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = path + ".tmp-" + suffix
     val w = df.write.mode(SaveMode.Overwrite)
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val aside = new org.apache.hadoop.fs.Path(path + ".old-" + suffix)
+    val fs = fsFor(spark, path)
+    val dst = new Path(path)
+    val aside = new Path(path + ".old-" + suffix)
     val hadOld = fs.exists(dst)
     if (hadOld) fs.rename(dst, aside)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.rename(new Path(tmp), dst)
     if (hadOld) fs.delete(aside, true)
+  }
+
+  /** Swap ONLY the partition dirs present under `tmp` into `path`, leaving
+    * every other partition dir untouched (same files, same bytes). Displaced
+    * partition dirs go aside first so [[recoverCrash]] can reconcile a crash
+    * mid-loop. */
+  private def swapPartitions(spark: SparkSession, tmp: String, path: String,
+      suffix: String): Unit = {
+    val fs = fsFor(spark, path)
+    val dstRoot = new Path(path)
+    val aside = new Path(path + ".old-" + suffix)
+    val parts = fs.listStatus(new Path(tmp))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (parts.nonEmpty) fs.mkdirs(aside)
+    parts.foreach { st =>
+      val dst = new Path(dstRoot, st.getPath.getName)
+      if (fs.exists(dst)) fs.rename(dst, new Path(aside, st.getPath.getName))
+      fs.rename(st.getPath, dst)
+    }
+    if (parts.nonEmpty) fs.delete(aside, true)
+    fs.delete(new Path(tmp), true) // leftovers: _SUCCESS marker
   }
 
   /** K3: append, skipping empty batches. */
@@ -66,50 +148,68 @@ object UpsertSink {
       keys: Seq[String], versionCol: String,
       partitionCol: Option[String] = None): Unit = {
     if (updates.isEmpty) return
+    recoverCrash(spark, path)
     if (!exists(spark, path)) {
       val w = updates.write.mode(SaveMode.Overwrite)
       partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
       return
     }
     val stored = spark.read.parquet(path)
-    // dynamic partition restriction: only read/rewrite touched partitions
-    val (oldPart, keepAside) = partitionCol match {
-      case Some(c) =>
-        val touched = updates.select(col(c)).distinct()
-        (stored.join(broadcast(touched), Seq(c), "left_semi"),
-         Some(stored.join(broadcast(touched), Seq(c), "left_anti")))
-      case None => (stored, None)
-    }
     val cols = updates.columns
-    val merged = oldPart.select(cols.map(col): _*)
-      .withColumn("_pri", lit(0))
-      .unionByName(updates.withColumn("_pri", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_pri").desc, col(versionCol).desc)
-    val deduped = merged
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_pri", "_rn")
-    val result = keepAside.fold(deduped)(rest =>
-      deduped.unionByName(rest.select(cols.map(col): _*)))
-    // materialize before overwriting the dir we read from
-    val out = result.localCheckpoint(eager = true)
-    swapWrite(spark, out, path, partitionCol)
+    def merge(oldPart: DataFrame): DataFrame = {
+      val merged = oldPart.select(cols.map(col): _*)
+        .withColumn("_pri", lit(0))
+        .unionByName(updates.withColumn("_pri", lit(1)))
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_pri").desc, col(versionCol).desc)
+      merged
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_pri", "_rn")
+    }
+    partitionCol match {
+      case Some(c) =>
+        // read + merge + rewrite ONLY the touched partitions; everything
+        // else stays on disk untouched (no read, no shuffle, no rewrite)
+        val touched = updates.select(col(c)).distinct()
+        val merged = merge(stored.join(broadcast(touched), Seq(c), "left_semi"))
+        val suffix = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = path + ".tmp-" + suffix
+        // the tmp write is the action that reads `path`; renames happen after
+        merged.write.mode(SaveMode.Overwrite).partitionBy(c).parquet(tmp)
+        swapPartitions(spark, tmp, path, suffix)
+      case None =>
+        swapWrite(spark, merge(stored), path, None)
+    }
   }
 
   /** Field-subset update (MySQL `ON DUPLICATE KEY UPDATE`): for existing
     * keys, only `updateCols` take the update's values — all other columns
-    * keep their stored values; unseen keys insert whole rows. */
+    * keep their stored values; unseen keys insert whole rows.
+    *
+    * Within a batch, duplicate keys collapse to ONE row before the join
+    * (two same-key matches against a full_outer join would otherwise insert
+    * duplicate key rows, breaking the unique-key contract). The reference's
+    * `executemany` applies rows in batch order, last-wins; row order is not
+    * a DataFrame concept, so the winner is deterministic instead: greatest
+    * `updateCols` tuple (descending, nulls last). */
   def updateFields(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], updateCols: Seq[String]): Unit = {
     if (updates.isEmpty) return
+    recoverCrash(spark, path)
+    val ww = Window.partitionBy(keys.map(col): _*)
+      .orderBy(updateCols.map(c => col(c).desc_nulls_last): _*)
+    val batch = updates
+      .withColumn("_urn", row_number().over(ww))
+      .where(col("_urn") === 1)
+      .drop("_urn")
     if (!exists(spark, path)) {
-      updates.write.mode(SaveMode.Overwrite).parquet(path)
+      batch.write.mode(SaveMode.Overwrite).parquet(path)
       return
     }
     val stored = spark.read.parquet(path).withColumn("_s", lit(true))
     val cols = stored.columns.filterNot(_ == "_s")
-    val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    val u = batch.select(cols.map(c => col(c).as(s"_u_$c")): _*)
       .withColumn("_u", lit(true))
     val joined = stored.join(u,
       keys.map(k => col(k) === col(s"_u_$k")).reduce(_ && _), "full_outer")
@@ -125,6 +225,6 @@ object UpsertSink {
         // stored value (even NULL) whenever a stored row exists
         when(fromStored, col(c)).otherwise(col(s"_u_$c")).as(c)
     }: _*)
-    swapWrite(spark, out.localCheckpoint(eager = true), path, None)
+    swapWrite(spark, out, path, None)
   }
 }

@@ -245,5 +245,8 @@ object KlineAdapters {
       ("coinbase", 0) -> (coinbase _),
       ("bitmart", 0) -> (bitmart _), ("bitmart", 1) -> (bitmart _),
       ("woox", 0) -> (woox _), ("woox", 1) -> (woox _),
-      ("aster", 1) -> (binance _), ("weex", 1) -> (bitget _))
+      // aster spot+perp are binance-shaped (`aster/spot.py:66-104` — same
+      // 12-element positional arrays, ms epochs, volume/quote/count slots)
+      ("aster", 0) -> (binance _), ("aster", 1) -> (binance _),
+      ("weex", 1) -> (bitget _))
 }

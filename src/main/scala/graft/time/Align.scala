@@ -46,6 +46,10 @@ object Align {
     // sort buckets by (abs distance, bucket) and take the first
     val best = array_sort(
       transform(arr, b => struct(abs(b - minutes).as("d"), b.as("b"))))
-    element_at(best, 1).getField("b")
+    // a missing interval must stay missing: without the guard, NULL
+    // distances tie-break on the bucket field and a fabricated bucket comes
+    // out (a silent wrong funding_interval downstream in SyncFunding)
+    when(minutes.isNull, lit(null).cast("int"))
+      .otherwise(element_at(best, 1).getField("b"))
   }
 }

@@ -57,6 +57,36 @@ class IntegrityAndMacroSpec extends SparkSpec {
     assert(CheckIntegrity.deficientHours(st2).count() == 0)
   }
 
+  test("repairFromArchive verifies sha256 digests; corrupt rows never reach the sink") {
+    val sink = Files.createTempDirectory("integ").toString + "/facts"
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // hour0 full, hour1 empty
+    val facts = Seq(("A", T0 + 1, "p1", sha("p1")), ("A", T0 + 2, "p2", sha("p2")),
+      ("A", T0 + 3, "p3", sha("p3"))).toDF("sym", "ts", "payload", "digest")
+    graft.sinks.UpsertSink.upsert(spark, sink, facts, Seq("sym", "ts"), "ts")
+    val status = CheckIntegrity.hourlyStatus(
+      spark.read.parquet(sink), Seq("A").toDF("sym"), Seq("sym"), "ts",
+      T0, T0 + 2 * H, expectedPerHour = 3)
+    val deficient = CheckIntegrity.deficientHours(status)
+    // archive for hour1: one good row, one corrupted (payload ≠ digest),
+    // one with an UPPERCASE digest (must still verify)
+    val archive = Seq(
+      ("A", T0 + H + 7, "good", sha("good")),
+      ("A", T0 + H + 8, "tampered", sha("original")),
+      ("A", T0 + H + 9, "upper", sha("upper").toUpperCase))
+      .toDF("sym", "ts", "payload", "digest")
+    val rejected = CheckIntegrity.repairFromArchive(spark, sink, archive,
+      deficient, Seq("sym"), "ts",
+      payloadCol = Some("payload"), digestCol = Some("digest"))
+    assert(rejected.select("payload").as[String].collect().toList ==
+      List("tampered"))
+    val after = spark.read.parquet(sink)
+      .select("payload").as[String].collect().toSet
+    assert(after == Set("p1", "p2", "p3", "good", "upper"))
+  }
+
   test("macroKlines parses yfinance-shaped OHLCV into macro_kline_raw_1m") {
     val body = """[{"ts":1704067200000,"open":1.0,"high":2.0,"low":0.5,"close":1.5,"volume":100.0}]"""
     val out = SyncMacro.macroKlines(

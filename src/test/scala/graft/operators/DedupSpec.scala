@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhash band joins plan as ShuffledHashJoin on both paths (no merge-join degeneration)") {
+    // fast (bitmask) path
+    val fast = Dedup.minhashDupPairs(docs, "doc_id", "text", k = 16, bands = 8)
+    assert(fast.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "fast-path band join lost its shuffle_hash hint")
+    // general (>62-vocab) path: the candidate self-join must hash too —
+    // duplicate-heavy band keys degenerate a sort-merge join
+    val bigVocab = (0 until 80).map(i => (100L + i, s"tok$i filler$i"))
+    val gen = Dedup.minhashDupPairs(docs.union(bigVocab.toDF("doc_id", "text")),
+      "doc_id", "text", k = 16, bands = 8)
+    assert(gen.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "general-path candidate join lost its shuffle_hash hint")
+  }
+
   test("jaccardDupPairs bitmask and array paths agree (incl. empty docs)") {
     val blocked = Seq(
       (1L, "b1", "the quick brown fox"),

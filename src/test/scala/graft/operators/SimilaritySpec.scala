@@ -35,6 +35,25 @@ class SimilaritySpec extends SparkSpec {
     assert(a.flatten.forall(s => s == 1 || s == -1))
   }
 
+  test("single-pass lshBucket is bit-identical to the per-bit fold") {
+    // legacy per-bit form: one aggregate per hyperplane (the shape the
+    // single-pass rewrite replaced) — bucket codes must match exactly,
+    // including the double fold order, or the DuckDB oracle twins break
+    val signs = Similarity.signMatrix(6, 3)
+    def legacy(vec: org.apache.spark.sql.Column) = concat(signs.map { row =>
+      val proj = aggregate(
+        zip_with(vec, array(row.map(lit): _*), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val both = vecs.select(
+      Similarity.lshBucket($"embedding", signs).as("fast"),
+      legacy($"embedding").as("slow"))
+      .as[(String, String)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (fast, slow) => assert(fast == slow) }
+  }
+
   test("lshTopK returns bucket-mates ranked by cosine") {
     val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, nBits = 2, dim = 3)

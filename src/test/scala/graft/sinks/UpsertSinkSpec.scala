@@ -55,6 +55,108 @@ class UpsertSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  private def fsOf(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (name, length, mtime) of every file in a partition dir — byte-identity
+    * proxy for "this partition was not rewritten". */
+  private def partFiles(path: String, part: String) = {
+    fsOf(path).listStatus(new org.apache.hadoop.fs.Path(path, part))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toList
+  }
+
+  test("partitioned upsert leaves untouched partition files byte-identical") {
+    val path = tmp()
+    val v1 = Seq(("BTC", 1L, 1.0, "2024-01-01"), ("BTC", 2L, 2.0, "2024-01-02"))
+      .toDF("symbol", "ts", "close", "dt_date")
+    UpsertSink.upsert(spark, path, v1, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    val before = partFiles(path, "dt_date=2024-01-01")
+    assert(before.nonEmpty)
+    Thread.sleep(5) // mtime resolution guard
+    val v2 = Seq(("BTC", 2L, 22.0, "2024-01-02"))
+      .toDF("symbol", "ts", "close", "dt_date")
+    UpsertSink.upsert(spark, path, v2, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    // untouched day: same files, same sizes, same mtimes — never rewritten
+    assert(partFiles(path, "dt_date=2024-01-01") == before)
+    val out = spark.read.parquet(path)
+      .select("symbol", "ts", "close").as[(String, Long, Double)]
+      .collect().sortBy(_._2)
+    assert(out.toList == List(("BTC", 1L, 1.0), ("BTC", 2L, 22.0)))
+  }
+
+  test("crash recovery: leftover .old- table aside is restored, not orphaned") {
+    val path = tmp()
+    val v1 = Seq(("BTC", 1L, 1.0)).toDF("symbol", "ts", "close")
+    UpsertSink.upsert(spark, path, v1, Seq("symbol", "ts"), "ts")
+    // simulate a crash between swapWrite's two renames: table dir moved
+    // aside, nothing at <path>
+    val fs = fsOf(path)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old-deadbeef"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // next upsert must NOT cold-start from its own batch alone
+    val v2 = Seq(("ETH", 2L, 2.0)).toDF("symbol", "ts", "close")
+    UpsertSink.upsert(spark, path, v2, Seq("symbol", "ts"), "ts")
+    val out = spark.read.parquet(path).as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(out.toList == List(("BTC", 1L, 1.0), ("ETH", 2L, 2.0)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old-deadbeef")))
+  }
+
+  test("crash recovery: displaced partition dir in .old- aside is restored") {
+    val path = tmp()
+    val v1 = Seq(("BTC", 1L, 1.0, "2024-01-01"), ("BTC", 2L, 2.0, "2024-01-02"))
+      .toDF("symbol", "ts", "close", "dt_date")
+    UpsertSink.upsert(spark, path, v1, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    // simulate a crash mid-swapPartitions: one partition moved aside
+    val fs = fsOf(path)
+    val aside = new org.apache.hadoop.fs.Path(path + ".old-cafe01")
+    fs.mkdirs(aside)
+    fs.rename(new org.apache.hadoop.fs.Path(path, "dt_date=2024-01-01"),
+      new org.apache.hadoop.fs.Path(aside, "dt_date=2024-01-01"))
+    val v2 = Seq(("BTC", 3L, 3.0, "2024-01-03"))
+      .toDF("symbol", "ts", "close", "dt_date")
+    UpsertSink.upsert(spark, path, v2, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    val out = spark.read.parquet(path)
+      .select("symbol", "ts", "close").as[(String, Long, Double)]
+      .collect().sortBy(_._2)
+    assert(out.toList == List(("BTC", 1L, 1.0), ("BTC", 2L, 2.0), ("BTC", 3L, 3.0)))
+    assert(!fs.exists(aside))
+  }
+
+  test("crash recovery: leftover .tmp- dirs are discarded") {
+    val path = tmp()
+    val v1 = Seq(("BTC", 1L, 1.0)).toDF("symbol", "ts", "close")
+    UpsertSink.upsert(spark, path, v1, Seq("symbol", "ts"), "ts")
+    val fs = fsOf(path)
+    val tmpDir = new org.apache.hadoop.fs.Path(path + ".tmp-12345678")
+    fs.mkdirs(tmpDir)
+    UpsertSink.upsert(spark, path,
+      Seq(("ETH", 2L, 2.0)).toDF("symbol", "ts", "close"),
+      Seq("symbol", "ts"), "ts")
+    assert(!fs.exists(tmpDir))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("updateFields dedupes same-key rows within a batch (one survivor)") {
+    val path = tmp()
+    val stored = Seq(("binance", "BTCUSDT", "0.01"))
+      .toDF("exchange", "symbol", "tick_size")
+    UpsertSink.updateFields(spark, path, stored,
+      Seq("exchange", "symbol"), Seq("tick_size"))
+    // two updates for the SAME key in one batch: must collapse to one row
+    // (winner = greatest updateCols tuple), not insert a duplicate key
+    val upd = Seq(("binance", "BTCUSDT", "0.5"), ("binance", "BTCUSDT", "0.9"))
+      .toDF("exchange", "symbol", "tick_size")
+    UpsertSink.updateFields(spark, path, upd,
+      Seq("exchange", "symbol"), Seq("tick_size"))
+    val out = spark.read.parquet(path)
+      .as[(String, String, String)].collect()
+    assert(out.toList == List(("binance", "BTCUSDT", "0.9")))
+  }
+
   test("updateFields: only listed columns update; others keep stored values (MySQL upsert)") {
     val path = tmp()
     val stored = Seq(("binance", "BTCUSDT", 1, "0.01", 2, 100L))

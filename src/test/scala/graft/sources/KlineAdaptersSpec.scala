@@ -41,6 +41,21 @@ class KlineAdaptersSpec extends SparkSpec {
     assert(r.count.contains(308L))
   }
 
+  test("aster spot resolves to the binance shape via the registry (aster/spot.py:66-104)") {
+    // sample from the aster spot docstring — binance-wire-identical:
+    // 12-element positional arrays, ms epochs, quote vol at [7], count at [8]
+    val body =
+      """[[1499040000000,"0.01634790","0.80000000","0.01575800","0.01577100",
+        |"148976.11427815",1499644799999,"2434.19055334",308,
+        |"1756.87402397","28.46694368","17928899.62484339"]]""".stripMargin.replace("\n", "")
+    val adapter = KlineAdapters.registry(("aster", 0))
+    val r = collect(adapter(raw("BTCUSDT", body), 21, 0, M)).head
+    assert(r.ts == 1499040000000L)
+    assert(BigDecimal(r.open) == BigDecimal("0.0163479"))
+    assert(BigDecimal(r.quoteVolume.get) == BigDecimal("2434.19055334"))
+    assert(r.count.contains(308L))
+  }
+
   test("okx: no volume columns → nulls (okx/perp.py:64-78,94-103)") {
     val body =
       """{"code":"0","msg":"","data":[["1597026383085","3.721","3.743","3.677","3.708","1"]]}"""
@@ -133,8 +148,9 @@ class KlineAdaptersSpec extends SparkSpec {
   }
 
   test("registry covers all 13 exchanges × inst types from CLIENT_MAP") {
-    assert(KlineAdapters.registry.size == 20)
+    assert(KlineAdapters.registry.size == 21)
     assert(KlineAdapters.registry.contains(("binance", 0)))
+    assert(KlineAdapters.registry.contains(("aster", 0)))
     assert(KlineAdapters.registry.contains(("aster", 1)))
     assert(KlineAdapters.registry.contains(("weex", 1)))
   }

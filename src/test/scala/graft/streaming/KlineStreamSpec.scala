@@ -50,6 +50,35 @@ class KlineStreamSpec extends SparkSpec {
     assert(after.map(BigDecimal(_)).toList == List(BigDecimal("1.6")))
   }
 
+  test("ingest micro-batches rewrite only the touched day partitions") {
+    val base = Files.createTempDirectory("pstream")
+    val drop = base.resolve("drop"); Files.createDirectories(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val day1 = 1704067200000L // 2024-01-01
+    val day2 = day1 + 86400000L
+    def k(ts: Long) =
+      s"""[[$ts,"1","2","0.5","1.5","10",${ts + 59999},"15",7,"1","1","0"]]"""
+    Files.write(drop.resolve("d1.txt"), s"BTCUSDT\t${k(day1)}".getBytes)
+    KlineStream.ingest(spark, drop.toString, ckpt, sink,
+      "binance", 1, 1, 60000L, Trigger.AvailableNow()).awaitTermination(60000)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def day1Files = fs.listStatus(
+      new org.apache.hadoop.fs.Path(sink, "dt_date=2024-01-01"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toList
+    val before = day1Files
+    assert(before.nonEmpty)
+    Thread.sleep(5)
+    // next micro-batch lands on day2 only: day1's files must not be touched
+    Files.write(drop.resolve("d2.txt"), s"BTCUSDT\t${k(day2)}".getBytes)
+    KlineStream.ingest(spark, drop.toString, ckpt, sink,
+      "binance", 1, 1, 60000L, Trigger.AvailableNow()).awaitTermination(60000)
+    assert(day1Files == before)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
   test("watermarked windowed agg finalizes windows in append mode") {
     val base = Files.createTempDirectory("wstream")
     val drop = base.resolve("drop"); Files.createDirectories(drop)

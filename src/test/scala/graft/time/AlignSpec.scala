@@ -40,4 +40,12 @@ class AlignSpec extends SparkSpec {
       .as[(Int, Int)].collect().toMap
     cases.foreach { case (in, want) => assert(out(in) == want, s"in=$in") }
   }
+
+  test("snapFundingInterval: NULL in → NULL out (no fabricated bucket)") {
+    val out = Seq[(Int, Option[Int])](1 -> Some(90), 2 -> None).toDF("i", "m")
+      .select($"i", Align.snapFundingInterval($"m").as("b"))
+      .as[(Int, Option[Int])].collect().toMap
+    assert(out(1).contains(60))
+    assert(out(2).isEmpty)
+  }
 }
