@@ -187,6 +187,23 @@ object Scratch {
         time("w3_first")(queries.Queries.w3GapIslands(spark, sfDir).count())
         time("w3_second")(queries.Queries.w3GapIslands(spark, sfDir).count())
         queries.Queries.w3GapIslands(spark, sfDir).explain("formatted")
+      case Some("d7x") =>
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = docs.where(col("doc_id") % 29 =!= 0)
+        val bench = docs.where(col("doc_id") % 29 === 0)
+        val cSh = corpus.select(col("doc_id"),
+          explode(operators.TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+        val bSh = bench.select(
+          explode(operators.TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+        time("array_only")(corpus.select(
+          size(operators.TextAnalysis.shingleHashes(col("text"), 3)).as("n"))
+          .agg(sum(col("n"))).count())
+        time("corpus_explode")(cSh.count())
+        time("bench_explode")(bSh.count())
+        time("bench_distinct")(bSh.distinct().count())
+        time("join")(cSh.join(bSh.distinct(), Seq("sh")).count())
+        time("full")(queries.Queries.d7Contamination(spark, sfDir).count())
       case Some(q) =>
         val fn = SparkEntry.queries(q)
         time(s"${q}_first")(fn(spark, sfDir).count())

@@ -89,4 +89,20 @@ object Funcs {
       Seq(lit(k), lit(v)) }: _*)
     coalesce(element_at(m, c), c)
   }
+
+  /** S6 auth: OKLink API-key obfuscation (reference
+    * `system_utils/generate_apikey.py:9-31`): rotate the key's first 8 chars
+    * to the end, add 1111111111111 to the epoch-ms timestamp and append
+    * three digits (random in the reference — injected here so replays and
+    * the spec are deterministic), then base64 of "rotatedKey|encodedTs".
+    * Pure column math, no UDF. */
+  val OklinkTsOffset = 1111111111111L
+
+  def oklinkApiKey(apiKey: Column, tsMs: Column, extraDigits: Column): Column = {
+    val rotated = concat(substring(apiKey, 9, Int.MaxValue),
+      substring(apiKey, 1, 8))
+    val encTs = concat((tsMs.cast("long") + OklinkTsOffset).cast("string"),
+      extraDigits)
+    base64(concat(rotated, lit("|"), encTs).cast("binary"))
+  }
 }

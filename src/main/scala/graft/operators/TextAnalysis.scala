@@ -65,6 +65,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", transform(tokens(text), t => lower(t))))
 
+  /** Distinct md5 hashes of every `k`-word shingle (lowercased); documents
+    * shorter than `k` words yield no shingles. The comparison unit for
+    * benchmark decontamination ([[Decontaminate]]).
+    *
+    * Construction: zip `k` shifted copies of the token array and concat —
+    * NOT `slice(toks, i, k)` inside a per-index lambda. A lambda body that
+    * references the tokenization SUBTREE re-evaluates it once per element
+    * (shingle-count × regexp-split per document — measured ~50× slower at
+    * sf0.1); the shifted zips touch each token O(k) times total. `concat`
+    * (null-propagating, unlike concat_ws) poisons the short tail where the
+    * shifted copies run out, and the final filter drops it — leaving exactly
+    * the n-k+1 shingles. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = transform(tokens(text), t => lower(t))
+    val joined = (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(transform(filter(joined, s => s.isNotNull), s => md5(s)))
+  }
+
   /** Min-shingle fingerprint: minimum md5 over all `k`-word shingles —
     * a 1-permutation MinHash, robust to local edits. Documents shorter than
     * `k` words fall back to the whole-document fingerprint. */

@@ -586,6 +586,12 @@ object Oracles {
          |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_subwords
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t6_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
+
     "t4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
@@ -640,6 +646,17 @@ object Oracles {
          |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 18
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "d7_contamination" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 29 = 0),
+         |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 29 <> 0)
+         |SELECT corp.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM corp JOIN bench USING (sh)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // NOTE: DuckDB cannot slice BLOBs, so these twins slice the VARCHAR —
     // byte-equivalent ONLY because the corpus is pure ASCII (verified);

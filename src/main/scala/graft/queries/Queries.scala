@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -661,6 +661,29 @@ object Queries {
       bands = 6, maxHamming = 18)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D7: benchmark decontamination — corpus docs (doc_id % 29 ≠ 0) sharing
+    * any 3-word shingle with the benchmark subset (doc_id % 29 = 0), with
+    * the distinct-shingle overlap count. Hash equi-join on shingle md5 —
+    * uniform shuffle; the benchmark side broadcasts under AQE. */
+  def d7Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.contaminatedDocs(
+      docs.where(col("doc_id") % 29 =!= 0),
+      docs.where(col("doc_id") % 29 === 0),
+      "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** T6: deterministic stratified downsampling for training-mix
+    * construction — per-language keep rates decided by md5(doc_id) hex
+    * prefix, not rand(), so the sample is stable across engines and task
+    * retries. Map-side only. */
+  def t6StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+      Map("en" -> 0.25, "zh" -> 0.75), default = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** M1: multimodal payload metadata — binary column + byte-offset frame
     * sampling (decode itself is the stubbed step; see Multimodal). */
   def m1MultimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -802,11 +825,13 @@ object Queries {
     "d4_simhash" -> d4Simhash _,
     "d5_embedding_dups" -> d5EmbeddingDups _,
     "d6_simhash_pairs" -> d6SimhashPairs _,
+    "d7_contamination" -> d7Contamination _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,
     "t5_subword_count" -> t5SubwordCount _,
+    "t6_stratified_sample" -> t6StratifiedSample _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,

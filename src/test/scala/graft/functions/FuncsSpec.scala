@@ -74,4 +74,19 @@ class FuncsSpec extends SparkSpec {
       .select(Funcs.canonicalizeKrakenAsset($"a")).as[String].collect()
     assert(out.toList == List("BTC", "USD", "SOL"))
   }
+
+  test("oklinkApiKey matches the reference construction (generate_apikey.py:9-31)") {
+    // replicate the reference pipeline off-Spark: rotate first 8 chars to
+    // the end, ts + 1111111111111 with the extra digits appended, base64
+    val key = "k1k2k3k4-rest-of-the-api-key"
+    val ts = 1704067200000L
+    val extra = "042"
+    val rotated = key.substring(8) + key.substring(0, 8)
+    val enc = (ts + 1111111111111L).toString + extra
+    val expected = java.util.Base64.getEncoder
+      .encodeToString(s"$rotated|$enc".getBytes("UTF-8"))
+    val out = Seq((key, ts, extra)).toDF("k", "ts", "x")
+      .select(Funcs.oklinkApiKey($"k", $"ts", $"x")).as[String].head()
+    assert(out == expected)
+  }
 }
