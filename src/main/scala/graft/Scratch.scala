@@ -187,6 +187,31 @@ object Scratch {
         time("w3_first")(queries.Queries.w3GapIslands(spark, sfDir).count())
         time("w3_second")(queries.Queries.w3GapIslands(spark, sfDir).count())
         queries.Queries.w3GapIslands(spark, sfDir).explain("formatted")
+      case Some("d3x") =>
+        import org.apache.spark.sql.functions._
+        val docs0 = Tables.documents(spark, sfDir)
+        val toks = docs0.select(col("doc_id").as("id"),
+          operators.Dedup.tokenSet(col("text")).as("toks"))
+          .where(size(col("toks")) > 0).persist()
+        time("tokenize")(toks.count())
+        val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
+        time("vocab")(exploded.select(col("tok")).distinct().count())
+        time("full_first")(queries.Queries.d3MinhashLsh(spark, sfDir).count())
+        spark.sharedState.cacheManager.clearCache()
+        time("full_second")(queries.Queries.d3MinhashLsh(spark, sfDir).count())
+      case Some("d6x") =>
+        import org.apache.spark.sql.functions._
+        val docs0 = Tables.documents(spark, sfDir)
+        val docs = docs0.select(col("doc_id").as("id"),
+          operators.Dedup.tokenSet(col("text")).as("toks"))
+          .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+        time("distinct_sets")(docs.select(col("setkey")).distinct().count())
+        val hashed = docs.groupBy(col("setkey"))
+          .agg(first(col("toks")).as("toks"))
+          .select(col("setkey"), operators.Dedup.simhash(col("toks"), 60).as("sh"))
+        time("simhash_stage")(hashed.count())
+        time("simhash_again")(hashed.count())
+        time("full")(queries.Queries.d6SimhashPairs(spark, sfDir).count())
       case Some("d7x") =>
         import org.apache.spark.sql.functions._
         val docs = Tables.documents(spark, sfDir)

@@ -94,10 +94,25 @@ object Dedup {
       .select(col("tok") +: (0 until k).map(i =>
         md5(concat(lit(s"$i:"), col("tok"))).as(s"h$i")): _*)
     val rows = k / bands
-    def bandCol(): Column = explode(array((0 until bands).map { b =>
+    def bandExpr(b: Int): Column =
       concat(lit(s"$b|"), md5(concat_ws(",",
         (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)))
-    }: _*))
+    // Exactly-once pair emission WITHOUT a distinct: a pair colliding in c
+    // bands surfaces c times from the band join; instead of shuffling the
+    // c-fold candidate stream through a distinct (the dominant shuffle —
+    // candidates ≫ results), both sides carry their band keys as plain
+    // columns and a pair is emitted only from the FIRST index where the two
+    // agree: every earlier band must differ. A codegen'd when-chain of
+    // string equalities (an array + HOF here would drop the whole filter to
+    // interpreted eval, paying per CANDIDATE row); the distinct disappears.
+    def firstMatchOnly(joined: DataFrame): DataFrame = {
+      val emit = (1 until bands).foldLeft(
+        when(col("bidx") === 0, lit(true))) { (acc, bi) =>
+        acc.when(col("bidx") === bi,
+          (0 until bi).map(j => col(s"ba$j") =!= col(s"bb$j")).reduce(_ && _))
+      }
+      joined.where(emit)
+    }
     // Tiny-vocabulary fast path: dictionary-encode each token set into a
     // 64-bit mask so pairwise verification is two bit_counts instead of a
     // string-array intersection, and candidate rows shuffle as (long, long)
@@ -113,39 +128,57 @@ object Dedup {
         .groupBy(col("id"))
         .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"),
           (0 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-      val banded = sig.select(col("id"), col("mask"), bandCol().as("band"))
-      val a = banded.select(col("band"), col("id").as("id_a"), col("mask").as("mask_a"))
-      val b = banded.select(col("band"), col("id").as("id_b"), col("mask").as("mask_b"))
+      val withB = sig.select((col("id") +: col("mask") +:
+        (0 until bands).map(bi => bandExpr(bi).as(s"b$bi"))): _*)
+      val banded = withB
+        .select((col("id") +: col("mask") +:
+          (0 until bands).map(bi => col(s"b$bi"))) :+
+          posexplode(array((0 until bands).map(bi => col(s"b$bi")): _*))
+            .as(Seq("bidx", "band")): _*)
+      val a = banded.select((col("band") +: col("bidx") +:
+        col("id").as("id_a") +: col("mask").as("mask_a") +:
+        (0 until bands - 1).map(bi => col(s"b$bi").as(s"ba$bi"))): _*)
+      val b = banded.select((col("band") +: col("id").as("id_b") +:
+        col("mask").as("mask_b") +:
+        (0 until bands - 1).map(bi => col(s"b$bi").as(s"bb$bi"))): _*)
       val inter = expr("bit_count(mask_a & mask_b)").cast("double")
       val uni = (expr("bit_count(mask_a)") + expr("bit_count(mask_b)")).cast("double") - inter
-      // verify INSIDE the band join (codegen'd bit math) so only passing
-      // pairs reach the cross-band distinct — the shuffle shrinks to the
-      // result size instead of the candidate count. shuffle_hash (not
-      // broadcast: the banded side scales with the corpus; not sort-merge:
-      // duplicate-heavy band keys degenerate a merge join) keeps hot keys
-      // O(output).
-      a.hint("shuffle_hash").join(b, Seq("band"))
+      // verify INSIDE the band join (codegen'd bit math) and emit each pair
+      // from its first matching band only — nothing downstream to dedupe.
+      // shuffle_hash (not broadcast: the banded side scales with the corpus;
+      // not sort-merge: duplicate-heavy band keys degenerate a merge join)
+      // keeps hot keys O(output).
+      firstMatchOnly(a.hint("shuffle_hash").join(b, Seq("band")))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           when(uni > 0, inter / uni).otherwise(lit(1.0)).as("jaccard"))
         .where(col("jaccard") >= threshold)
-        .distinct()
     } else {
       // per-doc signature: min of each hash column over the doc's tokens
       val sig = exploded.join(vocab, "tok")
         .groupBy(col("id"))
         .agg(min(col("h0")).as("m0"),
           (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-      val banded = sig.select(col("id"), bandCol().as("band"))
+      val withB = sig.select((col("id") +:
+        (0 until bands).map(bi => bandExpr(bi).as(s"b$bi"))): _*)
+      val banded = withB
+        .select((col("id") +:
+          (0 until bands).map(bi => col(s"b$bi"))) :+
+          posexplode(array((0 until bands).map(bi => col(s"b$bi")): _*))
+            .as(Seq("bidx", "band")): _*)
       // shuffle_hash for the same reason as the fast path above: the banded
       // side scales with the corpus (no broadcast) and duplicate-heavy band
-      // keys degenerate a sort-merge join
-      val cand = banded.select(col("band"), col("id").as("id_a"))
-        .hint("shuffle_hash")
-        .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+      // keys degenerate a sort-merge join; first-match emission replaces the
+      // candidate distinct
+      val cand = firstMatchOnly(
+        banded.select((col("band") +: col("bidx") +: col("id").as("id_a") +:
+          (0 until bands - 1).map(bi => col(s"b$bi").as(s"ba$bi"))): _*)
+          .hint("shuffle_hash")
+          .join(banded.select((col("band") +: col("id").as("id_b") +:
+            (0 until bands - 1).map(bi => col(s"b$bi").as(s"bb$bi"))): _*),
+            Seq("band")))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
-        .distinct()
       cand
         .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
         .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
@@ -255,8 +288,11 @@ object Dedup {
       cache: DataFrame => DataFrame = _.persist()): DataFrame = {
     val bits = 60
     val bandBits = bits / bands
-    val docs = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
-      .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+    // cached: (id, setkey) feeds both the distinct-set hash stage and the
+    // final doc-expansion join — without it the corpus tokenizes twice
+    val docs = cache(
+      df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+        .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks"))))))
     // integer surrogate per distinct set: candidate rows shuffle as 4 longs
     // instead of 2×32-char digests (the distinct below is the big shuffle).
     // sid assignment is RDD zipWithIndex — per-partition offsets from one
