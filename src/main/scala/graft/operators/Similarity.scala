@@ -99,28 +99,33 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
-  /** IVF-flat ANN, probe=1: the coarse quantizer is a fixed centroid table
-    * (here: a designated row subset standing in for k-means output — training
-    * the quantizer is an offline driver-side step at any scale). Every vector
-    * is assigned to its max-cosine cell by a broadcast join + window argmax;
-    * search touches only the query's own cell. The corpus-side assignment
-    * shuffles once by cell — at 100 TB the cell id becomes the partition key
-    * and each query probes one partition instead of the full corpus. */
+  /** IVF-flat ANN: the coarse quantizer is a fixed centroid table (here: a
+    * designated row subset standing in for k-means output — training the
+    * quantizer is an offline driver-side step at any scale). Every corpus
+    * vector is assigned to its max-cosine cell by a broadcast join + window
+    * argmax; each query probes its `nprobe` nearest cells (the standard
+    * recall knob — probe=1 is fastest, more probes recover neighbors that
+    * fell just across a cell boundary). A corpus vector lives in exactly one
+    * cell, so probing several cells never duplicates a neighbor. The
+    * corpus-side assignment shuffles once by cell — at 100 TB the cell id
+    * becomes the partition key and each query probes `nprobe` partitions
+    * instead of the full corpus. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
-    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
+    def assign(df: DataFrame, outId: String, outVec: String,
+        cells: Int): DataFrame = {
       val w = Window.partitionBy(col(outId))
         .orderBy(col("cent_sim").desc, col("cent_id"))
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
         .crossJoin(broadcast(cents))
         .withColumn("cent_sim", cosine(col(outVec), col("cvec")))
         .withColumn("arn", row_number().over(w))
-        .where(col("arn") === 1)
+        .where(col("arn") <= cells)
         .select(col(outId), col(outVec), col("cent_id").as("cell"))
     }
-    val c = assign(corpus, "neighbor_id", "cv")
-    val q = assign(queries, "query_id", "qv")
+    val c = assign(corpus, "neighbor_id", "cv", 1)
+    val q = assign(queries, "query_id", "qv", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cell"))

@@ -692,6 +692,25 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
+    "s6_ivf_probe2" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, cent_id AS cell
+         |  FROM ca WHERE nid < $NumQueries AND arn <= 2),
+         |s AS (SELECT query_id, nid AS neighbor_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
+
     // S2: expected symbol catalog computed directly from the same part-table
     // derivations the Spark side renders into per-exchange JSON. Status lists
     // are each exchange's vocabulary mapped to the repo status codes

@@ -773,6 +773,18 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S6: IVF ANN with nprobe=2 — same quantizer as s3, each query probes its
+    * two nearest cells (the recall knob; neighbors just across a cell
+    * boundary come back). A corpus vector lives in exactly one cell, so no
+    * dedup is needed after the probe union. */
+  def s6IvfProbe2(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < NumQueries),
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding", IvfTopK,
+      nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** name → query fn, in SURVEY §2 inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -837,7 +849,8 @@ object Queries {
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann" -> s2LshAnn _,
     "s3_ivf_ann" -> s3IvfAnn _,
-    "s5_symbol_catalog" -> s5SymbolCatalog _)
+    "s5_symbol_catalog" -> s5SymbolCatalog _,
+    "s6_ivf_probe2" -> s6IvfProbe2 _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

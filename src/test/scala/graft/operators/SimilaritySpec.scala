@@ -54,6 +54,18 @@ class SimilaritySpec extends SparkSpec {
     both.foreach { case (fast, slow) => assert(fast == slow) }
   }
 
+  test("ivfTopK nprobe=2 candidates are a superset of probe=1 (recall knob)") {
+    val cents = vecs.where($"vec_id" < 2)
+    def pairs(nprobe: Int) =
+      Similarity.ivfTopK(vecs, vecs, cents, "vec_id", "embedding",
+        k = 10, nprobe = nprobe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1.subsetOf(p2))
+    assert(p2.size >= p1.size)
+  }
+
   test("lshTopK returns bucket-mates ranked by cosine") {
     val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, nBits = 2, dim = 3)
