@@ -592,6 +592,21 @@ object Oracles {
         |  CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
 
+    "t7_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  greatest(len(toks) - 2, 0) AS total,
+         |  CASE WHEN len(toks) >= 3
+         |    THEN len(list_distinct([md5(array_to_string(toks[i:i+2], ' '))
+         |                            for i in range(1, len(toks) - 1)]))
+         |    ELSE 0 END AS dis
+         |FROM t)
+         |SELECT doc_id, CAST(total AS BIGINT) AS total_3grams,
+         |  CAST(dis AS BIGINT) AS distinct_3grams,
+         |  round(CASE WHEN total > 0 THEN 1 - CAST(dis AS DOUBLE) / total
+         |        ELSE 0.0 END, 6) AS rep_ratio
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "t4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,

@@ -773,6 +773,22 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** T7: intra-document repetition ratio — the share of a doc's word
+    * 3-grams that are repeats of an earlier 3-gram (a Gopher/C4-style
+    * quality filter: high ratio = boilerplate/spam). Pure map-side. */
+  def t7Repetition(s: SparkSession, d: String): DataFrame = {
+    val total = greatest(TextAnalysis.tokenCount(col("text")) - 2, lit(0))
+      .cast("long")
+    val dis = size(TextAnalysis.shingleHashes(col("text"), 3)).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), total.as("total_3grams"), dis.as("distinct_3grams"))
+      .withColumn("rep_ratio", round(
+        when(col("total_3grams") > 0,
+          lit(1.0) - col("distinct_3grams").cast("double") / col("total_3grams"))
+          .otherwise(0.0), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** S6: IVF ANN with nprobe=2 — same quantizer as s3, each query probes its
     * two nearest cells (the recall knob; neighbors just across a cell
     * boundary come back). A corpus vector lives in exactly one cell, so no
@@ -844,6 +860,7 @@ object Queries {
     "t4_fingerprint" -> t4Fingerprint _,
     "t5_subword_count" -> t5SubwordCount _,
     "t6_stratified_sample" -> t6StratifiedSample _,
+    "t7_repetition" -> t7Repetition _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,

@@ -170,9 +170,14 @@ object UpsertSink {
     partitionCol match {
       case Some(c) =>
         // read + merge + rewrite ONLY the touched partitions; everything
-        // else stays on disk untouched (no read, no shuffle, no rewrite)
-        val touched = updates.select(col(c)).distinct()
-        val merged = merge(stored.join(broadcast(touched), Seq(c), "left_semi"))
+        // else stays on disk untouched (no read, no shuffle, no rewrite).
+        // Null-safe equality: a NULL partition value lands in the Hive
+        // default-partition dir, whose swap would otherwise drop the stored
+        // rows a plain-equality semi join fails to pull into the merge.
+        val touched = broadcast(
+          updates.select(col(c).as("_touched_p")).distinct())
+        val merged = merge(
+          stored.join(touched, col(c) <=> col("_touched_p"), "left_semi"))
         val suffix = java.util.UUID.randomUUID().toString.take(8)
         val tmp = path + ".tmp-" + suffix
         // the tmp write is the action that reads `path`; renames happen after

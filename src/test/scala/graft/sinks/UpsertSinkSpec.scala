@@ -86,6 +86,20 @@ class UpsertSinkSpec extends SparkSpec {
     assert(out.toList == List(("BTC", 1L, 1.0), ("BTC", 2L, 22.0)))
   }
 
+  test("partitioned upsert merges the NULL-partition dir (null-safe touch detection)") {
+    val path = tmp()
+    val v1 = Seq(("BTC", 1L, Some("2024-01-01")), ("ETH", 2L, None))
+      .toDF("symbol", "ts", "dt_date")
+    UpsertSink.upsert(spark, path, v1, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    // an update landing in the NULL partition must merge with the stored
+    // NULL-partition rows, not displace them
+    val v2 = Seq(("SOL", 3L, Option.empty[String])).toDF("symbol", "ts", "dt_date")
+    UpsertSink.upsert(spark, path, v2, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    val out = spark.read.parquet(path).select("symbol").as[String]
+      .collect().sorted
+    assert(out.toList == List("BTC", "ETH", "SOL"))
+  }
+
   test("crash recovery: leftover .old- table aside is restored, not orphaned") {
     val path = tmp()
     val v1 = Seq(("BTC", 1L, 1.0)).toDF("symbol", "ts", "close")
