@@ -337,11 +337,14 @@ object Dedup {
     val sym = setPairs.unionByName(
       setPairs.where(col("sid_a") =!= col("sid_b")).select(
         col("sid_b").as("sid_a"), col("sid_a").as("sid_b"), col("hamming")))
+    // no join hints here: the expanded pair stream is the BIG side and ids
+    // is one row per doc — locally AQE broadcasts ids (shuffling the 5M-row
+    // pair stream twice was the dominant cost after the hash stage); at a
+    // scale where ids outgrows the broadcast threshold AQE falls back to a
+    // shuffled join on the uniform integer sid, which cannot degenerate.
     sym
-      .hint("shuffle_hash")
       .join(ids.withColumnRenamed("sid", "sid_a")
         .withColumnRenamed("id", "id_a"), Seq("sid_a"))
-      .hint("shuffle_hash")
       .join(ids.withColumnRenamed("sid", "sid_b")
         .withColumnRenamed("id", "id_b"), Seq("sid_b"))
       .where(col("id_a") < col("id_b"))
