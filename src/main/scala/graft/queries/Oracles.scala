@@ -100,6 +100,20 @@ object Oracles {
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q6_forecast_revenue" ->
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE epoch_ms(l_shipdate) >= $Ms1996 AND epoch_ms(l_shipdate) < $Ms1997
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT round(100.0 *
+         |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+         |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) /
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE epoch_ms(l_shipdate) >= $Ms1996 AND epoch_ms(l_shipdate) < $Ms1997""".stripMargin,
+
     "q3_shipping_priority" ->
       s"""SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

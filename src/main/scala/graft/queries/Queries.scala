@@ -65,6 +65,35 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Q6-style forecast revenue: a pure pushed-down scan-filter-agg — the
+    * date and quantity predicates reach the parquet scan, no join, one
+    * partial+final aggregate. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    Tables.lineitem(s, d)
+      .where(tsAtOrAfter(col("l_shipdate"), Ms1996) &&
+        tsBefore(col("l_shipdate"), Ms1997) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(price * disc).cast("double").as("revenue"))
+  }
+
+  /** Q14-style promo revenue share: broadcast part join + conditional sum
+    * ratio. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(18,2)")
+    val dp = price * (lit(1) - disc)
+    Tables.lineitem(s, d)
+      .where(tsAtOrAfter(col("l_shipdate"), Ms1996) &&
+        tsBefore(col("l_shipdate"), Ms1997))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), dp)).cast("double") /
+        sum(dp).cast("double"), 6).as("promo_revenue"))
+  }
+
   /** Q3-style: dim filter → fact join → agg → top-N. Broadcast the dim. */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
@@ -805,6 +834,8 @@ object Queries {
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q14_promo_revenue" -> q14PromoRevenue _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q18_large_orders" -> q18LargeOrders _,
     "q7_trade_flows" -> q7TradeFlows _,
