@@ -621,6 +621,14 @@ object Oracles {
          |        ELSE 0.0 END, 6) AS rep_ratio
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "t8_length_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90,
+        |  quantile_cont(n_chars, 0.99) AS p99,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,

@@ -818,6 +818,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T8: exact interpolated quantiles of document length per language —
+    * Spark `percentile` and DuckDB `quantile_cont` share the same
+    * rank = q·(n−1) linear-interpolation definition, so the doubles match
+    * bit-for-bit. (The APPROX family is a9's tolerance contract; this is
+    * the exact-percentile agg.) */
+  def t8LengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"),
+        percentile(col("n_chars"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   /** S6: IVF ANN with nprobe=2 — same quantizer as s3, each query probes its
     * two nearest cells (the recall knob; neighbors just across a cell
     * boundary come back). A corpus vector lives in exactly one cell, so no
@@ -892,6 +907,7 @@ object Queries {
     "t5_subword_count" -> t5SubwordCount _,
     "t6_stratified_sample" -> t6StratifiedSample _,
     "t7_repetition" -> t7Repetition _,
+    "t8_length_quantiles" -> t8LengthQuantiles _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,
