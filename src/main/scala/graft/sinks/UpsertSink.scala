@@ -136,10 +136,15 @@ object UpsertSink {
     fs.delete(new Path(tmp), true) // leftovers: _SUCCESS marker
   }
 
-  /** K3: append, skipping empty batches. */
+  /** K3: append, skipping empty batches. Recovery runs first: appending
+    * into the no-table window of a crashed swap would re-create the dir and
+    * make the NEXT sink call mistake the displaced table for a completed
+    * swap and drop it. */
   def append(spark: SparkSession, path: String, batch: DataFrame): Unit =
-    if (!batch.isEmpty)
+    if (!batch.isEmpty) {
+      recoverCrash(spark, path)
       batch.write.mode(SaveMode.Append).parquet(path)
+    }
 
   /** Full-row upsert keyed on `keys`: rows in `updates` replace stored rows
     * with the same key (within a batch, the highest `versionCol` wins;

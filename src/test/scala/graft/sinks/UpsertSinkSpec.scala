@@ -140,6 +140,23 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!fs.exists(aside))
   }
 
+  test("append into a crashed-swap window restores the old table first") {
+    val path = tmp()
+    val v1 = Seq(("BTC", 1L, 1.0)).toDF("symbol", "ts", "close")
+    UpsertSink.upsert(spark, path, v1, Seq("symbol", "ts"), "ts")
+    val fs = fsOf(path)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old-beefcafe"))
+    UpsertSink.append(spark, path,
+      Seq(("ETH", 2L, 2.0)).toDF("symbol", "ts", "close"))
+    // without recovery the append re-creates the dir and the next call
+    // would discard the displaced table as a completed swap
+    val out = spark.read.parquet(path).select("symbol").as[String]
+      .collect().sorted
+    assert(out.toList == List("BTC", "ETH"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old-beefcafe")))
+  }
+
   test("crash recovery: leftover .tmp- dirs are discarded") {
     val path = tmp()
     val v1 = Seq(("BTC", 1L, 1.0)).toDF("symbol", "ts", "close")
