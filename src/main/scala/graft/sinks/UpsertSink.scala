@@ -185,8 +185,12 @@ object UpsertSink {
           stored.join(touched, col(c) <=> col("_touched_p"), "left_semi"))
         val suffix = java.util.UUID.randomUUID().toString.take(8)
         val tmp = path + ".tmp-" + suffix
+        // cluster rows by key within each written file: parquet row-group
+        // min/max stats stay tight, so key/time-filtered reads of a day
+        // partition skip most row groups
+        val clustered = merged.sortWithinPartitions((col(c) +: keys.map(col)): _*)
         // the tmp write is the action that reads `path`; renames happen after
-        merged.write.mode(SaveMode.Overwrite).partitionBy(c).parquet(tmp)
+        clustered.write.mode(SaveMode.Overwrite).partitionBy(c).parquet(tmp)
         swapPartitions(spark, tmp, path, suffix)
       case None =>
         swapWrite(spark, merge(stored), path, None)
