@@ -23,4 +23,28 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  // plan-quality locks: these assertions fail if a future refactor breaks
+  // scan pushdown or de-broadcasts a dim join
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q6 pushes every predicate into the parquet scan") {
+    val plan = formattedPlan(Queries.q6ForecastRevenue(spark, sfDir))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(800))
+    assert(plan.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q6 scan reads only the four referenced columns") {
+    val plan = formattedPlan(Queries.q6ForecastRevenue(spark, sfDir))
+    assert(plan.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"))
+  }
+
+  test("q3 dim joins broadcast (fact side never shuffles for the join)") {
+    val plan = Queries.q3ShippingPriority(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }
