@@ -629,6 +629,15 @@ object Oracles {
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "t9_sequence_packing" ->
+      """WITH p AS (SELECT lang, doc_id, n_chars,
+        |  CAST(COALESCE(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_chars
+        |FROM documents)
+        |SELECT lang, doc_id, n_chars, prefix_chars,
+        |  CAST(floor(prefix_chars / 4096.0) AS BIGINT) AS seq_id
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
+
     "t4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,

@@ -833,6 +833,22 @@ object Queries {
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
+  /** T9: sequence packing for training batches — assign docs to
+    * fixed-budget sequences by exclusive prefix sum of length, per language
+    * (per-key windows, never a global single-task window; packing is
+    * per-shard in practice). Budget 4096 = 2^12 so the double division is
+    * exact and floor matches bit-for-bit cross-engine. */
+  def t9SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        coalesce(sum(col("n_chars")).over(w), lit(0L)).as("prefix_chars"))
+      .withColumn("seq_id",
+        floor(col("prefix_chars") / lit(4096.0)).cast("long"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** S6: IVF ANN with nprobe=2 — same quantizer as s3, each query probes its
     * two nearest cells (the recall knob; neighbors just across a cell
     * boundary come back). A corpus vector lives in exactly one cell, so no
@@ -908,6 +924,7 @@ object Queries {
     "t6_stratified_sample" -> t6StratifiedSample _,
     "t7_repetition" -> t7Repetition _,
     "t8_length_quantiles" -> t8LengthQuantiles _,
+    "t9_sequence_packing" -> t9SequencePacking _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,
