@@ -757,6 +757,36 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
+    "s7_int8_ann" -> {
+      // exact integer dot of the code arrays; order-free but kept left-fold
+      val qdotChain = (1 to EmbeddingDim).map(i =>
+        s"(CAST(qc[$i] AS BIGINT) * cc[$i])").mkString("0 + ", " + ", "")
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |FROM embeddings),
+         |coded AS (SELECT vec_id,
+         |  CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+         |    (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END)) AS INT)) AS codes
+         |FROM base),
+         |q AS (SELECT vec_id AS query_id, scale AS qscale, codes AS qc
+         |  FROM coded WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS neighbor_id, scale AS cscale, codes AS cc FROM coded),
+         |s AS (SELECT query_id, neighbor_id, qscale, cscale,
+         |    CAST($qdotChain AS BIGINT) AS qdot
+         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         |s2 AS (SELECT query_id, neighbor_id, qdot,
+         |    CASE WHEN qscale * cscale > 0
+         |      THEN CAST(qdot AS DOUBLE) / (qscale * cscale) ELSE 0.0 END AS qsim
+         |  FROM s),
+         |r AS (SELECT query_id, neighbor_id, qdot, qsim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rank
+         |  FROM s2)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, qdot,
+         |  round(qsim, 6) AS qsim
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
     // S2: expected symbol catalog computed directly from the same part-table
     // derivations the Spark side renders into per-exchange JSON. Status lists
     // are each exchange's vocabulary mapped to the repo status codes

@@ -861,6 +861,16 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S7: brute-force ANN over int8-quantized embeddings — 4× smaller
+    * vectors, integer dot products (exact in every engine), rescaled to an
+    * approximate similarity. The memory-bound variant of s1. */
+  def s7Int8Ann(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.quantizedTopK(emb, emb.where(col("vec_id") < NumQueries),
+      "vec_id", "embedding", TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** name → query fn, in SURVEY §2 inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -931,7 +941,8 @@ object Queries {
     "s2_lsh_ann" -> s2LshAnn _,
     "s3_ivf_ann" -> s3IvfAnn _,
     "s5_symbol_catalog" -> s5SymbolCatalog _,
-    "s6_ivf_probe2" -> s6IvfProbe2 _)
+    "s6_ivf_probe2" -> s6IvfProbe2 _,
+    "s7_int8_ann" -> s7Int8Ann _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

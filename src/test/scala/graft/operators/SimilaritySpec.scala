@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     both.foreach { case (fast, slow) => assert(fast == slow) }
   }
 
+  test("int8 quantization: codes bounded, zero vector safe, dot exact") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val (codes, scale) = Similarity.quantizeInt8($"v")
+    val rows = df.select($"id", codes.as("c"), scale.as("s"))
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (i, c, s) => i -> ((c, s)) }.toMap
+    // max |v| = 1.0 → scale 127; floor(-0.5*127) = -64
+    assert(rows(1L)._1 == Seq(127, -64, 31))
+    assert(rows(1L)._2 == 127.0)
+    assert(rows(2L)._1 == Seq(0, 0, 0) && rows(2L)._2 == 0.0)
+    val dot = Seq((Seq(127, -64, 31), Seq(127, -64, 31))).toDF("a", "b")
+      .select(Similarity.dotInt8($"a", $"b")).as[Long].head()
+    assert(dot == 127L * 127 + 64L * 64 + 31L * 31)
+  }
+
   test("ivfTopK nprobe=2 candidates are a superset of probe=1 (recall knob)") {
     val cents = vecs.where($"vec_id" < 2)
     def pairs(nprobe: Int) =
