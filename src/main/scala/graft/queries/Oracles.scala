@@ -342,6 +342,23 @@ object Oracles {
          |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
 
+    "a10_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n, ${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+
+    "w7_ranks" ->
+      """SELECT lang, doc_id, n_chars,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER wf AS BIGINT) AS quartile
+        |FROM documents
+        |WINDOW wt AS (PARTITION BY lang ORDER BY n_chars DESC),
+        |       wf AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        |ORDER BY lang, doc_id""".stripMargin,
+
     "w5_rolling_stats" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |  round(avg(value) OVER (PARTITION BY user_id

@@ -296,6 +296,35 @@ object Queries {
         col("n"), col("total"))
       .orderBy(col("status"), col("priority"))
 
+  /** A10: CUBE — all four grouping combinations in one pass (rollup's
+    * superset; Spark plans one Expand + one aggregate, not four scans). */
+  def a10Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** W7: the full ranking-function family in one query — rank, dense_rank,
+    * ntile quartiles of document length per language (row_number is
+    * exercised everywhere else). rank/dense_rank run over the ties-allowed
+    * order (their outputs depend only on the key VALUES, so equal lengths
+    * share a rank deterministically); ntile is positional, so it takes the
+    * fully tie-broken order. */
+  def w7Ranks(s: SparkSession, d: String): DataFrame = {
+    val wTies = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+    val wTotal = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        rank().over(wTies).cast("long").as("rnk"),
+        dense_rank().over(wTies).cast("long").as("drnk"),
+        ntile(4).over(wTotal).cast("long").as("quartile"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** W5: rolling frame — trailing 3-event moving average per user
     * (rowsBetween frame spec). */
   def w5RollingStats(s: SparkSession, d: String): DataFrame = {
@@ -891,6 +920,8 @@ object Queries {
     "a5_distinct_users" -> a5DistinctUsers _,
     "a8_rollup" -> a8Rollup _,
     "a9_approx_distinct" -> a9ApproxDistinct _,
+    "a10_cube" -> a10Cube _,
+    "w7_ranks" -> w7Ranks _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,
