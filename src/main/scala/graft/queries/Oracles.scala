@@ -359,6 +359,18 @@ object Oracles {
         |       wf AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
         |ORDER BY lang, doc_id""".stripMargin,
 
+    "w8_frame_edges" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+        |  lead(value, 1) OVER wt AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_value,
+        |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY value), 6) AS value_pct
+        |FROM events
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "w5_rolling_stats" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |  round(avg(value) OVER (PARTITION BY user_id

@@ -338,6 +338,25 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** W8: offset + frame-edge window functions — lead, first/last value
+    * over explicit frames, percent_rank (value-dependent, so deterministic
+    * under ties like rank). Completes the window family beside LAG (w1),
+    * frames (w5), sessions (w6), ranks (w7). */
+  def w8FrameEdges(s: SparkSession, d: String): DataFrame = {
+    val wT = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val wFirst = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLast = wT.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wVal = Window.partitionBy(col("user_id")).orderBy(col("value"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"),
+        lead(col("value"), 1).over(wT).as("next_value"),
+        first(col("value")).over(wFirst).as("first_value"),
+        last(col("value")).over(wLast).as("last_value"),
+        round(percent_rank().over(wVal), 6).as("value_pct"))
+      .orderBy(col("event_id"))
+  }
+
   /** A9: sketch aggregation — HLL approx distinct beside the exact count.
     * Sketches differ across engines, so the cross-checked contract is
     * "each engine's sketch lands within 10% of the (exactly-matching)
@@ -922,6 +941,7 @@ object Queries {
     "a9_approx_distinct" -> a9ApproxDistinct _,
     "a10_cube" -> a10Cube _,
     "w7_ranks" -> w7Ranks _,
+    "w8_frame_edges" -> w8FrameEdges _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,
