@@ -359,6 +359,17 @@ object Oracles {
         |       wf AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
         |ORDER BY lang, doc_id""".stripMargin,
 
+    "a11_dispersion" ->
+      """WITH s AS (SELECT user_id, count(*) AS n,
+        |  sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sx,
+        |  sum(CAST(round(value, 6) AS DECIMAL(18,6)) * CAST(round(value, 6) AS DECIMAL(18,6))) AS sxx
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, n,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6) AS variance,
+        |  round(sqrt(greatest(round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6), 0.0)), 6) AS stddev
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "w8_frame_edges" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
         |  lead(value, 1) OVER wt AS next_value,

@@ -357,6 +357,28 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** A11: dispersion stats per user — variance/stddev via the algebraic
+    * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
+    * The sufficient statistics merge associatively (map-side combine, any
+    * partition order — what a 1000-executor partial agg needs), unlike
+    * order-sensitive naive double summation; and exactness makes the DuckDB
+    * twin bit-identical. Inputs are rounded to 6 decimals first so the
+    * decimal cast is lossless in both engines. */
+  def a11Dispersion(s: SparkSession, d: String): DataFrame = {
+    val v = round(col("value"), 6).cast("decimal(18,6)")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("sx"), sum(v * v).as("sxx"))
+      .select(col("user_id"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean"),
+        round((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1), 6).as("variance"))
+      .withColumn("stddev", round(sqrt(greatest(col("variance"), lit(0.0))), 6))
+      .orderBy(col("user_id"))
+  }
+
   /** A9: sketch aggregation — HLL approx distinct beside the exact count.
     * Sketches differ across engines, so the cross-checked contract is
     * "each engine's sketch lands within 10% of the (exactly-matching)
@@ -940,6 +962,7 @@ object Queries {
     "a8_rollup" -> a8Rollup _,
     "a9_approx_distinct" -> a9ApproxDistinct _,
     "a10_cube" -> a10Cube _,
+    "a11_dispersion" -> a11Dispersion _,
     "w7_ranks" -> w7Ranks _,
     "w8_frame_edges" -> w8FrameEdges _,
     "w5_rolling_stats" -> w5RollingStats _,
