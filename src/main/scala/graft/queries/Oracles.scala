@@ -440,6 +440,11 @@ object Oracles {
          |WHERE r_name IN ('ASIA', 'EUROPE')
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    "j9_salted_join" ->
+      s"""SELECT n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS total_acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "j3_fullouter_merge" ->
       s"""WITH c AS (SELECT $hourFloor AS bucket_ms, ${dsum("value")} AS click_sum
          |  FROM events WHERE event_type = 'click' GROUP BY 1),

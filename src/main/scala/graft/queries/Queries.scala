@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -451,6 +451,21 @@ object Queries {
       .agg(count(lit(1)).as("n_customers"),
         dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy(col("r_name"), col("n_name"))
+
+  /** J9: a dim join routed through [[Skew.saltedJoin]] — salting must
+    * preserve inner-equi-join semantics exactly, so the oracle is the PLAIN
+    * join SQL: any salting bug (dropped or duplicated matches) breaks the
+    * hash match. The salt spreads a hot nation key over `factor`
+    * partitions. */
+  def j9SaltedJoin(s: SparkSession, d: String): DataFrame =
+    Skew.saltedJoin(
+      Tables.customer(s, d).withColumnRenamed("c_nationkey", "n_nationkey"),
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name")),
+      Seq("n_nationkey"), factor = 4)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("n_name"))
 
   /** J3: timestamp-keyed full-outer merge of per-type series (the reference's
     * 3-endpoint long/short-ratio merge, `binance/perp.py:168-185`). */
@@ -977,6 +992,7 @@ object Queries {
     "j6_anti_join" -> j6AntiJoin _,
     "j7_scalar_lookup" -> j7ScalarLookup _,
     "j8_semi_join" -> j8SemiJoin _,
+    "j9_salted_join" -> j9SaltedJoin _,
     "p2_align_floor" -> p2AlignFloor _,
     "p4_unit_normalize" -> p4UnitNormalize _,
     "p6_precision" -> p6Precision _,
