@@ -370,6 +370,22 @@ object Oracles {
         |  round(sqrt(greatest(round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1), 6), 0.0)), 6) AS stddev
         |FROM s ORDER BY user_id""".stripMargin,
 
+    "a12_correlation" ->
+      """WITH s AS (SELECT user_id, count(*) AS n,
+        |  sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sx,
+        |  sum(CAST(event_id % 97 AS DECIMAL(18,0))) AS sy,
+        |  sum(CAST(round(value, 6) AS DECIMAL(18,6)) * CAST(round(value, 6) AS DECIMAL(18,6))) AS sxx,
+        |  sum(CAST(event_id % 97 AS DECIMAL(18,0)) * CAST(event_id % 97 AS DECIMAL(18,0))) AS syy,
+        |  sum(CAST(round(value, 6) AS DECIMAL(18,6)) * CAST(event_id % 97 AS DECIMAL(18,0))) AS sxy
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (n * (n - 1)), 6) AS covariance,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS correlation
+        |FROM s ORDER BY user_id""".stripMargin,
+
     "w8_frame_edges" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
         |  lead(value, 1) OVER wt AS next_value,

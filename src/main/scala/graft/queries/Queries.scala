@@ -379,6 +379,33 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** A12: covariance/correlation per user via the same exact sufficient
+    * statistics as [[a11Dispersion]] — (n, Σx, Σy, Σx², Σy², Σxy) in
+    * decimals, Pearson formula in double. The second series is derived from
+    * event_id (small exact ints), so every accumulator is exact and the
+    * DuckDB twin matches bit-for-bit. Order-independent partial aggs. */
+  def a12Correlation(s: SparkSession, d: String): DataFrame = {
+    val x = round(col("value"), 6).cast("decimal(18,6)")
+    val y = (col("event_id") % 97).cast("decimal(18,0)")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(col("user_id"), col("n"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * (col("n") - 1)), 6).as("covariance"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("correlation"))
+      .orderBy(col("user_id"))
+  }
+
   /** A9: sketch aggregation — HLL approx distinct beside the exact count.
     * Sketches differ across engines, so the cross-checked contract is
     * "each engine's sketch lands within 10% of the (exactly-matching)
@@ -978,6 +1005,7 @@ object Queries {
     "a9_approx_distinct" -> a9ApproxDistinct _,
     "a10_cube" -> a10Cube _,
     "a11_dispersion" -> a11Dispersion _,
+    "a12_correlation" -> a12Correlation _,
     "w7_ranks" -> w7Ranks _,
     "w8_frame_edges" -> w8FrameEdges _,
     "w5_rolling_stats" -> w5RollingStats _,
