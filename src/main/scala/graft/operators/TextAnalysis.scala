@@ -48,7 +48,11 @@ object TextAnalysis {
   }
 
   /** Quality score in [0,1]: length saturation + stopword ratio + mean word
-    * length band. Deterministic, portable arithmetic. */
+    * length band. Deterministic, portable arithmetic. Rounding is
+    * multiply-then-floor (NOT round(x, 4)): engines disagree on decimal
+    * rounding of doubles at .00005 boundaries — Spark rounds the double's
+    * exact binary value, DuckDB multiplies first — and a 5000-doc corpus
+    * hits such a boundary; floor of identical doubles can't diverge. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val n = tokenCount(text).cast("double")
     val lenScore = least(n / 100.0, lit(1.0))
@@ -57,7 +61,8 @@ object TextAnalysis {
       aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)) / n)
       .otherwise(0.0)
     val wordLenScore = when(meanWordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
-    round(lenScore * 0.4 + swRatio * 0.3 + wordLenScore * 0.3, 4)
+    floor((lenScore * 0.4 + swRatio * 0.3 + wordLenScore * 0.3) * 10000.0
+      + 0.5) / 10000.0
   }
 
   /** Whole-document fingerprint: md5 of whitespace-normalized lowercase text

@@ -639,10 +639,10 @@ object Oracles {
          |  CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS lsum
          |FROM documents)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  round(least(n / 100.0, 1.0) * 0.4
+         |  floor((least(n / 100.0, 1.0) * 0.4
          |    + (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END) * 0.3
-         |    + (CASE WHEN n > 0 AND lsum / n BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3,
-         |  4) AS quality
+         |    + (CASE WHEN n > 0 AND lsum / n BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+         |    * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
