@@ -171,6 +171,34 @@ class UpsertSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("property: replaying any batch sequence leaves the sink unchanged (seeded)") {
+    // the sink's core contract: at-least-once delivery (replays, retries)
+    // must converge to the same table as exactly-once
+    val rng = new scala.util.Random(7)
+    def randomBatch() = Seq.fill(1 + rng.nextInt(6)) {
+      val sym = s"S${rng.nextInt(4)}"
+      val ts = (rng.nextInt(3) + 1) * 1000L
+      // partition col is a function of the key (as dt_date is of ts for
+      // klines) and close derives from the key too: same-key rows are
+      // identical, so the version tie-break can't introduce nondeterminism
+      val day = s"2024-01-0${ts / 1000}"
+      (sym, ts, ts / 100.0 + sym.last.toInt, day)
+    }.toDF("symbol", "ts", "close", "dt_date")
+    def table(path: String) = spark.read.parquet(path)
+      .select("symbol", "ts", "close", "dt_date")
+      .as[(String, Long, Double, String)].collect().sortBy(r => (r._1, r._2))
+      .toList
+    val once = tmp(); val replayed = tmp()
+    (1 to 5).foreach { _ =>
+      val b = randomBatch()
+      UpsertSink.upsert(spark, once, b, Seq("symbol", "ts"), "ts", Some("dt_date"))
+      // at-least-once: the replayed sink sees every batch twice
+      UpsertSink.upsert(spark, replayed, b, Seq("symbol", "ts"), "ts", Some("dt_date"))
+      UpsertSink.upsert(spark, replayed, b, Seq("symbol", "ts"), "ts", Some("dt_date"))
+    }
+    assert(table(once) == table(replayed))
+  }
+
   test("updateFields dedupes same-key rows within a batch (one survivor)") {
     val path = tmp()
     val stored = Seq(("binance", "BTCUSDT", "0.01"))
