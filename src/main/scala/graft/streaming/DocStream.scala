@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.TextAnalysis
-import graft.sinks.UpsertSink
 
 /** Streaming ingest for a training-data corpus: the document-side analogue
   * of [[KlineStream.ingest]], composing the text-pipeline operators into an
@@ -22,8 +21,13 @@ import graft.sinks.UpsertSink
   *      cross-batch duplicates never append twice — first occurrence wins,
   *      which is the dedup semantic (vs the kline sink's newest-wins merge).
   *
-  * At 100 TB the anti-join shuffles on the uniform 128-bit fingerprint; the
-  * stored side prunes to the `fp` column only (ReadSchema: one column).
+  * Scale shape of the cross-batch dedup: the sink is PARTITIONED by the
+  * first fingerprint byte (`fpp`, 256 uniform dirs), and the stored side is
+  * semi-joined against the batch's distinct prefixes before the anti-join —
+  * so a micro-batch reads only the prefix partitions its own fingerprints
+  * land in (plus only the `fp` column within them), not the full corpus
+  * column per batch. The anti-join itself shuffles on the uniform 128-bit
+  * fingerprint.
   */
 object DocStream {
 
@@ -65,13 +69,24 @@ object DocStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // "p" guard: an all-numeric-hex dir set ("fpp=42") would make
+        // partition discovery infer an INT column and the next batch's
+        // non-numeric prefix ("5b") explode the ANSI cast in the semi join
         val deduped = cleanBatch(batch, minTokens, markers, stopwords)
+          .withColumn("fpp", concat(lit("p"), substring(col("fp"), 1, 2)))
         val fresh =
-          if (exists(s, sinkPath))
-            deduped.join(s.read.parquet(sinkPath).select(col("fp")),
-              Seq("fp"), "left_anti")
-          else deduped
-        UpsertSink.append(s, sinkPath, fresh)
+          if (exists(s, sinkPath)) {
+            val prefixes = deduped.select(col("fpp")).distinct()
+            // prefix semi-join + partition pruning: read only the fp
+            // partitions this batch can collide with
+            val storedFps = s.read.parquet(sinkPath)
+              .join(broadcast(prefixes), Seq("fpp"), "left_semi")
+              .select(col("fp"))
+            deduped.join(storedFps, Seq("fp"), "left_anti")
+          } else deduped
+        if (!fresh.isEmpty)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("fpp").parquet(sinkPath)
       }
       .start()
   }
