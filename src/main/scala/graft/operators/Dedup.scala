@@ -197,26 +197,28 @@ object Dedup {
     * intersections — identical values, far lighter shuffle rows. */
   def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], threshold: Double,
-      maxBlock: Long = 1000000L,
+      maxBlock: Long = 10000L,
       cache: DataFrame => DataFrame = _.persist()): DataFrame = {
     // tokenize once; feeds the vocab probe, masks, and verify. `cache` hook:
     // see minhashDupPairs.
     val all = cache(df.select((col(idCol).as("id") +: blockCols.map(col)) :+
       tokenSet(col(textCol)).as("toks"): _*))
     // Block-size guard: a hot (block) key makes the within-block pair space
-    // a cartesian bomb (n² rows from one key). Count per block with a
-    // partitioned window (no driver action, same hash partitioning the pair
-    // join needs anyway) and keep only blocks within budget; oversized
-    // blocks are excluded here and belong on the LSH path
-    // ([[minhashDupPairs]]), whose banded candidate generation is the
-    // scale-safe approximation of this exact baseline.
+    // a cartesian bomb (n² rows from one key — at the default 10k cap a
+    // block at the limit is ~5×10^7 in-block pairs, the most a single
+    // exact-verify task should absorb). Count per block with a partitioned
+    // window (no driver action beyond the routing probe, same hash
+    // partitioning the pair join needs anyway). Blocks within budget take
+    // the exact all-pairs path; OVERSIZED blocks are not dropped — they
+    // reroute to [[minhashDupPairs]], whose banded candidate generation is
+    // the scale-safe approximation of this exact baseline (see below).
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(blockCols.map(col): _*)
-    val t = all.withColumn("block_n", count(lit(1)).over(bw))
-      .where(col("block_n") <= maxBlock)
-      .drop("block_n")
+    val counted = all.withColumn("block_n", count(lit(1)).over(bw))
+    val t = counted.where(col("block_n") <= maxBlock).drop("block_n")
+    val over = counted.where(col("block_n") > maxBlock).drop("block_n")
     val vocabToks = t.select(explode(col("toks")).as("tok")).distinct()
-    if (vocabToks.limit(63).count() <= 62) {
+    val exact = if (vocabToks.limit(63).count() <= 62) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
       val dict = broadcast(vocabToks.withColumn("bit", row_number().over(w) - 1))
       val masks = t.select(col("id"), explode(col("toks")).as("tok"))
@@ -248,6 +250,33 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
         .where(col("jaccard") >= threshold)
+    }
+    // Overflow routing: docs in oversized blocks go through the banded-LSH
+    // candidate generator (equi-join on band hash — O(bucket) not O(n²))
+    // with the SAME exact-Jaccard verify and threshold, then the pair list
+    // is constrained back to same-block pairs (LSH candidates are
+    // content-based and ignore blocks). Approximate-recall by construction
+    // — the documented semantics for blocks past the exact budget; pairs
+    // with identical token sets always collide (identical signatures), so
+    // true duplicates survive the reroute. The routing probe (`isEmpty`) is
+    // one pass over the cached tokenized frame; the common no-overflow case
+    // pays only that and skips the entire LSH subtree.
+    if (over.isEmpty) exact
+    else {
+      val overDocs = df.join(over.select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+      val lsh = minhashDupPairs(overDocs, idCol, textCol,
+        threshold = threshold, cache = cache)
+      val aB = over.select(col("id").as("id_a") +:
+        blockCols.map(c => col(c).as(s"_a_$c")): _*)
+      val bB = over.select(col("id").as("id_b") +:
+        blockCols.map(c => col(c).as(s"_b_$c")): _*)
+      val sameBlock = lsh.join(aB, Seq("id_a")).join(bB, Seq("id_b"))
+        .where(blockCols.map(c => col(s"_a_$c") === col(s"_b_$c"))
+          .reduce(_ && _))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+      exact.unionByName(sameBlock)
     }
   }
 

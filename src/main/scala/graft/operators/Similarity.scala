@@ -151,28 +151,58 @@ object Similarity {
 
   /** IVF-flat ANN: the coarse quantizer is a fixed centroid table (here: a
     * designated row subset standing in for k-means output — training the
-    * quantizer is an offline driver-side step at any scale). Every corpus
-    * vector is assigned to its max-cosine cell by a broadcast join + window
-    * argmax; each query probes its `nprobe` nearest cells (the standard
-    * recall knob — probe=1 is fastest, more probes recover neighbors that
-    * fell just across a cell boundary). A corpus vector lives in exactly one
-    * cell, so probing several cells never duplicates a neighbor. The
-    * corpus-side assignment shuffles once by cell — at 100 TB the cell id
-    * becomes the partition key and each query probes `nprobe` partitions
-    * instead of the full corpus. */
+    * quantizer is an offline driver-side step at any scale). Cell assignment
+    * is MAP-SIDE: the k centroids are the quantizer's MODEL (k is a
+    * hyperparameter, not data-scale), so they are collected to the driver
+    * and folded into one single-pass aggregate per row — all k dots
+    * accumulate through one zip with the transposed centroid matrix (the
+    * [[lshBucket]] pattern), then the top-`cells` cells fall out of an
+    * array_sort over (-sim, cell) structs. No crossJoin, no window, no
+    * shuffle touches the corpus before the cell equi-join — at 100 TB the
+    * corpus is read once, assigned in place, and shuffled exactly once (by
+    * cell, for the probe join). Each query probes its `nprobe` nearest
+    * cells (the standard recall knob). A corpus vector lives in exactly one
+    * cell, so probing several cells never duplicates a neighbor.
+    *
+    * Ordering semantics are bit-identical to a `row_number() OVER
+    * (ORDER BY sim DESC, cent_id)` argmax: sims are the same left-to-right
+    * double folds, and the ascending struct sort on (-sim, cell) breaks
+    * ties toward the smaller cell id. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    // quantizer model → driver; ascending id fixes the tie-break order.
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // per-centroid norms with the same left-to-right fold the per-row
+    // expressions (and the DuckDB oracle) use — bit-identical doubles
+    val centMeta = typedlit(cents.map { case (id, v) =>
+      (id, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    }.toSeq)
+    val centsT = typedlit(cents.map(_._2).transpose.map(_.toSeq).toSeq) // dim×k
     def assign(df: DataFrame, outId: String, outVec: String,
         cells: Int): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("cent_sim").desc, col("cent_id"))
+      val v = col(outVec)
+      // ONE aggregate accumulating all k dot products (not one per
+      // centroid — the per-bit/per-centroid form walks the vector k times
+      // and bloats codegen; see lshBucket)
+      val dots = aggregate(
+        zip_with(v, centsT, (x, row) => transform(row, c => x.cast("double") * c)),
+        array_repeat(lit(0.0), cents.length),
+        (acc, arr) => zip_with(acc, arr, (a, dv) => a + dv))
+      // (-sim, cell) structs: ascending sort = sim desc, ties → smaller cell
+      val scored = zip_with(col("_dots"), centMeta, (dt, m) =>
+        struct((-(dt / (col("_vnorm") * m.getField("_2")))).as("neg_sim"),
+          m.getField("_1").as("cell")))
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(broadcast(cents))
-        .withColumn("cent_sim", cosine(col(outVec), col("cvec")))
-        .withColumn("arn", row_number().over(w))
-        .where(col("arn") <= cells)
-        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+        .withColumn("_dots", dots)
+        .withColumn("_vnorm", norm(v))
+        .withColumn("cell",
+          explode(transform(slice(array_sort(scored), 1, cells),
+            t => t.getField("cell"))))
+        .select(col(outId), col(outVec), col("cell"))
     }
     val c = assign(corpus, "neighbor_id", "cv", 1)
     val q = assign(queries, "query_id", "qv", nprobe)

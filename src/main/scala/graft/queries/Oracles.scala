@@ -2,6 +2,7 @@ package graft.queries
 
 import QuerySpec._
 import graft.operators.Similarity
+import graft.sources.WideSnapshot
 
 /** DuckDB oracle SQL for every query in [[Queries]]. Each statement is the
   * exact relational twin of the Spark plan: same constants (via QuerySpec),
@@ -152,6 +153,46 @@ object Oracles {
          |JOIN big ON o_orderkey = l_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q4_order_priority" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders
+         |WHERE epoch_ms(o_orderdate) >= $Ms1996 AND epoch_ms(o_orderdate) < $Ms1997
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "j4_funding_lookup" ->
+      s"""WITH hist AS (
+         |  SELECT 'S' || CAST(s_suppkey % 30 AS VARCHAR) AS symbol,
+         |    $RangeStartMs + s_suppkey * $HourMs AS ts,
+         |    CAST('0.00' || lpad(CAST(s_suppkey % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+         |      AS funding_rate
+         |  FROM supplier),
+         |info AS (
+         |  SELECT 'S' || CAST(n_nationkey AS VARCHAR) AS symbol,
+         |    (n_nationkey % 4 * 2 + 1) * 60 AS mins
+         |  FROM nation)
+         |SELECT ts,
+         |  strftime(make_timestamp(ts * 1000), '%Y-%m-%d %H:%M:%S') AS dt,
+         |  7 AS exchange_id, symbol, 1 AS inst_type, funding_rate,
+         |  CASE WHEN mins <= 90 THEN 60 WHEN mins <= 150 THEN 120
+         |       WHEN mins <= 210 THEN 180 WHEN mins <= 300 THEN 240
+         |       WHEN mins <= 420 THEN 360 WHEN mins <= 600 THEN 480
+         |       ELSE 720 END AS funding_interval,
+         |  CAST('0.02' AS DOUBLE) AS adjusted_cap,
+         |  CAST('-0.02' AS DOUBLE) AS adjusted_floor
+         |FROM hist JOIN info USING (symbol)
+         |ORDER BY symbol, ts""".stripMargin,
 
     "j7_scalar_lookup" ->
       """SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice
@@ -764,6 +805,29 @@ object Oracles {
          |SELECT corp.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM corp JOIN bench USING (sh)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // SN1: the oracle recomputes the 70-column snapshot's referenced cells
+    // directly from events with WideSnapshot's cell formulas (the parquet
+    // fixture is a deterministic function of events, and doubles round-trip
+    // parquet exactly). Micro-unit sums are integral doubles cast to BIGINT
+    // before summing (DuckDB sum(DOUBLE) would be inexact; BIGINT sums are).
+    "sn1_snapshot_hourly" ->
+      s"""WITH s AS (SELECT 'SYM' || CAST(user_id % 40 AS VARCHAR) AS symbol,
+         |    epoch_ms(ts) AS ts_ms,
+         |    ${WideSnapshot.formulaSql("mark_price")} AS mark_price,
+         |    ${WideSnapshot.formulaSql("funding_rate")} AS funding_rate,
+         |    ${WideSnapshot.formulaSql("volume")} AS volume,
+         |    ${WideSnapshot.formulaSql("depth_bid_1bps")} AS depth_bid_1bps,
+         |    ${WideSnapshot.formulaSql("depth_ask_1bps")} AS depth_ask_1bps
+         |  FROM events),
+         |f AS (SELECT * FROM s WHERE ts_ms < $SnapshotTsCut)
+         |SELECT symbol, ts_ms//$HourMs*$HourMs AS hour_ms, count(*) AS n,
+         |  CAST(sum(CAST(floor(mark_price * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mark_sum_micro,
+         |  max(funding_rate) AS funding_max,
+         |  CAST(sum(CAST(floor(volume * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vol_sum_micro,
+         |  CAST(sum(CAST(floor(depth_bid_1bps * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bid1bps_sum_micro,
+         |  CAST(sum(CAST(floor(depth_ask_1bps * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ask1bps_sum_micro
+         |FROM f GROUP BY 1, 2 ORDER BY symbol, hour_ms""".stripMargin,
 
     // NOTE: DuckDB cannot slice BLOBs, so these twins slice the VARCHAR —
     // byte-equivalent ONLY because the corpus is pure ASCII (verified);

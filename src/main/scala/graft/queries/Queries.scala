@@ -217,6 +217,35 @@ object Queries {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** Q4-style: correlated EXISTS — orders in a quarter having at least one
+    * returned item, counted per priority. The EXISTS plans as a left-semi
+    * join (one pass over the fact, no duplication of matching orders). */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .where(tsAtOrAfter(col("o_orderdate"), Ms1996) &&
+        tsBefore(col("o_orderdate"), Ms1997))
+      .join(Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q13-style: customer order-count distribution — left-outer join with an
+    * ON-clause filter on the right side (customers with zero qualifying
+    * orders keep a row, c_count = 0), then a count-of-counts. */
+  def q13CustDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey")),
+        Seq("c_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   /** Q10-style: returned-item revenue per customer, top 20. */
   def q10ReturnedItems(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -556,6 +585,37 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** J4: funding-history ⋈ funding-info lookup — the reference's
+    * settlement-enrichment dict probe (`binance/perp.py:199-222`), exercised
+    * through the REAL [[graft.flows.SyncFunding.merge]]: raw JSON bodies are
+    * rendered from dim tables (history from supplier, info from nation, so
+    * symbols S25–S29 exist only on the history side and drop on the inner
+    * join), parsed with from_json, enriched via the broadcast lookup, and
+    * interval-snapped (P11). Rate strings are fixed-point decimals, so both
+    * engines parse the identical double. */
+  def j4FundingLookup(s: SparkSession, d: String): DataFrame = {
+    val histBody = Tables.supplier(s, d).select(
+      to_json(array(struct(
+        concat(lit("S"), pmod(col("s_suppkey"), lit(30))).as("symbol"),
+        (lit(RangeStartMs) + col("s_suppkey") * HourMs).as("fundingTime"),
+        concat(lit("0.00"),
+          lpad(pmod(col("s_suppkey"), lit(100)).cast("string"), 2, "0"))
+          .as("fundingRate")))).as("body"))
+    val infoBody = Tables.nation(s, d).select(
+      to_json(array(struct(
+        concat(lit("S"), col("n_nationkey")).as("symbol"),
+        (pmod(col("n_nationkey"), lit(4)) * 2 + 1).cast("int")
+          .as("fundingIntervalHours"),
+        lit("0.02").as("adjustedFundingRateCap"),
+        lit("-0.02").as("adjustedFundingRateFloor")))).as("body"))
+    graft.flows.SyncFunding.merge(histBody, infoBody, exchangeId = 7, instType = 1)
+      .select(col("ts"), col("dt"),
+        col("exchange_id").cast("int").as("exchange_id"), col("symbol"),
+        col("inst_type").cast("int").as("inst_type"), col("funding_rate"),
+        col("funding_interval"), col("adjusted_cap"), col("adjusted_floor"))
+      .orderBy(col("symbol"), col("ts"))
+  }
+
   /** X1: backward as-of join — each event picks up the latest hourly
     * per-user aggregate at or before its timestamp (windowed union
     * implementation, no theta join; see [[Joins.asofBackward]]). */
@@ -748,6 +808,35 @@ object Queries {
       .union(ev.where(col("event_type") === "signup").select(col("user_id")))
       .distinct()
       .orderBy(col("user_id"))
+  }
+
+  // ---- Wide fact (market_snapshot, 70 columns) ---------------------------
+
+  /** SN1: the wide-fact exercise — a per-(symbol, hour) aggregate touching
+    * 7 of the snapshot's 70 columns (reference
+    * `restore_market_snapshot_from_s3.py:60-83`). The parquet scan must
+    * prune ReadSchema to exactly those 7 columns and push the ts cut into
+    * the scan (both locked by QueriesSmokeSpec) — on a 100 TB snapshot
+    * table that pruning IS the query budget. Sums are exact fixed-point
+    * micro-units (floor(x·10⁶ + 0.5) longs): partial-aggregation order can
+    * never perturb them, and they sidestep the round(double) cross-engine
+    * divergence class entirely. */
+  def sn1SnapshotHourly(s: SparkSession, d: String): DataFrame = {
+    val snap = s.read.parquet(graft.sources.WideSnapshot.ensure(s, d))
+    def micro(c: Column): Column = sum(floor(c * lit(1000000.0) + lit(0.5)))
+    snap
+      .where(col("ts") < SnapshotTsCut)
+      .select(col("symbol"), col("ts"), col("mark_price"),
+        col("funding_rate"), col("volume"), col("depth_bid_1bps"),
+        col("depth_ask_1bps"))
+      .groupBy(col("symbol"), floorMs(col("ts"), HourMs).as("hour_ms"))
+      .agg(count(lit(1)).as("n"),
+        micro(col("mark_price")).as("mark_sum_micro"),
+        max(col("funding_rate")).as("funding_max"),
+        micro(col("volume")).as("vol_sum_micro"),
+        micro(col("depth_bid_1bps")).as("bid1bps_sum_micro"),
+        micro(col("depth_ask_1bps")).as("ask1bps_sum_micro"))
+      .orderBy(col("symbol"), col("hour_ms"))
   }
 
   // ---- Dedup suite -------------------------------------------------------
@@ -991,6 +1080,8 @@ object Queries {
     "q14_promo_revenue" -> q14PromoRevenue _,
     "q5_local_supplier" -> q5LocalSupplier _,
     "q18_large_orders" -> q18LargeOrders _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "q13_custdist" -> q13CustDist _,
     "q7_trade_flows" -> q7TradeFlows _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q9_product_profit" -> q9ProductProfit _,
@@ -1021,6 +1112,7 @@ object Queries {
     "j7_scalar_lookup" -> j7ScalarLookup _,
     "j8_semi_join" -> j8SemiJoin _,
     "j9_salted_join" -> j9SaltedJoin _,
+    "j4_funding_lookup" -> j4FundingLookup _,
     "p2_align_floor" -> p2AlignFloor _,
     "p4_unit_normalize" -> p4UnitNormalize _,
     "p6_precision" -> p6Precision _,
@@ -1053,6 +1145,7 @@ object Queries {
     "t7_repetition" -> t7Repetition _,
     "t8_length_quantiles" -> t8LengthQuantiles _,
     "t9_sequence_packing" -> t9SequencePacking _,
+    "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,

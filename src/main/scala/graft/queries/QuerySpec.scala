@@ -50,6 +50,9 @@ object QuerySpec {
   // W4 fetch-window pagination: requests of FetchLimit × interval span
   val FetchLimit = 24
 
+  // SN1 wide-fact time cut (first 15 days of the events range)
+  val SnapshotTsCut: Long = RangeStartMs + 15L * 86400000L
+
   // P9 canonicalization input codes (synthesized from custkey)
   val P9Codes: Seq[String] =
     Seq("XXBT", "XETH", "ZUSD", "SOL", "ZEUR", "ADA", "XXRP", "DOGE")

@@ -89,6 +89,27 @@ class DedupSpec extends SparkSpec {
     assert(!small.exists(p => p._1 == 1L && p._2 == 5L)) // cross-block never pairs
   }
 
+  test("jaccardDupPairs reroutes oversized blocks to LSH instead of dropping") {
+    // hot block H: 12 docs > maxBlock=10 → overflow path; docs 1-3 share an
+    // identical token set (identical minhash signatures → guaranteed band
+    // collision), so their true duplicate pairs MUST survive the reroute.
+    // Block S stays under budget → exact path, untouched.
+    val hot = (1 to 12).map(i =>
+      (i.toLong, if (i <= 3) "alpha beta gamma delta"
+                 else s"unique$i filler$i payload$i", "H"))
+    val small = Seq((101L, "same words here", "S"),
+      (102L, "same words here", "S"))
+    val df = (hot ++ small).toDF("doc_id", "text", "blk")
+    val pairs = Dedup.jaccardDupPairs(df, "doc_id", "text", Seq("blk"),
+      0.8, maxBlock = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs((1L, 2L)) && pairs((1L, 3L)) && pairs((2L, 3L)),
+      s"hot-block duplicates lost by the reroute: $pairs")
+    assert(pairs((101L, 102L)), "exact path broken")
+    // LSH candidates are content-based; the same-block constraint must hold
+    assert(pairs.forall { case (a, b) => (a <= 12) == (b <= 12) })
+  }
+
   test("simhash: identical sets identical hash; near sets near hamming") {
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "the quick brown wolf"), (4L, "zebra xylophone quartz jackdaw"))

@@ -83,6 +83,24 @@ class SimilaritySpec extends SparkSpec {
     assert(p2.size >= p1.size)
   }
 
+  test("ivfTopK cell assignment is map-side: no shuffle below the cell join") {
+    // the corpus must reach the cell equi-join without ANY exchange — the
+    // assignment argmax folds the broadcast centroid model per row. A
+    // shuffle below the join means the crossJoin+window regression is back.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val cents = vecs.where($"vec_id" < 2)
+    val plan = Similarity.ivfTopK(vecs, vecs.where($"vec_id" < 3), cents,
+      "vec_id", "embedding", k = 3).queryExecution.sparkPlan
+    val joins = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "cell join is not a broadcast hash join:\n" + plan)
+    joins.foreach { j =>
+      val shuffles = j.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        "shuffle below the cell join (assignment is no longer map-side):\n" + j)
+    }
+  }
+
   test("lshTopK returns bucket-mates ranked by cosine") {
     val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, nBits = 2, dim = 3)

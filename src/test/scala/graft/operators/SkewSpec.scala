@@ -29,4 +29,29 @@ class SkewSpec extends SparkSpec {
     assert(out.count() == 100)          // no duplicates, no losses
     assert(out.select("v").distinct().count() == 100)
   }
+
+  test("a hot key of IDENTICAL rows spreads over >= factor/2 partitions") {
+    // THE reason the salt is rand(seed) and not a row hash: identical
+    // duplicate rows of a hot key would all hash to one salt — a no-op
+    // mitigation. rand draws per ROW, so even a degenerate all-duplicates
+    // key spreads. Deterministic here: the seed is fixed and AQE is
+    // disabled so post-shuffle partitions aren't coalesced back together.
+    val factor = 8
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val probe = (1 to 2000).map(_ => ("hot", 1L)).toDF("k", "v")
+      val build = Seq(("hot", "H")).toDF("k", "tag")
+      val nParts = Skew.saltedJoin(probe, build, Seq("k"), factor)
+        .withColumn("pid", spark_partition_id())
+        .select("pid").distinct().count()
+      assert(nParts >= factor / 2,
+        s"hot key landed in only $nParts partitions (factor=$factor)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
 }

@@ -42,6 +42,25 @@ class QueriesSmokeSpec extends SparkSpec {
       "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"))
   }
 
+  test("sn1 wide-fact fixture is 70 columns wide") {
+    val path = graft.sources.WideSnapshot.ensure(spark, sfDir)
+    assert(spark.read.parquet(path).schema.length == 70)
+  }
+
+  test("sn1 prunes the 70-column scan to the 7 referenced columns") {
+    val plan = formattedPlan(Queries.sn1SnapshotHourly(spark, sfDir))
+    assert(plan.contains("ReadSchema: struct<ts:bigint,symbol:string," +
+      "mark_price:double,funding_rate:double,volume:double," +
+      "depth_bid_1bps:double,depth_ask_1bps:double>"),
+      plan.takeRight(1500))
+    assert(!plan.contains("bid_p100"), "unreferenced snapshot column read")
+  }
+
+  test("sn1 pushes the ts cut into the wide scan") {
+    val plan = formattedPlan(Queries.sn1SnapshotHourly(spark, sfDir))
+    assert(plan.contains("LessThan(ts,"), plan.takeRight(1500))
+  }
+
   test("q3 dim joins broadcast (fact side never shuffles for the join)") {
     val plan = Queries.q3ShippingPriority(spark, sfDir)
       .queryExecution.executedPlan.toString
