@@ -174,6 +174,73 @@ object Scratch {
           println(f"SCALE x$k%-3d rows=$rows%10d  q1agg=${dt}%6.2f s  " +
             f"${rows / dt / 1e6}%8.2f M rows/s")
         }
+      case Some("scale2") =>
+        // Scale-headroom probe for the HEAVY SHUFFLE paths (d3/d6/d7/s2):
+        // replicate documents/embeddings and watch wall time grow
+        // sub-quadratically. Two realism fixes over naive replication:
+        //  - each doc replica gets a DISJOINT token namespace (every token
+        //    prefixed r<i>_) — a real 16x corpus is not 16 near-copies of
+        //    itself; prefixing keeps vocabulary scaling Heaps-ish and output
+        //    linear, so the probe measures the shuffle paths, not an
+        //    unrepresentative cross-replica pair explosion;
+        //  - every doc gains one UNIQUE token (z<doc_id>) so the corpus
+        //    vocabulary exceeds 62 distinct tokens at EVERY scale — pinning
+        //    d3 to its general (unbounded-vocab) path. Without it the x1 run
+        //    rides the 64-bit-mask small-vocab fast path while x4/x16 take
+        //    the general path, and the ratio compares different algorithms.
+        // env: SPARK_GRAFT_SCALES (default "1,4,16"),
+        //      SPARK_GRAFT_SCALE_OPS (default "d3,d6,d7,s2") — lets long
+        //      scales run as separate bounded commands.
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d3,d6,d7,s2")
+          .split(",").map(_.trim).toSet
+        val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val nDocs = docs0.count(); val nVecs = emb0.count()
+        def bigDocs(k: Int) = (0 until k).map { i =>
+          docs0.select((col("doc_id") + lit(i * nDocs)).as("doc_id"),
+            concat(regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"),
+              lit(" z"), col("doc_id") + lit(i * nDocs)).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        def bigEmb(k: Int) = (0 until k).map { i =>
+          emb0.select((col("vec_id") + lit(i * nVecs)).as("vec_id"),
+            col("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+        val times = scala.collection.mutable.Map[String, Double]()
+        def timed(name: String)(f: => Long): Unit = {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt
+          println(f"TIMER $name%-10s ${dt}%8.2f s  rows=$n")
+        }
+        for (k <- scales) {
+          val docs = bigDocs(k); val emb = bigEmb(k)
+          if (ops("d3")) timed(s"d3_x$k")(operators.Dedup.minhashDupPairs(
+            docs, "doc_id", "text", 16, 4, 0.6).count())
+          if (ops("d6")) timed(s"d6_x$k")(operators.Dedup.simhashDupPairs(
+            docs, "doc_id", "text", bands = 6, maxHamming = 18).count())
+          if (ops("d7")) timed(s"d7_x$k")(operators.Decontaminate.contaminatedDocs(
+            docs.where(col("doc_id") % 29 =!= 0),
+            docs.where(col("doc_id") % 29 === 0),
+            "doc_id", "text", k = 3).count())
+          if (ops("s2")) timed(s"s2_x$k")(operators.Similarity.lshTopK(emb,
+            emb0.where(col("vec_id") < 8), "vec_id", "embedding",
+            3, 8, 64).count())
+        }
+        for (q <- Seq("d3", "d6", "d7", "s2")
+             if times.contains(s"${q}_x${scales.max}") &&
+               times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${q}_x${scales.max}") / times(s"${q}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC" else "SUPERLINEAR!"
+          println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")

@@ -1,7 +1,9 @@
 package graft.flows
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 import graft.functions.Funcs
 import graft.sinks.UpsertSink
@@ -45,6 +47,73 @@ object SyncKalshi {
     val noN = when(yesBid.isNull || noBid.isNull || s === 0, lit(null))
       .otherwise(no / s)
     (yesN, noN)
+  }
+
+  private val pageSchema = DataType.fromDDL(
+    "struct<markets: array<struct<event_ticker string, ticker string, " +
+      "status string, last_price int, yes_bid int, yes_ask int, no_bid int, " +
+      "no_ask int, liquidity bigint, volume bigint, open_interest bigint, " +
+      "custom_strike string, rules_primary string, close_time string, " +
+      "expiration_time string>>, cursor string>")
+
+  /** Cursor-paginated market fetch (`kalshi.py:115-152`) replayed over
+    * RECORDED pages from [[graft.sources.RestSource]] (file
+    * `<series>#<page>.json` = the response at hop `page` of the cursor
+    * chain; the production variant records pages the same way as it walks
+    * the live cursor). The reference's sequential loop becomes a per-series
+    * WINDOW over the page index — one shuffle by series for every series at
+    * once, instead of a driver-side walk per series:
+    *
+    *  - zero-`volume` markets are dropped (`if market.get("volume")`);
+    *  - an EMPTY page stops the walk before contributing;
+    *  - a page whose response carries no cursor is the last one;
+    *  - the walk stops once the CUMULATIVE kept-market count exceeds `cap`
+    *    — checked after appending, so the capping page itself lands in
+    *    full (reference `kalshi.py:146-147`);
+    *  - at most `maxPages` hops (`for _ in range(20)`).
+    */
+  def paginatedMarkets(pages: DataFrame, updatedTs: Long,
+      maxPages: Int = 20, cap: Int = 100): DataFrame = {
+    val parsed = pages
+      .select(split(col("symbol"), "#").as("sp"),
+        from_json(col("body"), pageSchema).as("p"))
+      .select(element_at(col("sp"), 1).as("series"),
+        element_at(col("sp"), 2).cast("int").as("page"),
+        coalesce(col("p.markets"), array()).as("markets"),
+        coalesce(col("p.cursor"), lit("")).as("cursor"))
+    val keptN = size(filter(col("markets"),
+      m => coalesce(m.getField("volume"), lit(0L)) =!= 0L))
+    val wCum = Window.partitionBy(col("series")).orderBy(col("page"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(col("series")).orderBy(col("page"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cont = (size(col("markets")) > 0 && col("cum_kept") <= cap &&
+      col("cursor") =!= "").cast("int")
+    val statusCode = StatusMap.foldLeft(lit(null).cast("int")) {
+      case (acc, (name, code)) =>
+        when(col("m.status") === name, code).otherwise(acc)
+    }
+    parsed
+      .withColumn("cum_kept", sum(keptN).over(wCum))
+      .withColumn("cont", cont)
+      .withColumn("eligible", col("page") < maxPages &&
+        coalesce(min(col("cont")).over(wPrev), lit(1)) === 1)
+      .where(col("eligible"))
+      .select(col("series"), explode(col("markets")).as("m"))
+      .where(coalesce(col("m.volume"), lit(0L)) =!= 0L)
+      .select(lit(updatedTs).as("updated_ts"),
+        col("m.event_ticker").as("event_ticker"),
+        col("m.ticker").as("ticker"),
+        statusCode.as("status"),
+        col("m.last_price").as("last_price"),
+        col("m.yes_bid").as("yes_bid"), col("m.yes_ask").as("yes_ask"),
+        col("m.no_bid").as("no_bid"), col("m.no_ask").as("no_ask"),
+        col("m.liquidity").as("liquidity"), col("m.volume").as("volume"),
+        col("m.open_interest").as("open_interest"),
+        col("m.custom_strike").as("custom_strike"),
+        col("m.rules_primary").as("rules_primary"),
+        col("m.close_time").as("close_time"),
+        col("m.expiration_time").as("expiration_time"))
   }
 
   /** meta rows = markets anti-joined against already-finalized tickers. */

@@ -159,8 +159,17 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("h0")).as("m0"),
           (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      // Integer surrogates for everything that shuffles (the d6 lesson):
+      // band keys become xxhash64 longs (8 bytes vs a 34-char digest
+      // string) and the verify token sets become sorted long arrays.
+      // Equality-preserving, so candidate generation and first-match
+      // emission are unchanged modulo 64-bit collisions — a band collision
+      // only ADDS a spurious candidate (killed by the exact verify) or
+      // moves a pair's emission to an earlier agreeing band (still exactly
+      // once); a token collision inside one pair's sets is ~2⁻⁵⁰. The
+      // OUTPUT values are the same exact Jaccard.
       val withB = sig.select((col("id") +:
-        (0 until bands).map(bi => bandExpr(bi).as(s"b$bi"))): _*)
+        (0 until bands).map(bi => xxhash64(bandExpr(bi)).as(s"b$bi"))): _*)
       val banded = withB
         .select((col("id") +:
           (0 until bands).map(bi => col(s"b$bi"))) :+
@@ -179,9 +188,11 @@ object Dedup {
             Seq("band")))
         .where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
+      val toksH = toks.select(col("id"),
+        array_sort(transform(col("toks"), t => xxhash64(t))).as("toksh"))
       cand
-        .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-        .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+        .join(toksH.select(col("id").as("id_a"), col("toksh").as("toks_a")), Seq("id_a"))
+        .join(toksH.select(col("id").as("id_b"), col("toksh").as("toks_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
         .where(col("jaccard") >= threshold)
@@ -278,6 +289,41 @@ object Dedup {
           round(col("jaccard"), 4).as("jaccard"))
       exact.unionByName(sameBlock)
     }
+  }
+
+  /** Passage-level exact dedup — the C4/RefinedWeb line-dedup analogue for
+    * delimiter-free corpora: split each doc into consecutive non-overlapping
+    * `k`-word passages (the tail keeps its short remainder), fingerprint
+    * each with md5, and keep a passage only at its GLOBAL first occurrence
+    * (the lexicographically smallest (doc_id, passage_idx) wins). Returns
+    * one row per doc: total passages and surviving passages.
+    *
+    * Scale shape: the corpus explodes to passage grain (rows ×n/k), the
+    * winner election is ONE window over the fingerprint — a hash-uniform
+    * 128-bit key, so boilerplate passages repeated across millions of docs
+    * spread as ordinary hash-partition load — and the per-doc rollup is one
+    * more shuffle by id. No join-back: the window carries the winner flag.
+    * Tokens are pre-projected to a real column so the chunk slices read an
+    * attribute, not a re-evaluated tokenization subtree (the shingleHashes
+    * lesson). */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toksed = df
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("toks"))
+      .where(size(col("toks")) > 0)
+    val nChunks = ((size(col("toks")) + (k - 1)) / k).cast("int")
+    val chunked = toksed.select(col("id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => md5(concat_ws(" ", slice(col("toks"), i * k + 1, lit(k))))))
+        .as(Seq("idx", "fp")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("id"), col("idx"))
+    chunked
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
   }
 
   /** 64-bit-ish SimHash (60 bits to stay in a signed long): per token take

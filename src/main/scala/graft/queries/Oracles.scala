@@ -162,6 +162,45 @@ object Oracles {
          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  floor((coalesce(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+         |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE), 0.0)
+         |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND epoch_ms(o_orderdate) >= $Ms1996 AND epoch_ms(o_orderdate) < $Ms1998
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH avgq AS (SELECT l_partkey AS ap_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN avgq ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS s_suppkey,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+         |  FROM lineitem
+         |  WHERE epoch_ms(l_shipdate) >= $Ms1996 AND epoch_ms(l_shipdate) < $Ms1997
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN rev USING (s_suppkey)
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
     "q13_custdist" ->
       """WITH c_orders AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -656,6 +695,20 @@ object Oracles {
          |SELECT id AS doc_id, $assemble AS simhash FROM v ORDER BY doc_id""".stripMargin
     },
 
+    "d8_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id AS id, ${lowSeq("text")} AS toks FROM documents),
+         |t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+         |c AS (SELECT id, unnest(
+         |    [{'idx': (i-1)//$PassageK,
+         |      'fp': md5(array_to_string(toks[i:i+${PassageK - 1}], ' '))}
+         |     for i in range(1, len(toks)+1, $PassageK)], recursive := true)
+         |  FROM t2),
+         |w AS (SELECT id, idx, fp,
+         |  row_number() OVER (PARTITION BY fp ORDER BY id, idx) AS rn FROM c)
+         |SELECT id AS doc_id, count(*) AS n_passages,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "t1_lang_id" -> {
       val scores = LangMarkers.map { case (lang, words) =>
         val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -739,6 +792,30 @@ object Oracles {
         |SELECT lang, doc_id, n_chars, prefix_chars,
         |  CAST(floor(prefix_chars / 4096.0) AS BIGINT) AS seq_id
         |FROM p ORDER BY lang, doc_id""".stripMargin,
+
+    "t10_redaction" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+        |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS BIGINT) AS n_digit_chars
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t11_top_ngrams" ->
+      s"""WITH t AS (SELECT lang, ${lowSeq("text")} AS toks FROM documents),
+         |b AS (SELECT lang, unnest([toks[i] || ' ' || toks[i+1]
+         |    for i in range(1, len(toks))]) AS bigram
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+         |r AS (SELECT lang, bigram, n,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+         |  FROM c)
+         |SELECT lang, bigram, n, CAST(rnk AS BIGINT) AS rnk FROM r
+         |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "t12_doc_freq" ->
+      s"""WITH u AS (SELECT doc_id, unnest(${lowSet("text")}) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS df FROM u GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT token, df, CAST(n_docs + 1 AS DOUBLE) / (df + 1) AS idf_ratio
+         |FROM c CROSS JOIN n ORDER BY token""".stripMargin,
 
     "t4_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents)

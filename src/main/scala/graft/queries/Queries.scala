@@ -155,6 +155,86 @@ object Queries {
         .cast("double").as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
 
+  /** Q8-style: market share — a nation's revenue share within its region
+    * per year. Six-way join (all dims broadcast), then a conditional-sum
+    * ratio; the share division is rounded with the floor-safe form (both
+    * engines floor identical doubles — round(double) diverges at .5·10⁻⁶
+    * boundaries). */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val vol = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))
+    val nCust = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val nSupp = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .where(tsAtOrAfter(col("o_orderdate"), Ms1996) &&
+          tsBefore(col("o_orderdate"), Ms1998)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate").cast("timestamp")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", vol)).cast("double")
+          .as("nation_vol"),
+        sum(vol).cast("double").as("total_vol"))
+      .select(col("o_year"),
+        (floor((coalesce(col("nation_vol"), lit(0.0)) / col("total_vol")) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q17-style: small-quantity revenue — a correlated per-part scalar
+    * subquery (avg quantity per partkey) re-expressed as a pre-aggregate
+    * broadcast join; the average is exact decimal-sum / count so partial
+    * aggregation order can't perturb the comparison threshold. */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val avgQ = li.groupBy(col("l_partkey").as("p_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(broadcast(Tables.part(s, d).where(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      // avgQ is per-part (dim-sized here, fact-keyed at 100 TB) — no
+      // broadcast hint: AQE broadcasts locally, shuffles on the uniform
+      // partkey when it outgrows the threshold
+      .join(avgQ, Seq("p_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Q15-style: top supplier by interval revenue — the view + HAVING-max
+    * shape: aggregate once, compare every group against the broadcast
+    * scalar max. Double equality is safe because both sides are the SAME
+    * deterministic decimal-sum-derived doubles. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .where(tsAtOrAfter(col("l_shipdate"), Ms1996) &&
+        tsBefore(col("l_shipdate"), Ms1997))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+        col("l_discount").cast("decimal(18,2)"))).cast("double")
+        .as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, d)
+      .join(rev, Seq("s_suppkey"))
+      .crossJoin(broadcast(top))
+      .where(col("total_rev") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** S4: per-label embedding centroids — the IVF coarse-quantizer training
     * step as a single vector aggregation (element-wise means). Sums
     * accumulate in exact decimal (commutative — partial-aggregation order
@@ -904,6 +984,15 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** D8: passage-level exact dedup (C4-style line dedup on fixed 10-word
+    * passages): per doc, total passages and passages surviving global
+    * first-occurrence dedup. One window over the fingerprint + one rollup
+    * by doc — see [[Dedup.passageDedup]]. */
+  def d8PassageDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.passageDedup(Tables.documents(s, d), "doc_id", "text", PassageK)
+      .select(col("id").as("doc_id"), col("n_passages"), col("n_kept"))
+      .orderBy(col("doc_id"))
+
   /** T6: deterministic stratified downsampling for training-mix
     * construction — per-language keep rates decided by md5(doc_id) hex
     * prefix, not rand(), so the sample is stable across engines and task
@@ -978,6 +1067,58 @@ object Queries {
       .orderBy(col("doc_id"))
 
   // ---- Similarity search -------------------------------------------------
+
+  /** T10: PII-style redaction pass — digit runs in the raw props payload
+    * replaced by '#', with the redacted-character count per event. Pure
+    * map-side regex (codegen'd), the scrubbing shape a 100 TB pipeline runs
+    * before anything else sees the text. */
+  def t10Redaction(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+        (length(col("props")) -
+          length(regexp_replace(col("props"), "[0-9]", "")))
+          .cast("long").as("n_digit_chars"))
+      .orderBy(col("event_id"))
+
+  /** T11: corpus n-gram statistics — top-5 word bigrams per language by
+    * count (ties broken lexicographically). Bigrams come from one
+    * shifted-zip (no per-index re-tokenization); the count shuffle key
+    * (lang, bigram) is hash-uniform. */
+  def t11TopNgrams(s: SparkSession, d: String): DataFrame = {
+    val toksed = Tables.documents(s, d)
+      .select(col("lang"),
+        transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+    val bigrams = filter(
+      zip_with(col("toks"), slice(col("toks"), lit(2), size(col("toks"))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    toksed.select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** T12: token document-frequency table + smoothed IDF ratio
+    * (N+1)/(df+1) — kept as a raw division (IEEE division is correctly
+    * rounded; ln() is only 1-ulp bounded and can differ across libm
+    * implementations, so the log stays out of the oracle contract). */
+  def t12DocFreq(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(Dedup.tokenSet(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("df"),
+        ((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          .as("idf_ratio"))
+      .orderBy(col("token"))
+  }
 
   /** S1: brute-force cosine top-k. */
   def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -1081,7 +1222,10 @@ object Queries {
     "q5_local_supplier" -> q5LocalSupplier _,
     "q18_large_orders" -> q18LargeOrders _,
     "q4_order_priority" -> q4OrderPriority _,
+    "q8_market_share" -> q8MarketShare _,
     "q13_custdist" -> q13CustDist _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q17_small_quantity" -> q17SmallQuantity _,
     "q7_trade_flows" -> q7TradeFlows _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q9_product_profit" -> q9ProductProfit _,
@@ -1136,6 +1280,7 @@ object Queries {
     "d5_embedding_dups" -> d5EmbeddingDups _,
     "d6_simhash_pairs" -> d6SimhashPairs _,
     "d7_contamination" -> d7Contamination _,
+    "d8_passage_dedup" -> d8PassageDedup _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
@@ -1145,6 +1290,9 @@ object Queries {
     "t7_repetition" -> t7Repetition _,
     "t8_length_quantiles" -> t8LengthQuantiles _,
     "t9_sequence_packing" -> t9SequencePacking _,
+    "t10_redaction" -> t10Redaction _,
+    "t11_top_ngrams" -> t11TopNgrams _,
+    "t12_doc_freq" -> t12DocFreq _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,

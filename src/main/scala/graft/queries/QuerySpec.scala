@@ -26,6 +26,7 @@ object QuerySpec {
   val Ms1998 = 883612800000L
 
   // dedup / text params
+  val PassageK = 10
   val MinhashK = 16
   val MinhashBands = 4
   val MinhashThreshold = 0.6

@@ -365,6 +365,52 @@ class FlowsSpec extends SparkSpec {
     assert(snap("T5") == ((None, None)))
   }
 
+  test("kalshi pagination: cursor chain, volume skip, empty/cursor stops, >cap break") {
+    def mkt(ticker: String, volume: Long, status: String = "active"): String =
+      s"""{"event_ticker":"${ticker.split("-")(0)}-E","ticker":"$ticker",
+         |"status":"$status","last_price":55,"yes_bid":60,"yes_ask":65,
+         |"no_bid":30,"no_ask":40,"liquidity":1000,"volume":$volume,
+         |"open_interest":2000}""".stripMargin.replace("\n", "")
+    def page(markets: Seq[String], cursor: String): String =
+      s"""{"markets":[${markets.mkString(",")}],"cursor":"$cursor"}"""
+    val dir = Files.createTempDirectory("kalshipages")
+    def record(name: String, body: String): Unit =
+      Files.write(dir.resolve(s"$name.json"), body.getBytes("UTF-8"))
+    // KXBTC: 3-page chain; one zero-volume market dropped; last page has no cursor
+    record("KXBTC#0", page(Seq(mkt("KXBTC-A", 10), mkt("KXBTC-B", 0)), "c1"))
+    record("KXBTC#1", page(Seq(mkt("KXBTC-C", 20, "closed")), "c2"))
+    record("KXBTC#2", page(Seq(mkt("KXBTC-D", 30)), ""))
+    // KXETH: 60 kept markets per page; cap 100 crossed AFTER page 1 lands,
+    // so pages 0+1 contribute in full (120 rows) and page 2 is never fetched
+    record("KXETH#0", page((1 to 60).map(i => mkt(s"KXETH-A$i", i)), "d1"))
+    record("KXETH#1", page((1 to 60).map(i => mkt(s"KXETH-B$i", i)), "d2"))
+    record("KXETH#2", page(Seq(mkt("KXETH-NEVER", 5)), ""))
+    // KXFED: empty first page stops the walk before anything lands
+    record("KXFED#0", page(Seq(), "e1"))
+    record("KXFED#1", page(Seq(mkt("KXFED-NEVER", 5)), ""))
+    val raw = spark.read.format(classOf[graft.sources.RestSource].getName)
+      .option("path", dir.toString).load()
+    val out = SyncKalshi.paginatedMarkets(raw, updatedTs = 1704067200000L)
+    val byTicker = out.select($"ticker", $"status", $"volume")
+      .as[(String, Option[Int], Long)].collect().map(r => r._1 -> r).toMap
+    // KXBTC: A, C, D kept; B dropped (zero volume)
+    assert(byTicker.keySet.filter(_.startsWith("KXBTC")) ==
+      Set("KXBTC-A", "KXBTC-C", "KXBTC-D"))
+    assert(byTicker("KXBTC-A")._2.contains(1))   // active → 1
+    assert(byTicker("KXBTC-C")._2.contains(3))   // closed → 3
+    // KXETH: exactly pages 0+1 = 120 rows, page 2 never fetched
+    assert(byTicker.keySet.count(_.startsWith("KXETH")) == 120)
+    assert(!byTicker.contains("KXETH-NEVER"))
+    // KXFED: empty page stops before contributing
+    assert(!byTicker.keySet.exists(_.startsWith("KXFED")))
+    // the maxPages bound caps the chain even when cursors keep coming
+    val bounded = SyncKalshi.paginatedMarkets(raw, 1704067200000L, maxPages = 2)
+    assert(bounded.where($"ticker".startsWith("KXBTC")).count() == 2) // A, C
+    // the paginated feed drives the same downstream flow (meta + snapshot)
+    val snap = SyncKalshi.snapshot(out)
+    assert(snap.count() > 0)
+  }
+
   // ---- SyncOnchain + TagCrypto -------------------------------------------
 
   test("TagCrypto round-trips with the CryptoJS-compatible key derivation") {

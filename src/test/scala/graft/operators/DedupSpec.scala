@@ -110,6 +110,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => (a <= 12) == (b <= 12) })
   }
 
+  test("passageDedup: global first occurrence wins at passage grain") {
+    // k=3: doc 1 = [a b c][d e f]; doc 2 repeats [a b c]; doc 3 repeats
+    // [d e f] at its FIRST position; doc 4 is a single short tail passage
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "d e f q r s"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 2L))) // both passages are first occurrences
+    assert(out(2L) == ((2L, 1L))) // [a b c] owned by doc 1
+    assert(out(3L) == ((2L, 1L))) // [d e f] owned by (doc 1, idx 1)
+    assert(out(4L) == ((1L, 1L))) // short tail forms its own passage
+  }
+
   test("simhash: identical sets identical hash; near sets near hamming") {
     val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "the quick brown wolf"), (4L, "zebra xylophone quartz jackdaw"))
