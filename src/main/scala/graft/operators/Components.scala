@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the clustering step after
+  * near-duplicate PAIR detection: a training-data pipeline keeps one
+  * representative per duplicate CLUSTER, and pairs alone under-remove
+  * (a≈b, b≈c ⇒ {a,b,c} is one cluster even when a≉c directly).
+  *
+  * Min-label propagation with pointer jumping: each round every node takes
+  * the minimum label among itself and its neighbors, then compresses one
+  * pointer hop (label := label(label)) — the classic Hash-to-Min shape,
+  * converging in O(log diameter) rounds instead of O(diameter). Each round
+  * is two equi-joins + one aggregate on (id, label) longs — uniform-key
+  * shuffles over frames no larger than the node set; the pair list never
+  * re-materializes. The loop is driver-side but touches only per-round
+  * AGGREGATE results (a limit(1) change probe), never row data.
+  */
+object Components {
+
+  /** Cluster id (= min node id of the component) for every node.
+    * `edges` is an undirected pair list (aCol, bCol); isolated nodes keep
+    * their own id. Fails loudly if `maxIters` rounds don't reach the
+    * fixpoint (with pointer jumping that needs diameter > 2^maxIters).
+    *
+    * Each round ends in `localCheckpoint` — iterative self-joins double
+    * the logical plan per round, and without lineage truncation the plan
+    * itself grows exponentially (OOM in the OPTIMIZER before any data
+    * moves). Checkpointing the small (id, label) frame per round is the
+    * same discipline GraphFrames' CC uses. */
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("s"), col(bCol).as("t"))
+      .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("t")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      val nbrMin = sym
+        .join(labels.select(col("id").as("t"), col("lbl").as("nlbl")), Seq("t"))
+        .groupBy(col("s")).agg(min(col("nlbl")).as("nmin"))
+      val propagated = labels
+        .join(nbrMin.withColumnRenamed("s", "id"), Seq("id"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl")))
+          .as("lbl"))
+      // pointer jump: labels are node ids, so label(label) exists; one hop
+      // of path compression halves the remaining diameter each round
+      val jumped = propagated
+        .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left_outer")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .where(col("lbl") =!= col("old"))
+        .limit(1).count()
+      labels = jumped
+      converged = changed == 0L
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not reach a fixpoint in $maxIters rounds")
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+}

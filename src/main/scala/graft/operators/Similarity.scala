@@ -168,50 +168,94 @@ object Similarity {
     * (ORDER BY sim DESC, cent_id)` argmax: sims are the same left-to-right
     * double folds, and the ascending struct sort on (-sim, cell) breaks
     * ties toward the smaller cell id. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    // quantizer model → driver; ascending id fixes the tie-break order.
-    val cents: Array[(Long, Array[Double])] = centroids
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+  /** Map-side cell assignment against a collected centroid model: all k
+    * dots in ONE single-pass aggregate (zip with the transposed centroid
+    * matrix — the [[lshBucket]] pattern), top-`cells` cells via an
+    * ascending array_sort on (-sim, cell) structs (= sim desc, ties to the
+    * smaller cell id — bit-identical to a row_number argmax). No shuffle:
+    * every row leaves the scan with its cell(s) attached. */
+  def assignCells(df: DataFrame, cents: Array[(Long, Array[Double])],
+      idCol: String, vecCol: String, outId: String, outVec: String,
+      cells: Int): DataFrame = {
     // per-centroid norms with the same left-to-right fold the per-row
     // expressions (and the DuckDB oracle) use — bit-identical doubles
     val centMeta = typedlit(cents.map { case (id, v) =>
       (id, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
     }.toSeq)
     val centsT = typedlit(cents.map(_._2).transpose.map(_.toSeq).toSeq) // dim×k
-    def assign(df: DataFrame, outId: String, outVec: String,
-        cells: Int): DataFrame = {
-      val v = col(outVec)
-      // ONE aggregate accumulating all k dot products (not one per
-      // centroid — the per-bit/per-centroid form walks the vector k times
-      // and bloats codegen; see lshBucket)
-      val dots = aggregate(
-        zip_with(v, centsT, (x, row) => transform(row, c => x.cast("double") * c)),
-        array_repeat(lit(0.0), cents.length),
-        (acc, arr) => zip_with(acc, arr, (a, dv) => a + dv))
-      // (-sim, cell) structs: ascending sort = sim desc, ties → smaller cell
-      val scored = zip_with(col("_dots"), centMeta, (dt, m) =>
-        struct((-(dt / (col("_vnorm") * m.getField("_2")))).as("neg_sim"),
-          m.getField("_1").as("cell")))
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .withColumn("_dots", dots)
-        .withColumn("_vnorm", norm(v))
-        .withColumn("cell",
-          explode(transform(slice(array_sort(scored), 1, cells),
-            t => t.getField("cell"))))
-        .select(col(outId), col(outVec), col("cell"))
-    }
-    val c = assign(corpus, "neighbor_id", "cv", 1)
-    val q = assign(queries, "query_id", "qv", nprobe)
+    val v = col(outVec)
+    // ONE aggregate accumulating all k dot products (not one per
+    // centroid — the per-bit/per-centroid form walks the vector k times
+    // and bloats codegen; see lshBucket)
+    val dots = aggregate(
+      zip_with(v, centsT, (x, row) => transform(row, c => x.cast("double") * c)),
+      array_repeat(lit(0.0), cents.length),
+      (acc, arr) => zip_with(acc, arr, (a, dv) => a + dv))
+    // (-sim, cell) structs: ascending sort = sim desc, ties → smaller cell
+    val scored = zip_with(col("_dots"), centMeta, (dt, m) =>
+      struct((-(dt / (col("_vnorm") * m.getField("_2")))).as("neg_sim"),
+        m.getField("_1").as("cell")))
+    df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+      .withColumn("_dots", dots)
+      .withColumn("_vnorm", norm(v))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(scored), 1, cells),
+          t => t.getField("cell"))))
+      .select(col(outId), col(outVec), col("cell"))
+  }
+
+  /** Collect a centroid DataFrame to the driver-side model (k rows — a
+    * hyperparameter, not data-scale), ascending id for tie-break order. */
+  def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Double])] =
+    centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    // quantizer model → driver; ascending id fixes the tie-break order.
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "cv", 1)
+    val q = assignCells(queries, cents, idCol, vecCol, "query_id", "qv", nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Two-stage coarse-to-fine ANN (matryoshka-style): stage 1 ranks by
+    * cosine over the first `prefixDim` dimensions — at 100 TB the prefix
+    * corpus is dim/prefixDim× smaller to scan and hold — and keeps a
+    * `shortlist` of candidates per query; stage 2 re-ranks ONLY the
+    * shortlist with full-dimension exact cosine. Recall < 1 by
+    * construction (a true neighbor can miss the shortlist); `shortlist`
+    * is the recall/cost knob. */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, prefixDim: Int, shortlist: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      slice(col(vecCol), 1, prefixDim).as("cpre"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      slice(col(vecCol), 1, prefixDim).as("qpre"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_sim").desc, col("neighbor_id"))
+    val short = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pre_sim", cosine(col("qpre"), col("cpre")))
+      .withColumn("prn", row_number().over(wPre))
+      .where(col("prn") <= shortlist)
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wFull))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))

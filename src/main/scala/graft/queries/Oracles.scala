@@ -52,6 +52,18 @@ object Oracles {
   private def cosChain(a: String, b: String): String =
     s"(${dotChain(a, b)}) / (sqrt(${dotChain(a, a)}) * sqrt(${dotChain(b, b)}))"
 
+  /** Shared d2 core: blocked exact-Jaccard pair CTEs ending in
+    * `j(id_a, id_b, jaccard)` — reused by d2 and d9 (cluster closure). */
+  private val d2Ctes: String =
+    s"""t AS (SELECT doc_id AS id, lang, source, ${lowSet("text")} AS toks FROM documents),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+       |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id),
+       |j AS (SELECT id_a, id_b,
+       |  round(CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END, 4) AS jaccard
+       |  FROM p)""".stripMargin
+
   /** Shared W3 core (interior ∪ boundary gaps, islands-merged) ending in CTE
     * `m(user_id, gap_start, gap_end)` — reused by w3 and w4. */
   private val w3With: String =
@@ -636,16 +648,23 @@ object Oracles {
          |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
     "d2_jaccard_pairs" ->
-      s"""WITH t AS (SELECT doc_id AS id, lang, source, ${lowSet("text")} AS toks FROM documents),
-         |p AS (SELECT a.id AS id_a, b.id AS id_b,
-         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
-         |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss
-         |  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id),
-         |j AS (SELECT id_a, id_b,
-         |  round(CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END, 4) AS jaccard
-         |  FROM p)
+      s"""WITH $d2Ctes
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // D9: transitive closure of the d2 pair graph — min reachable id per
+    // node (= the Spark side's min-label-propagation fixpoint).
+    "d9_dup_clusters" ->
+      s"""WITH RECURSIVE $d2Ctes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= $JaccardThreshold),
+         |edges AS (SELECT id_a AS es, id_b AS et FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT rr.id AS id, e.et AS r FROM reach rr JOIN edges e ON rr.r = e.es)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d3_minhash_lsh" -> {
       val rows = MinhashK / MinhashBands
@@ -1044,6 +1063,44 @@ object Oracles {
         |  p AS price_precision,
         |  CASE WHEN pidx = 11 THEN 0 ELSE q END AS quantity_precision
         |FROM g ORDER BY exchange_id, symbol""".stripMargin,
+
+    "s9_kmeans_step" -> {
+      val dims = (0 until EmbeddingDim).map(i =>
+        s"round(CAST(sum(CAST(CAST(cv[${i + 1}] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS c$i")
+        .mkString(",\n  ")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1)
+         |SELECT cell, count(*) AS n,
+         |  $dims
+         |FROM cass GROUP BY cell ORDER BY cell""".stripMargin
+    },
+
+    "s8_mrl_ann" -> {
+      val preDot = (a: String, b: String) => (1 to MrlPrefixDim).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+        .mkString("0.0 + ", " + ", "")
+      val preCos =
+        s"(${preDot("qv", "cv")}) / (sqrt(${preDot("qv", "qv")}) * sqrt(${preDot("cv", "cv")}))"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s1 AS (SELECT query_id, neighbor_id, qv, cv, $preCos AS pre_sim
+         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         |sl AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pre_sim DESC, neighbor_id) AS prn FROM s1),
+         |s2 AS (SELECT query_id, neighbor_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM sl WHERE prn <= $MrlShortlist),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s2)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
 
     "s1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NumQueries),

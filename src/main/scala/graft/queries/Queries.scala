@@ -1068,6 +1068,55 @@ object Queries {
 
   // ---- Similarity search -------------------------------------------------
 
+  /** D9: duplicate CLUSTERS — connected components over the d2 pair list
+    * (pairs alone under-remove: a≈b, b≈c is one cluster even when a≉c).
+    * Min-label propagation + pointer jumping, O(log diameter) rounds of
+    * uniform-key joins; the oracle is a DuckDB recursive CTE computing the
+    * same min-reachable-id. Every doc gets a cluster id (singletons keep
+    * their own). */
+  def d9DupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardDupPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), JaccardThreshold)
+    graft.operators.Components.connectedComponents(
+      docs, "doc_id", pairs, "id_a", "id_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** S8: matryoshka-style two-stage ANN — 16-dim prefix cosine shortlists
+    * 20 candidates per query, full 64-dim exact cosine re-ranks to top-5.
+    * The scan side at scale is 4× lighter than s1's. */
+  def s8MrlAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.mrlTopK(emb, emb.where(col("vec_id") < NumQueries),
+      "vec_id", "embedding", TopK, MrlPrefixDim, MrlShortlist)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S9: one Lloyd iteration of IVF quantizer training IN the engine —
+    * map-side cell assignment against the initial centroids (zero shuffle
+    * before the per-cell rollup), then new centroids as exact-decimal
+    * element-wise means per cell. The shuffle key is the cell id; partial
+    * aggregation order cannot perturb decimal sums. Iterating = feeding
+    * these means back as the next round's model (driver-side k-row
+    * collect, Lloyd's algorithm's standard shape). */
+  def s9KmeansStep(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val assigned = Similarity.assignCells(emb, cents, "vec_id", "embedding",
+      "vid", "v", cells = 1)
+    val agged = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (0 until EmbeddingDim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("double")
+            .cast("decimal(27,9)")).cast("double").as(s"s$i")): _*)
+    agged.select(col("cell") +: col("n") +:
+      (0 until EmbeddingDim).map(i =>
+        round(col(s"s$i") / col("n"), 6).as(s"c$i")): _*)
+      .orderBy(col("cell"))
+  }
+
   /** T10: PII-style redaction pass — digit runs in the raw props payload
     * replaced by '#', with the redacted-character count per event. Pure
     * map-side regex (codegen'd), the scrubbing shape a 100 TB pipeline runs
@@ -1281,6 +1330,7 @@ object Queries {
     "d6_simhash_pairs" -> d6SimhashPairs _,
     "d7_contamination" -> d7Contamination _,
     "d8_passage_dedup" -> d8PassageDedup _,
+    "d9_dup_clusters" -> d9DupClusters _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
@@ -1301,7 +1351,9 @@ object Queries {
     "s3_ivf_ann" -> s3IvfAnn _,
     "s5_symbol_catalog" -> s5SymbolCatalog _,
     "s6_ivf_probe2" -> s6IvfProbe2 _,
-    "s7_int8_ann" -> s7Int8Ann _)
+    "s7_int8_ann" -> s7Int8Ann _,
+    "s8_mrl_ann" -> s8MrlAnn _,
+    "s9_kmeans_step" -> s9KmeansStep _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

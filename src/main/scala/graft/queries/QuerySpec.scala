@@ -47,6 +47,9 @@ object QuerySpec {
   // IVF (S3): coarse cells = centroid rows vec_id < NumCentroids, probe=1
   val NumCentroids = 8
   val IvfTopK = 5
+  // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
+  val MrlPrefixDim = 16
+  val MrlShortlist = 20
 
   // W4 fetch-window pagination: requests of FetchLimit × interval span
   val FetchLimit = 24
