@@ -10,6 +10,28 @@ class UpsertSinkSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("upsert").toString + "/t"
 
+  test("partitioned sink reads prune partitions (PartitionFilters + file count)") {
+    // the 100 TB read path: a date filter on a partitioned table must prune
+    // DIRECTORIES (PartitionFilters), not scan-and-discard rows
+    val path = tmp()
+    val rows = Seq(("BTC", 1L, 1.0, "2024-01-01"), ("BTC", 2L, 2.0, "2024-01-02"),
+      ("ETH", 3L, 3.0, "2024-01-03")).toDF("symbol", "ts", "close", "dt_date")
+    UpsertSink.upsert(spark, path, rows, Seq("symbol", "ts"), "ts",
+      partitionCol = Some("dt_date"))
+    val q = spark.read.parquet(path).where($"dt_date" === "2024-01-02")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan.takeRight(800))
+    assert(plan.contains("dt_date"), plan.takeRight(800))
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    // only the matching partition's files are selected
+    assert(scan.get.selectedPartitions.partitionCount == 1)
+    assert(q.count() == 1)
+  }
+
   test("upsert: insert then full-row replace, newest wins (Doris UNIQUE key)") {
     val path = tmp()
     val v1 = Seq(("BTC", 1000L, 10.0), ("ETH", 1000L, 20.0))
