@@ -34,7 +34,14 @@ object Components {
     val sym = edges.select(col(aCol).as("s"), col(bCol).as("t"))
       .unionByName(edges.select(col(bCol).as("s"), col(aCol).as("t")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // iterate ONLY over nodes the pair graph touches — on a real corpus
+    // the duplicate graph covers a small fraction of documents, and
+    // isolated nodes can never change label; they rejoin as singletons at
+    // the end. Shrinks every per-round frame to the active subgraph.
+    val edgeNodes = sym.select(col("s").as("id")).distinct()
+    val allNodes = nodes.select(col(idCol).as("id"))
+    var labels = allNodes.join(edgeNodes, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     var converged = false
     var it = 0
@@ -64,6 +71,9 @@ object Components {
     sym.unpersist()
     require(converged,
       s"connectedComponents did not reach a fixpoint in $maxIters rounds")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    val isolated = allNodes.join(edgeNodes, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    labels.unionByName(isolated)
+      .select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 }
