@@ -728,6 +728,53 @@ object Oracles {
          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM w GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // PIPE1: the full preprocessing funnel, assembled from the same proven
+    // fragments as t2 (quality), d1 (fingerprint), d8 (passages), t6
+    // (md5-threshold sample); the passage cut is integer (2·kept ≥ total).
+    "pipe1_funnel" -> {
+      val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH sc AS (SELECT doc_id, lang, text,
+         |    CAST(len(${rawToks("text")}) AS DOUBLE) AS qn,
+         |    len(list_filter(${rawToks("text")}, x -> list_contains($sw, x))) AS qhits,
+         |    CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS qlsum
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, lang, text FROM sc
+         |  WHERE floor((least(qn / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN qn > 0 THEN qhits / qn ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN qn > 0 AND qlsum / qn BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+         |    * 10000.0 + 0.5) / 10000.0 >= 0.5),
+         |s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es', 'de')),
+         |fpd AS (SELECT doc_id, lang, text,
+         |    md5(array_to_string(${lowSeq("text")}, ' ')) AS f FROM s2),
+         |s3 AS (SELECT doc_id, lang, text FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep FROM fpd)
+         |  WHERE doc_id = rep),
+         |pt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM s3),
+         |pt2 AS (SELECT doc_id, toks FROM pt WHERE len(toks) > 0),
+         |pc AS (SELECT doc_id, unnest(
+         |    [{'idx': (i-1)//$PassageK,
+         |      'pfp': md5(array_to_string(toks[i:i+${PassageK - 1}], ' '))}
+         |     for i in range(1, len(toks)+1, $PassageK)], recursive := true)
+         |  FROM pt2),
+         |pw AS (SELECT doc_id, idx, pfp,
+         |  row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn FROM pc),
+         |pd AS (SELECT doc_id, count(*) AS n_passages,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+         |  FROM pw GROUP BY 1),
+         |s4 AS (SELECT s3.doc_id, s3.lang FROM s3 JOIN pd USING (doc_id)
+         |  WHERE 2 * n_kept >= n_passages),
+         |s5 AS (SELECT * FROM s4
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |    CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+         |SELECT 's0_all' AS stage, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT 's1_quality', count(*) FROM s1
+         |UNION ALL SELECT 's2_lang', count(*) FROM s2
+         |UNION ALL SELECT 's3_exact_dedup', count(*) FROM s3
+         |UNION ALL SELECT 's4_passage', count(*) FROM s4
+         |UNION ALL SELECT 's5_sample', count(*) FROM s5
+         |ORDER BY stage""".stripMargin
+    },
+
     "t1_lang_id" -> {
       val scores = LangMarkers.map { case (lang, words) =>
         val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")

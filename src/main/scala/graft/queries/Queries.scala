@@ -1117,6 +1117,37 @@ object Queries {
       .orderBy(col("cell"))
   }
 
+  /** PIPE1: the preprocessing funnel as ONE declarative plan — the
+    * composition a training-data pipeline actually ships: quality gate →
+    * language filter → exact dedup → passage-survival filter → stratified
+    * sample, reporting survivors per stage. Every stage reuses the proven
+    * operator (qualityScore, exactDedup, passageDedup, stratifiedSample);
+    * the passage cut is the integer form 2·n_kept ≥ n_passages (no
+    * division). Catalyst sees the whole funnel at once — filters fuse,
+    * the only shuffles are the two dedup grains. */
+  def pipe1Funnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val s1 = docs.where(
+      TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5)
+    val s2 = s1.where(col("lang").isin("en", "es", "de"))
+    val s3 = Dedup.exactDedup(s2, "doc_id", "text")
+    val pd = Dedup.passageDedup(s3, "doc_id", "text", PassageK)
+      .withColumnRenamed("id", "doc_id")
+    val s4 = s3.join(pd, Seq("doc_id"))
+      .where(lit(2) * col("n_kept") >= col("n_passages"))
+      .select(s3.columns.map(col): _*)
+    val s5 = Sampling.stratifiedSample(s4, "doc_id", "lang",
+      Map("en" -> 0.25), default = 0.5)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    Seq(stage("s0_all", docs), stage("s1_quality", s1),
+      stage("s2_lang", s2), stage("s3_exact_dedup", s3),
+      stage("s4_passage", s4), stage("s5_sample", s5))
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
   /** T10: PII-style redaction pass — digit runs in the raw props payload
     * replaced by '#', with the redacted-character count per event. Pure
     * map-side regex (codegen'd), the scrubbing shape a 100 TB pipeline runs
@@ -1331,6 +1362,7 @@ object Queries {
     "d7_contamination" -> d7Contamination _,
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
+    "pipe1_funnel" -> pipe1Funnel _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
