@@ -43,6 +43,14 @@ object Components {
     var labels = allNodes.join(edgeNodes, Seq("id"), "left_semi")
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
+    // labels only ever DECREASE, so the fixpoint check is a plain sum
+    // compare on the checkpointed frame — no join against the previous
+    // round's labels. Decimal sum: a 100 TB node set's id sum overflows a
+    // long.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty active set (no edges)
+    var prevSum = lblSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -61,12 +69,10 @@ object Components {
           Seq("lbl"), "left_outer")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .where(col("lbl") =!= col("old"))
-        .limit(1).count()
+      val newSum = lblSum(jumped)
       labels = jumped
-      converged = changed == 0L
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
     }
     sym.unpersist()
     require(converged,
