@@ -231,8 +231,14 @@ object Scratch {
           if (ops("s2")) timed(s"s2_x$k")(operators.Similarity.lshTopK(emb,
             emb0.where(col("vec_id") < 8), "vec_id", "embedding",
             3, 8, 64).count())
+          if (ops("d9")) timed(s"d9_x$k") {
+            val pairs = operators.Dedup.jaccardDupPairs(docs, "doc_id",
+              "text", Seq("lang", "source"), 0.8)
+            operators.Components.connectedComponents(docs, "doc_id",
+              pairs, "id_a", "id_b").count()
+          }
         }
-        for (q <- Seq("d3", "d6", "d7", "s2")
+        for (q <- Seq("d3", "d6", "d7", "s2", "d9")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
           val growth = scales.max.toDouble / scales.min

@@ -214,6 +214,41 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** Full Lloyd's k-means over the cosine quantizer: each iteration is a
+    * map-side [[assignCells]] pass (zero shuffle before the rollup) + one
+    * per-cell mean rollup + a k-row collect to refresh the driver-side
+    * model — the standard distributed Lloyd shape (the model is
+    * hyperparameter-sized; the corpus is never collected). Stops early
+    * when no vector changes cell (assignment counts fixed ⇒ means fixed).
+    * Returns the trained centroid model for [[ivfTopK]]/[[assignCells]]. */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      init: Array[(Long, Array[Double])], maxIters: Int,
+      dim: Int): Array[(Long, Array[Double])] = {
+    var cents = init
+    var it = 0
+    var stable = false
+    while (it < maxIters && !stable) {
+      it += 1
+      val assigned = assignCells(corpus, cents, idCol, vecCol, "vid", "v", 1)
+      val agged = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1).cast("double")
+              .cast("decimal(27,9)")).cast("double").as(s"s$i")): _*)
+        .collect()
+      val next = agged.map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(2 + i) / n))
+      }.sortBy(_._1)
+      // empty cells drop out (their centroid attracted nothing); stability
+      // = identical cell populations produce identical means
+      stable = next.map(_._1).sameElements(cents.map(_._1)) &&
+        next.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) }
+      cents = next
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     // quantizer model → driver; ascending id fixes the tie-break order.

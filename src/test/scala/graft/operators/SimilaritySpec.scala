@@ -101,6 +101,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: Lloyd's converges and separates two angular clusters") {
+    // two tight direction clusters; seeds one vector from each
+    val around = (base: Seq[Float], eps: Float, ids: Range) =>
+      ids.map(i => (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + (if (d == i % 3) eps else 0f) }))
+    val a = around(Seq(1f, 0f, 0f), 0.05f, 0 until 6)
+    val b = around(Seq(0f, 1f, 0f), 0.05f, 6 until 12)
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val init = Similarity.collectCentroids(
+      corpus.where($"vec_id".isin(0, 6)), "vec_id", "embedding")
+    val model = Similarity.kmeans(corpus, "vec_id", "embedding",
+      init, maxIters = 10, dim = 3)
+    assert(model.length == 2)
+    val assigned = Similarity.assignCells(corpus, model, "vec_id",
+      "embedding", "vid", "v", 1)
+      .select("vid", "cell").as[(Long, Long)].collect().toMap
+    val cellsA = (0L until 6L).map(assigned).toSet
+    val cellsB = (6L until 12L).map(assigned).toSet
+    assert(cellsA.size == 1 && cellsB.size == 1 && cellsA != cellsB)
+    // trained model feeds ivf search directly: each cluster member's
+    // neighbors come from its own cluster
+    val centsDf = model.toSeq
+      .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.ivfTopK(corpus, corpus.where($"vec_id" === 0L),
+      centsDf, "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(ann.forall(_ < 6L))
+  }
+
   test("lshTopK returns bucket-mates ranked by cosine") {
     val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, nBits = 2, dim = 3)
