@@ -217,17 +217,25 @@ object Dedup {
     // Block-size guard: a hot (block) key makes the within-block pair space
     // a cartesian bomb (n² rows from one key — at the default 10k cap a
     // block at the limit is ~5×10^7 in-block pairs, the most a single
-    // exact-verify task should absorb). Count per block with a partitioned
-    // window (no driver action beyond the routing probe, same hash
-    // partitioning the pair join needs anyway). Blocks within budget take
-    // the exact all-pairs path; OVERSIZED blocks are not dropped — they
-    // reroute to [[minhashDupPairs]], whose banded candidate generation is
-    // the scale-safe approximation of this exact baseline (see below).
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(blockCols.map(col): _*)
-    val counted = all.withColumn("block_n", count(lit(1)).over(bw))
-    val t = counted.where(col("block_n") <= maxBlock).drop("block_n")
-    val over = counted.where(col("block_n") > maxBlock).drop("block_n")
+    // exact-verify task should absorb). Block sizes come from a groupBy
+    // aggregate — partial aggregation means only (block, n) rows shuffle,
+    // never the tokenized corpus (a window count here shuffles every row's
+    // id + token array just to learn per-key sizes). The oversized-keys
+    // frame doubles as the routing probe: its `isEmpty` is the ONE tiny job
+    // the common no-overflow case pays, and when nothing overflows the
+    // exact path runs on `all` directly with no join at all. Blocks within
+    // budget take the exact all-pairs path; OVERSIZED blocks are not
+    // dropped — they reroute to [[minhashDupPairs]], whose banded candidate
+    // generation is the scale-safe approximation of this exact baseline
+    // (see below).
+    val overKeys = all.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("block_n"))
+      .where(col("block_n") > maxBlock)
+      .select(blockCols.map(col): _*)
+    val hasOver = !overKeys.isEmpty
+    // overKeys is at most rows/maxBlock keys — broadcast by construction
+    val t = if (hasOver) all.join(broadcast(overKeys), blockCols, "left_anti")
+            else all
     val vocabToks = t.select(explode(col("toks")).as("tok")).distinct()
     val exact = if (vocabToks.limit(63).count() <= 62) {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
@@ -264,20 +272,26 @@ object Dedup {
     }
     // Overflow routing: docs in oversized blocks go through the banded-LSH
     // candidate generator (equi-join on band hash — O(bucket) not O(n²))
-    // with the SAME exact-Jaccard verify and threshold, then the pair list
-    // is constrained back to same-block pairs (LSH candidates are
-    // content-based and ignore blocks). Approximate-recall by construction
-    // — the documented semantics for blocks past the exact budget; pairs
-    // with identical token sets always collide (identical signatures), so
-    // true duplicates survive the reroute. The routing probe (`isEmpty`) is
-    // one pass over the cached tokenized frame; the common no-overflow case
-    // pays only that and skips the entire LSH subtree.
-    if (over.isEmpty) exact
+    // with the SAME exact-Jaccard verify, then the pair list is constrained
+    // back to same-block pairs (LSH candidates are content-based and ignore
+    // blocks). Approximate-recall by construction — the documented
+    // semantics for blocks past the exact budget; pairs with identical
+    // token sets always collide (identical signatures), so true duplicates
+    // survive the reroute. Boundary parity with the exact path (which
+    // rounds to 4 dp BEFORE thresholding): the LSH verify filters on the
+    // raw jaccard, so it gets a slightly lower cut (round(x,4) ≥ t implies
+    // x ≥ t − 5e-5) and the rounded threshold is re-applied here — a
+    // 0.79996 pair rounds to 0.8 and is kept by BOTH paths.
+    if (!hasOver) exact
     else {
+      org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+        s"jaccardDupPairs: block(s) over maxBlock=$maxBlock rerouted to " +
+          "MinHash-LSH (approximate recall, exact precision)")
+      val over = all.join(broadcast(overKeys), blockCols, "left_semi")
       val overDocs = df.join(over.select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
       val lsh = minhashDupPairs(overDocs, idCol, textCol,
-        threshold = threshold, cache = cache)
+        threshold = threshold - 1e-4, cache = cache)
       val aB = over.select(col("id").as("id_a") +:
         blockCols.map(c => col(c).as(s"_a_$c")): _*)
       val bB = over.select(col("id").as("id_b") +:
@@ -287,6 +301,7 @@ object Dedup {
           .reduce(_ && _))
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 4).as("jaccard"))
+        .where(col("jaccard") >= threshold)
       exact.unionByName(sameBlock)
     }
   }

@@ -926,10 +926,13 @@ object Queries {
     Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("fp"))
 
-  /** D2: blocked exact n-gram Jaccard pairs. */
+  /** D2: blocked exact n-gram Jaccard pairs. The DuckDB oracle is uncapped
+    * exact all-pairs, so the block guard is pinned open here — at any scale
+    * factor this query stays exact (production callers keep the default
+    * 10k cap and get the documented LSH reroute on hot blocks). */
   def d2JaccardPairs(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardDupPairs(Tables.documents(s, d), "doc_id", "text",
-      Seq("lang", "source"), JaccardThreshold)
+      Seq("lang", "source"), JaccardThreshold, maxBlock = Long.MaxValue)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -1076,8 +1079,10 @@ object Queries {
     * their own). */
   def d9DupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // guard pinned open like d2: the recursive-CTE oracle closes over the
+    // exact uncapped pair set
     val pairs = Dedup.jaccardDupPairs(docs, "doc_id", "text",
-      Seq("lang", "source"), JaccardThreshold)
+      Seq("lang", "source"), JaccardThreshold, maxBlock = Long.MaxValue)
     graft.operators.Components.connectedComponents(
       docs, "doc_id", pairs, "id_a", "id_b")
       .orderBy(col("doc_id"))
