@@ -302,6 +302,28 @@ object Scratch {
         time("bench_distinct")(bSh.distinct().count())
         time("join")(cSh.join(bSh.distinct(), Seq("sh")).count())
         time("full")(queries.Queries.d7Contamination(spark, sfDir).count())
+      case Some("d9x") =>
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, sfDir)
+        val pairs = operators.Dedup.jaccardDupPairs(docs, "doc_id", "text",
+          Seq("lang", "source"), 0.8, maxBlock = Long.MaxValue)
+        time("pairs")(pairs.count())
+        val cc = operators.Components.connectedComponents(
+          docs, "doc_id", pairs, "id_a", "id_b")
+        time("terminal")(cc.count())
+        time("terminal2")(cc.count())
+        spark.sharedState.cacheManager.clearCache()
+        time("full_cold")(queries.Queries.d9DupClusters(spark, sfDir).count())
+        spark.sharedState.cacheManager.clearCache()
+        var pairs2: org.apache.spark.sql.DataFrame = null
+        time("build_pairs") {
+          pairs2 = operators.Dedup.jaccardDupPairs(docs, "doc_id", "text",
+            Seq("lang", "source"), 0.8, maxBlock = Long.MaxValue); 0L }
+        var cc2: org.apache.spark.sql.DataFrame = null
+        time("build_cc") {
+          cc2 = operators.Components.connectedComponents(
+            docs, "doc_id", pairs2, "id_a", "id_b"); 0L }
+        time("count_cc")(cc2.orderBy(col("doc_id")).count())
       case Some(q) =>
         val fn = SparkEntry.queries(q)
         time(s"${q}_first")(fn(spark, sfDir).count())

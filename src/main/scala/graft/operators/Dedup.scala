@@ -228,11 +228,14 @@ object Dedup {
     // dropped — they reroute to [[minhashDupPairs]], whose banded candidate
     // generation is the scale-safe approximation of this exact baseline
     // (see below).
+    // A pinned-open guard (maxBlock == Long.MaxValue — the exact-oracle
+    // contract) can never fire: count(*) cannot exceed Long.MaxValue, so
+    // even the probe job is skipped.
     val overKeys = all.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("block_n"))
       .where(col("block_n") > maxBlock)
       .select(blockCols.map(col): _*)
-    val hasOver = !overKeys.isEmpty
+    val hasOver = maxBlock != Long.MaxValue && !overKeys.isEmpty
     // overKeys is at most rows/maxBlock keys — broadcast by construction
     val t = if (hasOver) all.join(broadcast(overKeys), blockCols, "left_anti")
             else all

@@ -17,6 +17,18 @@ class ComponentsSpec extends SparkSpec {
     assert(out(12L) == 12L)
   }
 
+  test("string ids take the surrogate path — min id still wins") {
+    // non-integral ids exercise the zipWithIndex sid compression; the
+    // cluster representative must still be the lexicographic min id
+    val nodes = Seq("a", "b", "c", "d", "e", "z").toDF("id")
+    val edges = Seq(("b", "a"), ("b", "c"), ("d", "e")).toDF("x", "y")
+    val out = Components.connectedComponents(nodes, "id", edges, "x", "y")
+      .as[(String, String)].collect().toMap
+    assert(out("a") == "a" && out("b") == "a" && out("c") == "a")
+    assert(out("d") == "d" && out("e") == "d")
+    assert(out("z") == "z")
+  }
+
   test("pointer jumping converges on a 40-node path within 10 rounds") {
     // plain 1-hop propagation would need 39 rounds; the jump compresses
     // the remaining diameter roughly 2x per round
