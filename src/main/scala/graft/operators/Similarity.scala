@@ -176,14 +176,17 @@ object Similarity {
     * every row leaves the scan with its cell(s) attached. */
   def assignCells(df: DataFrame, cents: Array[(Long, Array[Double])],
       idCol: String, vecCol: String, outId: String, outVec: String,
-      cells: Int): DataFrame = {
+      cells: Int, assignVec: Column => Column = identity): DataFrame = {
     // per-centroid norms with the same left-to-right fold the per-row
     // expressions (and the DuckDB oracle) use — bit-identical doubles
     val centMeta = typedlit(cents.map { case (id, v) =>
       (id, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
     }.toSeq)
     val centsT = typedlit(cents.map(_._2).transpose.map(_.toSeq).toSeq) // dim×k
-    val v = col(outVec)
+    // `assignVec` projects the vector the quantizer sees (default: the full
+    // vector; MRL passes a prefix slice) — the OUTPUT still carries the full
+    // vector for downstream exact scoring
+    val v = assignVec(col(outVec))
     // ONE aggregate accumulating all k dot products (not one per
     // centroid — the per-bit/per-centroid form walks the vector k times
     // and bloats codegen; see lshBucket)
@@ -191,13 +194,26 @@ object Similarity {
       zip_with(v, centsT, (x, row) => transform(row, c => x.cast("double") * c)),
       array_repeat(lit(0.0), cents.length),
       (acc, arr) => zip_with(acc, arr, (a, dv) => a + dv))
-    // (-sim, cell) structs: ascending sort = sim desc, ties → smaller cell
-    val scored = zip_with(col("_dots"), centMeta, (dt, m) =>
-      struct((-(dt / (col("_vnorm") * m.getField("_2")))).as("neg_sim"),
-        m.getField("_1").as("cell")))
+    // (-sim, cell) structs: ascending sort = sim desc, ties → smaller cell.
+    // Zero-norm vectors (or centroids) make the sim 0/0 — a DIVIDE_BY_ZERO
+    // under ANSI, NaN otherwise — so the division is guarded: a zero
+    // denominator takes the -Infinity sentinel branch, which sorts FIRST
+    // ascending — the same placement as a `sim DESC` window (NaN greatest)
+    // and DuckDB's NaN-greatest DESC order. A degenerate vector
+    // deterministically lands in the smallest-id candidate cell on every
+    // engine; nanvl catches NaN INPUTS the same way.
+    val scored = zip_with(col("_dots"), centMeta, (dt, m) => {
+      val denom = col("_vnorm") * m.getField("_2")
+      struct(when(denom > 0, nanvl(-(dt / denom),
+        lit(Double.NegativeInfinity)))
+        .otherwise(lit(Double.NegativeInfinity)).as("neg_sim"),
+        m.getField("_1").as("cell"))
+    })
     df.select(col(idCol).as(outId), col(vecCol).as(outVec))
       .withColumn("_dots", dots)
-      .withColumn("_vnorm", norm(v))
+      .withColumn("_vnorm", sqrt(aggregate(
+        transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
       .withColumn("cell",
         explode(transform(slice(array_sort(scored), 1, cells),
           t => t.getField("cell"))))
@@ -284,6 +300,45 @@ object Similarity {
     val short = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("pre_sim", cosine(col("qpre"), col("cpre")))
+      .withColumn("prn", row_number().over(wPre))
+      .where(col("prn") <= shortlist)
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wFull))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Index-backed two-stage MRL ANN: stage 1 generates candidates from IVF
+    * cells over the PREFIX dimensions — the coarse quantizer ranks prefix
+    * cosine map-side ([[assignCells]] with a prefix projection), queries
+    * probe their `nprobe` nearest prefix-cells, and the candidate set is an
+    * equi-join on the cell id. No corpus×queries crossJoin anywhere: at
+    * 100 TB the corpus is scanned once, assigned in place, and shuffled
+    * exactly once (by cell). Stage 1b shortlists per query by prefix
+    * cosine among cell-mates; stage 2 re-ranks ONLY the shortlist with
+    * full-dimension exact cosine. Recall < 1 by construction, controlled
+    * by `nprobe` (cells probed) and `shortlist` (candidates re-ranked). A
+    * corpus vector lives in exactly one cell, so probing several cells
+    * never duplicates a neighbor. */
+  def mrlIvfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, prefixDim: Int, shortlist: Int,
+      nprobe: Int = 1): DataFrame = {
+    val pre = (v: Column) => slice(v, 1, prefixDim)
+    // quantizer model → driver (k rows), truncated to the prefix the coarse
+    // stage scores against
+    val cents = collectCentroids(centroids, idCol, vecCol)
+      .map { case (id, v) => (id, v.take(prefixDim)) }
+    val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "cv", 1, pre)
+    val q = assignCells(queries, cents, idCol, vecCol, "query_id", "qv", nprobe, pre)
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("pre_sim").desc, col("neighbor_id"))
+    val short = c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pre_sim", cosine(pre(col("qv")), pre(col("cv"))))
       .withColumn("prn", row_number().over(wPre))
       .where(col("prn") <= shortlist)
     val wFull = Window.partitionBy(col("query_id"))

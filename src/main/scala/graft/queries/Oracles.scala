@@ -972,6 +972,34 @@ object Oracles {
          |  CAST(sum(CAST(floor(depth_ask_1bps * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ask1bps_sum_micro
          |FROM f GROUP BY 1, 2 ORDER BY symbol, hour_ms""".stripMargin,
 
+    // SN2: same fixture-recompute technique as sn1, over the percentile
+    // ladder + curvature column neighborhood; the column arithmetic
+    // (a-b, (a+b)*0.5) is replicated operation-for-operation so the doubles
+    // are IEEE-identical before the fixed-point floor.
+    "sn2_book_shape" -> {
+      def f(n: String) = WideSnapshot.formulaSql(n)
+      def micro(expr: String) =
+        s"CAST(sum(CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)"
+      s"""WITH s AS (SELECT 'SYM' || CAST(user_id % 40 AS VARCHAR) AS symbol,
+         |    epoch_ms(ts) AS ts_ms,
+         |    ${f("bid_p0")} AS bid_p0, ${f("bid_p50")} AS bid_p50,
+         |    ${f("bid_p100")} AS bid_p100,
+         |    ${f("ask_p0")} AS ask_p0, ${f("ask_p50")} AS ask_p50,
+         |    ${f("ask_p100")} AS ask_p100,
+         |    ${f("curvature_short_bid")} AS curvature_short_bid,
+         |    ${f("curvature_long_ask")} AS curvature_long_ask
+         |  FROM events),
+         |fl AS (SELECT * FROM s WHERE ts_ms < $SnapshotTsCut)
+         |SELECT symbol, count(*) AS n,
+         |  ${micro("ask_p0 - bid_p100")} AS spread_sum_micro,
+         |  ${micro("(bid_p50 + ask_p50) * 0.5")} AS mid_sum_micro,
+         |  ${micro("bid_p100 - bid_p0")} AS bid_range_sum_micro,
+         |  ${micro("ask_p100 - ask_p0")} AS ask_range_sum_micro,
+         |  max(curvature_long_ask) AS curv_ask_max,
+         |  min(curvature_short_bid) AS curv_bid_min
+         |FROM fl GROUP BY 1 ORDER BY symbol""".stripMargin
+    },
+
     // NOTE: DuckDB cannot slice BLOBs, so these twins slice the VARCHAR —
     // byte-equivalent ONLY because the corpus is pure ASCII (verified);
     // a multi-byte char before an offset would desynchronize char vs byte
@@ -1147,6 +1175,71 @@ object Oracles {
          |  FROM s2)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // S10: IVF-over-prefix coarse stage (assignment + nprobe=2 probing rank
+    // by PREFIX cosine), within-cell prefix shortlist, full-dim re-rank —
+    // mirrors Similarity.mrlIvfTopK including the left-fold double chains.
+    "s10_mrl_ivf" -> {
+      val preDot = (a: String, b: String) => (1 to MrlPrefixDim).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+        .mkString("0.0 + ", " + ", "")
+      val preCos = (a: String, b: String) =>
+        s"(${preDot(a, b)}) / (sqrt(${preDot(a, a)}) * sqrt(${preDot(b, b)}))"
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${preCos("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, cent_id AS cell
+         |  FROM ca WHERE nid < $NumQueries AND arn <= 2),
+         |s1 AS (SELECT query_id, qv, nid AS neighbor_id, cv,
+         |    ${preCos("qv", "cv")} AS pre_sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |sl AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pre_sim DESC, neighbor_id) AS prn FROM s1),
+         |s2 AS (SELECT query_id, neighbor_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM sl WHERE prn <= $MrlShortlist),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s2)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // S11: full Lloyd loop as a bounded recursive CTE — each recursive step
+    // assigns the corpus to the PREVIOUS step's centroids (same argmax
+    // window as s3/s9) and emits the exact-decimal means; KmeansIters
+    // unconditional steps equal Spark's early-stopped run because the
+    // fixpoint is idempotent. Output in floor fixed-point (round() diverges
+    // cross-engine at .5 ulp boundaries).
+    "s11_kmeans_train" -> {
+      val meanList = (0 until EmbeddingDim).map(i =>
+        s"CAST(sum(CAST(CAST(v[${i + 1}] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE) / count(*)")
+        .mkString("[", ", ", "]")
+      val outDims = (0 until EmbeddingDim).map(i =>
+        s"floor(cvec[${i + 1}] * 1000000.0 + 0.5) / 1000000.0 AS c$i")
+        .mkString(",\n  ")
+      s"""WITH RECURSIVE km AS (
+         |  SELECT 0 AS it, CAST(vec_id AS BIGINT) AS cent_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids
+         |  UNION ALL
+         |  SELECT it + 1, cell AS cent_id, $meanList AS cvec
+         |  FROM (
+         |    SELECT it, vec_id, v, cent_id AS cell,
+         |      row_number() OVER (PARTITION BY it, vec_id
+         |        ORDER BY ${cosChain("v", "cvec")} DESC, cent_id) AS arn
+         |    FROM (SELECT k.it, e.vec_id, e.embedding AS v, k.cent_id, k.cvec
+         |          FROM embeddings e CROSS JOIN km k WHERE k.it < $KmeansIters)
+         |  ) WHERE arn = 1
+         |  GROUP BY it, cell
+         |)
+         |SELECT cent_id, $outDims
+         |FROM km WHERE it = (SELECT max(it) FROM km) ORDER BY cent_id""".stripMargin
     },
 
     "s1_cosine_topk" ->

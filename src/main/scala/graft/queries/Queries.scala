@@ -919,6 +919,30 @@ object Queries {
       .orderBy(col("symbol"), col("hour_ms"))
   }
 
+  /** SN2: order-book shape from the percentile ladder — spread, mid, bid-
+    * and ask-side percentile ranges, depth-curvature extremes, per symbol.
+    * Touches 8 of the 65 feature columns (the p0/p50/p100 rungs and two
+    * curvatures): ReadSchema must prune 70 → 10 (spec-locked) — this and
+    * sn1 bracket the wide-fact budget from two different column
+    * neighborhoods. All sums are exact fixed-point micro-units over
+    * IEEE-identical column arithmetic (a-b, (a+b)·0.5 reproduce exactly in
+    * the oracle). */
+  def sn2BookShape(s: SparkSession, d: String): DataFrame = {
+    val snap = s.read.parquet(graft.sources.WideSnapshot.ensure(s, d))
+    def micro(c: Column): Column = sum(floor(c * lit(1000000.0) + lit(0.5)))
+    snap
+      .where(col("ts") < SnapshotTsCut)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        micro(col("ask_p0") - col("bid_p100")).as("spread_sum_micro"),
+        micro((col("bid_p50") + col("ask_p50")) * lit(0.5)).as("mid_sum_micro"),
+        micro(col("bid_p100") - col("bid_p0")).as("bid_range_sum_micro"),
+        micro(col("ask_p100") - col("ask_p0")).as("ask_range_sum_micro"),
+        max(col("curvature_long_ask")).as("curv_ask_max"),
+        min(col("curvature_short_bid")).as("curv_bid_min"))
+      .orderBy(col("symbol"))
+  }
+
   // ---- Dedup suite -------------------------------------------------------
 
   /** D1: exact dedup groups via content hash. */
@@ -1098,6 +1122,19 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S10: index-backed MRL — the scale path for the s8 semantics: the
+    * coarse stage comes from IVF cells over the prefix dimensions (map-side
+    * assignment, nprobe=2) instead of a corpus×queries crossJoin, then the
+    * within-cell prefix shortlist re-ranks full-dim. The plan has NO
+    * broadcast-nested-loop/cartesian node (spec-locked). */
+  def s10MrlIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.mrlIvfTopK(emb, emb.where(col("vec_id") < NumQueries),
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding",
+      TopK, MrlPrefixDim, MrlShortlist, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S9: one Lloyd iteration of IVF quantizer training IN the engine —
     * map-side cell assignment against the initial centroids (zero shuffle
     * before the per-cell rollup), then new centroids as exact-decimal
@@ -1120,6 +1157,29 @@ object Queries {
       (0 until EmbeddingDim).map(i =>
         round(col(s"s$i") / col("n"), 6).as(s"c$i")): _*)
       .orderBy(col("cell"))
+  }
+
+  /** S11: the FULL Lloyd training loop in the engine — s9 is one step; s11
+    * runs [[Similarity.kmeans]] to its fixpoint (early stop at assignment
+    * stability, capped at KmeansIters). The oracle replays the identical
+    * iteration count unconditionally as a recursive CTE: once Lloyd
+    * reaches its fixpoint every further step is an identity, so the
+    * fixed-count replay lands on the same centroids bit-for-bit. Output
+    * uses the floor fixed-point form (not round) — cross-engine-safe at
+    * .5 ulp boundaries. */
+  def s11KmeansTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val init = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val model = Similarity.kmeans(emb, "vec_id", "embedding", init,
+      maxIters = KmeansIters, dim = EmbeddingDim)
+    model.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cent_id", "cvec")
+      .select(col("cent_id") +:
+        (0 until EmbeddingDim).map(i =>
+          (floor(element_at(col("cvec"), i + 1) * 1e6 + 0.5) / 1e6)
+            .as(s"c$i")): _*)
+      .orderBy(col("cent_id"))
   }
 
   /** PIPE1: the preprocessing funnel as ONE declarative plan — the
@@ -1381,6 +1441,7 @@ object Queries {
     "t11_top_ngrams" -> t11TopNgrams _,
     "t12_doc_freq" -> t12DocFreq _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
+    "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
     "s1_cosine_topk" -> s1CosineTopK _,
@@ -1390,7 +1451,9 @@ object Queries {
     "s6_ivf_probe2" -> s6IvfProbe2 _,
     "s7_int8_ann" -> s7Int8Ann _,
     "s8_mrl_ann" -> s8MrlAnn _,
-    "s9_kmeans_step" -> s9KmeansStep _)
+    "s9_kmeans_step" -> s9KmeansStep _,
+    "s10_mrl_ivf" -> s10MrlIvf _,
+    "s11_kmeans_train" -> s11KmeansTrain _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

@@ -50,6 +50,9 @@ object QuerySpec {
   // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
   val MrlPrefixDim = 16
   val MrlShortlist = 20
+  // S11 full Lloyd training: iteration cap (early stop at the fixpoint; the
+  // oracle replays exactly this many steps — identities past convergence)
+  val KmeansIters = 12
 
   // W4 fetch-window pagination: requests of FetchLimit × interval span
   val FetchLimit = 24

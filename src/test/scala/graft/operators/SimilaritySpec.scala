@@ -101,6 +101,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  // prefix-2 slices must be nonzero: cosine over a zero-norm prefix is a
+  // 0/0 (ANSI divide-by-zero) in ANY engine — same contract as the oracle
+  private def mrlVecs = Seq(
+    (0L, Seq(1.0f, 0.1f, 0.0f)),
+    (1L, Seq(0.9f, 0.2f, 0.0f)),
+    (2L, Seq(0.1f, 1.0f, 0.0f)),
+    (3L, Seq(0.2f, 0.1f, 1.0f))).toDF("vec_id", "embedding")
+
+  test("mrlIvfTopK: index-backed coarse stage — no cartesian/nested-loop node") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+      CartesianProductExec}
+    val vecs = mrlVecs
+    val cents = vecs.where($"vec_id" < 2)
+    val df = Similarity.mrlIvfTopK(vecs, vecs.where($"vec_id" < 3), cents,
+      "vec_id", "embedding", k = 3, prefixDim = 2, shortlist = 10, nprobe = 2)
+    val plan = df.queryExecution.sparkPlan
+    val bad = plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty,
+      "MRL stage 1 regressed to a crossJoin candidate space:\n" + plan)
+    // and the results are well-formed: self excluded, ranks contiguous
+    val rows = df.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _) => q != n })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toList == (1 to rs.length).map(_.toLong).toList)
+    }
+  }
+
+  test("mrlIvfTopK agrees with mrlTopK when one cell covers everything") {
+    // a single centroid puts the whole corpus in one cell, so the
+    // index-backed path degenerates to exactly the brute-force MRL
+    val vecs = mrlVecs
+    val cents = vecs.where($"vec_id" === 0)
+    val a = Similarity.mrlIvfTopK(vecs, vecs, cents, "vec_id", "embedding",
+      k = 3, prefixDim = 2, shortlist = 10, nprobe = 1)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = Similarity.mrlTopK(vecs, vecs, "vec_id", "embedding",
+      k = 3, prefixDim = 2, shortlist = 10)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("kmeans: Lloyd's converges and separates two angular clusters") {
     // two tight direction clusters; seeds one vector from each
     val around = (base: Seq[Float], eps: Float, ids: Range) =>

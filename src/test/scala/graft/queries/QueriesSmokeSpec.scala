@@ -61,6 +61,17 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("LessThan(ts,"), plan.takeRight(1500))
   }
 
+  test("sn2 prunes the 70-column scan to the percentile/curvature columns") {
+    val plan = formattedPlan(Queries.sn2BookShape(spark, sfDir))
+    assert(plan.contains("ReadSchema: struct<ts:bigint,symbol:string," +
+      "bid_p100:double,bid_p50:double,bid_p0:double,ask_p0:double," +
+      "ask_p50:double,ask_p100:double,curvature_short_bid:double," +
+      "curvature_long_ask:double>"),
+      plan.takeRight(1500))
+    assert(!plan.contains("mark_price"), "unreferenced snapshot column read")
+    assert(plan.contains("LessThan(ts,"), plan.takeRight(1500))
+  }
+
   test("q3 dim joins broadcast (fact side never shuffles for the join)") {
     val plan = Queries.q3ShippingPriority(spark, sfDir)
       .queryExecution.executedPlan.toString
