@@ -39,7 +39,8 @@ object SyncOnchain {
 
   private val tagSchema = DataType.fromDDL(
     "struct<data map<string, map<string, struct<entityTag string, " +
-      "hoverEntityTag string, tokenTag string, entityTags array<string>>>>>")
+      "hoverEntityTag string, tokenTag string, propertyTag string, " +
+      "entityTags array<string>, propertyTags array<string>>>>>")
 
   /** tx feed body → one row per transfer. */
   def parseTxs(raw: DataFrame): DataFrame =
@@ -55,21 +56,29 @@ object SyncOnchain {
         col("t.valueUsd").as("value_usd"))
 
   /** tag response body (+ response ts for key derivation) →
-    * (chain, address, tag) with decryption and the P14 fallback chain. */
+    * (chain, address, tag) with decryption and the P14 fallback chain.
+    *
+    * Decryption happens ONCE at the body grain with the recursive JSON walk
+    * ([[TagCrypto.decryptJson]], reference `decrypt_post.py:93-122`): every
+    * tag field and tag-list element at ANY depth — per-chain maps,
+    * per-address info structs, entityTags/propertyTags arrays — is
+    * plaintext before the schema'd parse, so the fallback chain is plain
+    * codegen'd coalesce with no per-field UDF calls. */
   def parseTags(raw: DataFrame): DataFrame = {
-    val byChain = raw.select(col("ts"),
+    val dec = raw.select(col("ts"),
+      TagCrypto.decryptJsonUdf(col("body"), col("ts").cast("string"))
+        .as("body"))
+    val byChain = dec.select(
       explode(from_json(col("body"), tagSchema).getField("data")))
-      .toDF("ts", "chain", "addrMap")
-    val byAddr = byChain.select(col("ts"), col("chain"),
-      explode(col("addrMap"))).toDF("ts", "chain", "address", "info")
-    def dec(c: org.apache.spark.sql.Column) =
-      TagCrypto.decryptTagUdf(c, col("ts").cast("string"))
+      .toDF("chain", "addrMap")
+    val byAddr = byChain.select(col("chain"),
+      explode(col("addrMap"))).toDF("chain", "address", "info")
     byAddr.select(col("chain"), col("address"),
       coalesce(
-        dec(col("info.entityTag")), dec(col("info.hoverEntityTag")),
-        dec(col("info.tokenTag")),
+        col("info.entityTag"), col("info.hoverEntityTag"),
+        col("info.tokenTag"),
         when(size(col("info.entityTags")) > 0,
-          dec(element_at(col("info.entityTags"), 1)))).as("tag"))
+          element_at(col("info.entityTags"), 1))).as("tag"))
       .where(col("tag").isNotNull)
   }
 

@@ -57,10 +57,64 @@ object TagCrypto {
     * (`decrypt_post.py:80-82`), kept bug-compatible: a ciphertext whose
     * byte length is a multiple of 3 base64-encodes without '=' padding and
     * is skipped by BOTH implementations. */
-  def decryptTag(tag: String, ts: String): String = {
+  def decryptTag(tag: String, ts: String): String =
+    decryptTagKeyed(tag, deriveKey(ts))
+
+  private def decryptTagKeyed(tag: String, key: Array[Byte]): String = {
     if (tag == null || !tag.contains("=")) return tag
-    val key = deriveKey(ts)
     tag.split("\\.").map(_.trim).map(decryptSegment(_, key)).mkString(": ")
+  }
+
+  /** Fields whose STRING value is a (possibly multi-segment) ciphertext. */
+  val TagFields: Set[String] =
+    Set("entityTag", "hoverEntityTag", "tokenTag", "propertyTag")
+
+  /** Fields whose value is a LIST of ciphertexts (decrypted element-wise). */
+  val ListFields: Set[String] = Set("entityTags", "propertyTags")
+
+  /** Recursive JSON decryption (reference `decrypt_post.py:93-122`): walk an
+    * arbitrarily nested response, decrypting every [[TagFields]] string and
+    * every element of every [[ListFields]] array, at ANY depth — per-chain
+    * maps, per-address info structs, future nesting — and return the
+    * re-serialized JSON. Non-JSON input passes through unchanged. Mirrors
+    * the reference exactly, including its non-recursion quirks: a tag
+    * field holding a non-string is copied as-is (its `decrypt_tag` returns
+    * non-str unchanged), and a list field holding a non-list falls through
+    * to the ordinary recursive case. */
+  def decryptJson(json: String, ts: String): String = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    if (json == null) return null
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = try mapper.readTree(json)
+               catch { case _: Exception => return json }
+    if (root == null) return json
+    val key = deriveKey(ts)
+    def walk(node: JsonNode): JsonNode = node match {
+      case o: ObjectNode =>
+        val out = mapper.createObjectNode()
+        val it = o.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val (k, v) = (e.getKey, e.getValue)
+          if (TagFields(k) && v.isTextual)
+            out.put(k, decryptTagKeyed(v.asText, key))
+          else if (ListFields(k) && v.isArray) {
+            val arr = out.putArray(k)
+            v.forEach { x =>
+              if (x.isTextual) arr.add(decryptTagKeyed(x.asText, key))
+              else { arr.add(x); () }
+            }
+          } else out.set(k, walk(v))
+        }
+        out
+      case a: ArrayNode =>
+        val out = mapper.createArrayNode()
+        a.forEach(x => { out.add(walk(x)); () })
+        out
+      case other => other
+    }
+    mapper.writeValueAsString(walk(root))
   }
 
   /** Encrypt helper (tests + fixture generation): inverse of decryptTag for
@@ -74,4 +128,10 @@ object TagCrypto {
 
   val decryptTagUdf: UserDefinedFunction =
     udf((tag: String, ts: String) => decryptTag(tag, ts))
+
+  /** Whole-response recursive decryption at the body grain: ONE UDF call
+    * per response row (vs one per tag field per address), after which the
+    * schema'd `from_json` parse reads plaintext everywhere. */
+  val decryptJsonUdf: UserDefinedFunction =
+    udf((json: String, ts: String) => decryptJson(json, ts))
 }

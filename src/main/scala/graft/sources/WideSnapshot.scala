@@ -68,13 +68,39 @@ object WideSnapshot {
 
   /** Write-once fixture for an sf dir (marker: parquet _SUCCESS). The
     * fixture is derived data — parking it under tmp keeps the read-only
-    * testdata dir untouched. */
+    * testdata dir untouched.
+    *
+    * Concurrency-safe: the fixture is staged under a process-unique dir and
+    * atomically renamed into place (the same crash-safe swap the upsert
+    * sink uses). Concurrent sessions each build a staging copy and exactly
+    * one rename wins; losers discard theirs and read the winner's. A reader
+    * can never observe a half-written fixture, because the final path only
+    * ever appears via the rename. */
   def ensure(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_snapshot_v1_$key"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val base = new java.io.File(sys.props("java.io.tmpdir"))
+    val path = new java.io.File(base, s"graft_snapshot_v1_$key")
+    def complete(f: java.io.File) = new java.io.File(f, "_SUCCESS").exists()
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    if (!complete(path)) {
+      val staging = new java.io.File(base,
+        s"graft_snapshot_v1_${key}.tmp_${java.util.UUID.randomUUID}")
       derive(graft.Tables.events(spark, sfDir))
-        .write.mode("overwrite").parquet(path)
-    path
+        .write.mode("overwrite").parquet(staging.toString)
+      if (!staging.renameTo(path)) {
+        // target already exists: either a stale half-write from a crashed
+        // legacy run (no _SUCCESS — replace it) or a concurrent winner
+        if (!complete(path)) {
+          deleteRec(path)
+          if (!staging.renameTo(path)) deleteRec(staging)
+        } else deleteRec(staging)
+        require(complete(path),
+          s"snapshot fixture at $path incomplete after rename race")
+      }
+    }
+    path.toString
   }
 }

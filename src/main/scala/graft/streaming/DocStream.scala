@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.TextAnalysis
+import graft.operators.{Sampling, TextAnalysis}
 
 /** Streaming ingest for a training-data corpus: the document-side analogue
   * of [[KlineStream.ingest]], composing the text-pipeline operators into an
@@ -52,6 +52,119 @@ object DocStream {
     scored.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
+  }
+
+  /** PIPE2 — the pipe1 preprocessing funnel, incremental: quality gate →
+    * language filter → exact dedup (in-batch + cross-batch) → passage-level
+    * dedup with CROSS-BATCH passage fingerprints → deterministic stratified
+    * sample, per micro-batch.
+    *
+    * Batch-split-invariant for in-order delivery (spec-proven: the same
+    * corpus yields the same survivors arriving as one batch or three)
+    * because (a) every gate is a pure row predicate, (b) the exact-dedup
+    * winner is the first-delivered fingerprint, and (c) a passage
+    * fingerprint consumes its global first occurrence whether or not its
+    * document survives the cut — exactly pipe1's semantics, where
+    * passageDedup runs over the whole exact-deduped corpus BEFORE the
+    * survival filter. That is why the passage store records every fresh
+    * doc's fingerprints, not just survivors'.
+    *
+    * The passage store is a second prefix-partitioned parquet table
+    * (`pp=p<2hex>`), probed per batch with the same prefix-semi-join +
+    * partition-pruning pattern as the doc sink. Its rows are tagged with
+    * the writing batch id and it is appended BEFORE the doc sink: a
+    * replayed batch excludes its own earlier half-written rows by batch id
+    * (duplicate fingerprint rows are harmless — the probe is an anti-join
+    * by value), and writing passages first means a crash between the two
+    * appends replays as a batch whose docs are all still fresh — the
+    * doc-sink anti-join, not the passage store, is what makes the replay
+    * idempotent. */
+  def ingestFunnel(spark: SparkSession, dropDir: String, checkpointDir: String,
+      sinkPath: String, passageStorePath: String, minQuality: Double,
+      langs: Seq[String], passageK: Int, sampleRates: Map[String, Double],
+      sampleDefault: Double, markers: Seq[(String, Seq[String])],
+      stopwords: Seq[String], trigger: Trigger): StreamingQuery = {
+    val raw = spark.readStream.format("text").load(dropDir)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\t", 2).getItem(1).as("text"))
+    raw.writeStream
+      .queryName("doc-funnel")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val annotated = batch.select(
+          col("doc_id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.qualityScore(col("text"), stopwords).as("quality"),
+          TextAnalysis.langId(col("text"), markers).as("lang"))
+          .where(col("quality") >= minQuality && col("lang").isin(langs: _*))
+          .drop("quality")
+        val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+        val deduped = annotated.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+          .withColumn("fpp", concat(lit("p"), substring(col("fp"), 1, 2)))
+        val freshDocs = (if (exists(s, sinkPath)) {
+          val prefixes = deduped.select(col("fpp")).distinct()
+          val storedFps = s.read.parquet(sinkPath)
+            .join(broadcast(prefixes), Seq("fpp"), "left_semi")
+            .select(col("fp"))
+          deduped.join(storedFps, Seq("fp"), "left_anti")
+        } else deduped).persist()
+        // passage grain — EXACTLY passageDedup's chunk grammar, so the
+        // incremental funnel and pipe1 elect the same winners
+        val toksed = freshDocs.select(col("doc_id"),
+          transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+          .where(size(col("toks")) > 0)
+        val nChunks = ((size(col("toks")) + (passageK - 1)) / passageK)
+          .cast("int")
+        val passages = toksed.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => md5(concat_ws(" ", slice(col("toks"), i * passageK + 1,
+              lit(passageK)))))).as(Seq("idx", "pfp")))
+          .withColumn("pp", concat(lit("p"), substring(col("pfp"), 1, 2)))
+          .persist()
+        val storedPfps = if (exists(s, passageStorePath)) {
+          val pprefixes = passages.select(col("pp")).distinct()
+          s.read.parquet(passageStorePath)
+            .where(col("batch_id") =!= batchId) // replayed-batch self-rows
+            .join(broadcast(pprefixes), Seq("pp"), "left_semi")
+            .select(col("pfp"))
+        } else passages.select(col("pfp")).where(lit(false))
+        // record this batch's NEW fingerprints before touching the doc sink
+        val newPfps = passages.select(col("pp"), col("pfp")).distinct()
+          .join(storedPfps, Seq("pfp"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+        if (!newPfps.isEmpty)
+          newPfps.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("pp").parquet(passageStorePath)
+        val wp = Window.partitionBy(col("pfp"))
+          .orderBy(col("doc_id"), col("idx"))
+        val keptP = passages.withColumn("_rn", row_number().over(wp))
+          .where(col("_rn") === 1)
+          .join(storedPfps, Seq("pfp"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+        val totals = passages.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_passages"))
+        // inner join on totals: zero-token docs have no passage rows and
+        // drop out — pipe1's join does the same
+        val survivors = freshDocs
+          .join(totals, Seq("doc_id"))
+          .join(keptP, Seq("doc_id"), "left_outer")
+          .where(lit(2) * coalesce(col("n_kept"), lit(0L))
+            >= col("n_passages"))
+          .drop("n_kept", "n_passages")
+        val sampled = Sampling.stratifiedSample(survivors, "doc_id", "lang",
+          sampleRates, sampleDefault)
+        if (!sampled.isEmpty)
+          sampled.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("fpp").parquet(sinkPath)
+        passages.unpersist()
+        freshDocs.unpersist()
+        ()
+      }
+      .start()
   }
 
   def ingest(spark: SparkSession, dropDir: String, checkpointDir: String,

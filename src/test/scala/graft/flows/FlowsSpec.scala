@@ -425,6 +425,52 @@ class FlowsSpec extends SparkSpec {
     assert(TagCrypto.decryptTag(two, ts) == "A: B")
   }
 
+  test("recursive JSON decryption: nested structs, tag lists, quirk parity") {
+    val ts = "1704067200123"
+    val e = (s: String) => TagCrypto.encryptTag(s, ts)
+    // tags nested at several depths: per-chain map → address struct with an
+    // entityTags array, a propertyTags list inside a deeper object, a tag
+    // field holding a NON-string (reference copies it untouched), and a
+    // list field holding a non-list (reference recurses into it instead)
+    val body =
+      s"""{"data":{"ETH":{"0xa":{
+         |  "entityTag":"${e("Kraken 4")}",
+         |  "entityTags":["${e("Exchange")}","plain",7],
+         |  "meta":{"propertyTags":["${e("Cold Storage")}"],
+         |          "inner":[{"tokenTag":"${e("USDT Treasury")}"}]},
+         |  "hoverEntityTag":42,
+         |  "propertyTag":{"nested":"${e("NotDecrypted")}"}
+         |}}}}""".stripMargin.replace("\n", "")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = mapper.readTree(TagCrypto.decryptJson(body, ts))
+    val a = out.get("data").get("ETH").get("0xa")
+    assert(a.get("entityTag").asText == "Kraken 4")
+    assert(a.get("entityTags").get(0).asText == "Exchange")
+    assert(a.get("entityTags").get(1).asText == "plain") // pass-through
+    assert(a.get("entityTags").get(2).asInt == 7) // non-string untouched
+    assert(a.get("meta").get("propertyTags").get(0).asText == "Cold Storage")
+    assert(a.get("meta").get("inner").get(0).get("tokenTag").asText
+      == "USDT Treasury")
+    assert(a.get("hoverEntityTag").asInt == 42) // non-string tag: as-is
+    // propertyTag holding an OBJECT: reference's decrypt_tag(v) returns the
+    // object untouched — the nested ciphertext must stay encrypted
+    assert(a.get("propertyTag").get("nested").asText != "NotDecrypted")
+    // non-JSON input passes through unchanged
+    assert(TagCrypto.decryptJson("not json {", ts) == "not json {")
+  }
+
+  test("parseTags resolves a tag that ONLY exists in a nested entityTags list") {
+    val ts = "1704067200123"
+    val enc = TagCrypto.encryptTag("Bridge Operator", ts)
+    val tagBody =
+      s"""{"data":{"ETH":{"0xn":{"entityTag":null,"hoverEntityTag":null,
+         |"tokenTag":null,"entityTags":["$enc"]}}}}"""
+        .stripMargin.replace("\n", "")
+    val tags = SyncOnchain.parseTags(Seq((ts, tagBody)).toDF("ts", "body"))
+      .as[(String, String, String)].collect()
+    assert(tags.toList == List(("ETH", "0xn", "Bridge Operator")))
+  }
+
   test("onchain: decrypt → fallback chain → double tag lookup → classify") {
     val ts = "1704067200123"
     val encBinance = TagCrypto.encryptTag("Binance Cold", ts)

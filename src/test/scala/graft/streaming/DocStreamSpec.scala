@@ -11,6 +11,42 @@ class DocStreamSpec extends SparkSpec {
     "en" -> Seq("the", "and"), "de" -> Seq("der", "und"))
   private val stopwords = Seq("the", "and")
 
+  test("pipe2 funnel is batch-split invariant: 1 delivery vs 3 deliveries") {
+    // passageK=5, 10-token docs → 2 passages each. Hand-computed winners:
+    // d1 introduces P_A,P_B (2/2 kept, survives); d2 re-uses P_A (1/2,
+    // survives); d3 re-uses P_B and P_A ACROSS batches (0/2, cut); d4
+    // re-uses d2's P_C (1/2, survives); d5 is an exact cross-batch dup of
+    // d1 (deduped); d6 re-uses P_A (1/2, survives).
+    val d1 = "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5"
+    val d2 = "a1 a2 a3 a4 a5 c1 c2 c3 c4 c5"
+    val d3 = "b1 b2 b3 b4 b5 a1 a2 a3 a4 a5"
+    val d4 = "c1 c2 c3 c4 c5 e1 e2 e3 e4 e5"
+    val d6 = "f1 f2 f3 f4 f5 a1 a2 a3 a4 a5"
+    val all = Seq(1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4, 5L -> d1, 6L -> d6)
+    def run(splits: Seq[Seq[(Long, String)]], tag: String): List[Long] = {
+      val base = Files.createTempDirectory(s"pipe2$tag")
+      val drop = base.resolve("drop"); Files.createDirectories(drop)
+      val sink = base.resolve("sink").toString
+      val store = base.resolve("pstore").toString
+      val ckpt = base.resolve("ckpt").toString
+      splits.zipWithIndex.foreach { case (docs, i) =>
+        Files.write(drop.resolve(s"f$i.txt"),
+          docs.map { case (id, t) => s"$id\t$t" }.mkString("\n").getBytes)
+        DocStream.ingestFunnel(spark, drop.toString, ckpt, sink, store,
+          minQuality = 0.0, langs = Seq("en"), passageK = 5,
+          sampleRates = Map.empty, sampleDefault = 1.0,
+          markers = markers, stopwords = stopwords,
+          trigger = Trigger.AvailableNow()).awaitTermination(60000)
+      }
+      spark.read.parquet(sink).select($"doc_id").as[Long]
+        .collect().sorted.toList
+    }
+    val one = run(Seq(all), "one")
+    val three = run(Seq(all.take(2), all.slice(2, 4), all.drop(4)), "three")
+    assert(one == three, s"split-variant survivors: $one vs $three")
+    assert(one == List(1L, 2L, 4L, 6L))
+  }
+
   test("doc ingest quality-gates, dedups within and across micro-batches") {
     val base = Files.createTempDirectory("docstream")
     val drop = base.resolve("drop"); Files.createDirectories(drop)
