@@ -73,14 +73,20 @@ object SyncKlines {
         it.map { case (sym, s, e) => (sym, fetch(sym, s, e)) }
       }
       .toDF("symbol", "body")
-    val adapter = graft.sources.KlineAdapters.registry((exchange, instType))
-    val rows = adapter(raw, exchangeId, instType, ivlMs)
-      .where(col("ts").between(startMs, endMs))
-      // date-partition the fact table: a sync pass rewrites only the days
-      // it touched, not the table (the 100 TB layout lever)
-      .withColumn("dt_date", date_format(col("dt"), "yyyy-MM-dd"))
-    UpsertSink.upsert(spark, sinkPath, rows,
-      KeyCols :+ "ts", "ts", partitionCol = Some("dt_date"))
+      // pin the responses: the sink's empty-skip probe and the write are two
+      // actions over this subtree, and lineage re-execution must not hit the
+      // exchange twice per window (fetches are paid, rate-limited work)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adapter = graft.sources.KlineAdapters.registry((exchange, instType))
+      val rows = adapter(raw, exchangeId, instType, ivlMs)
+        .where(col("ts").between(startMs, endMs))
+        // date-partition the fact table: a sync pass rewrites only the days
+        // it touched, not the table (the 100 TB layout lever)
+        .withColumn("dt_date", date_format(col("dt"), "yyyy-MM-dd"))
+      UpsertSink.upsert(spark, sinkPath, rows,
+        KeyCols :+ "ts", "ts", partitionCol = Some("dt_date"))
+    } finally raw.unpersist(false)
   }
 
   /** A1: per-key watermark over the sink (one job for all keys). */

@@ -60,6 +60,19 @@ class SyncKlinesFlowSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 60)
   }
 
+  test("retrying fetch seam: every window 500s once, sync still converges") {
+    val sink = Files.createTempDirectory("klines").toString + "/flaky"
+    val keys = Seq((1.toShort, 1.toByte, "BTCUSDT"))
+      .toDF("exchange_id", "inst_type", "symbol")
+    flakyHits.clear()
+    SyncKlines.run(spark, sink, keys, "binance", 1, 1, M, Start,
+      Start + 9 * M, limit = 4, mergeWithinMs = M)(flakyFetch)
+    assert(spark.read.parquet(sink).count() == 10)
+    // 3 windows ([0,3],[4,7],[8,9]), each = one failed + one ok attempt
+    assert(flakyHits.size == 3 && flakyHits.values().stream()
+      .allMatch(n => n.get == 2))
+  }
+
   test("cold start (no sink) plans the whole range") {
     val sink = Files.createTempDirectory("klines").toString + "/cold"
     val keys = Seq((1.toShort, 1.toByte, "ETHUSDT"))
@@ -86,4 +99,26 @@ object SyncKlinesFlowSpec {
     (s to e by M).map { ts =>
       s"""[$ts,"100.1","101.2","99.3","100.5","7.5",${ts + M - 1},"750.0",42,"1","1","0"]"""
     }.mkString("[", ",", "]")
+
+  /** Per-url attempt counts, JVM-global so local-mode tasks share it. */
+  val flakyHits = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+
+  /** The production seam shape: (symbol, window) → url → disciplined GET.
+    * The transport 500s the first attempt on every url; the retry wrapper
+    * absorbs it. `retryDelayMs=1` keeps the spec fast without changing the
+    * schedule's shape. */
+  def flakyFetch(sym: String, s: Long, e: Long): String = {
+    val disciplined = graft.sources.RestClient.pacedRetrying(
+      graft.sources.RetryPolicy(retryDelayMs = 1, paceMs = 1)) { url =>
+      val n = flakyHits.computeIfAbsent(url,
+        _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+      if (n == 1) graft.sources.RestResponse(500, "transient upstream")
+      else {
+        val Array(sy, ss, ee) = url.stripPrefix("fixture://klines/").split("/")
+        graft.sources.RestResponse(200, serve(sy, ss.toLong, ee.toLong))
+      }
+    }
+    disciplined(s"fixture://klines/$sym/$s/$e").body
+  }
 }
