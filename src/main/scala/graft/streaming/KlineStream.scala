@@ -24,7 +24,10 @@ import graft.sinks.UpsertSink
   */
 object KlineStream {
 
-  /** Cadence table (deploy.py:49-181) → trigger. */
+  /** Cadence table (deploy.py:49-181) → trigger. Coarse map; the full
+    * deployment calendar with second offsets and a start delay that aligns
+    * the first micro-batch lives in [[Schedules.deployments]] /
+    * [[scheduledTrigger]]. */
   def triggerFor(flow: String): Trigger = flow match {
     case "onchain" | "macro"          => Trigger.ProcessingTime("30 seconds")
     case "kalshi"                     => Trigger.ProcessingTime("60 seconds")
@@ -32,6 +35,15 @@ object KlineStream {
     case "klines_1m" | "cex_inflow" | "symbols" => Trigger.AvailableNow()
     case _                            => Trigger.AvailableNow()
   }
+
+  /** Calendar-faithful trigger for a deployed flow: (initial delay to the
+    * next scheduled fire, fixed-rate trigger at the schedule's cadence).
+    * Sleep the delay, then start the query — e.g. sync_klines_1m
+    * (`cron "1 * * * *"`) first fires at minute 1 and then hourly. */
+  def scheduledTrigger(flow: String, nowMs: Long): (Long, Trigger) =
+    Schedules.deployments.get(flow)
+      .map(_.alignedTrigger(nowMs))
+      .getOrElse((0L, triggerFor(flow)))
 
   /** Micro-batch kline ingest: watch a drop directory of raw response files
     * `(symbol TAB body)` — the landing zone a fetcher writes — normalize
