@@ -239,19 +239,21 @@ object Dedup {
     // overKeys is at most rows/maxBlock keys — broadcast by construction
     val t = if (hasOver) all.join(broadcast(overKeys), blockCols, "left_anti")
             else all
-    val vocabToks = t.select(explode(col("toks")).as("tok")).distinct()
-    val exact = if (vocabToks.limit(63).count() <= 62) {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
-      val dict = broadcast(vocabToks.withColumn("bit", row_number().over(w) - 1))
-      val masks = t.select(col("id"), explode(col("toks")).as("tok"))
-        .join(dict, "tok")
-        .groupBy(col("id"))
-        .agg(sum(expr("shiftleft(cast(1 as bigint), bit)")).as("mask"))
-      // left join keeps empty-token docs (mask 0 → both-empty pairs score 1.0,
-      // matching the array-path semantics)
-      val masked = t.select((col("id") +: blockCols.map(col)): _*)
-        .join(masks, Seq("id"), "left_outer")
-        .withColumn("mask", coalesce(col("mask"), lit(0L)))
+    // vocab probe and dictionary in ONE model-sized collect (≤64 rows —
+    // hyperparameter scale, like the k-means centroid collect): when the
+    // vocabulary fits 62 bits the dictionary becomes a LITERAL token→bitmask
+    // map and each doc's mask folds map-side through `aggregate` — no
+    // explode/join/groupBy shuffle, no window, and empty-token docs get
+    // mask 0 for free (both-empty pairs score 1.0, same as the array path).
+    val vocab = t.select(explode(col("toks")).as("tok")).distinct()
+      .limit(64).collect().map(_.getString(0))
+    val exact = if (vocab.length <= 62) {
+      val bitMask = vocab.sorted.zipWithIndex
+        .map { case (tok, i) => tok -> (1L << i) }.toMap
+      val dict = typedlit(bitMask)
+      val masked = t.select((col("id") +: blockCols.map(col)) :+
+        aggregate(col("toks"), lit(0L),
+          (acc, tk) => acc.bitwiseOR(element_at(dict, tk))).as("mask"): _*)
       val a = masked.select((col("id").as("id_a") +: col("mask").as("mask_a") +:
         blockCols.map(col)): _*)
       val b = masked.select((col("id").as("id_b") +: col("mask").as("mask_b") +:

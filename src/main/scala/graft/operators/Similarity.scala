@@ -240,29 +240,62 @@ object Similarity {
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       init: Array[(Long, Array[Double])], maxIters: Int,
       dim: Int): Array[(Long, Array[Double])] = {
-    var cents = init
-    var it = 0
-    var stable = false
-    while (it < maxIters && !stable) {
-      it += 1
-      val assigned = assignCells(corpus, cents, idCol, vecCol, "vid", "v", 1)
-      val agged = assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(i =>
-            sum(element_at(col("v"), i + 1).cast("double")
-              .cast("decimal(27,9)")).cast("double").as(s"s$i")): _*)
-        .collect()
-      val next = agged.map { r =>
-        val n = r.getLong(1)
-        (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(2 + i) / n))
-      }.sortBy(_._1)
-      // empty cells drop out (their centroid attracted nothing); stability
-      // = identical cell populations produce identical means
-      stable = next.map(_._1).sameElements(cents.map(_._1)) &&
-        next.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) }
-      cents = next
-    }
-    cents
+    // Iteration is the one place the declarative form backfires (same
+    // finding as [[Components]]): the centroid literals change every Lloyd
+    // round, so each [[assignCells]] + 64-column rollup is a NEW plan that
+    // re-pays analysis + Janino compilation on hyperparameter-sized work —
+    // measured ~1 s/round of pure compile at sf0.1. The loop instead pins
+    // the (widened-to-double) vectors ONCE as an RDD and runs each round as
+    // one mapPartitions + k-row reduceByKey with broadcast centroids: zero
+    // plans built per round, identical arithmetic.
+    val spark = corpus.sparkSession
+    val vecs = corpus
+      .select(col(vecCol).cast("array<double>"))
+      .queryExecution.toRdd.map(_.getArray(0).toDoubleArray())
+      .persist()
+    try {
+      var cents = init
+      var it = 0
+      var stable = false
+      while (it < maxIters && !stable) {
+        it += 1
+        val bc = spark.sparkContext.broadcast(cents)
+        // per-cell (n, Σ per-dim decimal) — the SAME numerics as the SQL
+        // rollup (sum(cast(cast(x as double) as decimal(27,9)))): each
+        // element rounds to 9 dp HALF_UP first, decimal addition is exact
+        // so partition order can't change the sum
+        val agged = vecs.mapPartitions { iter =>
+          val cs = bc.value
+          val acc = scala.collection.mutable.LongMap
+            .empty[(Array[java.math.BigDecimal], Long)]
+          iter.foreach { x =>
+            val cell = KmeansMath.nearestCell(x, cs)
+            val slot = acc.getOrElseUpdate(cell,
+              (Array.fill(x.length)(java.math.BigDecimal.ZERO), 0L))
+            val sums = slot._1
+            var i = 0
+            while (i < x.length) {
+              sums(i) = sums(i).add(KmeansMath.dec9(x(i)))
+              i += 1
+            }
+            acc(cell) = (sums, slot._2 + 1)
+          }
+          acc.iterator
+        }.reduceByKey { (a, b) =>
+          (a._1.zip(b._1).map { case (x, y) => x.add(y) }, a._2 + b._2)
+        }.collect()
+        val next = agged.map { case (cell, (sums, n)) =>
+          (cell, sums.map(_.doubleValue() / n))
+        }.sortBy(_._1)
+        // empty cells drop out (their centroid attracted nothing);
+        // stability = identical cell populations produce identical means
+        stable = next.map(_._1).sameElements(cents.map(_._1)) &&
+          next.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) }
+        cents = next
+        bc.destroy()
+      }
+      cents
+    } finally { vecs.unpersist(false); () }
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -370,5 +403,48 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+}
+
+/** Executor-side scalar twins of [[Similarity.assignCells]]'s expression
+  * arithmetic, used by the RDD Lloyd loop. Kept bit-identical to the SQL
+  * forms (and therefore to the DuckDB oracle): left-to-right fold for dots
+  * and norms, +Infinity sentinel when a zero norm voids the cosine (the
+  * `neg_sim = -Infinity` branch — degenerate vectors land in the
+  * smallest-id cell), NaN similarities likewise, -0.0 == 0.0 as SQL
+  * comparison semantics require, ties to the smaller cell id, and
+  * double→decimal(27,9) conversion via the shortest-representation
+  * BigDecimal HALF_UP — exactly Spark's Cast. */
+private[operators] object KmeansMath {
+
+  def dec9(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+
+  /** argmax_j cosine(x, c_j); `cents` must be ascending by id. */
+  def nearestCell(x: Array[Double], cents: Array[(Long, Array[Double])]): Long = {
+    var xn = 0.0
+    var i = 0
+    while (i < x.length) { xn += x(i) * x(i); i += 1 }
+    val xnorm = math.sqrt(xn)
+    var bestCell = 0L
+    var bestSim = Double.NegativeInfinity
+    var first = true
+    var j = 0
+    while (j < cents.length) {
+      val (cid, c) = cents(j)
+      var dot = 0.0
+      var cn = 0.0
+      i = 0
+      while (i < c.length) { dot += x(i) * c(i); cn += c(i) * c(i); i += 1 }
+      val denom = xnorm * math.sqrt(cn)
+      var sim =
+        if (denom > 0) { val s = dot / denom; if (s.isNaN) Double.PositiveInfinity else s }
+        else Double.PositiveInfinity
+      if (sim == 0.0) sim = 0.0 // normalize -0.0 (SQL compares them equal)
+      // ascending-id scan + strict > keeps the smaller id on ties
+      if (first || sim > bestSim) { bestSim = sim; bestCell = cid; first = false }
+      j += 1
+    }
+    bestCell
   }
 }
