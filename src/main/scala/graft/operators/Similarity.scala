@@ -298,6 +298,35 @@ object Similarity {
     } finally { vecs.unpersist(false); () }
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with the IVF coarse
+    * quantizer (map-side [[assignCells]] — zero shuffle before the cell
+    * equi-join), then inside each cell drop every vector that has a
+    * smaller-id cellmate with cosine ≥ `threshold`. The paper keeps one
+    * representative per within-cluster duplicate group; smallest id is the
+    * deterministic, engine-portable choice (NOT transitive closure across
+    * cells — that's [[graft.operators.Components]]' job on the d5 pair
+    * list; SemDeDup is deliberately cluster-local so the quadratic verify
+    * never crosses cells, the same blocking discipline as jaccardDupPairs,
+    * with k sized so n/k bounds the per-cell pair space at scale).
+    * Returns survivors as (id, cell). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Double])], threshold: Double): DataFrame = {
+    val assigned = assignCells(df, cents, idCol, vecCol, "id", "v", 1)
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    // 6-dp rounding before the cut, like d5: boundary pairs land the same
+    // way in both engines
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        round(cosine(col("v_a"), col("v_b")), 6) >= threshold)
+      .select(col("cell"), col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cell"))
+      .join(dropped, Seq("cell", "id"), "left_anti")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     // quantizer model → driver; ascending id fixes the tie-break order.

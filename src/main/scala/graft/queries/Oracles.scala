@@ -1016,6 +1016,22 @@ object Oracles {
         |    lower(hex(encode(substr(text, 49, 4))))) AS frame_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "d10_semantic_dedup" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |aa AS (SELECT cell, nid AS ida, cv AS av FROM cass),
+         |bb AS (SELECT cell, nid AS idb, cv AS bv FROM cass),
+         |dr AS (SELECT DISTINCT idb FROM aa JOIN bb USING (cell)
+         |  WHERE ida < idb AND round(${cosChain("av", "bv")}, 6) >= $SemThreshold)
+         |SELECT nid AS vec_id, cell FROM cass
+         |WHERE nid NOT IN (SELECT idb FROM dr) ORDER BY vec_id""".stripMargin,
+
     "s3_ivf_ann" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),

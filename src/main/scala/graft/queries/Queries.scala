@@ -1135,6 +1135,20 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** D10: SemDeDup — semantic dedup over the embedding space: IVF-cell
+    * clustering (map-side assignment), then within each cell drop every
+    * vector with a smaller-id cellmate at cosine ≥ SemThreshold. Survivors
+    * with their cell, the keep-list a training pipeline joins back to the
+    * documents. */
+  def d10SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    Similarity.semanticDedup(emb, "vec_id", "embedding", cents, SemThreshold)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** S9: one Lloyd iteration of IVF quantizer training IN the engine —
     * map-side cell assignment against the initial centroids (zero shuffle
     * before the per-cell rollup), then new centroids as exact-decimal
@@ -1427,6 +1441,7 @@ object Queries {
     "d7_contamination" -> d7Contamination _,
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
+    "d10_semantic_dedup" -> d10SemanticDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,

@@ -46,6 +46,8 @@ object QuerySpec {
   val D5Threshold = 0.4
   // IVF (S3): coarse cells = centroid rows vec_id < NumCentroids, probe=1
   val NumCentroids = 8
+  // D10 SemDeDup: within-cell cosine cut for semantic duplicates
+  val SemThreshold = 0.4
   val IvfTopK = 5
   // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
   val MrlPrefixDim = 16

@@ -179,6 +179,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(_ < 6L))
   }
 
+  test("semanticDedup: smaller id survives in-cell; dups across cells both live") {
+    // two angular clusters; centroids = axis vectors, so cell = cluster
+    val cents = Array((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.01f, 0f)),   // cell 0
+      (11L, Seq(1.0f, 0.02f, 0f)),   // cell 0, ~dup of 10 → dropped
+      (12L, Seq(0.71f, 0.70f, 0f)),  // cell 0 ┐ near-dups straddling the
+      (13L, Seq(0.70f, 0.71f, 0f)),  // cell 1 ┘ boundary: rule is cluster-
+      (14L, Seq(0f, 1.0f, 0.5f))     // cell 1  local, so BOTH survive
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, threshold = 0.99)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(!out.contains(11L))            // in-cell dup, larger id dropped
+    assert(out.keySet == Set(10L, 12L, 13L, 14L))
+    assert(out(10L) == 0L && out(12L) == 0L && out(13L) == 1L)
+    // cos(10,12) ≈ 0.72 < 0.99: same cell, not similar enough → kept
+  }
+
   test("lshTopK returns bucket-mates ranked by cosine") {
     val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, nBits = 2, dim = 3)
