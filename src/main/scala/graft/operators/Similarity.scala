@@ -311,17 +311,28 @@ object Similarity {
     * with k sized so n/k bounds the per-cell pair space at scale).
     * Returns survivors as (id, cell). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Long, Array[Double])], threshold: Double): DataFrame = {
-    val assigned = assignCells(df, cents, idCol, vecCol, "id", "v", 1)
+      cents: Array[(Long, Array[Double])], threshold: Double,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    // cached: the assignment subtree (whose k×dim literal argmax is the
+    // expensive expression to COMPILE as much as to run) feeds three
+    // consumers — both pair sides and the survivor anti-join. The norm is
+    // precomputed PER VECTOR: higher-order array folds run interpreted, so
+    // a per-pair cosine pays three 64-element folds where one (the dot)
+    // suffices — norm(v) is the same double whether computed once or per
+    // pair, so dot/(na·nb) stays bit-identical to the oracle's formula.
+    val assigned = cache(
+      assignCells(df, cents, idCol, vecCol, "id", "v", 1)
+        .withColumn("nrm", norm(col("v"))))
     val a = assigned.select(col("cell"), col("id").as("id_a"),
-      col("v").as("v_a"))
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
-      col("v").as("v_b"))
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     // 6-dp rounding before the cut, like d5: boundary pairs land the same
     // way in both engines
     val dropped = a.join(b, Seq("cell"))
       .where(col("id_a") < col("id_b") &&
-        round(cosine(col("v_a"), col("v_b")), 6) >= threshold)
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          >= threshold)
       .select(col("cell"), col("id_b").as("id")).distinct()
     assigned.select(col("id"), col("cell"))
       .join(dropped, Seq("cell", "id"), "left_anti")
