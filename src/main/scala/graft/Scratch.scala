@@ -237,8 +237,25 @@ object Scratch {
             operators.Components.connectedComponents(docs, "doc_id",
               pairs, "id_a", "id_b").count()
           }
+          // d10: replicas share the 8 fixed centroids, so cells grow k×
+          // (pair space k² within the original corpus slice is the honest
+          // stressor — replicas are near-copies in embedding space)
+          if (ops("d10")) timed(s"d10_x$k") {
+            val cents = operators.Similarity.collectCentroids(
+              emb0.where(col("vec_id") < 8), "vec_id", "embedding")
+            operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+              cents, 0.4).count()
+          }
+          // s11: the RDD Lloyd loop — rounds are data-size-independent in
+          // NUMBER; wall should grow ~linearly with the pinned vector set
+          if (ops("s11")) timed(s"s11_x$k") {
+            val init = operators.Similarity.collectCentroids(
+              emb0.where(col("vec_id") < 8), "vec_id", "embedding")
+            operators.Similarity.kmeans(emb, "vec_id", "embedding", init,
+              maxIters = 12, dim = 64).length.toLong
+          }
         }
-        for (q <- Seq("d3", "d6", "d7", "s2", "d9")
+        for (q <- Seq("d3", "d6", "d7", "s2", "d9", "d10", "s11")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
           val growth = scales.max.toDouble / scales.min
