@@ -298,6 +298,69 @@ object Similarity {
     } finally { vecs.unpersist(false); () }
   }
 
+  /** Product quantization ANN (Jégou, Douze, Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search" — public): split the vector
+    * into `m` contiguous subspaces; the codebook for subspace j is the j-th
+    * subvector of each designated centroid row (untrained, like the IVF
+    * cells — training would be [[kmeans]] per subspace, an offline model
+    * step). A corpus vector encodes to m small codes (argmin subspace L2²,
+    * ties to the smaller centroid id) — at scale the scanned corpus is m
+    * bytes/vector instead of 4·dim, the whole point of PQ. A query builds
+    * its m×k distance table ONCE (model-sized expression), and the
+    * asymmetric distance (ADC) of a pair is m table lookups summed in
+    * subspace order — no per-pair vector math at all.
+    *
+    * Everything stays oracle-exact: L2² is the left-to-right fold
+    * Σ(x_i−c_i)², the table entries are built with the same fold the oracle
+    * uses, and lookup+sum order is ascending j. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
+      k: Int, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // codebook[j] = (centId, subvector) ascending id; code = POSITION in
+    // this order (0-based), so the distance-table lookup is a plain
+    // element_at
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      cents.map(_._2.slice(j * dsub, (j + 1) * dsub))
+    }
+    def sub(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    def l2sq(x: Column, cLit: Column): Column =
+      aggregate(zip_with(x, cLit,
+        (a, c) => (a.cast("double") - c) * (a.cast("double") - c)),
+        lit(0.0), (acc, d) => acc + d)
+    // per-subspace distances to all k codebook entries, as one array column
+    def distsJ(v: Column, j: Int): Column = {
+      val cb = typedlit(codebook(j).map(_.toSeq).toSeq) // k × dsub
+      transform(cb, c => l2sq(sub(v, j), c))
+    }
+    // encode: argmin position per subspace — min (dist, pos) struct
+    def codes(v: Column): Column = array((0 until m).map { j =>
+      val scored = zip_with(distsJ(v, j),
+        typedlit(cents.indices.map(_.toLong)),
+        (d, pos) => struct(d.as("d"), pos.as("pos")))
+      element_at(array_sort(scored), 1).getField("pos")
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      codes(col(vecCol)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      array((0 until m).map(j => distsJ(col(vecCol), j)): _*).as("qtab"))
+    // ADC: Σ_j qtab[j][code_j] — ascending-j fold, matching the oracle
+    val adist = (0 until m).map { j =>
+      element_at(element_at(col("qtab"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 6).as("adist"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space with the IVF coarse
     * quantizer (map-side [[assignCells]] — zero shuffle before the cell

@@ -1016,6 +1016,44 @@ object Oracles {
         |    lower(hex(encode(substr(text, 49, 4))))) AS frame_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "s12_pq_ann" -> {
+      val dsub = EmbeddingDim / PqM
+      // subspace-j L2² between a[.] and b[.], ascending-index left fold —
+      // the same Σ(x−c)² chain the Spark aggregate computes
+      def l2Chain(a: String, b: String, j: Int): String =
+        (j * dsub + 1 to (j + 1) * dsub).map(i =>
+          s"(($a[$i]::DOUBLE - $b[$i]::DOUBLE) * ($a[$i]::DOUBLE - $b[$i]::DOUBLE))")
+          .mkString("(0 + ", " + ", ")")
+      val encCtes = (0 until PqM).map(j =>
+        s"""e$j AS (SELECT nid, cent_id, row_number() OVER (PARTITION BY nid
+           |  ORDER BY ${l2Chain("cv", "cvec", j)}, cent_id) AS arn
+           |  FROM corp CROSS JOIN cent)""".stripMargin).mkString(",\n")
+      val codeTables = (0 until PqM).map(j =>
+        s"(SELECT nid, cent_id AS c$j FROM e$j WHERE arn = 1) x$j")
+      val codeJoin = codeTables.head +
+        codeTables.tail.map(t => s" JOIN $t USING (nid)").mkString
+      val centJoins = (0 until PqM).map(j =>
+        s"JOIN cent b$j ON b$j.cent_id = codes.c$j").mkString(" ")
+      val adist = (0 until PqM).map(j =>
+        l2Chain("qs.qv", s"b$j.cvec", j)).mkString("(", " + ", ")")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < $NumQueries),
+         |$encCtes,
+         |codes AS (SELECT * FROM $codeJoin),
+         |sc AS (SELECT query_id, nid AS neighbor_id, $adist AS adist
+         |  FROM codes CROSS JOIN qs $centJoins
+         |  WHERE nid <> query_id),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  round(adist, 6) AS adist
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
     "d10_semantic_dedup" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),

@@ -1149,6 +1149,19 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** S12: product-quantization ANN — corpus encoded to PqM per-subspace
+    * codes against the designated-row codebook, queries score candidates by
+    * asymmetric distance (per-query table lookups, no per-pair vector
+    * math). Top-k ascending ADC distance, ties to the smaller neighbor. */
+  def s12PqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    Similarity.pqTopK(emb, emb.where(col("vec_id") < NumQueries), cents,
+      "vec_id", "embedding", TopK, PqM, EmbeddingDim)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S9: one Lloyd iteration of IVF quantizer training IN the engine —
     * map-side cell assignment against the initial centroids (zero shuffle
     * before the per-cell rollup), then new centroids as exact-decimal
@@ -1468,7 +1481,8 @@ object Queries {
     "s8_mrl_ann" -> s8MrlAnn _,
     "s9_kmeans_step" -> s9KmeansStep _,
     "s10_mrl_ivf" -> s10MrlIvf _,
-    "s11_kmeans_train" -> s11KmeansTrain _)
+    "s11_kmeans_train" -> s11KmeansTrain _,
+    "s12_pq_ann" -> s12PqAnn _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

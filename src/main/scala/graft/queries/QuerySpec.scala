@@ -48,6 +48,8 @@ object QuerySpec {
   val NumCentroids = 8
   // D10 SemDeDup: within-cell cosine cut for semantic duplicates
   val SemThreshold = 0.4
+  // S12 product quantization: m subspaces of EmbeddingDim/m dims each
+  val PqM = 8
   val IvfTopK = 5
   // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
   val MrlPrefixDim = 16

@@ -179,6 +179,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall(_ < 6L))
   }
 
+  test("pqTopK: ADC distance is exact when vectors sit on the codebook") {
+    // dim 4, m 2, dsub 2: codebook rows are the 2 "centroid" vectors; a
+    // corpus vector equal to a centroid encodes to that centroid in both
+    // subspaces and its ADC distance to a query IS the true L2² (table
+    // lookups sum the real subspace distances)
+    val cents = Array(
+      (0L, Array(1.0, 0.0, 0.0, 1.0)), (1L, Array(0.0, 1.0, 1.0, 0.0)))
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),      // = centroid 0
+      (1L, Seq(0f, 1f, 1f, 0f)),      // = centroid 1
+      (10L, Seq(1f, 0.1f, 1f, 0.1f)), // mixed: sub0→cent0, sub1→cent1
+      (11L, Seq(0.9f, 0f, 0f, 0.9f))  // near centroid 0
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 0L)
+    val out = Similarity.pqTopK(corpus, queries, cents, "vec_id",
+      "embedding", k = 3, m = 2, dim = 4)
+      .select("neighbor_id", "rank", "adist").as[(Long, Long, Double)]
+      .collect().sortBy(_._2)
+    // 11 quantizes to (cent0, cent0): ADC(q=cent0) = 0.0 exactly — ranked
+    // above 10 (one subspace off) and 1 (both off: 1+1+1+1 = 4)
+    assert(out.map(_._1).toSeq == Seq(11L, 10L, 1L))
+    assert(out(0)._3 == 0.0) // quantization collapses 11 onto the query
+    assert(out(2)._3 == 4.0)
+  }
+
   test("semanticDedup: smaller id survives in-cell; dups across cells both live") {
     // two angular clusters; centroids = axis vectors, so cell = cluster
     val cents = Array((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))
