@@ -64,13 +64,29 @@ object SyncKlines {
     import spark.implicits._
     val windows = fetchPlan(spark, sinkPath, activeKeys, ivlMs, startMs,
       endMs, limit, mergeWithinMs)
+    // Per-window failure isolation (reference `flows/sync_klines.py:97-100`:
+    // try/except per symbol, the loop continues): one window's exhausted
+    // retries must not fail the whole sync. A failed window emits nothing —
+    // which means its range is STILL A GAP, so the next run's gap scan
+    // re-plans exactly the missing windows. Failures are counted on an
+    // accumulator and logged after the merge; silent loss is not an option.
+    val failed = spark.sparkContext.longAccumulator("graft.fetch_failures")
     val raw = windows
       .repartition(col("exchange_id"))
       .select(col("symbol"), col("req_start"), col("req_end"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         // one task = one exchange's sequential, rate-limited fetch loop
-        it.map { case (sym, s, e) => (sym, fetch(sym, s, e)) }
+        it.flatMap { case (sym, s, e) =>
+          try Iterator.single((sym, fetch(sym, s, e)))
+          catch {
+            case scala.util.control.NonFatal(ex) =>
+              failed.add(1)
+              org.slf4j.LoggerFactory.getLogger("graft.SyncKlines").warn(
+                s"fetch failed for $sym [$s,$e]; window stays a gap: $ex")
+              Iterator.empty
+          }
+        }
       }
       .toDF("symbol", "body")
       // pin the responses: the sink's empty-skip probe and the write are two
@@ -86,6 +102,10 @@ object SyncKlines {
         .withColumn("dt_date", date_format(col("dt"), "yyyy-MM-dd"))
       UpsertSink.upsert(spark, sinkPath, rows,
         KeyCols :+ "ts", "ts", partitionCol = Some("dt_date"))
+      if (failed.value > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.SyncKlines").warn(
+          s"sync pass completed with ${failed.value} failed fetch " +
+            "window(s); their ranges remain gaps and re-plan next run")
     } finally raw.unpersist(false)
   }
 

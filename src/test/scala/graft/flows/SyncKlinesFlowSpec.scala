@@ -73,6 +73,25 @@ class SyncKlinesFlowSpec extends SparkSpec {
       .allMatch(n => n.get == 2))
   }
 
+  test("failure isolation: a dead window drops out, stays a gap, heals next run") {
+    val sink = Files.createTempDirectory("klines").toString + "/isolate"
+    val keys = Seq((1.toShort, 1.toByte, "BTCUSDT"))
+      .toDF("exchange_id", "inst_type", "symbol")
+    // run 1: the middle window ([4,7]) always 500s through every retry
+    SyncKlines.run(spark, sink, keys, "binance", 1, 1, M, Start,
+      Start + 9 * M, limit = 4, mergeWithinMs = 0L)(deadWindowFetch)
+    assert(spark.read.parquet(sink).count() == 6) // [0,3] + [8,9] landed
+    val gaps = GapEngine.gapPlan(
+      spark.read.parquet(sink).select($"exchange_id", $"inst_type", $"symbol", $"ts"),
+      keys, SyncKlines.KeyCols, "ts", M, Start, Start + 9 * M, 0L)
+      .select($"gap_start", $"gap_end").as[(Long, Long)].collect()
+    assert(gaps.toSeq == Seq((Start + 4 * M, Start + 7 * M)))
+    // run 2: endpoint healed — the re-planned gap window closes
+    SyncKlines.run(spark, sink, keys, "binance", 1, 1, M, Start,
+      Start + 9 * M, limit = 4, mergeWithinMs = 0L)(serve)
+    assert(spark.read.parquet(sink).count() == 10)
+  }
+
   test("cold start (no sink) plans the whole range") {
     val sink = Files.createTempDirectory("klines").toString + "/cold"
     val keys = Seq((1.toShort, 1.toByte, "ETHUSDT"))
@@ -99,6 +118,21 @@ object SyncKlinesFlowSpec {
     (s to e by M).map { ts =>
       s"""[$ts,"100.1","101.2","99.3","100.5","7.5",${ts + M - 1},"750.0",42,"1","1","0"]"""
     }.mkString("[", ",", "]")
+
+  /** Endpoint whose [4,7]-window is permanently down: the retry wrapper
+    * exhausts (3 attempts) and raises — SyncKlines must isolate it. */
+  def deadWindowFetch(sym: String, s: Long, e: Long): String = {
+    val disciplined = graft.sources.RestClient.withRetry(
+      graft.sources.RetryPolicy(retryDelayMs = 1)) { url =>
+      if (url.contains(s"/${Start + 4 * M}/"))
+        graft.sources.RestResponse(500, "window is down")
+      else {
+        val Array(sy, ss, ee) = url.stripPrefix("fixture://klines/").split("/")
+        graft.sources.RestResponse(200, serve(sy, ss.toLong, ee.toLong))
+      }
+    }
+    disciplined(s"fixture://klines/$sym/$s/$e").body
+  }
 
   /** Per-url attempt counts, JVM-global so local-mode tasks share it. */
   val flakyHits = new java.util.concurrent.ConcurrentHashMap[
