@@ -62,6 +62,7 @@ object ArchiveRestore {
     staging.mkdirs()
     val in = new TarArchiveInputStream(new GzipCompressorInputStream(
       new BufferedInputStream(new FileInputStream(tar))))
+    var ok = false
     try {
       var e = in.getNextEntry
       while (e != null) {
@@ -77,10 +78,19 @@ object ArchiveRestore {
         }
         e = in.getNextEntry
       }
-    } finally in.close()
-    // atomic publish: a crashed extract leaves only a staging dir behind
+      ok = true
+    } finally {
+      in.close()
+      if (!ok) deleteRecursively(staging) // failed extract leaves nothing
+    }
+    // atomic publish: the final path only ever appears via the rename
     if (!staging.renameTo(dest) && !dest.exists())
       throw new IllegalStateException(s"could not publish $dest")
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   /** `Path(extract_dir).rglob("*.db")`. */

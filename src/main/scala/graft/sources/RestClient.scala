@@ -102,7 +102,13 @@ object RestClient {
       val stream =
         if (status >= 400) Option(conn.getErrorStream)
         else Option(conn.getInputStream)
-      val body = stream.map { s =>
+      // the pinned session advertises Accept-Encoding: gzip, and unlike the
+      // reference's aiohttp, HttpURLConnection does NOT transparently
+      // decompress — honor the response's Content-Encoding here
+      val gzipped = Option(conn.getContentEncoding)
+        .exists(_.equalsIgnoreCase("gzip"))
+      val body = stream.map { raw =>
+        val s = if (gzipped) new java.util.zip.GZIPInputStream(raw) else raw
         try new String(s.readAllBytes(), StandardCharsets.UTF_8)
         finally s.close()
       }.getOrElse("")

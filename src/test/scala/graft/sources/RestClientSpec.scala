@@ -70,6 +70,26 @@ class RestClientSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(100L, 1000L))
   }
 
+  test("transport decompresses gzip responses (Accept-Encoding is honored)") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/gz", { ex =>
+      val buf = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(buf)
+      gz.write("""{"ok":true}""".getBytes("UTF-8")); gz.close()
+      val bytes = buf.toByteArray
+      ex.getResponseHeaders.set("Content-Encoding", "gzip")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val r = RestClient.httpTransport()(
+        s"http://127.0.0.1:${server.getAddress.getPort}/gz")
+      assert(r.status == 200 && r.body == """{"ok":true}""")
+    } finally server.stop(0)
+  }
+
   test("HttpURLConnection transport against loopback: headers, retry, body") {
     val seen = ArrayBuffer.empty[String]
     val hits = new AtomicInteger

@@ -89,6 +89,35 @@ class SchedulesSpec extends AnyFunSuite {
       .ProcessingTime(300000L))
   }
 
+  test("property: nextFire is the FIRST qualifying instant after the cursor") {
+    val schedules = Seq(
+      AtSeconds(Seq(5), minutes = "*/5"),
+      AtSeconds(Seq(5, 30), minutes = "0"),
+      AtSeconds(Seq(0, 59), minutes = "0,1,58", hours = "0,23"),
+      AtSeconds(Seq(17), minutes = "*/7", hours = "*/3"))
+    // brute-force twin: fires are whole-second instants, so the first
+    // candidate strictly after the cursor is the next whole second
+    def brute(s: AtSeconds, afterMs: Long): Long = {
+      var t = (math.floorDiv(afterMs, 1000L) + 1) * 1000L
+      val limit = t + 2L * 86400000L
+      while (t < limit) {
+        val ldt = java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(t), java.time.ZoneOffset.UTC)
+        if (expandField(s.hours, 0, 23).contains(ldt.getHour) &&
+          expandField(s.minutes, 0, 59).contains(ldt.getMinute) &&
+          s.seconds.contains(ldt.getSecond)) return t
+        t += 1000L
+      }
+      fail(s"brute scan found no fire for $s")
+    }
+    val rnd = new scala.util.Random(42)
+    val base = ms("2026-02-27T00:00:00Z") // spans a month boundary
+    for (s <- schedules; _ <- 1 to 50) {
+      val after = base + rnd.nextLong(3L * 86400000L) // sub-second cursors too
+      assert(s.nextFire(after) == brute(s, after), s"$s after $after")
+    }
+  }
+
   test("deployment table: every production flow keeps its calendar") {
     val d = Schedules.deployments
     assert(d.size == 10)
