@@ -414,6 +414,18 @@ object Oracles {
         |    / count(DISTINCT user_id) < 0.1 AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "a13_approx_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.4) AND quantile_cont(value, 0.6)
+        |    AS approx50_ok,
+        |  approx_quantile(value, 0.95)
+        |    BETWEEN quantile_cont(value, 0.9) AND max(value)
+        |    AS approx95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "w6_session_windows" ->
       s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events),
          |l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev

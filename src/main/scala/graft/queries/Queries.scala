@@ -529,6 +529,32 @@ object Queries {
           col("n_exact") < 0.1).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** A13: quantile SKETCH with a rank-tolerance contract (the a9 pattern
+    * for the percentile family): each engine computes its own approximate
+    * quantile (Spark: Greenwald-Khanna percentile_approx; DuckDB: t-digest)
+    * and asserts it lands within the EXACT neighboring-quantile band —
+    * approx p50 ∈ [p40, p60], approx p95 ∈ [p90, max]. The hashed columns
+    * are the exact percentiles (portable per t8) plus the contract
+    * booleans; the sketch values themselves never cross engines. */
+  def a13ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.4)).as("p40"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.6)).as("p60"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        max(col("value")).as("pmax"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("a50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("a95"))
+      .select(col("event_type"), col("p50"), col("p95"),
+        (col("a50") >= col("p40") && col("a50") <= col("p60"))
+          .as("approx50_ok"),
+        (col("a95") >= col("p90") && col("a95") <= col("pmax"))
+          .as("approx95_ok"))
+      .orderBy(col("event_type"))
+
   /** W6: session windows — per-user activity sessions with a 30-minute idle
     * gap, via Spark's native session_window (oracle: gap-and-islands). */
   def w6SessionWindows(s: SparkSession, d: String): DataFrame =
@@ -1410,6 +1436,7 @@ object Queries {
     "a5_distinct_users" -> a5DistinctUsers _,
     "a8_rollup" -> a8Rollup _,
     "a9_approx_distinct" -> a9ApproxDistinct _,
+    "a13_approx_quantiles" -> a13ApproxQuantiles _,
     "a10_cube" -> a10Cube _,
     "a11_dispersion" -> a11Dispersion _,
     "a12_correlation" -> a12Correlation _,

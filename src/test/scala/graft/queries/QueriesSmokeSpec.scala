@@ -77,4 +77,24 @@ class QueriesSmokeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("d10 pair verify is a cell EQUI-join over the cached assignment") {
+    val plan = Queries.d10SemanticDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // candidates come from hash/merge-joining on the cell key — never an
+    // all-pairs nested loop over the corpus
+    assert(!plan.contains("CartesianProduct"), "cartesian in d10")
+    assert(plan.contains("InMemoryTableScan"),
+      "assignment subtree not cached") // one argmax pass, three consumers
+  }
+
+  test("s12 scans codes and broadcasts the query tables (ADC shape)") {
+    val plan = Queries.s12PqAnn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // brute ADC baseline: corpus codes never shuffle for the join; the
+    // model-sized query side broadcasts (the documented crossJoin form)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), "non-broadcast cartesian")
+    assert(!plan.contains("SortMergeJoin"), "codes shuffled for the join")
+  }
 }
