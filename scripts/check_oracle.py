@@ -40,6 +40,9 @@ def hash_df(df: pd.DataFrame) -> str:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # pin threads: 32 threads x heavy vector SQL intermittently dies with
+    # "Resource temporarily unavailable" (thread alloc), not real OOM
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -787,6 +787,49 @@ object Oracles {
          |ORDER BY stage""".stripMargin
     },
 
+    "pipe3_embed_funnel" -> {
+      val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |j AS (SELECT d.doc_id, d.lang, d.text, e.embedding AS cv
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |sc AS (SELECT doc_id, lang, text, cv,
+         |    CAST(len(${rawToks("text")}) AS DOUBLE) AS qn,
+         |    len(list_filter(${rawToks("text")}, x -> list_contains($sw, x))) AS qhits,
+         |    CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS qlsum
+         |  FROM j),
+         |s1 AS (SELECT doc_id, lang, text, cv FROM sc
+         |  WHERE floor((least(qn / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN qn > 0 THEN qhits / qn ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN qn > 0 AND qlsum / qn BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+         |    * 10000.0 + 0.5) / 10000.0 >= 0.5),
+         |fpd AS (SELECT doc_id, lang, cv,
+         |    md5(array_to_string(${lowSeq("text")}, ' ')) AS f FROM s1),
+         |s2 AS (SELECT doc_id, lang, cv FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep FROM fpd)
+         |  WHERE doc_id = rep),
+         |ca AS (SELECT doc_id, lang, cv, cent_id,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM s2 CROSS JOIN cent),
+         |cass AS (SELECT doc_id, lang, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |aa AS (SELECT cell, doc_id AS ida, cv AS av FROM cass),
+         |bb AS (SELECT cell, doc_id AS idb, cv AS bv FROM cass),
+         |dr AS (SELECT DISTINCT idb FROM aa JOIN bb USING (cell)
+         |  WHERE ida < idb AND round(${cosChain("av", "bv")}, 6) >= $SemThreshold),
+         |s3 AS (SELECT doc_id, lang FROM cass
+         |  WHERE doc_id NOT IN (SELECT idb FROM dr)),
+         |s4 AS (SELECT * FROM s3
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |    CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+         |SELECT 's0_all' AS stage, count(*) AS n_docs FROM j
+         |UNION ALL SELECT 's1_quality', count(*) FROM s1
+         |UNION ALL SELECT 's2_exact', count(*) FROM s2
+         |UNION ALL SELECT 's3_semantic', count(*) FROM s3
+         |UNION ALL SELECT 's4_sample', count(*) FROM s4
+         |ORDER BY stage""".stripMargin
+    },
+
     "t1_lang_id" -> {
       val scores = LangMarkers.map { case (lang, words) =>
         val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -1266,6 +1266,38 @@ object Queries {
       .orderBy(col("stage"))
   }
 
+  /** PIPE3: the embedding-aware funnel — the full modern preprocessing
+    * recipe as ONE declarative plan: attach embeddings, quality-gate,
+    * exact-dedup, SEMANTIC-dedup (d10's within-cell cosine cut), then the
+    * deterministic stratified sample. Relational and vector stages fuse in
+    * the same Catalyst plan; shuffles are the dedup grains and the cell
+    * equi-join only. */
+  def pipe3EmbedFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val joined = docs.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val s1 = joined.where(
+      TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5)
+    val s2 = Dedup.exactDedup(s1, "doc_id", "text")
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val surv = Similarity.semanticDedup(s2, "doc_id", "embedding", cents,
+      SemThreshold)
+    val s3 = s2.join(surv.select(col("id").as("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val s4 = Sampling.stratifiedSample(s3, "doc_id", "lang",
+      Map("en" -> 0.25), default = 0.5)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    Seq(stage("s0_all", joined), stage("s1_quality", s1),
+      stage("s2_exact", s2), stage("s3_semantic", s3),
+      stage("s4_sample", s4))
+      .reduce(_ unionByName _)
+      .orderBy(col("stage"))
+  }
+
   /** T10: PII-style redaction pass — digit runs in the raw props payload
     * replaced by '#', with the redacted-character count per event. Pure
     * map-side regex (codegen'd), the scrubbing shape a 100 TB pipeline runs
@@ -1483,6 +1515,7 @@ object Queries {
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
+    "pipe3_embed_funnel" -> pipe3EmbedFunnel _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
