@@ -313,48 +313,91 @@ object Similarity {
     * Everything stays oracle-exact: L2² is the left-to-right fold
     * Σ(x_i−c_i)², the table entries are built with the same fold the oracle
     * uses, and lookup+sum order is ascending j. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame,
-      cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
-      k: Int, m: Int, dim: Int): DataFrame = {
+  /** Shared PQ model expressions: codebook slicing, per-row encoding,
+    * query distance tables, and the ADC lookup-sum — used by the flat
+    * [[pqTopK]] baseline and the cell-bucketed [[ivfPqTopK]]. All folds
+    * are ascending-index so both consumers stay bit-identical to their
+    * DuckDB oracles. */
+  private final class PqModel(cents: Array[(Long, Array[Double])], m: Int,
+      dim: Int) {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
-    // codebook[j] = (centId, subvector) ascending id; code = POSITION in
-    // this order (0-based), so the distance-table lookup is a plain
-    // element_at
-    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      cents.map(_._2.slice(j * dsub, (j + 1) * dsub))
+    private val dsub = dim / m
+    // codebook[j] = subvector of each centroid row, ascending id; code =
+    // POSITION in this order (0-based), so the distance-table lookup is a
+    // plain element_at
+    private val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) {
+      j => cents.map(_._2.slice(j * dsub, (j + 1) * dsub))
     }
-    def sub(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
-    def l2sq(x: Column, cLit: Column): Column =
+    private def sub(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    private def l2sq(x: Column, cLit: Column): Column =
       aggregate(zip_with(x, cLit,
         (a, c) => (a.cast("double") - c) * (a.cast("double") - c)),
         lit(0.0), (acc, d) => acc + d)
     // per-subspace distances to all k codebook entries, as one array column
-    def distsJ(v: Column, j: Int): Column = {
+    private def distsJ(v: Column, j: Int): Column = {
       val cb = typedlit(codebook(j).map(_.toSeq).toSeq) // k × dsub
       transform(cb, c => l2sq(sub(v, j), c))
     }
-    // encode: argmin position per subspace — min (dist, pos) struct
+    /** encode: argmin position per subspace — min (dist, pos) struct */
     def codes(v: Column): Column = array((0 until m).map { j =>
       val scored = zip_with(distsJ(v, j),
         typedlit(cents.indices.map(_.toLong)),
         (d, pos) => struct(d.as("d"), pos.as("pos")))
       element_at(array_sort(scored), 1).getField("pos")
     }: _*)
+    /** query-side m×k distance table, built once per query row */
+    def qtab(v: Column): Column =
+      array((0 until m).map(j => distsJ(v, j)): _*)
+    /** ADC: Σ_j qtab[j][code_j] — ascending-j fold, matching the oracle */
+    def adist(qtabCol: Column, codesCol: Column): Column =
+      (0 until m).map { j =>
+        element_at(element_at(qtabCol, j + 1),
+          (element_at(codesCol, j + 1) + 1).cast("int"))
+      }.reduce(_ + _)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
+      k: Int, m: Int, dim: Int): DataFrame = {
+    val pq = new PqModel(cents, m, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      codes(col(vecCol)).as("codes"))
+      pq.codes(col(vecCol)).as("codes"))
     val q = queries.select(col(idCol).as("query_id"),
-      array((0 until m).map(j => distsJ(col(vecCol), j)): _*).as("qtab"))
-    // ADC: Σ_j qtab[j][code_j] — ascending-j fold, matching the oracle
-    val adist = (0 until m).map { j =>
-      element_at(element_at(col("qtab"), j + 1),
-        (element_at(col("codes"), j + 1) + 1).cast("int"))
-    }.reduce(_ + _)
+      pq.qtab(col(vecCol)).as("qtab"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adist", adist)
+      .withColumn("adist", pq.adist(col("qtab"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("adist"), 6).as("adist"))
+  }
+
+  /** IVF-PQ — the composition a production ANN index actually ships
+    * (Jégou et al. 2011 §IV: coarse quantizer + per-cell PQ codes): the
+    * corpus is cell-assigned map-side ([[assignCells]], zero shuffle) and
+    * PQ-ENCODED in the same pass, so what shuffles to the cell equi-join
+    * is (cell, id, m codes) — m bytes of payload per vector instead of
+    * 4·dim, on top of the candidate space already being cells, not the
+    * corpus. Queries probe their `nprobe` nearest cells and carry the m×k
+    * ADC table built once per query. No crossJoin anywhere: at 100 TB the
+    * corpus is scanned once, encoded in place, and joined hash-on-cell
+    * against a broadcast query side. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      cents: Array[(Long, Array[Double])], idCol: String, vecCol: String,
+      k: Int, m: Int, dim: Int, nprobe: Int): DataFrame = {
+    val pq = new PqModel(cents, m, dim)
+    val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "cv", 1)
+      .select(col("cell"), col("neighbor_id"), pq.codes(col("cv")).as("codes"))
+    val q = assignCells(queries, cents, idCol, vecCol, "query_id", "qv", nprobe)
+      .select(col("cell"), col("query_id"), pq.qtab(col("qv")).as("qtab"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", pq.adist(col("qtab"), col("codes")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),

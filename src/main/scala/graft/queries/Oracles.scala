@@ -348,6 +348,87 @@ object Oracles {
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supp_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(supp_cost) AS min_cost
+        |  FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost
+        |FROM offers
+        |JOIN best USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE supp_cost = min_cost AND p_size <= 15 AND p_type = 'LARGE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_value" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, part_value FROM pv
+        |WHERE part_value >
+        |  (SELECT CAST(sum(CAST(part_value AS DECIMAL(27,2))) AS DOUBLE) / count(*) * 1.6 FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q12_priority_split" ->
+      s"""SELECT l_linestatus,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE epoch_ms(l_shipdate) >= $Ms1996
+         |  AND epoch_ms(l_shipdate) < $Ms1997
+         |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size <= 25
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH prof AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp
+        |  FROM lineitem GROUP BY 1),
+        |ret AS (
+        |  SELECT DISTINCT l_orderkey AS o_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, count(*) AS numwait
+        |FROM ret
+        |JOIN orders USING (o_orderkey)
+        |JOIN prof USING (o_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F' AND n_supp > 1 AND n_ret_supp = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT substr(c_name, 17, 2) AS code, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY code""".stripMargin,
+
     "q7_trade_flows" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  year(l_shipdate) AS l_year,
@@ -1101,6 +1182,48 @@ object Oracles {
          |sc AS (SELECT query_id, nid AS neighbor_id, $adist AS adist
          |  FROM codes CROSS JOIN qs $centJoins
          |  WHERE nid <> query_id),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  round(adist, 6) AS adist
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    },
+
+    "s13_ivf_pq" -> {
+      val dsub = EmbeddingDim / PqM
+      def l2Chain(a: String, b: String, j: Int): String =
+        (j * dsub + 1 to (j + 1) * dsub).map(i =>
+          s"(($a[$i]::DOUBLE - $b[$i]::DOUBLE) * ($a[$i]::DOUBLE - $b[$i]::DOUBLE))")
+          .mkString("(0 + ", " + ", ")")
+      val encCtes = (0 until PqM).map(j =>
+        s"""e$j AS (SELECT nid, cent_id, row_number() OVER (PARTITION BY nid
+           |  ORDER BY ${l2Chain("cv", "cvec", j)}, cent_id) AS arn
+           |  FROM corp CROSS JOIN cent)""".stripMargin).mkString(",\n")
+      val codeTables = (0 until PqM).map(j =>
+        s"(SELECT nid, cent_id AS c$j FROM e$j WHERE arn = 1) x$j")
+      val codeJoin = codeTables.head +
+        codeTables.tail.map(t => s" JOIN $t USING (nid)").mkString
+      val centJoins = (0 until PqM).map(j =>
+        s"JOIN cent b$j ON b$j.cent_id = codes.c$j").mkString(" ")
+      val adist = (0 until PqM).map(j =>
+        l2Chain("qv", s"b$j.cvec", j)).mkString("(", " + ", ")")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, cent_id AS cell
+         |  FROM ca WHERE nid < $NumQueries AND arn <= 2),
+         |$encCtes,
+         |codes AS (SELECT * FROM $codeJoin),
+         |sc AS (SELECT query_id, cass.nid AS neighbor_id, $adist AS adist
+         |  FROM cass JOIN qass USING (cell)
+         |  JOIN codes ON codes.nid = cass.nid $centJoins
+         |  WHERE cass.nid <> query_id),
          |r AS (SELECT query_id, neighbor_id, adist,
          |  row_number() OVER (PARTITION BY query_id
          |    ORDER BY adist, neighbor_id) AS rank FROM sc)

@@ -342,6 +342,177 @@ object Queries {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Q2-style: min-cost supplier — the correlated-min-subquery shape.
+    * Lineitem doubles as the part↔supplier supply relation (there is no
+    * partsupp table in this schema): per (part, supplier) the offer price
+    * is min(l_extendedprice), and a part's winning suppliers are those
+    * whose offer equals the part-wide minimum. The correlated subquery is
+    * re-expressed as a pre-aggregate joined back on the part key — the
+    * min-cost frame is part-keyed (uniform), so AQE broadcasts it locally
+    * and shuffles it hash-on-partkey at scale; the double equality is safe
+    * because both sides are the SAME un-arithmetic'd min of stored values. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val offers = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("supp_cost"))
+    val best = offers.groupBy(col("l_partkey"))
+      .agg(min(col("supp_cost")).as("min_cost"))
+    offers.join(best, Seq("l_partkey"))
+      .where(col("supp_cost") === col("min_cost"))
+      .join(broadcast(Tables.part(s, d)
+        .where(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supp_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11-style: important stock value — groups whose value exceeds a
+    * threshold derived from the GLOBAL aggregate (1.6× the mean per-part
+    * value — mean-relative so the selectivity survives scale-up, unlike
+    * TPC-H's literal total-fraction which no part can clear once the part
+    * count outgrows it). The per-part value aggregates once; the global
+    * threshold is the same aggregate re-reduced to a scalar and
+    * cross-joined back (broadcast by construction — one row). Decimal sums
+    * keep both engines' partial-aggregation order irrelevant. */
+  def q11ImportantValue(s: SparkSession, d: String): DataFrame = {
+    val value = (col("l_extendedprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(18,2)"))
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(value).cast("double").as("part_value"))
+    val threshold = perPart
+      .agg((sum(col("part_value").cast("decimal(27,2)")).cast("double") /
+        count(lit(1)) * lit(1.6)).as("cut"))
+    perPart.crossJoin(broadcast(threshold))
+      .where(col("part_value") > col("cut"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Q12-style: priority split by line status (the two-bucket conditional
+    * count — ship mode isn't in this schema, l_linestatus plays its role):
+    * orders joined to 1996-shipped lineitems, counting urgent/high vs other
+    * priorities per status. One shuffle on the join key, then a tiny
+    * two-group aggregate. */
+  def q12PrioritySplit(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .where(tsAtOrAfter(col("l_shipdate"), Ms1996) &&
+        tsBefore(col("l_shipdate"), Ms1997))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Q16-style: supplier diversity per part class — count(DISTINCT supp)
+    * per (brand, type, size) bucket, EXCLUDING a supplier denylist (the
+    * "complaints" anti-join; negative account balance plays the complaint
+    * predicate's role). The denylist is dimension-sized → broadcast
+    * anti-join; the distinct-count shuffles the (brand,type,size,supp)
+    * grain once. */
+  def q16SupplierCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(Tables.part(s, d)
+        .where(col("p_brand") =!= "Brand#13" && col("p_size") <= 25)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))),
+        Seq("l_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** Q19-style: disjunctive predicate revenue — three (brand, size range,
+    * quantity range) OR-arms spanning both join sides. Catalyst splits the
+    * common conjuncts out of the OR: the part filter (size ≥ 1, the brand
+    * IN-set) and the quantity envelope push into their scans, the residual
+    * disjunction evaluates post-join. */
+  def q19DisjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(arm("Brand#12", 1, 5, 1, 11) || arm("Brand#23", 1, 10, 10, 20) ||
+        arm("Brand#34", 1, 15, 20, 30))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1) -
+        col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+  }
+
+  /** Q21-style: the suppliers-who-kept-the-order-waiting shape — EXISTS and
+    * NOT EXISTS against the SAME fact at different predicates. A supplier's
+    * returned line (flag R) on a finished order counts only when another
+    * supplier is on the order (semi-join) and no OTHER supplier also
+    * returned (anti-join). Both probes re-aggregate lineitem to
+    * order-grain summaries first, so the exists checks join order-keyed
+    * aggregates instead of exploding line×line pairs. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // order-grain profile: supplier count overall and among returned lines
+    val prof = li.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+    li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+      .distinct()
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+      // EXISTS other supplier ∧ NOT EXISTS other returning supplier
+      .join(prof.where(col("n_supp") > 1 && col("n_ret_supp") === 1),
+        Seq("o_orderkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Q22-style: idle high-balance customers — a scalar-average subquery
+    * (positive balances only) gates customers, an ANTI-join drops anyone
+    * with orders, and the survivors roll up by a name-prefix code (the
+    * schema's stand-in for the phone country code). The average is exact
+    * decimal-sum/count; the anti-join shuffles customer-keyed rows once. */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.where(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      // "idle" = never placed an urgent order (every customer in the
+      // fixture has SOME order; the filtered anti-join keeps the shape and
+      // a non-empty answer)
+      .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), 17, 2).as("code"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("totacctbal"))
+      .orderBy(col("code"))
+  }
+
   // ---- Aggregations (SURVEY §2.5) ----------------------------------------
 
   /** A1 generalized: incremental watermark = max(ts) per key, one job for
@@ -1188,6 +1359,19 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S13: IVF-PQ — the production ANN composition: corpus cell-assigned
+    * AND PQ-encoded in one map-side pass, queries probe 2 cells with their
+    * precomputed ADC tables, candidates come from the cell equi-join only
+    * (never a corpus crossJoin), ranked by asymmetric distance. */
+  def s13IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < NumQueries), cents,
+      "vec_id", "embedding", TopK, PqM, EmbeddingDim, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S9: one Lloyd iteration of IVF quantizer training IN the engine —
     * map-side cell assignment against the initial centroids (zero shuffle
     * before the per-cell rollup), then new centroids as exact-decimal
@@ -1459,6 +1643,13 @@ object Queries {
     "q7_trade_flows" -> q7TradeFlows _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q9_product_profit" -> q9ProductProfit _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q11_important_value" -> q11ImportantValue _,
+    "q12_priority_split" -> q12PrioritySplit _,
+    "q16_supplier_count" -> q16SupplierCount _,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q21_waiting_supplier" -> q21WaitingSupplier _,
+    "q22_idle_customers" -> q22IdleCustomers _,
     "s4_centroids" -> s4Centroids _,
     "x1_asof_join" -> x1AsofJoin _,
     "x2_range_join" -> x2RangeJoin _,
@@ -1542,7 +1733,8 @@ object Queries {
     "s9_kmeans_step" -> s9KmeansStep _,
     "s10_mrl_ivf" -> s10MrlIvf _,
     "s11_kmeans_train" -> s11KmeansTrain _,
-    "s12_pq_ann" -> s12PqAnn _)
+    "s12_pq_ann" -> s12PqAnn _,
+    "s13_ivf_pq" -> s13IvfPq _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

@@ -204,6 +204,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2)._3 == 4.0)
   }
 
+  test("ivfPqTopK: cell-bucketed candidates, no cartesian node, sound ranks") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+      CartesianProductExec}
+    val cents = Array(
+      (0L, Array(1.0, 0.0, 0.0, 1.0)), (1L, Array(0.0, 1.0, 1.0, 0.0)))
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),
+      (1L, Seq(0f, 1f, 1f, 0f)),
+      (10L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),  // cell 0
+      (11L, Seq(0.1f, 0.9f, 0.9f, 0.1f))   // cell 1
+    ).toDF("vec_id", "embedding")
+    val df = Similarity.ivfPqTopK(corpus, corpus.where($"vec_id" < 2), cents,
+      "vec_id", "embedding", k = 3, m = 2, dim = 4, nprobe = 2)
+    // the production plan property: candidates come from the cell
+    // equi-join, never a corpus crossJoin
+    val bad = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, "IVF-PQ candidate space regressed to a crossJoin")
+    val rows = df.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _) => q != n })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toList ==
+        (1 to rs.length).map(_.toLong).toList)
+    }
+    // nprobe=2 with 2 cells = every cell probed: the ADC ranking must agree
+    // with flat pqTopK (same codebook, same tables) on the shared top-k
+    val flat = Similarity.pqTopK(corpus, corpus.where($"vec_id" < 2), cents,
+      "vec_id", "embedding", k = 3, m = 2, dim = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows.toSet == flat)
+  }
+
   test("semanticDedup: smaller id survives in-cell; dups across cells both live") {
     // two angular clusters; centroids = axis vectors, so cell = cluster
     val cents = Array((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0)))

@@ -88,6 +88,31 @@ class QueriesSmokeSpec extends SparkSpec {
       "assignment subtree not cached") // one argmax pass, three consumers
   }
 
+  test("q19 pushes the size envelope and the quantity bounds into the scans") {
+    val plan = formattedPlan(Queries.q19DisjunctiveRevenue(spark, sfDir))
+    // Catalyst extracts the common conjuncts out of the OR-of-ANDs: every
+    // arm bounds p_size and l_quantity, so both envelopes reach their scans
+    // as pushed filters even though the brand pairing is post-join
+    assert(plan.contains("LessThanOrEqual(p_size,15)"), plan.takeRight(1200))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,30.0)"), plan.takeRight(1200))
+  }
+
+  test("q2 min-cost lookup: dims broadcast, no cartesian") {
+    val plan = Queries.q2MinCostSupplier(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("s13 IVF-PQ: candidates from the cell equi-join, never a crossJoin") {
+    val plan = Queries.s13IvfPq(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "IVF-PQ went all-pairs")
+    assert(!plan.contains("CartesianProduct"), "cartesian in s13")
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
