@@ -254,8 +254,18 @@ object Scratch {
             operators.Similarity.kmeans(emb, "vec_id", "embedding", init,
               maxIters = 12, dim = 64).length.toLong
           }
+          // s13: IVF-PQ — corpus k×, query set and cell count fixed, so the
+          // candidate space per query grows k× (cells fatten); wall should
+          // track the encode scan ~linearly, never the corpus×queries product
+          if (ops("s13")) timed(s"s13_x$k") {
+            val cents = operators.Similarity.collectCentroids(
+              emb0.where(col("vec_id") < 8), "vec_id", "embedding")
+            operators.Similarity.ivfPqTopK(emb,
+              emb0.where(col("vec_id") < 8), cents, "vec_id", "embedding",
+              k = 5, m = 8, dim = 64, nprobe = 2).count()
+          }
         }
-        for (q <- Seq("d3", "d6", "d7", "s2", "d9", "d10", "s11")
+        for (q <- Seq("d3", "d6", "d7", "s2", "d9", "d10", "s11", "s13")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
           val growth = scales.max.toDouble / scales.min
