@@ -39,4 +39,36 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], default: Double): DataFrame =
     df.where(keep(col(idCol), col(strataCol), rates, default))
+
+  /** Distribution rebalancing — the static data-MIXING step of a training
+    * pipeline (DoReMi/DCLM-style): downsample over-represented strata so
+    * the surviving corpus approaches `targetShares`. Rates come FROM THE
+    * DATA, fully declaratively: one stratum-grain count aggregate (k rows),
+    * one scalar max, then a broadcast join of per-stratum thresholds back
+    * onto the corpus — no driver collect, no rand(). The most
+    * under-represented stratum (largest target/actual ratio) keeps
+    * everything; every other stratum keeps target-proportionally less, so
+    * the output mix is exact up to the 1/256 rate quantization of the
+    * deterministic md5 keep-predicate. Strata absent from `targetShares`
+    * are dropped (target share zero). */
+  def rebalanceSample(df: DataFrame, idCol: String, strataCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    val tgt = typedlit(targetShares)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_tgt", element_at(tgt, col(strataCol)))
+      .where(col("_tgt").isNotNull)
+    val maxRatio = counts
+      .agg(max(col("_tgt") / col("_n")).as("_maxr"))
+    val nQuant = round((col("_tgt") / col("_n")) / col("_maxr") * 256)
+      .cast("int")
+    val rates = counts.crossJoin(broadcast(maxRatio))
+      .select(col(strataCol),
+        when(nQuant >= 256, lit("g0")) // above every hex pair: keep all
+          .when(nQuant <= 0, lit("00"))
+          .otherwise(lpad(lower(hex(nQuant)), 2, "0")).as("_thr"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .where(substring(md5(col(idCol).cast("string")), 1, 2) < col("_thr"))
+      .drop("_thr")
+  }
 }

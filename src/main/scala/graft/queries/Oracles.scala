@@ -495,6 +495,20 @@ object Oracles {
         |    / count(DISTINCT user_id) < 0.1 AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "a14_retention" ->
+      s"""WITH ev AS (SELECT DISTINCT user_id,
+         |    (epoch_ms(ts) - $RangeStartMs) // ${24L * HourMs} AS day
+         |  FROM events),
+         |f AS (SELECT user_id,
+         |    min((epoch_ms(ts) - $RangeStartMs) // ${24L * HourMs})
+         |      AS cohort_day
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         |SELECT cohort_day, day - cohort_day AS day_offset,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM ev JOIN f USING (user_id)
+         |WHERE day >= cohort_day
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "a13_approx_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,
@@ -956,6 +970,24 @@ object Oracles {
          |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''))
          |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_subwords
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t13_mix_rebalance" ->
+      """WITH cin AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY 1),
+        |c AS (SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY 1),
+        |mx AS (SELECT max(0.2 / n) AS maxr FROM c),
+        |r AS (SELECT lang,
+        |    CAST(round(((0.2 / n) / maxr) * 256) AS INT) AS nq
+        |  FROM c CROSS JOIN mx),
+        |thr AS (SELECT lang, CASE WHEN nq >= 256 THEN 'g0'
+        |    WHEN nq <= 0 THEN '00'
+        |    ELSE lpad(lower(to_hex(nq)), 2, '0') END AS t FROM r),
+        |kept AS (SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN thr USING (lang)
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < t
+        |  GROUP BY 1)
+        |SELECT cin.lang, n_in, coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM cin LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
     "t6_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -1227,6 +1227,48 @@ object Queries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** T13: distribution rebalancing — the training-data MIXING step: derive
+    * per-language keep-rates from the data so the surviving corpus
+    * approaches a uniform language mix (the most under-represented
+    * language keeps everything), then apply the deterministic md5
+    * keep-predicate and report the before/after counts per language. All
+    * rates are computed declaratively inside the plan (stratum-grain
+    * aggregate + scalar max + broadcast join-back) — no driver collect. */
+  def t13MixRebalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val target = Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2).toMap
+    val kept = Sampling.rebalanceSample(docs, "doc_id", "lang", target)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      .join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_in"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** A14: cohort retention — users bucketed by FIRST-PURCHASE day (the
+    * acquisition event), distinct-user counts per (cohort day, day offset
+    * since acquisition). Two user-grain aggregates co-partition on the
+    * join key (one shuffle each, the join reuses the partitioning), then
+    * the rollup grain is days² — tiny at any corpus size. */
+  def a14Retention(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 24L * HourMs
+    def dayOf(c: Column): Column = ((c - lit(RangeStartMs)) / dayMs)
+      .cast("long")
+    val ev = Tables.events(s, d)
+    val firsts = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(dayOf(min(col("ts_ms"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), dayOf(col("ts_ms")).as("day"))
+      .distinct()
+    firsts.join(active, Seq("user_id"))
+      .where(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** M1: multimodal payload metadata — binary column + byte-offset frame
     * sampling (decode itself is the stubbed step; see Multimodal). */
   def m1MultimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -1660,6 +1702,7 @@ object Queries {
     "a8_rollup" -> a8Rollup _,
     "a9_approx_distinct" -> a9ApproxDistinct _,
     "a13_approx_quantiles" -> a13ApproxQuantiles _,
+    "a14_retention" -> a14Retention _,
     "a10_cube" -> a10Cube _,
     "a11_dispersion" -> a11Dispersion _,
     "a12_correlation" -> a12Correlation _,
@@ -1719,6 +1762,7 @@ object Queries {
     "t10_redaction" -> t10Redaction _,
     "t11_top_ngrams" -> t11TopNgrams _,
     "t12_doc_freq" -> t12DocFreq _,
+    "t13_mix_rebalance" -> t13MixRebalance _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

@@ -34,4 +34,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(df, "id", "s", Map.empty, 1.0).count() == 100)
     assert(Sampling.stratifiedSample(df, "id", "s", Map.empty, 0.0).count() == 0)
   }
+
+  test("rebalanceSample: rarest stratum fully kept, mix approaches target") {
+    // 4:1 imbalance toward "a"; uniform target → "b" (rarest) keeps ALL
+    // rows, "a" keeps ~1/4 of its rows, output lands near 50/50
+    val df = (0 until 2500).map(i =>
+      (i.toLong, if (i < 2000) "a" else "b")).toDF("id", "s")
+    val out = Sampling.rebalanceSample(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .as[(String, Long)].collect()
+    val by = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(by("b") == 500, s"under-represented stratum resampled: ${by("b")}")
+    assert(math.abs(by("a") - 500) < 100, s"a=${by("a")}")
+    // deterministic: same survivors on a re-run
+    val again = Sampling.rebalanceSample(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.5)).as[(String, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
+  test("rebalanceSample drops strata absent from the target") {
+    val df = (0 until 300).map(i =>
+      (i.toLong, Seq("a", "b", "junk")(i % 3))).toDF("id", "s")
+    val out = Sampling.rebalanceSample(df, "id", "s",
+      Map("a" -> 0.5, "b" -> 0.5))
+      .select("s").distinct().as[String].collect().toSet
+    assert(out == Set("a", "b"))
+  }
 }
