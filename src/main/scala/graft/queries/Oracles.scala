@@ -1519,6 +1519,38 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
 
+    "s14_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |ts AS (SELECT query_id, neighbor_id,
+         |  ${cosChain("qv", "cv")} AS sim
+         |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM ts)
+         |  WHERE rank <= $TopK),
+         |lc AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |  ${bucketChain("embedding")} AS bucket FROM embeddings),
+         |lq AS (SELECT vec_id AS query_id, embedding AS qv,
+         |  ${bucketChain("embedding")} AS bucket FROM embeddings
+         |  WHERE vec_id < $NumQueries),
+         |ls AS (SELECT query_id, neighbor_id,
+         |  ${cosChain("qv", "cv")} AS sim
+         |  FROM lc JOIN lq USING (bucket) WHERE neighbor_id <> query_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank FROM ls)
+         |  WHERE rank <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS recall
+         |FROM truth t LEFT JOIN approx a
+         |  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "s2_lsh_ann" ->
       s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
          |  ${bucketChain("embedding")} AS bucket FROM embeddings),

@@ -1600,6 +1600,30 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S14: ANN recall@k — the evaluation every approximate index ships
+    * with: sign-LSH hits against the brute-force cosine ground truth, per
+    * query (LSH is the engine's lossiest index — single-bucket candidates
+    * genuinely miss neighbors, so the metric shows real recall spread; IVF
+    * probe=1 scores 1.0 across this fixture). Both rankings are the
+    * engine's own operators composed in one plan; the truth side is
+    * query-batch-sized, so the hit join is a tiny co-partitioned equi-join
+    * and recall = hits / truth-set size in exact small-integer division. */
+  def s14AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < NumQueries)
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+      TopK)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      TopK, LshBits, EmbeddingDim)
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        count(lit(1))).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** T7: intra-document repetition ratio — the share of a doc's word
     * 3-grams that are repeats of an earlier 3-gram (a Gopher/C4-style
     * quality filter: high ratio = boilerplate/spam). Pure map-side. */
@@ -1778,7 +1802,8 @@ object Queries {
     "s10_mrl_ivf" -> s10MrlIvf _,
     "s11_kmeans_train" -> s11KmeansTrain _,
     "s12_pq_ann" -> s12PqAnn _,
-    "s13_ivf_pq" -> s13IvfPq _)
+    "s13_ivf_pq" -> s13IvfPq _,
+    "s14_ann_recall" -> s14AnnRecall _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON
