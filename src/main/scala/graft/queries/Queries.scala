@@ -352,17 +352,24 @@ object Queries {
     * and shuffles it hash-on-partkey at scale; the double equality is safe
     * because both sides are the SAME un-arithmetic'd min of stored values. */
   def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .where(col("p_size") <= 15 && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_name"))
+    // the part filter can't push below the offer aggregate on its own (it
+    // hits non-key columns), so prune EXPLICITLY: broadcast-semi-join the
+    // fact against the filtered part list BEFORE aggregating — per-part
+    // minima are unchanged, and at scale the aggregate consumes the
+    // qualifying slice instead of the whole fact
     val offers = Tables.lineitem(s, d)
+      .join(broadcast(parts.select(col("p_partkey").as("l_partkey"))),
+        Seq("l_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("supp_cost"))
     val best = offers.groupBy(col("l_partkey"))
       .agg(min(col("supp_cost")).as("min_cost"))
     offers.join(best, Seq("l_partkey"))
       .where(col("supp_cost") === col("min_cost"))
-      .join(broadcast(Tables.part(s, d)
-        .where(col("p_size") <= 15 && col("p_type") === "LARGE")
-        .select(col("p_partkey"), col("p_name"))),
-        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)),
@@ -467,8 +474,15 @@ object Queries {
     * aggregates instead of exploding line×line pairs. */
   def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // only orders with a returned line can produce output — restrict the
+    // (expensive, two-level countDistinct) profile aggregate to that slice
+    // before grouping; the R-scan predicate pushes to parquet
+    val retOrders = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
     // order-grain profile: supplier count overall and among returned lines
-    val prof = li.groupBy(col("l_orderkey").as("o_orderkey"))
+    val prof = li
+      .join(retOrders.distinct(), Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
           .as("n_ret_supp"))
