@@ -351,6 +351,15 @@ object Scratch {
           cc2 = operators.Components.connectedComponents(
             docs, "doc_id", pairs2, "id_a", "id_b"); 0L }
         time("count_cc")(cc2.orderBy(col("doc_id")).count())
+      case Some("m3x") =>
+        // count() would PRUNE the feature columns — force full evaluation
+        import org.apache.spark.sql.functions._
+        val df = queries.Queries.m3PayloadFeatures(spark, sfDir)
+        val total = expr((0 until 8).map(i => s"f$i").mkString(" + "))
+        time("m3_eval_first")(
+          df.agg(sum(total)).collect().length.toLong)
+        time("m3_eval_second")(
+          df.agg(sum(total)).collect().length.toLong)
       case Some(q) =>
         val fn = SparkEntry.queries(q)
         time(s"${q}_first")(fn(spark, sfDir).count())

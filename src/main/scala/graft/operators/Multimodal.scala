@@ -66,6 +66,59 @@ object Multimodal {
       }
     }
 
+  /** Deterministic byte-level feature extraction as PURE column
+    * expressions — the engine-owned half of the decode step with no UDF at
+    * all: `dim` interleaved byte-histogram accumulators (slot i%dim gains
+    * byte_i/255), L2-normalized in double. This is the exact shape a real
+    * decoder hands back (`binary → array<double>` per row, map-only), but
+    * expressed through Catalyst so it cross-verifies bit-for-bit against a
+    * relational oracle — byte values come off the hex string with exact
+    * integer arithmetic, folds are ascending-index. A real model swaps in
+    * behind the same signature ([[featureExtractStub]]); downstream ANN
+    * operators consume either. */
+  /** Per-dim byte-histogram sums from a MATERIALIZED hex column: one fold
+    * per dim over a stepped index sequence (positions d+1, d+1+dim, …) —
+    * plain double accumulation, no per-byte array allocation. `hexCol`/
+    * `nCol` must be real attributes, not expressions: expression trees
+    * don't memoize shared subtrees, so an inline hex(payload) would re-hex
+    * the whole payload on EVERY byte access inside the folds (measured
+    * ~50× slower). Ascending positions within a dim keep the fold order —
+    * and therefore the doubles — identical to a single interleaved pass.
+    * The n > d guard matters twice over: sequence() with start > stop
+    * would DESCEND, and an empty payload must yield all-zero sums. */
+  def byteSums(hexCol: Column, nCol: Column, dim: Int,
+      stride: Int = 1): Column = {
+    val byteAt = (i: Column) => // 1-based byte index → 0..255 as double
+      conv(hexCol.substr(i * 2 - 1, lit(2)), 16, 10).cast("double")
+    // `stride` > 1 samples every stride-th byte of each dim's lane — the
+    // standard cheap-content-fingerprint trade (higher-order folds run
+    // interpreted, so per-byte cost is the whole cost; sampling divides it
+    // while keeping the feature deterministic)
+    array((0 until dim).map { d =>
+      when(nCol > d, aggregate(
+        sequence(lit(d + 1), nCol, lit(dim * stride)),
+        lit(0.0), (a, i) => a + byteAt(i) / lit(255.0)))
+        .otherwise(lit(0.0))
+    }: _*)
+  }
+
+  /** L2-normalize a (small, materialized) sums array; 6-dp rounding, zero
+    * vector stays zero. Norm is the ascending-index square fold — the same
+    * chain the relational oracle writes out. */
+  def normalizeVec(sums: Column): Column = {
+    val norm = sqrt(aggregate(
+      transform(sums, x => x * x), lit(0.0), (a, x) => a + x))
+    transform(sums, x =>
+      round(when(norm > 0, x / norm).otherwise(lit(0.0)), 6))
+  }
+
+  /** Single-expression composition of [[byteSums]] + [[normalizeVec]] for
+    * operator-level use on SMALL payloads. For bulk extraction, stage the
+    * hex and sums as real columns between projections (see the m3 query) —
+    * inline, the shared hex/sums subtrees re-evaluate per consumer. */
+  def byteFeatures(payload: Column, dim: Int): Column =
+    normalizeVec(byteSums(hex(payload), octet_length(payload), dim))
+
   /** Full metadata extraction over a table with a binary `payloadCol`:
     * one narrow map stage, fully codegen'd except the stub decode. */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String,

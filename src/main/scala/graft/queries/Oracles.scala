@@ -1184,6 +1184,31 @@ object Oracles {
         |    lower(hex(encode(substr(text, 49, 4))))) AS frame_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "m3_payload_features" -> {
+      // byte i (1-based) of the payload as exact integer arithmetic on the
+      // hex string — mirrors Spark's conv(substr(hex, 2i-1, 2), 16, 10)
+      val byteVal = "(16.0 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)" +
+        " + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)"
+      // stride-4 lanes: dim d samples bytes d+1, d+33, d+65, … (step
+      // dim·stride = 32) — mirrors Multimodal.byteSums(dim=8, stride=4)
+      val dims = (0 until 8).map(d =>
+        s"""coalesce(list_sum(list_transform(range(${d + 1}, n + 1, 32), i ->
+           |    $byteVal / 255.0)), 0.0) AS s$d""".stripMargin).mkString(",\n")
+      val normChain = (0 until 8).map(d => s"(s$d * s$d)")
+        .mkString("sqrt(0.0 + ", " + ", ")")
+      val outs = (0 until 8).map(d =>
+        s"round(CASE WHEN nrm > 0 THEN s$d / nrm ELSE 0.0 END, 6) AS f$d")
+        .mkString(", ")
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |s AS (SELECT doc_id,
+         |$dims
+         |  FROM b),
+         |w AS (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7,
+         |  $normChain AS nrm FROM s)
+         |SELECT doc_id, $outs FROM w ORDER BY doc_id""".stripMargin
+    },
+
     "s12_pq_ann" -> {
       val dsub = EmbeddingDim / PqM
       // subspace-j L2² between a[.] and b[.], ascending-index left fold —

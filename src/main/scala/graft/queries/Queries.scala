@@ -1283,6 +1283,31 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** M3: payload feature extraction — the decode-adjacent step made real:
+    * 8-dim interleaved byte-histogram features per binary payload,
+    * L2-normalized, as pure Catalyst expressions (no UDF) so the whole
+    * thing cross-verifies against the relational oracle. Map-only — at
+    * 100 TB this is the embarrassingly-parallel pre-pass that feeds the
+    * ANN family. */
+  def m3PayloadFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // staged projections: hex → sums → normalized → flattened. Each
+      // stage materializes an attribute the next reads, so the payload is
+      // hexed ONCE and the folds run once per row — inline composition
+      // re-evaluates shared subtrees per consumer (expression trees don't
+      // memoize), which re-hexed the payload per byte access. Non-cheap
+      // expressions survive CollapseProject, so the barriers hold.
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).as("n"))
+      .select(col("doc_id"),
+        Multimodal.byteSums(col("hx"), col("n"), dim = 8, stride = 4)
+          .as("s"))
+      .select(col("doc_id"), Multimodal.normalizeVec(col("s")).as("f"))
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        element_at(col("f"), i + 1).as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+
   /** M1: multimodal payload metadata — binary column + byte-offset frame
     * sampling (decode itself is the stubbed step; see Multimodal). */
   def m1MultimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -1805,6 +1830,7 @@ object Queries {
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
     "m2_payload_sha256" -> m2PayloadSha256 _,
+    "m3_payload_features" -> m3PayloadFeatures _,
     "s1_cosine_topk" -> s1CosineTopK _,
     "s2_lsh_ann" -> s2LshAnn _,
     "s3_ivf_ann" -> s3IvfAnn _,

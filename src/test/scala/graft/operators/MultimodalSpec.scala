@@ -41,4 +41,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.featureExtractStub(8)($"payload")).as[Seq[Float]].head()
     assert(again == feats(0)._2)
   }
+
+  test("byteFeatures: expression-only extraction matches hand math") {
+    // payload "ab" = bytes [97, 98]; dim 2, stride 1: s0 = 97/255,
+    // s1 = 98/255; L2-normalize then 6-dp round
+    val df = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val out = df.select($"doc_id",
+      Multimodal.byteFeatures($"payload", dim = 2).as("f"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val (s0, s1) = (97.0 / 255.0, 98.0 / 255.0)
+    val nrm = math.sqrt(s0 * s0 + s1 * s1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(0)._2 == Seq(r6(s0 / nrm), r6(s1 / nrm)))
+    assert(out(1)._2 == Seq(0.0, 0.0)) // empty payload → zero vector, no
+                                       // descending-sequence crash
+  }
+
+  test("byteSums stride samples each dim's lane") {
+    // 8 bytes 'abcdefgh', dim 2, stride 2: dim0 reads positions 1,5
+    // (a,e), dim1 reads 2,6 (b,f) — positions 3,4,7,8 skipped
+    val df = Seq(("abcdefgh")).toDF("text")
+      .select(hex($"text".cast("binary")).as("hx"),
+        octet_length($"text".cast("binary")).as("n"))
+    val s = df.select(
+      Multimodal.byteSums($"hx", $"n", dim = 2, stride = 2).as("s"))
+      .as[Seq[Double]].head()
+    // per-byte quotients accumulate (matching the fold's order), NOT a
+    // summed numerator — the two differ in the last ulp
+    assert(s == Seq(97.0 / 255.0 + 101.0 / 255.0,
+      98.0 / 255.0 + 102.0 / 255.0))
+  }
 }
