@@ -70,6 +70,11 @@ object ArchiveRestore {
         require(out.getCanonicalPath.startsWith(
           staging.getCanonicalPath + File.separator),
           s"archive entry escapes extraction dir: ${e.getName}")
+        // links and specials are rejected, not silently materialized as
+        // empty files: a symlink could alias outside the staging dir, and
+        // the reference archives contain only plain files/dirs
+        require(!e.isSymbolicLink && !e.isLink && (e.isDirectory || e.isFile),
+          s"unsupported tar entry type (link/device): ${e.getName}")
         if (e.isDirectory) out.mkdirs()
         else {
           out.getParentFile.mkdirs()
@@ -83,9 +88,14 @@ object ArchiveRestore {
       in.close()
       if (!ok) deleteRecursively(staging) // failed extract leaves nothing
     }
-    // atomic publish: the final path only ever appears via the rename
-    if (!staging.renameTo(dest) && !dest.exists())
-      throw new IllegalStateException(s"could not publish $dest")
+    // atomic publish: the final path only ever appears via the rename; on
+    // rename failure the staging dir never outlives the call (either a
+    // concurrent extract won the race — harmless — or we raise)
+    if (!staging.renameTo(dest)) {
+      deleteRecursively(staging)
+      if (!dest.exists())
+        throw new IllegalStateException(s"could not publish $dest")
+    }
   }
 
   private def deleteRecursively(f: File): Unit = {
@@ -170,11 +180,17 @@ object ArchiveRestore {
     val dbs = sqliteFiles(extractDir)
     require(dbs.nonEmpty, s"No sqlite file found under $extractDir")
     val hourEnd = hourStartMs + 3600000L
+    // range-read on dt like the reference (restore_market_snapshot_from_s3:
+    // `dt >= hour_start AND dt < hour_end` over the TEXT column): rows whose
+    // ts and dt disagree must restore exactly as the reference would. The
+    // archive's "YYYY-MM-DD HH:MM:SS" text order equals chronological order,
+    // so the timestamp comparison is the faithful translation.
     val slice = readSqlite(spark, dbs, "market_snapshot")
       .where(col("symbol") === symbol &&
         col("exchange_id") === exchangeId &&
         col("inst_type") === instType &&
-        col("ts") >= hourStartMs && col("ts") < hourEnd)
+        col("dt") >= timestamp_millis(lit(hourStartMs)) &&
+        col("dt") < timestamp_millis(lit(hourEnd)))
     graft.sinks.UpsertSink.upsert(spark, sinkPath, slice,
       Seq("symbol", "exchange_id", "inst_type", "ts"), "ts")
     slice

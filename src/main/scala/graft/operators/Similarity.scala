@@ -573,7 +573,7 @@ private[operators] object KmeansMath {
     while (i < x.length) { xn += x(i) * x(i); i += 1 }
     val xnorm = math.sqrt(xn)
     var bestCell = 0L
-    var bestSim = Double.NegativeInfinity
+    var bestNeg = Double.PositiveInfinity
     var first = true
     var j = 0
     while (j < cents.length) {
@@ -583,12 +583,17 @@ private[operators] object KmeansMath {
       i = 0
       while (i < c.length) { dot += x(i) * c(i); cn += c(i) * c(i); i += 1 }
       val denom = xnorm * math.sqrt(cn)
-      var sim =
+      val sim =
         if (denom > 0) { val s = dot / denom; if (s.isNaN) Double.PositiveInfinity else s }
         else Double.PositiveInfinity
-      if (sim == 0.0) sim = 0.0 // normalize -0.0 (SQL compares them equal)
-      // ascending-id scan + strict > keeps the smaller id on ties
-      if (first || sim > bestSim) { bestSim = sim; bestCell = cid; first = false }
+      // mirror the SQL twin's array_sort total order on (neg_sim, cell):
+      // Double.compare puts -0.0 < 0.0, so a +0.0-cosine cell beats a
+      // -0.0-cosine one regardless of id (NOT a tie); ascending-id scan +
+      // strict < keeps the smaller id on true ties
+      val neg = -sim
+      if (first || java.lang.Double.compare(neg, bestNeg) < 0) {
+        bestNeg = neg; bestCell = cid; first = false
+      }
       j += 1
     }
     bestCell

@@ -14,6 +14,17 @@ object Oracles {
 
   // ---- shared SQL fragments ----------------------------------------------
 
+  /** Pin DuckDB to 8 threads for this statement (and, because SET persists
+    * on the connection, every later one). At 32 threads the checker's DuckDB
+    * intermittently fails small (16 KiB) allocations on the wide-expression
+    * vector queries — a thread-allocation artifact, not data size (the s6/s13
+    * intermediates are ~4 000 rows at sf0.01). DuckDB executes multi-statement
+    * strings through both `execute()` and `sql()`, returning the last result,
+    * so the prefix is transparent to the comparison. Applied only to the
+    * queries that have shown the failure, so a checker that can't take
+    * multi-statement SQL loses nothing that was green. */
+  private def pinThreads(sql: String): String = s"SET threads=8; $sql"
+
   /** raw whitespace tokens (no lowercasing) of a text expression. */
   private def rawToks(t: String) =
     s"list_filter(regexp_split_to_array(trim($t), '\\s+'), x -> x <> '')"
@@ -598,14 +609,14 @@ object Oracles {
         |ORDER BY event_id""".stripMargin,
 
     "w5_rolling_stats" ->
-      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      pinThreads("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |  round(avg(value) OVER (PARTITION BY user_id
         |    ORDER BY epoch_ms(ts), event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
         |  count(*) OVER (PARTITION BY user_id
         |    ORDER BY epoch_ms(ts), event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS nwin
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events ORDER BY event_id""".stripMargin),
 
     "a5_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -1265,7 +1276,7 @@ object Oracles {
         s"JOIN cent b$j ON b$j.cent_id = codes.c$j").mkString(" ")
       val adist = (0 until PqM).map(j =>
         l2Chain("qv", s"b$j.cvec", j)).mkString("(", " + ", ")")
-      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+      pinThreads(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),
          |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
          |ca AS (SELECT nid, cv, cent_id,
@@ -1286,7 +1297,7 @@ object Oracles {
          |    ORDER BY adist, neighbor_id) AS rank FROM sc)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
          |  round(adist, 6) AS adist
-         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+         |FROM r WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin)
     },
 
     "d10_semantic_dedup" ->
@@ -1324,7 +1335,7 @@ object Oracles {
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
     "s6_ivf_probe2" ->
-      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+      pinThreads(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),
          |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
          |ca AS (SELECT nid, cv, cent_id,
@@ -1340,7 +1351,7 @@ object Oracles {
          |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
          |  FROM s)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
-         |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
+         |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin),
 
     "s7_int8_ann" -> {
       // exact integer dot of the code arrays; order-free but kept left-fold

@@ -45,6 +45,8 @@ object RestClient {
     * injectable so specs assert the backoff schedule without waiting it. */
   def withRetry(policy: RetryPolicy, sleep: Long => Unit = Thread.sleep)(
       transport: String => RestResponse): String => RestResponse = { url =>
+    require(policy.retries >= 1,
+      s"RetryPolicy.retries must be >= 1 (got ${policy.retries})")
     var last: RestResponse = null
     var attempt = 1
     var done: RestResponse = null

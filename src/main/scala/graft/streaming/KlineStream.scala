@@ -45,6 +45,16 @@ object KlineStream {
       .map(_.alignedTrigger(nowMs))
       .getOrElse((0L, triggerFor(flow)))
 
+  /** In-batch calendar gate for a deployed flow. The scheduled trigger's
+    * grid is the gcd of the calendar's fire gaps — it ticks AT every fire
+    * but, for non-uniform calendars (sync_funding_rate: minutes 0,1,5,30),
+    * also in between. Run each micro-batch body behind this gate so
+    * off-calendar ticks make no upstream calls. Undeployed flows pass. */
+  def calendarGate(flow: String): Long => Boolean =
+    Schedules.deployments.get(flow)
+      .map(s => (wallMs: Long) => s.onCalendar(wallMs))
+      .getOrElse((_: Long) => true)
+
   /** Micro-batch kline ingest: watch a drop directory of raw response files
     * `(symbol TAB body)` — the landing zone a fetcher writes — normalize
     * through the exchange adapter, and MERGE each micro-batch into the keyed
@@ -70,6 +80,32 @@ object KlineStream {
         UpsertSink.upsert(batch.sparkSession, sinkPath, rows,
           Seq("exchange_id", "inst_type", "symbol", "ts"), "ts",
           partitionCol = Some("dt_date"))
+      }
+      .start()
+  }
+
+  /** Calendar-driven fetch loop — the streaming twin of the reference's
+    * scheduler-fired fetch flows. A rate-source tick stream wakes at the
+    * schedule's gcd grid; the [[calendarGate]] keeps off-calendar ticks from
+    * calling the rate-limited upstream. Gating here is safe where gating a
+    * data stream is not: the ticks carry no payload, so a skipped batch
+    * loses nothing — all work is created by `fetch` on fire instants.
+    * (Contrast [[ingest]], which drains a drop directory and must process
+    * every batch regardless of the calendar.) */
+  def scheduledFetchLoop(spark: SparkSession, flow: String,
+      checkpointDir: String)(fetch: Long => Unit): StreamingQuery = {
+    val gate = calendarGate(flow)
+    val trigger = Schedules.deployments.get(flow)
+      .map(s => Trigger.ProcessingTime(s.periodMs))
+      .getOrElse(triggerFor(flow))
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream
+      .queryName(s"fetch-$flow")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val now = System.currentTimeMillis()
+        if (gate(now)) fetch(now)
       }
       .start()
   }

@@ -49,12 +49,51 @@ object Schedules {
       b.result()
     }
 
-    /** The fixed-rate cadence Spark's ProcessingTime trigger runs at. */
+    /** The fixed-rate cadence Spark's ProcessingTime trigger runs at: the
+      * gcd of consecutive fire gaps, so a grid anchored at any fire ticks AT
+      * every fire (each gap is a multiple of the gcd). Non-uniform calendars
+      * (sync_funding_rate: minutes 0,1,5,30) therefore tick more often than
+      * they fire — pair with [[onCalendar]] in the micro-batch body so the
+      * extra ticks do no work. A uniform calendar's gcd is its plain step,
+      * so the common case is unchanged. */
     def periodMs: Long
 
-    /** (initial delay to the next aligned fire, the period trigger). */
+    /** True when `tMs` is exactly a calendar fire. */
+    def isFire(tMs: Long): Boolean = nextFire(tMs - 1) == tMs
+
+    /** In-batch calendar gate: does a micro-batch waking at `wallMs` sit on
+      * a real fire (within `tolMs` of one)? This is what keeps the gcd-grid
+      * trigger from over-calling rate-limited upstreams: the trigger may
+      * tick every minute, but only on-calendar ticks pass the gate. */
+    def onCalendar(wallMs: Long, tolMs: Long = 1000L): Boolean =
+      nextFire(wallMs - tolMs) <= wallMs + tolMs
+
+    /** (initial delay to the next aligned fire, the period trigger). The
+      * delay anchors the grid on a fire; [[periodMs]] guarantees every later
+      * fire lands on a tick. */
     def alignedTrigger(nowMs: Long): (Long, Trigger) =
       (nextFire(nowMs) - nowMs, Trigger.ProcessingTime(periodMs))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+
+  /** gcd of consecutive fire gaps over `horizonMs` from the schedule's
+    * first fire after epoch: the coarsest fixed-rate grid that still
+    * contains every fire. `floorMs` is the schedule's time resolution — the
+    * gcd can never go below it, so reaching it ends the scan early.
+    * `fallback` covers schedules with <2 fires in the horizon. */
+  private def gridPeriod(s: Schedule, horizonMs: Long, floorMs: Long,
+      fallback: Long): Long = {
+    var prev = s.nextFire(0L)
+    val limit = prev + horizonMs
+    var g = 0L
+    var t = s.nextFire(prev)
+    while (t <= limit && g != floorMs) {
+      g = gcd(g, t - prev)
+      prev = t
+      t = s.nextFire(prev)
+    }
+    if (g == 0L) fallback else g
   }
 
   /** `IntervalSchedule(interval=n)` — prefect anchors at deployment time;
@@ -100,14 +139,15 @@ object Schedules {
       throw new IllegalStateException("no fire within a day — empty schedule?")
     }
 
-    /** cadence = the minute-grain step of the BYMINUTE list (uniform for
-      * every schedule the reference deploys: *, *\/5, or a single minute →
-      * hourly; single hour+minute → daily). */
-    def periodMs: Long =
-      if (mm.size == 60) 60000L
-      else if (mm.size > 1) (mm(1) - mm(0)) * 60000L
-      else if (hh.size == 24) 3600000L
-      else 86400000L
+    /** Derived from the full daily fire pattern (the rrule repeats daily by
+      * construction), NOT from the first BYMINUTE step: a non-uniform list
+      * like sync_funding_rate's minutes 0,1,5,30 gcds to a minutely grid
+      * whose off-calendar ticks [[onCalendar]] skips, where the old
+      * first-step heuristic would have FIRED every minute (60 calls/hour
+      * against a rate-limited API instead of 4). Horizon = 2 days so the
+      * day-wrap gap is included. */
+    lazy val periodMs: Long =
+      Schedules.gridPeriod(this, 2L * 86400000L, 1000L, 86400000L)
   }
 
   /** Standard 5-field cron, UTC: minute hour day-of-month month
@@ -142,11 +182,13 @@ object Schedules {
       throw new IllegalStateException(s"cron '$expr' never fires")
     }
 
-    def periodMs: Long =
-      if (mm.size == 60) 60000L
-      else if (mm.size > 1) (mm(1) - mm(0)) * 60000L
-      else if (hh.size == 24) 3600000L
-      else 86400000L
+    /** Same gcd-of-gaps derivation as [[AtSeconds.periodMs]]; cron's repeat
+      * horizon spans month-length irregularities (dom/dow interplay), so the
+      * scan samples ~800 days. Floor is the minute grid; a schedule with <2
+      * fires in the horizon (e.g. yearly) falls back to daily ticks plus the
+      * [[onCalendar]] gate. */
+    lazy val periodMs: Long =
+      Schedules.gridPeriod(this, 800L * 86400000L, 60000L, 86400000L)
   }
 
   /** The reference's production deployment table (`deploy.py:70-172`),

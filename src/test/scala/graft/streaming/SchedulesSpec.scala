@@ -41,7 +41,41 @@ class SchedulesSpec extends AnyFunSuite {
   test("AtSeconds daily (minute 0, hour 0) rolls over the day boundary") {
     val s = AtSeconds(Seq(5, 30), minutes = "0", hours = "0")
     assert(s.nextFire(ms("2026-01-01T00:00:31Z")) == ms("2026-01-02T00:00:05Z"))
-    assert(s.periodMs == 86400000L)
+    // gcd of the gaps 25 s (00:00:05→00:00:30) and 86 375 s (day wrap): the
+    // coarsest grid that still ticks at BOTH daily offsets
+    assert(s.periodMs == 25000L)
+  }
+
+  test("periodMs grid contains every fire (gcd-of-gaps invariant)") {
+    val schedules = Seq(
+      AtSeconds(Seq(5), minutes = "*/5"),
+      AtSeconds(Seq(5, 30), minutes = "0"),
+      AtSeconds(Seq(5), minutes = "0,1,5,30"),
+      AtSeconds(Seq(5, 30), minutes = "0", hours = "0"),
+      Cron("1 * * * *"), Cron("0 0 * * *"))
+    val from = ms("2026-01-01T00:00:00Z")
+    for (s <- schedules) {
+      val f = s.fires(from, from + 2L * 86400000L)
+      assert(f.sliding(2).forall { case Seq(a, b) => (b - a) % s.periodMs == 0 },
+        s"$s: a fire gap is not a multiple of periodMs=${s.periodMs}")
+    }
+  }
+
+  test("sync_funding_rate (minutes 0,1,5,30): minutely grid, gated to 4/hour") {
+    val s = Schedules.deployments("sync_funding_rate")
+    // non-uniform BYMINUTE: the old first-step heuristic said 60 s and FIRED
+    // 60×/hour; the gcd grid also ticks minutely but the calendar gate
+    // passes only the four real fires
+    assert(s.periodMs == 60000L)
+    val hour = ms("2026-01-01T13:00:00Z")
+    val ticks = (0 until 60).map(m => hour + m * 60000L + 5000L)
+    val passed = ticks.filter(t => s.onCalendar(t))
+    assert(passed == Seq(0, 1, 5, 30).map(m => hour + m * 60000L + 5000L))
+    // exact-fire predicate agrees
+    assert(ticks.filter(s.isFire) == passed)
+    // a tick 800 ms late (trigger jitter) still passes the gate
+    assert(s.onCalendar(hour + 5 * 60000L + 5000L + 800L))
+    assert(!s.onCalendar(hour + 2 * 60000L + 5000L))
   }
 
   test("Cron '1 * * * *' (sync_klines_1m): minute 1 of every hour") {
