@@ -274,6 +274,164 @@ object Scratch {
           println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale3") =>
+        // 16x probes for the round-6 newcomers (VERDICT r6 #4): q21's
+        // two-level countDistinct profile, t13's in-plan rate derivation,
+        // a14's user-grain aggs + days² rollup, s14's recall eval (the
+        // ground-truth crossJoin side is QUERY-BATCH-sized — prove the
+        // corpus side scales linearly), and pipe2's cross-batch state
+        // (per-delivery cost must track the DELIVERY, not the accumulated
+        // store, thanks to fp-prefix partition pruning).
+        // env: SPARK_GRAFT_SCALES (default "1,4,16"),
+        //      SPARK_GRAFT_SCALE_OPS (default "q21,t13,a14,s14,pipe2")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS",
+          "q21,t13,a14,s14,pipe2").split(",").map(_.trim).toSet
+        val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val ord0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        val sup0 = spark.read.parquet(s"$sfDir/supplier.parquet")
+        val ev0 = Tables.events(spark, sfDir)
+        val docs0 = Tables.documents(spark, sfDir)
+        val emb0 = Tables.embeddings(spark, sfDir)
+        // disjoint key spans per replica; suppliers/queries stay FIXED (a
+        // bigger corpus does not mean more suppliers or more ANN queries)
+        val okSpan = li0.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        val uidSpan = ev0.agg(max(col("user_id"))).head.getLong(0) + 1
+        val didSpan = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val vidSpan = emb0.agg(max(col("vec_id"))).head.getLong(0) + 1
+        def rep(df: org.apache.spark.sql.DataFrame, key: String, span: Long,
+            k: Int) = (0 until k).map(i =>
+          df.withColumn(key, col(key) + lit(i * span))).reduce(_ unionByName _)
+        val times = scala.collection.mutable.Map[String, Double]()
+        def timed(name: String)(f: => Long): Unit = {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt
+          println(f"TIMER $name%-10s ${dt}%8.2f s  rows=$n")
+        }
+        for (k <- scales) {
+          // q21 shape on a k× fact (same plan as Queries.q21WaitingSupplier)
+          if (ops("q21")) timed(s"q21_x$k") {
+            val li = rep(li0, "l_orderkey", okSpan, k)
+            val ord = rep(ord0, "o_orderkey", okSpan, k)
+            val retOrders = li.where(col("l_returnflag") === "R")
+              .select(col("l_orderkey"))
+            val prof = li
+              .join(retOrders.distinct(), Seq("l_orderkey"), "left_semi")
+              .groupBy(col("l_orderkey").as("o_orderkey"))
+              .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+                countDistinct(when(col("l_returnflag") === "R",
+                  col("l_suppkey"))).as("n_ret_supp"))
+            li.where(col("l_returnflag") === "R")
+              .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+              .distinct()
+              .join(ord.where(col("o_orderstatus") === "F")
+                .select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+              .join(prof.where(col("n_supp") > 1 && col("n_ret_supp") === 1),
+                Seq("o_orderkey"), "left_semi")
+              .join(broadcast(sup0), col("l_suppkey") === col("s_suppkey"))
+              .groupBy(col("s_name"))
+              .agg(count(lit(1)).as("numwait"))
+              .orderBy(col("numwait").desc, col("s_name")).limit(20).count()
+          }
+          // t13 shape: rates derived in-plan over a k× corpus
+          if (ops("t13")) timed(s"t13_x$k") {
+            val docs = rep(docs0, "doc_id", didSpan, k)
+            val target = Seq("de", "en", "es", "fr", "zh").map(_ -> 0.2).toMap
+            val kept = operators.Sampling
+              .rebalanceSample(docs, "doc_id", "lang", target)
+              .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+            docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+              .join(kept, Seq("lang"), "left_outer").count()
+          }
+          // a14 shape: k× users (events replicate on user_id)
+          if (ops("a14")) timed(s"a14_x$k") {
+            val dayMs = 24L * 3600000L
+            val start = queries.QuerySpec.RangeStartMs
+            def dayOf(c: org.apache.spark.sql.Column) =
+              ((c - lit(start)) / dayMs).cast("long")
+            val ev = rep(ev0, "user_id", uidSpan, k)
+            val firsts = ev.where(col("event_type") === "purchase")
+              .groupBy(col("user_id"))
+              .agg(dayOf(min(col("ts_ms"))).as("cohort_day"))
+            val active = ev.select(col("user_id"),
+              dayOf(col("ts_ms")).as("day")).distinct()
+            firsts.join(active, Seq("user_id"))
+              .where(col("day") >= col("cohort_day"))
+              .groupBy(col("cohort_day"),
+                (col("day") - col("cohort_day")).as("day_offset"))
+              .agg(countDistinct(col("user_id")).as("n_users")).count()
+          }
+          // s14 shape: k× corpus, FIXED 8-query batch — both the brute
+          // ground truth and the LSH candidate join must stay linear in the
+          // corpus (truth is corpus × 8, never corpus × corpus)
+          if (ops("s14")) timed(s"s14_x$k") {
+            val emb = rep(emb0, "vec_id", vidSpan, k)
+            val qs = emb0.where(col("vec_id") < 8)
+            val truth = operators.Similarity.cosineTopK(
+              emb, qs, "vec_id", "embedding", 5)
+            val approx = operators.Similarity.lshTopK(
+              emb, qs, "vec_id", "embedding", 5, 8, 64)
+            truth.select(col("query_id"), col("neighbor_id"))
+              .join(approx.select(col("query_id"), col("neighbor_id"),
+                lit(1L).as("hit")),
+                Seq("query_id", "neighbor_id"), "left_outer")
+              .groupBy(col("query_id"))
+              .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+                count(lit(1))).as("recall")).count()
+          }
+        }
+        // pipe2 cross-batch state: deliver a (max-scale)× corpus in 3
+        // equal doc_id-range batches — per-delivery wall must track the
+        // delivery, not the accumulated doc/passage stores. Replicas get a
+        // disjoint token namespace (r<i>_ prefix) so they are FRESH docs
+        // that grow the stores, not dups the first batch absorbs.
+        if (ops("pipe2")) {
+          val k = scales.max
+          val fresh = (0 until k).map { i =>
+            docs0.select((col("doc_id") + lit(i * didSpan)).as("doc_id"),
+              regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"))
+          }.reduce(_ unionByName _)
+          val nTotal = didSpan * k
+          val base = java.nio.file.Files.createTempDirectory("pipe2scale")
+          val drop = base.resolve("drop")
+          java.nio.file.Files.createDirectories(drop)
+          for (b <- 0 until 3) {
+            val lo = nTotal * b / 3; val hi = nTotal * (b + 1) / 3
+            fresh.where(col("doc_id") >= lo && col("doc_id") < hi)
+              .select(col("doc_id"),
+                concat_ws("\t", col("doc_id"), col("text")).as("value"))
+              .orderBy(col("doc_id")).select(col("value"))
+              .coalesce(1).write.mode("append").text(drop.toString)
+            timed(s"pipe2_b$b") {
+              streaming.DocStream.ingestFunnel(spark, drop.toString,
+                base.resolve("ckpt").toString, base.resolve("sink").toString,
+                base.resolve("pstore").toString,
+                minQuality = 0.0, langs = Seq("en", "es", "de", "fr", "zh"),
+                passageK = 10, sampleRates = Map.empty, sampleDefault = 1.0,
+                markers = queries.QuerySpec.LangMarkers,
+                stopwords = queries.QuerySpec.Stopwords,
+                trigger = org.apache.spark.sql.streaming.Trigger
+                  .AvailableNow()).awaitTermination(600000)
+              spark.read.parquet(base.resolve("sink").toString).count()
+            }
+          }
+          println("PSTORE ROWS: " + spark.read
+            .parquet(base.resolve("pstore").toString).count())
+        }
+        for (q <- Seq("q21", "t13", "a14", "s14")
+             if times.contains(s"${q}_x${scales.max}") &&
+               times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${q}_x${scales.max}") / times(s"${q}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC" else "SUPERLINEAR!"
+          println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")

@@ -666,6 +666,15 @@ object Oracles {
          |WHERE r_name IN ('ASIA', 'EUROPE')
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    // J10: the bucketed layout must not change JOIN SEMANTICS — the oracle
+    // is the plain join; any bucketing bug (row lost to a mis-bucketed
+    // file, double-read bucket) breaks the hash match.
+    "j10_bucketed" ->
+      s"""SELECT c_nationkey, count(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "j9_salted_join" ->
       s"""SELECT n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS total_acctbal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -891,6 +900,59 @@ object Oracles {
          |UNION ALL SELECT 's4_passage', count(*) FROM s4
          |UNION ALL SELECT 's5_sample', count(*) FROM s5
          |ORDER BY stage""".stripMargin
+    },
+
+    // PIPE2: the streamed funnel's survivors. Same CTE chain as pipe1 but
+    // lang is RECOMPUTED from the text (t1's marker vote) because the
+    // stream annotates rather than trusting the table column, and the
+    // output is the survivor set itself (doc_id, lang) — what the stream's
+    // doc sink holds after the AvailableNow run.
+    "pipe2_stream_funnel" -> {
+      val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val scores = LangMarkers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(${rawToks("text")}, x -> list_contains($arr, x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = LangMarkers.map(_._1)
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.init.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+      s"""WITH ls AS (SELECT doc_id, text, $scores FROM documents),
+         |lid AS (SELECT doc_id, text, CASE $pick ELSE '${langs.last}' END AS lang
+         |  FROM (SELECT *, $g AS g FROM ls)),
+         |sc AS (SELECT doc_id, lang, text,
+         |    CAST(len(${rawToks("text")}) AS DOUBLE) AS qn,
+         |    len(list_filter(${rawToks("text")}, x -> list_contains($sw, x))) AS qhits,
+         |    CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS qlsum
+         |  FROM lid),
+         |s2 AS (SELECT doc_id, lang, text FROM sc
+         |  WHERE floor((least(qn / 100.0, 1.0) * 0.4
+         |    + (CASE WHEN qn > 0 THEN qhits / qn ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN qn > 0 AND qlsum / qn BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+         |    * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |  AND lang IN ('en', 'es', 'de')),
+         |fpd AS (SELECT doc_id, lang, text,
+         |    md5(array_to_string(${lowSeq("text")}, ' ')) AS f FROM s2),
+         |s3 AS (SELECT doc_id, lang, text FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep FROM fpd)
+         |  WHERE doc_id = rep),
+         |pt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM s3),
+         |pt2 AS (SELECT doc_id, toks FROM pt WHERE len(toks) > 0),
+         |pc AS (SELECT doc_id, unnest(
+         |    [{'idx': (i-1)//$PassageK,
+         |      'pfp': md5(array_to_string(toks[i:i+${PassageK - 1}], ' '))}
+         |     for i in range(1, len(toks)+1, $PassageK)], recursive := true)
+         |  FROM pt2),
+         |pw AS (SELECT doc_id, idx, pfp,
+         |  row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn FROM pc),
+         |pd AS (SELECT doc_id, count(*) AS n_passages,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+         |  FROM pw GROUP BY 1),
+         |s4 AS (SELECT s3.doc_id, s3.lang FROM s3 JOIN pd USING (doc_id)
+         |  WHERE 2 * n_kept >= n_passages),
+         |s5 AS (SELECT * FROM s4
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         |    CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+         |SELECT doc_id, lang FROM s5 ORDER BY doc_id""".stripMargin
     },
 
     "pipe3_embed_funnel" -> {

@@ -814,6 +814,31 @@ object Queries {
         dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy(col("n_name"))
 
+  /** J10: the bucketed co-located fact⋈fact join EXERCISED as a query —
+    * customer and orders (re)written bucketed+sorted by custkey via
+    * [[graft.sinks.Bucketing.writeBucketed]], then joined. With both sides
+    * pre-bucketed Spark plans a sort-merge join with NO Exchange below it
+    * (each task reads bucket i of both tables — plan-locked in
+    * QueriesSmokeSpec with broadcast disabled; at this SF the optimizer may
+    * legitimately broadcast instead, which is also shuffle-free). This is
+    * the static-layout lever that converts the dominant fact shuffle at
+    * 100 TB into local reads; 8 buckets here, thousands at scale. */
+  def j10Bucketed(s: SparkSession, d: String): DataFrame = {
+    graft.sinks.Bucketing.writeBucketed(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+      "graft_j10_customer", 8, Seq("c_custkey"))
+    graft.sinks.Bucketing.writeBucketed(
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      "graft_j10_orders", 8, Seq("c_custkey"))
+    s.table("graft_j10_orders")
+      .join(s.table("graft_j10_customer"), Seq("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** J3: timestamp-keyed full-outer merge of per-type series (the reference's
     * 3-endpoint long/short-ratio merge, `binance/perp.py:168-185`). */
   def j3FullOuterMerge(s: SparkSession, d: String): DataFrame = {
@@ -1563,6 +1588,53 @@ object Queries {
       .orderBy(col("stage"))
   }
 
+  /** PIPE2 (streaming parity): the pipe1 funnel run INCREMENTALLY through
+    * [[graft.streaming.DocStream.ingestFunnel]] under `Trigger.AvailableNow`
+    * — the corpus is delivered to a drop dir as one doc_id-ordered
+    * `doc_id TAB text` file, the micro-batch funnel (quality gate → lang
+    * filter → exact dedup → cross-batch passage dedup → stratified sample)
+    * runs to completion, and the doc sink is read back. This is the oracle
+    * row proving batch/stream parity end-to-end: the survivor SET must
+    * equal the one-shot declarative funnel's (the DocStreamSpec property
+    * proves delivery-split invariance; this proves the semantics against
+    * the SQL twin). One deliberate divergence from pipe1: the stream
+    * ANNOTATES lang from the text (langId — a fetcher has no lang column),
+    * so the twin recomputes t1's language ID instead of trusting
+    * `documents.lang`. */
+  def pipe2StreamFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("pipe2q")
+    val drop = base.resolve("drop") // write.text creates it
+    // one sorted file = one in-order delivery (first-delivered = min doc_id,
+    // matching the batch funnel's dedup winner)
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .orderBy(col("doc_id"))
+      .select(col("value"))
+      .coalesce(1)
+      .write.text(drop.toString)
+    val sink = base.resolve("sink").toString
+    graft.streaming.DocStream.ingestFunnel(s, drop.toString,
+      base.resolve("ckpt").toString, sink,
+      base.resolve("pstore").toString,
+      minQuality = 0.5, langs = Seq("en", "es", "de"), passageK = PassageK,
+      sampleRates = Map("en" -> 0.25), sampleDefault = 0.5,
+      markers = LangMarkers, stopwords = Stopwords,
+      trigger = Trigger.AvailableNow()).awaitTermination(300000)
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(sink)))
+      s.read.parquet(sink).select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    else // an all-filtered corpus writes nothing
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType))))
+  }
+
   /** T10: PII-style redaction pass — digit runs in the raw props payload
     * replaced by '#', with the redacted-character count per event. Pure
     * map-side regex (codegen'd), the scrubbing shape a 100 TB pipeline runs
@@ -1784,6 +1856,7 @@ object Queries {
     "j7_scalar_lookup" -> j7ScalarLookup _,
     "j8_semi_join" -> j8SemiJoin _,
     "j9_salted_join" -> j9SaltedJoin _,
+    "j10_bucketed" -> j10Bucketed _,
     "j4_funding_lookup" -> j4FundingLookup _,
     "p2_align_floor" -> p2AlignFloor _,
     "p4_unit_normalize" -> p4UnitNormalize _,
@@ -1812,6 +1885,7 @@ object Queries {
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
+    "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,
     "t1_lang_id" -> t1LangId _,
     "t2_quality_score" -> t2QualityScore _,

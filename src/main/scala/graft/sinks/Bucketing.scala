@@ -15,12 +15,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table. */
+  /** Write `df` as a bucketed, sorted managed table. Idempotent across
+    * SESSIONS, not just within one: a previous JVM's warehouse directory
+    * survives while the in-memory catalog forgets the table, and a plain
+    * Overwrite then fails with LOCATION_ALREADY_EXISTS — so any orphaned
+    * location is cleared first. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 }

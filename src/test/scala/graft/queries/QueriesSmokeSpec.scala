@@ -113,6 +113,28 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "cartesian in s13")
   }
 
+  test("j10 co-bucketed join: no Exchange below the sort-merge join") {
+    // force the SMJ path (at test SF the optimizer would broadcast — also
+    // shuffle-free, but the lock is about the bucketed layout)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Queries.j10Bucketed(spark, sfDir).queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.nonEmpty, plan.toString.take(800))
+      val exchBelow = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exchBelow.isEmpty,
+        "bucketed fact sides shuffled:\n" + smj.head.toString.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
