@@ -32,4 +32,49 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Bloom-gated decontamination — identical output to
+    * [[contaminatedDocs]], different shuffle economics (the Dolma-scale
+    * variant: gate against a seen-set sketch, verify exactly).
+    *
+    * The benchmark's distinct shingle hashes fold into a Bloom filter via
+    * Spark's distributed `stat.bloomFilter` (a treeAggregate — the driver
+    * holds only the sketch, ~1.2 bytes/item at 1% fpp, never rows), the
+    * sketch ships to every task as a plan literal, and the corpus's
+    * exploded shingles pass Spark's native codegen'd
+    * `bloom_might_contain` gate BEFORE the equi-join: at 1% fpp, ~99% of
+    * clean-corpus shingles are dropped map-side and never shuffle. The
+    * exact join then runs only on probable hits, killing Bloom false
+    * positives — the result is byte-identical to the plain equi-join.
+    *
+    * When to prefer it: the plain join is optimal while the benchmark side
+    * broadcasts; once the contamination reference is a SEEN-SET too big to
+    * broadcast (cross-epoch dedup, multi-benchmark unions — 10⁸-10⁹
+    * entries), the plain join must shuffle the corpus's full shingle
+    * explosion, while the gated join shuffles ~(true hits + fpp·clean) —
+    * the sketch stays broadcastable (120 MB at 10⁸ items) long after the
+    * exact set stopped being. `expectedShingles` sizes the sketch;
+    * overshooting wastes sketch bytes, undershooting degrades fpp toward
+    * the plain join's shuffle (still exact — the verify join holds). */
+  def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      expectedShingles: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    val b = benchmark
+      .select(explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
+      .distinct()
+    val bloom = b.select(xxhash64(col("sh")).as("shl"))
+      .stat.bloomFilter("shl", expectedShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val c = corpus.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
+      .where(call_function("bloom_might_contain",
+        lit(bytes), xxhash64(col("sh"))))
+    c.join(b, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

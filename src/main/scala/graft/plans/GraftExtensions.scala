@@ -60,6 +60,7 @@ object PrecisionOf {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.precisionOfDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
   }
 }
 
@@ -69,9 +70,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[PrecisionOf].getName, "precision_of"),
     (children: Seq[Expression]) => PrecisionOf(children.head))
 
+  /** Spark's native codegen'd Bloom probe (the expression behind its
+    * runtime bloom-filter joins), surfaced as a callable function:
+    * `bloom_might_contain(bloomBytes, xxhash64(value))`. The bloom binary
+    * must be a constant (plan literal) — exactly how
+    * [[graft.operators.Decontaminate.contaminatedDocsBloom]] ships the
+    * benchmark sketch to every task. */
+  val bloomMightContainDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "bloom_might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   /** Imperative registration for sessions built without the config. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = precisionOfDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(precisionOfDescriptor, bloomMightContainDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -412,6 +412,24 @@ object Oracles {
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    "q20_promotion_suppliers" ->
+      s"""WITH supply AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         |    CAST(sum(CAST(CASE WHEN epoch_ms(l_shipdate) >= $Ms1996
+         |        AND epoch_ms(l_shipdate) < $Ms1997
+         |      THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_1996
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+         |  GROUP BY 1, 2)
+         |SELECT s_name, s_acctbal
+         |FROM supplier
+         |WHERE s_nationkey IN
+         |    (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_3', 'NATION_7'))
+         |  AND s_suppkey IN
+         |    (SELECT l_suppkey FROM supply WHERE total_qty > 2 * qty_1996)
+         |ORDER BY s_name""".stripMargin,
+
     "q21_waiting_supplier" ->
       """WITH prof AS (
         |  SELECT l_orderkey AS o_orderkey,
@@ -1186,6 +1204,20 @@ object Oracles {
          |  FROM t WHERE len(toks) >= 3),
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 29 = 0),
          |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 29 <> 0)
+         |SELECT corp.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM corp JOIN bench USING (sh)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // d11 oracles the EXACT overlap — the Bloom gate is a pure
+    // optimization, so the twin is d7's SQL at the mod-31 split; any false
+    // positive surviving the verify join breaks the hash match
+    "d11_bloom_contamination" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 31 = 0),
+         |corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 31 <> 0)
          |SELECT corp.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |FROM corp JOIN bench USING (sh)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,

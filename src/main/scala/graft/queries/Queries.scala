@@ -465,6 +465,41 @@ object Queries {
         col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
   }
 
+  /** Q20-style: potential part promotion — suppliers sitting on excess
+    * stock of a name-class of parts. Without a partsupp table, lineitem
+    * doubles as the supply relation (same convention as q2): a
+    * (part, supplier)'s available stock is its all-time supplied quantity,
+    * and TPC-H's correlated "half of what shipped that year" subquery
+    * becomes a conditional sum in the SAME aggregation pass — the fact
+    * scans once, not once per outer row. The part-name prefix prunes the
+    * fact via broadcast semi-join BEFORE the aggregate; the surviving
+    * supplier keys (bounded by |supplier|) semi-join into the dimension. */
+  def q20PromotionSuppliers(s: SparkSession, d: String): DataFrame = {
+    val largeParts = Tables.part(s, d)
+      .where(col("p_name").startsWith("large"))
+      .select(col("p_partkey").as("l_partkey"))
+    val in1996 = tsAtOrAfter(col("l_shipdate"), Ms1996) &&
+      tsBefore(col("l_shipdate"), Ms1997)
+    val excess = Tables.lineitem(s, d)
+      .join(broadcast(largeParts), Seq("l_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"),
+        sum(when(in1996, col("l_quantity")).otherwise(lit(0))
+          .cast("decimal(18,2)")).cast("double").as("qty_1996"))
+      .where(col("total_qty") > col("qty_1996") * 2)
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .where(col("n_name").isin("NATION_3", "NATION_7"))
+        .select(col("n_nationkey").as("s_nationkey"))),
+        Seq("s_nationkey"), "left_semi")
+      .join(excess, Seq("s_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   /** Q21-style: the suppliers-who-kept-the-order-waiting shape — EXISTS and
     * NOT EXISTS against the SAME fact at different predicates. A supplier's
     * returned line (flag R) on a finished order counts only when another
@@ -475,17 +510,22 @@ object Queries {
   def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     // only orders with a returned line can produce output — restrict the
-    // (expensive, two-level countDistinct) profile aggregate to that slice
-    // before grouping; the R-scan predicate pushes to parquet
+    // profile aggregate to that slice before grouping; the R-scan
+    // predicate pushes to parquet (no distinct on the semi-join build
+    // side: the hash build dedups keys for free)
     val retOrders = li.where(col("l_returnflag") === "R")
       .select(col("l_orderkey"))
-    // order-grain profile: supplier count overall and among returned lines
+    // order-grain profile: supplier count overall and among returned
+    // lines. Two cascaded aggregates — (order, supplier) grain with a
+    // map-side combine, then order grain — instead of two countDistincts,
+    // which would plan an Expand that doubles every shuffled row
     val prof = li
-      .join(retOrders.distinct(), Seq("l_orderkey"), "left_semi")
+      .join(retOrders, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("_ret"))
       .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("_ret")).as("n_ret_supp"))
     li.where(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
       .distinct()
@@ -1247,6 +1287,24 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** D11: Bloom-GATED decontamination — same contract as d7 (the oracle is
+    * the exact overlap SQL; the Bloom gate is an optimization that must
+    * never change the answer), different corpus/benchmark split (mod 31)
+    * and the seen-set-scale plan: benchmark shingles fold into a sketch
+    * via treeAggregate, the corpus filters map-side through Spark's native
+    * `bloom_might_contain`, and the exact join verifies only probable
+    * hits. See [[Decontaminate.contaminatedDocsBloom]] for when this plan
+    * beats d7's broadcast join (non-broadcastable seen-sets). */
+  def d11BloomContamination(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val docs = Tables.documents(s, d)
+    Decontaminate.contaminatedDocsBloom(
+      docs.where(col("doc_id") % 31 =!= 0),
+      docs.where(col("doc_id") % 31 === 0),
+      "doc_id", "text", k = 3, expectedShingles = 1L << 16)
+      .orderBy(col("doc_id"))
+  }
+
   /** D8: passage-level exact dedup (C4-style line dedup on fixed 10-word
     * passages): per doc, total passages and passages surviving global
     * first-occurrence dedup. One window over the fingerprint + one rollup
@@ -1528,31 +1586,51 @@ object Queries {
   /** PIPE1: the preprocessing funnel as ONE declarative plan — the
     * composition a training-data pipeline actually ships: quality gate →
     * language filter → exact dedup → passage-survival filter → stratified
-    * sample, reporting survivors per stage. Every stage reuses the proven
-    * operator (qualityScore, exactDedup, passageDedup, stratifiedSample);
-    * the passage cut is the integer form 2·n_kept ≥ n_passages (no
-    * division). Catalyst sees the whole funnel at once — filters fuse,
-    * the only shuffles are the two dedup grains. */
+    * sample, reporting survivors per stage.
+    *
+    * Stage counts come from FLAGS, not from re-running the funnel prefix
+    * per stage: a naive `union(count(s0), count(s1), …)` re-scans the
+    * corpus once per stage and re-shuffles every dedup grain in each later
+    * branch — six full scans at 100 TB. Here the pre-dedup stages (quality,
+    * language — pure row predicates) aggregate as conditional sums in ONE
+    * map-side pass, and the post-dedup stages aggregate flags over the
+    * funnel's single materialization: the exact-dedup winner is a
+    * row_number over the fingerprint window (same min-id election as
+    * [[Dedup.exactDedup]], one shuffle instead of groupBy + join-back),
+    * the passage verdict joins once at doc grain, and the sample keep is
+    * a deterministic predicate. Two scans, each dedup grain shuffles once. */
   def pipe1Funnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val s1 = docs.where(
-      TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5)
-    val s2 = s1.where(col("lang").isin("en", "es", "de"))
-    val s3 = Dedup.exactDedup(s2, "doc_id", "text")
+    val fQ = TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5
+    val fL = col("lang").isin("en", "es", "de")
+    val head = docs.agg(
+      count(lit(1)).as("s0_all"),
+      sum(when(fQ, 1L).otherwise(0L)).as("s1_quality"),
+      sum(when(fQ && fL, 1L).otherwise(0L)).as("s2_lang"))
+    val wFp = Window
+      .partitionBy(TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val s3 = docs.where(fQ && fL)
+      .withColumn("_rn", row_number().over(wFp))
+      .where(col("_rn") === 1)
     val pd = Dedup.passageDedup(s3, "doc_id", "text", PassageK)
       .withColumnRenamed("id", "doc_id")
-    val s4 = s3.join(pd, Seq("doc_id"))
-      .where(lit(2) * col("n_kept") >= col("n_passages"))
-      .select(s3.columns.map(col): _*)
-    val s5 = Sampling.stratifiedSample(s4, "doc_id", "lang",
+    // left join + null guard ≡ the original inner join: zero-token docs
+    // have no passage rollup and fail the passage stage
+    val fPass = col("n_passages").isNotNull &&
+      lit(2) * col("n_kept") >= col("n_passages")
+    val fSamp = fPass && Sampling.keep(col("doc_id"), col("lang"),
       Map("en" -> 0.25), default = 0.5)
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    Seq(stage("s0_all", docs), stage("s1_quality", s1),
-      stage("s2_lang", s2), stage("s3_exact_dedup", s3),
-      stage("s4_passage", s4), stage("s5_sample", s5))
-      .reduce(_ unionByName _)
+    val tail = s3.select(col("doc_id"), col("lang"))
+      .join(pd, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("s3_exact_dedup"),
+        sum(when(fPass, 1L).otherwise(0L)).as("s4_passage"),
+        sum(when(fSamp, 1L).otherwise(0L)).as("s5_sample"))
+    head.crossJoin(tail) // two one-row aggregates
+      .select(expr("stack(6, 's0_all', s0_all, 's1_quality', s1_quality, " +
+        "'s2_lang', s2_lang, 's3_exact_dedup', s3_exact_dedup, " +
+        "'s4_passage', s4_passage, 's5_sample', s5_sample) " +
+        "AS (stage, n_docs)"))
       .orderBy(col("stage"))
   }
 
@@ -1561,30 +1639,43 @@ object Queries {
     * exact-dedup, SEMANTIC-dedup (d10's within-cell cosine cut), then the
     * deterministic stratified sample. Relational and vector stages fuse in
     * the same Catalyst plan; shuffles are the dedup grains and the cell
-    * equi-join only. */
+    * equi-join only, and stage counts aggregate flags over the funnel's
+    * single materialization (see pipe1) instead of re-running the prefix
+    * per stage — so the expensive semantic-dedup subtree executes once. */
   def pipe3EmbedFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     val joined = docs.join(
       emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
-    val s1 = joined.where(
-      TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5)
-    val s2 = Dedup.exactDedup(s1, "doc_id", "text")
+    val fQ = TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5
+    // pre-dedup stage counts as conditional sums in one pass (see pipe1);
+    // the docs⋈emb exchanges are identical in both branches, so the second
+    // consumer reads the reused shuffle, not a second scan-and-shuffle
+    val head = joined.agg(
+      count(lit(1)).as("s0_all"),
+      sum(when(fQ, 1L).otherwise(0L)).as("s1_quality"))
+    val wFp = Window
+      .partitionBy(TextAnalysis.fingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val s2 = joined.where(fQ)
+      .withColumn("_rn", row_number().over(wFp))
+      .where(col("_rn") === 1)
     val cents = Similarity.collectCentroids(
       emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
     val surv = Similarity.semanticDedup(s2, "doc_id", "embedding", cents,
       SemThreshold)
-    val s3 = s2.join(surv.select(col("id").as("doc_id")), Seq("doc_id"),
-      "left_semi")
-    val s4 = Sampling.stratifiedSample(s3, "doc_id", "lang",
+    val fSamp = Sampling.keep(col("doc_id"), col("lang"),
       Map("en" -> 0.25), default = 0.5)
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
-    Seq(stage("s0_all", joined), stage("s1_quality", s1),
-      stage("s2_exact", s2), stage("s3_semantic", s3),
-      stage("s4_sample", s4))
-      .reduce(_ unionByName _)
+    val tail = s2.select(col("doc_id"), col("lang"))
+      .join(surv.select(col("id").as("doc_id"), lit(true).as("_sv")),
+        Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("s2_exact"),
+        sum(when(col("_sv"), 1L).otherwise(0L)).as("s3_semantic"),
+        sum(when(col("_sv") && fSamp, 1L).otherwise(0L)).as("s4_sample"))
+    head.crossJoin(tail)
+      .select(expr("stack(5, 's0_all', s0_all, 's1_quality', s1_quality, " +
+        "'s2_exact', s2_exact, 's3_semantic', s3_semantic, " +
+        "'s4_sample', s4_sample) AS (stage, n_docs)"))
       .orderBy(col("stage"))
   }
 
@@ -1825,6 +1916,7 @@ object Queries {
     "q12_priority_split" -> q12PrioritySplit _,
     "q16_supplier_count" -> q16SupplierCount _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q20_promotion_suppliers" -> q20PromotionSuppliers _,
     "q21_waiting_supplier" -> q21WaitingSupplier _,
     "q22_idle_customers" -> q22IdleCustomers _,
     "s4_centroids" -> s4Centroids _,
@@ -1881,6 +1973,7 @@ object Queries {
     "d5_embedding_dups" -> d5EmbeddingDups _,
     "d6_simhash_pairs" -> d6SimhashPairs _,
     "d7_contamination" -> d7Contamination _,
+    "d11_bloom_contamination" -> d11BloomContamination _,
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_semantic_dedup" -> d10SemanticDedup _,

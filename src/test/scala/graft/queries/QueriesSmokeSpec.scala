@@ -88,6 +88,46 @@ class QueriesSmokeSpec extends SparkSpec {
       "assignment subtree not cached") // one argmax pass, three consumers
   }
 
+  test("pipe1 stage counts don't re-scan the corpus once per stage") {
+    // flags + two one-row aggregates: the plan reads documents for the
+    // head counts and once for the funnel (whose dual consumers share the
+    // fingerprint-window exchange) — NOT six scans for six stages
+    // formatted mode prints each node twice (tree line + details block),
+    // so N physical scans = 2N matches; the funnel has 3: head counts,
+    // the s3 subtree feeding the passage explode, and the s3 subtree
+    // feeding the doc-grain tail join (the latter two share their
+    // fingerprint-window exchange at runtime via ReuseExchange)
+    val plan = formattedPlan(Queries.pipe1Funnel(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 6, s"pipe1 re-scans per stage: ${scans / 2} scans\n" +
+      plan.take(800))
+  }
+
+  test("pipe3 runs the semantic-dedup subtree once, not per stage branch") {
+    val plan = formattedPlan(Queries.pipe3EmbedFunnel(spark, sfDir))
+    val cellJoins = "InMemoryTableScan".r.findAllIn(plan).length
+    // semanticDedup caches its cell-assignment subtree; the funnel must
+    // not instantiate that subtree more than its three in-operator uses
+    // (formatted mode prints each node twice → 3 uses = 6 matches)
+    assert(cellJoins <= 6,
+      s"semantic dedup duplicated: ${cellJoins / 2} cached scans")
+  }
+
+  test("q20 part prune reaches the fact pre-aggregate; dims broadcast") {
+    val plan = Queries.q20PromotionSuppliers(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("d11 bloom gate sits in the corpus scan filter, before the join") {
+    val plan = Queries.d11BloomContamination(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // BloomFilterMightContain prints under its prettyName "might_contain"
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q19 pushes the size envelope and the quantity bounds into the scans") {
     val plan = formattedPlan(Queries.q19DisjunctiveRevenue(spark, sfDir))
     // Catalyst extracts the common conjuncts out of the OR-of-ANDs: every
