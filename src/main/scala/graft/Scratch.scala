@@ -509,6 +509,40 @@ object Scratch {
           cc2 = operators.Components.connectedComponents(
             docs, "doc_id", pairs2, "id_a", "id_b"); 0L }
         time("count_cc")(cc2.orderBy(col("doc_id")).count())
+      case Some("pipe2x") =>
+        // pipe2_stream_funnel cost breakdown: corpus drop-file write,
+        // streaming funnel (startup + one AvailableNow batch), sink
+        // read-back — to see which of the three owns the bench median
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.streaming.Trigger
+        import queries.QuerySpec._
+        val base = java.nio.file.Files.createTempDirectory("pipe2x")
+        val drop = base.resolve("drop")
+        time("corpus_write") {
+          Tables.documents(spark, sfDir)
+            .select(col("doc_id"),
+              concat_ws("\t", col("doc_id"), col("text")).as("value"))
+            .orderBy(col("doc_id")).select(col("value")).coalesce(1)
+            .write.text(drop.toString); 0L
+        }
+        time("stream_funnel") {
+          streaming.DocStream.ingestFunnel(spark, drop.toString,
+            base.resolve("ckpt").toString, base.resolve("sink").toString,
+            base.resolve("pstore").toString,
+            minQuality = 0.5, langs = Seq("en", "es", "de"),
+            passageK = PassageK, sampleRates = Map("en" -> 0.25),
+            sampleDefault = 0.5, markers = LangMarkers,
+            stopwords = Stopwords,
+            trigger = Trigger.AvailableNow()).awaitTermination(300000); 0L
+        }
+        time("sink_readback") {
+          spark.read.parquet(base.resolve("sink").toString).count()
+        }
+        val nSink = java.nio.file.Files.walk(base.resolve("sink"))
+          .filter(p => p.toString.endsWith(".parquet")).count()
+        val nP = java.nio.file.Files.walk(base.resolve("pstore"))
+          .filter(p => p.toString.endsWith(".parquet")).count()
+        println(s"SINK FILES: $nSink  PSTORE FILES: $nP")
       case Some("m3x") =>
         // count() would PRUNE the feature columns — force full evaluation
         import org.apache.spark.sql.functions._

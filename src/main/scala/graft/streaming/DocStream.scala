@@ -136,8 +136,18 @@ object DocStream {
         val newPfps = passages.select(col("pp"), col("pfp")).distinct()
           .join(storedPfps, Seq("pfp"), "left_anti")
           .withColumn("batch_id", lit(batchId))
+        // repartition BY the partition column before a partitionBy write:
+        // otherwise every task writes a sliver into every prefix dir it
+        // holds rows for (up to 256 dirs × tasks tiny files PER BATCH —
+        // the small-files debt Compaction exists to clean). Clustered, a
+        // prefix dir is written by exactly one task. Persist before the
+        // emptiness probe: the guard and the write would otherwise each
+        // run the distinct+anti-join subtree once, and the result is
+        // batch-fingerprint-sized.
+        newPfps.persist()
         if (!newPfps.isEmpty)
-          newPfps.write.mode(org.apache.spark.sql.SaveMode.Append)
+          newPfps.repartition(col("pp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
             .partitionBy("pp").parquet(passageStorePath)
         val wp = Window.partitionBy(col("pfp"))
           .orderBy(col("doc_id"), col("idx"))
@@ -156,10 +166,13 @@ object DocStream {
             >= col("n_passages"))
           .drop("n_kept", "n_passages")
         val sampled = Sampling.stratifiedSample(survivors, "doc_id", "lang",
-          sampleRates, sampleDefault)
+          sampleRates, sampleDefault).persist()
         if (!sampled.isEmpty)
-          sampled.write.mode(org.apache.spark.sql.SaveMode.Append)
+          sampled.repartition(col("fpp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
             .partitionBy("fpp").parquet(sinkPath)
+        sampled.unpersist()
+        newPfps.unpersist()
         passages.unpersist()
         freshDocs.unpersist()
         ()
@@ -197,9 +210,13 @@ object DocStream {
               .select(col("fp"))
             deduped.join(storedFps, Seq("fp"), "left_anti")
           } else deduped
+        fresh.persist() // the guard and the write share one execution
         if (!fresh.isEmpty)
-          fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+          fresh.repartition(col("fpp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
             .partitionBy("fpp").parquet(sinkPath)
+        fresh.unpersist()
+        ()
       }
       .start()
   }
