@@ -111,6 +111,61 @@ object Oracles {
 
   // ---- the oracle map ----------------------------------------------------
 
+  /** t14 pocket-perceptron twin, GENERATED from the same epoch count the
+    * Spark query trains with ([[QuerySpec.T14Epochs]]) so the two can
+    * never drift. Stage e_k computes, in ONE pass over the features, the
+    * error count of its input weights w_{k-1} and the updated weights
+    * w_k; the pocket pick is the min-error candidate among w_1..w_E
+    * (earliest epoch breaks ties, mirroring the strictly-less comparison
+    * in [[graft.operators.Perceptron.train]]). All-BIGINT arithmetic —
+    * bit-identical to the Spark loop by construction. */
+  private def t14Sql: String = {
+    val E = T14Epochs
+    val xs = (1 to 6).map(j => s"x$j")
+    val markerIn = LangMarkers.map(_._2.map(w => s"'$w'").mkString(", "))
+    val featCols = markerIn.zipWithIndex.map { case (in, j) =>
+      s"CAST(len(list_filter(${rawToks("text")}, x -> x IN ($in))) AS BIGINT) AS x${j + 1}"
+    } :+ "CAST(1 AS BIGINT) AS x6"
+    // y = +1 iff en's marker count >= every other language's (argmax with
+    // en-first priority — exactly langId(text) = 'en')
+    val yExpr = "CASE WHEN x1 >= x2 AND x1 >= x3 AND x1 >= x4 AND x1 >= x5 " +
+      "THEN 1 ELSE -1 END"
+    def dot(p: String) = xs.map(c => s"$p.i_$c * $c").mkString(" + ")
+    def stage(k: Int): String = {
+      val (prev, from) =
+        if (k == 1) (xs.map(_ => "0"), "f")
+        else (xs.map(c => s"any_value(w.i_$c) + any_value(w.u_$c)"),
+          s"f CROSS JOIN e${k - 1} w")
+      // i_* = this stage's input weights w_{k-1}; u_* = the batch update;
+      // errs = margin-criterion errors of w_{k-1}
+      val iCols = xs.zip(prev).map { case (c, p) => s"$p AS i_$c" }
+      val d = if (k == 1) "0"
+        else xs.map(c => s"(w.i_$c + w.u_$c) * $c").mkString(" + ")
+      val mis = s"y * ($d) <= 0"
+      val uCols = xs.map(c =>
+        s"CAST(sum(CASE WHEN $mis THEN y * $c ELSE 0 END) AS BIGINT) AS u_$c")
+      val errs = s"CAST(sum(CASE WHEN $mis THEN 1 ELSE 0 END) AS BIGINT) AS errs"
+      s"e$k AS (SELECT\n  ${(iCols ++ (errs +: uCols)).mkString(",\n  ")}\n  FROM $from)"
+    }
+    // candidate w_k = e_k's input+update = e_{k+1}'s input (i_*); its error
+    // count errs_k is computed by stage e_{k+1}
+    val cands = (1 to E).map { k =>
+      val ws = xs.map(c => s"i_$c AS w_$c").mkString(", ")
+      s"SELECT $k AS ep, errs, $ws FROM e${k + 1}"
+    }.mkString("\nUNION ALL ")
+    val margin = xs.map(c => s"w.w_$c * $c").mkString(" + ")
+    s"""WITH f0 AS (
+       |  SELECT doc_id, ${featCols.mkString(",\n    ")}
+       |  FROM documents),
+       |f AS (SELECT doc_id, $yExpr AS y, ${xs.mkString(", ")} FROM f0),
+       |${(1 to (E + 1)).map(stage).mkString(",\n")},
+       |cand AS (${cands}),
+       |pocket AS (SELECT * FROM cand ORDER BY errs, ep LIMIT 1)
+       |SELECT doc_id, $margin AS margin,
+       |  CASE WHEN $margin > 0 THEN 1 ELSE -1 END AS pred, y
+       |FROM f CROSS JOIN pocket w ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1079,6 +1134,8 @@ object Oracles {
         |  GROUP BY 1)
         |SELECT cin.lang, n_in, coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept
         |FROM cin LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+
+    "t14_perceptron" -> t14Sql,
 
     "t6_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Perceptron, Sampling, Similarity, Skew, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -1343,6 +1343,38 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** T14: in-engine classifier training — a pocket batch perceptron
+    * DISTILLING the t1 language-ID heuristic into a linear model: label
+    * +1 iff `langId(text) = 'en'` (the argmax-with-priority rule),
+    * features the five per-language marker-hit counts plus bias. The
+    * label is a non-linear function of the features (pairwise count
+    * comparisons), so training genuinely has to find the separating
+    * weights — pocket lands ~90% accuracy against a ~75-78% base rate.
+    * Every quantity in training and scoring is exact BIGINT arithmetic,
+    * so the DuckDB twin unrolls the same 12 epochs to bit-identical
+    * weights, margins, and predictions ([[Oracles.t14Sql]] is GENERATED
+    * from the same epoch count). See [[graft.operators.Perceptron]] for
+    * the scale shape: epochs+1 map-side-combinable aggregates, the driver
+    * collects one |x|+1-long row per pass. */
+  def t14Perceptron(s: SparkSession, d: String): DataFrame = {
+    val xCols = (1 to 6).map(j => s"x$j")
+    val markerHits = LangMarkers.zipWithIndex.map { case ((_, words), j) =>
+      TextAnalysis.stopwordHits(col("text"), words).cast("long")
+        .as(s"x${j + 1}")
+    }
+    val feats = Tables.documents(s, d).select(
+      col("doc_id") +:
+        when(TextAnalysis.langId(col("text"), LangMarkers) === "en", 1)
+          .otherwise(-1).as("y") +:
+        markerHits :+
+        lit(1L).as("x6"): _*).persist()
+    val w = Perceptron.train(feats, "y", xCols, epochs = T14Epochs)
+    val margin = Perceptron.dot(w, xCols)
+    feats.select(col("doc_id"), margin.as("margin"),
+      when(margin > 0, 1).otherwise(-1).as("pred"), col("y"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A14: cohort retention — users bucketed by FIRST-PURCHASE day (the
     * acquisition event), distinct-user counts per (cohort day, day offset
     * since acquisition). Two user-grain aggregates co-partition on the
@@ -1993,6 +2025,7 @@ object Queries {
     "t11_top_ngrams" -> t11TopNgrams _,
     "t12_doc_freq" -> t12DocFreq _,
     "t13_mix_rebalance" -> t13MixRebalance _,
+    "t14_perceptron" -> t14Perceptron _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

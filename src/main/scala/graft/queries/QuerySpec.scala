@@ -95,6 +95,9 @@ object QuerySpec {
   // T2 stopwords
   val Stopwords: Seq[String] = Seq("the", "a")
 
+  // T14 pocket-perceptron epochs (query and generated oracle must agree)
+  val T14Epochs = 12
+
   // P8 order-status enum
   val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
 }
