@@ -346,6 +346,57 @@ object Dedup {
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Sliding-window exact-substring duplication (the per-doc measurement
+    * behind Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better": substrings of `k` tokens appearing more than once in
+    * the corpus are duplicated text). Unlike [[passageDedup]]'s DISJOINT
+    * k-token chunks, windows here slide with stride 1, so duplicated runs
+    * are caught at any alignment — the property the suffix-array method
+    * buys; this is its hash-join re-expression. Returns per doc
+    * `(id, n_tokens, n_dup_tokens)` where n_dup_tokens is the size of the
+    * UNION of all duplicated-window spans (an islands merge per doc).
+    *
+    * Scale shape: the window explosion is ~n_tokens rows per doc (each a
+    * 32-char hash + long) — the honest cost of stride-1 coverage; the
+    * duplicate election is one groupBy on the hash-uniform fingerprint;
+    * the islands merge windows per doc_id (bounded partitions, never
+    * global). Suffix arrays do this in O(n) total text instead of O(n·k)
+    * hashing but need a global sort of every suffix — the groupBy form
+    * shuffles hashes once and needs no order. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toksed = df.select(col(idCol).as("id"),
+      transform(TextAnalysis.tokens(col(textCol)), t => lower(t)).as("toks"))
+    val counts = toksed.select(col("id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    // sequence value i is the 1-based window start; posexplode's pos is
+    // i-1, so idx = pos + 1 recovers it alongside the fingerprint
+    val wins = toksed.where(size(col("toks")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - k + 1),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+          .as(Seq("pidx", "fp")))
+      .select(col("id"), (col("pidx") + 1).as("idx"), col("fp"))
+    val dup = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") >= 2).select("fp")
+    val dw = wins.join(dup, Seq("fp"), "left_semi")
+    val wlag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("idx"))
+    val isl = dw
+      .withColumn("prev", lag(col("idx"), 1).over(wlag))
+      // starts are sorted and every window has length k, so a break is a
+      // start past the previous window's end + 1
+      .withColumn("brk", when(col("prev").isNull ||
+        col("idx") > col("prev") + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wlag))
+    val spans = isl.groupBy(col("id"), col("island"))
+      .agg((max(col("idx")) - min(col("idx")) + k).as("span"))
+      .groupBy(col("id")).agg(sum(col("span")).as("n_dup_tokens"))
+    counts.join(spans, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
   /** 64-bit-ish SimHash (60 bits to stay in a signed long): per token take
     * the first 15 hex chars of md5 as a 60-bit integer; document hash bit b
     * is the sign of Σ_tokens (±1 by token bit b). Near-dups share most bits.

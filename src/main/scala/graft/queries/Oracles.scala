@@ -1137,6 +1137,34 @@ object Oracles {
 
     "t14_perceptron" -> t14Sql,
 
+    // d12: stride-1 window fingerprints with POSITION (lateral range), dup
+    // election by global count >= 2, then a per-doc islands merge of the
+    // k-long spans; docs shorter than k keep n_dup_tokens = 0
+    "d12_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+         |w AS (SELECT doc_id, i AS idx,
+         |    md5(array_to_string(toks[i:i+${SubstrK - 1}], ' ')) AS fp
+         |  FROM t, unnest(range(1, len(toks) - $SubstrK + 2)) r(i)
+         |  WHERE len(toks) >= $SubstrK),
+         |dup AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+         |dw AS (SELECT doc_id, idx FROM w SEMI JOIN dup USING (fp)),
+         |isl AS (SELECT doc_id, idx,
+         |    CASE WHEN lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL
+         |           OR idx > lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) + $SubstrK
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM dw),
+         |isl2 AS (SELECT doc_id, idx,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS island
+         |  FROM isl),
+         |spans AS (SELECT doc_id,
+         |    CAST(max(idx) - min(idx) + $SubstrK AS BIGINT) AS span
+         |  FROM isl2 GROUP BY doc_id, island)
+         |SELECT n.doc_id, n_tokens,
+         |  coalesce(CAST(sum(span) AS BIGINT), CAST(0 AS BIGINT)) AS n_dup_tokens
+         |FROM n LEFT JOIN spans USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     "t6_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <

@@ -1305,6 +1305,17 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** D12: sliding-window exact-substring duplication — Lee et al. 2022's
+    * duplicated-text measurement, stride-1 windows so repeated runs are
+    * caught at ANY alignment (d8's disjoint chunks miss shifted copies).
+    * Per doc: total tokens and the union size of duplicated-window spans
+    * (an islands merge per doc). See [[Dedup.substringDupSpans]]. */
+  def d12SubstringDup(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupSpans(Tables.documents(s, d), "doc_id", "text",
+      SubstrK)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"))
+      .orderBy(col("doc_id"))
+
   /** D8: passage-level exact dedup (C4-style line dedup on fixed 10-word
     * passages): per doc, total passages and passages surviving global
     * first-occurrence dedup. One window over the fingerprint + one rollup
@@ -2006,6 +2017,7 @@ object Queries {
     "d6_simhash_pairs" -> d6SimhashPairs _,
     "d7_contamination" -> d7Contamination _,
     "d11_bloom_contamination" -> d11BloomContamination _,
+    "d12_substring_dedup" -> d12SubstringDup _,
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_semantic_dedup" -> d10SemanticDedup _,

@@ -98,6 +98,9 @@ object QuerySpec {
   // T14 pocket-perceptron epochs (query and generated oracle must agree)
   val T14Epochs = 12
 
+  // D12 sliding-window substring-dedup window length (tokens)
+  val SubstrK = 10
+
   // P8 order-status enum
   val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
 }

@@ -6,6 +6,24 @@ import graft.SparkSpec
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("substringDupSpans catches shifted duplicates and merges overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // shares window "a b c" with doc 2 (offset 0)
+      (2L, "x a b c y"),      // ... at offset 1 — disjoint chunking misses it
+      (3L, "p q r p q r p q"), // self-repeat: every window duplicated
+      (4L, "u v w z1 z2"),    // clean
+      (5L, "s t"))            // shorter than k
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, d) => id -> ((n, d)) }.toMap
+    assert(out(1L) == ((5L, 3L)))  // tokens 1-3 covered
+    assert(out(2L) == ((5L, 3L)))  // tokens 2-4 covered
+    assert(out(3L) == ((8L, 8L)))  // islands merge to the whole doc
+    assert(out(4L) == ((5L, 0L)))
+    assert(out(5L) == ((2L, 0L)))  // no windows, still reported
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox"),
     (2L, "THE  Quick   brown fox"),      // exact dup of 1 after normalization
