@@ -432,6 +432,136 @@ object Scratch {
           println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale4") =>
+        // 16x probes for the round-7 newcomers: d11's bloom gate (clean
+        // corpus growth must be pruned BEFORE the join), d12's stride-1
+        // window explosion (linear in tokens), t14's epochs+1 aggregates,
+        // q20's pre-aggregate part prune, and pipe1's one-pass stage
+        // counts (2 scans at any scale, vs once-per-stage).
+        // env: SPARK_GRAFT_SCALES (default "1,4,16"),
+        //      SPARK_GRAFT_SCALE_OPS (default "d11,d12,t14,q20,pipe1")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS",
+          "d11,d12,t14,q20,pipe1").split(",").map(_.trim).toSet
+        val docs0 = Tables.documents(spark, sfDir)
+        val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+        val sup0 = spark.read.parquet(s"$sfDir/supplier.parquet")
+        val nat0 = spark.read.parquet(s"$sfDir/nation.parquet")
+        val didSpan = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val okSpan = li0.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        // replica 0 keeps the original text; later replicas get a disjoint
+        // token namespace — so d11's TRUE contamination stays fixed while
+        // the clean corpus grows (the gate's claimed regime), and d12's
+        // duplicates replicate per-namespace instead of cross-matching
+        def repDocs(k: Int) = (0 until k).map { i =>
+          val txt = if (i == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+          docs0.select((col("doc_id") + lit(i * didSpan)).as("doc_id"),
+            txt.as("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        val times = scala.collection.mutable.Map[String, Double]()
+        def timed(name: String)(f: => Long): Unit = {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt
+          println(f"TIMER $name%-10s ${dt}%8.2f s  rows=$n")
+        }
+        for (k <- scales) {
+          if (ops("d11")) timed(s"d11_x$k") {
+            val docs = repDocs(k)
+            graft.plans.GraftExtensions.register(spark)
+            operators.Decontaminate.contaminatedDocsBloom(
+              docs.where(col("doc_id") % 31 =!= 0),
+              docs0.where(col("doc_id") % 31 === 0), // benchmark FIXED
+              "doc_id", "text", k = 3,
+              expectedShingles = 1L << 16).count()
+          }
+          if (ops("d12")) timed(s"d12_x$k") {
+            operators.Dedup.substringDupSpans(repDocs(k), "doc_id", "text",
+              queries.QuerySpec.SubstrK).count()
+          }
+          if (ops("t14")) timed(s"t14_x$k") {
+            val docs = repDocs(k)
+            val xCols = (1 to 6).map(j => s"x$j")
+            val hits = queries.QuerySpec.LangMarkers.zipWithIndex.map {
+              case ((_, words), j) =>
+                operators.TextAnalysis.stopwordHits(col("text"), words)
+                  .cast("long").as(s"x${j + 1}")
+            }
+            val feats = docs.select(
+              col("doc_id") +:
+                when(operators.TextAnalysis.langId(col("text"),
+                  queries.QuerySpec.LangMarkers) === "en", 1)
+                  .otherwise(-1).as("y") +:
+                hits :+ lit(1L).as("x6"): _*).persist()
+            val w = operators.Perceptron.train(feats, "y", xCols,
+              queries.QuerySpec.T14Epochs)
+            val n = feats.count()
+            feats.unpersist()
+            w.sum.abs.min(n)
+          }
+          if (ops("q20")) timed(s"q20_x$k") {
+            val li = (0 until k).map(i => li0.withColumn("l_orderkey",
+              col("l_orderkey") + lit(i * okSpan))).reduce(_ unionByName _)
+            val largeParts = part0.where(col("p_name").startsWith("large"))
+              .select(col("p_partkey").as("l_partkey"))
+            val in96 = col("l_shipdate").cast("timestamp") >=
+              timestamp_millis(lit(queries.QuerySpec.Ms1996)) &&
+              col("l_shipdate").cast("timestamp") <
+                timestamp_millis(lit(queries.QuerySpec.Ms1997))
+            val excess = li
+              .join(broadcast(largeParts), Seq("l_partkey"), "left_semi")
+              .groupBy(col("l_partkey"), col("l_suppkey"))
+              .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+                .cast("double").as("total_qty"),
+                sum(when(in96, col("l_quantity")).otherwise(lit(0))
+                  .cast("decimal(18,2)")).cast("double").as("qty_1996"))
+              .where(col("total_qty") > col("qty_1996") * 2)
+              .select(col("l_suppkey").as("s_suppkey")).distinct()
+            sup0.join(broadcast(nat0
+              .where(col("n_name").isin("NATION_3", "NATION_7"))
+              .select(col("n_nationkey").as("s_nationkey"))),
+              Seq("s_nationkey"), "left_semi")
+              .join(excess, Seq("s_suppkey"), "left_semi").count()
+          }
+          if (ops("pipe1")) timed(s"pipe1_x$k") {
+            val docs = repDocs(k)
+            val fQ = operators.TextAnalysis.qualityScore(col("text"),
+              queries.QuerySpec.Stopwords) >= 0.5
+            val fL = col("lang").isin("en", "es", "de")
+            val head = docs.agg(count(lit(1)),
+              sum(when(fQ, 1L).otherwise(0L)),
+              sum(when(fQ && fL, 1L).otherwise(0L)))
+            val wFp = org.apache.spark.sql.expressions.Window
+              .partitionBy(operators.TextAnalysis.fingerprint(col("text")))
+              .orderBy(col("doc_id"))
+            val s3 = docs.where(fQ && fL)
+              .withColumn("_rn", row_number().over(wFp))
+              .where(col("_rn") === 1)
+            val pd = operators.Dedup.passageDedup(s3, "doc_id", "text",
+              queries.QuerySpec.PassageK).withColumnRenamed("id", "doc_id")
+            val tail = s3.select(col("doc_id"), col("lang"))
+              .join(pd, Seq("doc_id"), "left")
+              .agg(count(lit(1)), sum(when(col("n_passages").isNotNull &&
+                lit(2) * col("n_kept") >= col("n_passages"), 1L)
+                .otherwise(0L)))
+            head.crossJoin(tail).count()
+          }
+        }
+        for (q <- Seq("d11", "d12", "t14", "q20", "pipe1")
+             if times.contains(s"${q}_x${scales.max}") &&
+               times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${q}_x${scales.max}") / times(s"${q}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC" else "SUPERLINEAR!"
+          println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")
