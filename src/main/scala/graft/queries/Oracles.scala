@@ -1137,6 +1137,29 @@ object Oracles {
 
     "t14_perceptron" -> t14Sql,
 
+    // t15: each Gopher rule as an integer comparison (no division, so no
+    // rounding seam between engines); symbols = '#' chars + '...' runs
+    "t15_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${rawToks("text")}) AS BIGINT) AS n,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+         |    CAST(len(list_filter(${rawToks("text")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(${rawToks("text")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+         |  FROM documents),
+         |r AS (SELECT doc_id, n,
+         |    CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS r_words,
+         |    CASE WHEN 3 * n <= chars AND chars <= 10 * n THEN 1 ELSE 0 END AS r_mean_len,
+         |    CASE WHEN 10 * (hashes + dots) < n THEN 1 ELSE 0 END AS r_symbol,
+         |    CASE WHEN 10 * alpha >= 8 * n THEN 1 ELSE 0 END AS r_alpha,
+         |    CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS r_stop
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens, r_words, r_mean_len, r_symbol,
+         |  r_alpha, r_stop,
+         |  r_words * r_mean_len * r_symbol * r_alpha * r_stop AS passes
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // d12: stride-1 window fingerprints with POSITION (lateral range), dup
     // election by global count >= 2, then a per-doc islands merge of the
     // k-long spans; docs shorter than k keep n_dup_tokens = 0

@@ -1386,6 +1386,40 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T15: the Gopher quality-rule bundle (Rae et al. 2021 §A1.1) — the
+    * standard pre-filter suite of a web-scale pipeline, each rule in
+    * INTEGER form so both engines decide identically with no division:
+    * word count in [50, 100k]; mean word length in [3, 10] as
+    * `3·n ≤ chars ≤ 10·n` (chars = non-whitespace); symbol-to-word ratio
+    * < 0.1 as `10·symbols < n` (symbols = '#' and '...'); ≥ 80%
+    * alphabetic words as `10·alpha ≥ 8·n`; ≥ 2 stopword hits. Pure
+    * map-side — the whole bundle is one projection over the scan. */
+  def t15GopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val chars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val hashes = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val dots = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = TextAnalysis.stopwordHits(col("text"), Stopwords)
+      .cast("long")
+    val rWords = n >= 50L && n <= 100000L
+    val rMeanLen = lit(3L) * n <= chars && chars <= lit(10L) * n
+    val rSymbol = lit(10L) * (hashes + dots) < n
+    val rAlpha = lit(10L) * alpha >= lit(8L) * n
+    val rStop = stops >= 2L
+    def bit(c: Column) = when(c, 1).otherwise(0)
+    Tables.documents(s, d).select(
+      col("doc_id"), n.as("n_tokens"),
+      bit(rWords).as("r_words"), bit(rMeanLen).as("r_mean_len"),
+      bit(rSymbol).as("r_symbol"), bit(rAlpha).as("r_alpha"),
+      bit(rStop).as("r_stop"),
+      bit(rWords && rMeanLen && rSymbol && rAlpha && rStop).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A14: cohort retention — users bucketed by FIRST-PURCHASE day (the
     * acquisition event), distinct-user counts per (cohort day, day offset
     * since acquisition). Two user-grain aggregates co-partition on the
@@ -2038,6 +2072,7 @@ object Queries {
     "t12_doc_freq" -> t12DocFreq _,
     "t13_mix_rebalance" -> t13MixRebalance _,
     "t14_perceptron" -> t14Perceptron _,
+    "t15_gopher_rules" -> t15GopherRules _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
