@@ -45,7 +45,8 @@ object Bench {
     // median drops the first (codegen-compile) run — see object scaladoc.
     val heavy = Set("d2_jaccard_pairs", "d3_minhash_lsh", "d6_simhash_pairs",
       "d7_contamination", "d9_dup_clusters", "s11_kmeans_train",
-      "pipe1_funnel")
+      "pipe1_funnel", "pipe2_stream_funnel", "d10_semantic_dedup",
+      "d11_bloom_contamination")
     val ordered = selected.toSeq.sortBy { case (n, _) => (heavy(n), n) }
     val baseRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt.max(1))
     val results = ordered.map { case (name, fn) =>

@@ -673,6 +673,50 @@ object Scratch {
         val nP = java.nio.file.Files.walk(base.resolve("pstore"))
           .filter(p => p.toString.endsWith(".parquet")).count()
         println(s"SINK FILES: $nSink  PSTORE FILES: $nP")
+      case Some("w9x") =>
+        // w9 watermark debug: fixed dirs, per-delivery sink row counts and
+        // the checkpoint's recorded watermark
+        import org.apache.spark.sql.functions._
+        val root = java.nio.file.Paths.get("/tmp/w9x")
+        org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+        val drop = root.resolve("drop")
+        java.nio.file.Files.createDirectories(drop)
+        val sink = root.resolve("sink").toString
+        val rawEv = spark.read.parquet(s"$sfDir/events.parquet")
+        val usCol = rawEv.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+          case _ => expr("unix_micros(ts)")
+        }
+        val ev = rawEv.select(col("event_id"), usCol.as("us"), col("value"))
+          .withColumn("rel_ms",
+            expr("us div 1000") - queries.QuerySpec.RangeStartMs)
+        val dayMs = 86400000L
+        val base0 = when(col("rel_ms") < 10 * dayMs, 0)
+          .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+        val batchCol = least(base0 + when(col("event_id") % 11 === 0, 1)
+          .otherwise(0), lit(2))
+        val lines = ev.select(col("event_id"), batchCol.as("batch"),
+          concat_ws("\t", col("event_id"), col("us"), col("value"))
+            .as("value_line"))
+        for (b <- 0 to 2) {
+          lines.where(col("batch") === b)
+            .orderBy(col("event_id")).select(col("value_line"))
+            .coalesce(1).write.mode("append").text(drop.toString)
+          streaming.EventWindowStream.deliver(spark, drop.toString,
+            root.resolve("ckpt").toString, sink,
+            delay = "2 hours", windowDur = "1 day")
+          val n = try spark.read.parquet(sink).count() catch {
+            case _: Throwable => -1L }
+          println(s"AFTER DELIVERY $b: sink rows = $n")
+        }
+        import scala.jdk.CollectionConverters._
+        val commits = java.nio.file.Files.list(root.resolve("ckpt/offsets"))
+          .iterator().asScala.toSeq.sortBy(_.toString)
+        commits.foreach { p =>
+          val txt = new String(java.nio.file.Files.readAllBytes(p))
+          println(s"OFFSET ${p.getFileName}: " +
+            txt.linesIterator.filter(_.contains("watermark")).mkString(" | "))
+        }
       case Some("m3x") =>
         // count() would PRUNE the feature columns — force full evaluation
         import org.apache.spark.sql.functions._

@@ -130,7 +130,6 @@ object Oracles {
     // en-first priority — exactly langId(text) = 'en')
     val yExpr = "CASE WHEN x1 >= x2 AND x1 >= x3 AND x1 >= x4 AND x1 >= x5 " +
       "THEN 1 ELSE -1 END"
-    def dot(p: String) = xs.map(c => s"$p.i_$c * $c").mkString(" + ")
     def stage(k: Int): String = {
       val (prev, from) =
         if (k == 1) (xs.map(_ => "0"), "f")
@@ -668,6 +667,42 @@ object Oracles {
         |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS correlation
         |FROM s ORDER BY user_id""".stripMargin,
+
+    // w9: replay of the streaming watermark algebra. Batch assignment
+    // mirrors the query's delivery plan; the watermark BEFORE batch b is
+    // the max event time (ms floor of the µs clock — Spark tracks event
+    // time stats in ms) over ALL rows of earlier batches minus the 2 h
+    // delay (dropped late rows still advance it — the stats collect
+    // upstream of the stateful aggregation); a late row is dropped when
+    // its window END is at or under that watermark; append mode emits a
+    // window once the FINAL watermark is at or past its end.
+    "w9_stream_windows" ->
+      s"""WITH e AS (SELECT event_id, ts, value,
+         |    epoch_ns(ts) // 1000 AS us,
+         |    epoch_ns(ts) // 1000000 - $RangeStartMs AS rel_ms
+         |  FROM events),
+         |b AS (SELECT *,
+         |    least(CASE WHEN rel_ms < ${10 * 86400000L} THEN 0
+         |               WHEN rel_ms < ${20 * 86400000L} THEN 1 ELSE 2 END
+         |      + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END, 2) AS batch,
+         |    (us // 86400000000) * 86400000 AS win_start
+         |  FROM e),
+         |w AS (SELECT *, (win_start + 86400000) * 1000 AS win_end_us FROM b),
+         |wm AS (SELECT
+         |    max(CASE WHEN batch = 0 THEN us END) // 1000 - 7200000 AS wm1,
+         |    max(CASE WHEN batch <= 1 THEN us END) // 1000 - 7200000 AS wm2,
+         |    max(us) // 1000 - 7200000 AS wmf
+         |  FROM w),
+         |kept AS (SELECT w.* FROM w CROSS JOIN wm
+         |  WHERE batch = 0
+         |     OR (batch = 1 AND win_end_us > wm1 * 1000)
+         |     OR (batch = 2 AND win_end_us > wm2 * 1000))
+         |SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM kept
+         |GROUP BY 1
+         |HAVING (win_start + 86400000) * 1000 <= (SELECT wmf * 1000 FROM wm)
+         |ORDER BY win_start""".stripMargin,
 
     "w8_frame_edges" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,

@@ -691,6 +691,56 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** W9 (streaming semantics through the oracle): watermarked tumbling
+    * event-time windows — the Structured Streaming core — driven through
+    * [[graft.streaming.EventWindowStream]] as three deterministic
+    * deliveries and hash-checked against a DuckDB twin that REPLAYS the
+    * watermark algebra (per-batch max event time in ms minus the delay,
+    * late rows dropped when their window end is at or under the
+    * pre-batch watermark, append-mode emission once the final watermark
+    * passes a window's end).
+    *
+    * Delivery plan (all deterministic): events split into three batches
+    * by event-time decade (days [0,10)/[10,20)/rest), and every
+    * `event_id % 11 = 0` row is DISPLACED one batch later — genuine late
+    * data whose fate (counted vs dropped) the watermark decides. Batches
+    * arrive as sequential `deliver` calls against one checkpoint, so the
+    * watermark carries across calls through the commit log. */
+  def w9StreamWindows(s: SparkSession, d: String): DataFrame = {
+    // events.ts is parquet timestamp[ns] → LONG nanoseconds under the
+    // session's nanosAsLong (see Tables.events); µs by integer div
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val usCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(ts)")
+    }
+    val ev = raw.select(col("event_id"), usCol.as("us"), col("value"))
+      .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
+    val dayMs = 86400000L
+    val base = when(col("rel_ms") < 10 * dayMs, 0)
+      .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+    val batchCol = least(base + when(col("event_id") % 11 === 0, 1)
+      .otherwise(0), lit(2))
+    val lines = ev.select(col("event_id"), batchCol.as("batch"),
+      concat_ws("\t", col("event_id"), col("us"), col("value"))
+        .as("value_line"))
+    val root = java.nio.file.Files.createTempDirectory("w9q")
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    val sink = root.resolve("sink").toString
+    for (b <- 0 to 2) {
+      lines.where(col("batch") === b)
+        .orderBy(col("event_id")).select(col("value_line"))
+        .coalesce(1).write.mode("append").text(drop.toString)
+      graft.streaming.EventWindowStream.deliver(s, drop.toString,
+        root.resolve("ckpt").toString, sink,
+        delay = "2 hours", windowDur = "1 day")
+    }
+    s.read.parquet(sink)
+      .select(col("win_start"), col("n_events"), col("total_value"))
+      .orderBy(col("win_start"))
+  }
+
   /** A11: dispersion stats per user — variance/stddev via the algebraic
     * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
     * The sufficient statistics merge associatively (map-side combine, any
@@ -2012,6 +2062,7 @@ object Queries {
     "a12_correlation" -> a12Correlation _,
     "w7_ranks" -> w7Ranks _,
     "w8_frame_edges" -> w8FrameEdges _,
+    "w9_stream_windows" -> w9StreamWindows _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

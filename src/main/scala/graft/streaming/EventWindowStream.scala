@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Watermarked tumbling-window aggregation over a file-delivered event
+  * stream — the Structured Streaming core (event-time windows + watermark
+  * late-data policy) driven end-to-end so an oracle can check its OUTPUT,
+  * not just its plumbing (w9_stream_windows).
+  *
+  * Delivery contract: each call processes whatever files are in `dropDir`
+  * under `Trigger.AvailableNow` against the SAME checkpoint, so a
+  * sequence of calls is a deterministic sequence of micro-batches — the
+  * watermark persists in the checkpoint's commit log across calls, which
+  * sidesteps file-ordering nondeterminism entirely (same pattern as the
+  * pipe2 funnel's sequential deliveries).
+  *
+  * Semantics the oracle replays (and the spec pins): the watermark for
+  * batch b is `max event time over batches < b` minus `delayMs`
+  * (microsecond arithmetic — Spark tracks event time in µs); a row whose
+  * WINDOW END is at or below that watermark is dropped; in append mode a
+  * window is emitted once the post-batch watermark passes its end, and
+  * `Trigger.AvailableNow`'s trailing no-data batch flushes every window
+  * the final watermark has passed. */
+object EventWindowStream {
+
+  /** One delivery round: drain `dropDir` (lines `event_id TAB epoch_us
+    * TAB value`), aggregate per `windowDur` tumbling event-time window,
+    * append finalized windows to the parquet `sink`. */
+  def deliver(spark: SparkSession, dropDir: String, checkpointDir: String,
+      sink: String, delay: String, windowDur: String): Unit = {
+    val raw = spark.readStream.format("text").load(dropDir)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
+        timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
+          .as("ts"),
+        split(col("value"), "\t").getItem(2).cast("double").as("value"))
+    val q = raw.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(unix_millis(col("window.start")).as("win_start"),
+        col("n_events"), col("total_value"))
+      .writeStream
+      .queryName("event-windows")
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    ()
+  }
+}
