@@ -777,6 +777,15 @@ object Oracles {
     // J10: the bucketed layout must not change JOIN SEMANTICS — the oracle
     // is the plain join; any bucketing bug (row lost to a mis-bucketed
     // file, double-read bucket) breaks the hash match.
+    // k4's oracle aggregates the ORIGINAL documents — the query aggregates
+    // the fragmented-then-compacted copy, so compaction must be exactly
+    // content-preserving for the hash to match
+    "k4_compaction" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
     "j10_bucketed" ->
       s"""SELECT c_nationkey, count(*) AS n_orders,
          |  ${dsum("o_totalprice")} AS total_price

@@ -929,6 +929,32 @@ object Queries {
       .orderBy(col("c_nationkey"))
   }
 
+  /** K4: small-file compaction EXERCISED through the oracle gate — the
+    * maintenance op a streaming sink needs, proven content-preserving by
+    * the correctness hash. A lang-partitioned copy of documents is
+    * deliberately fragmented (8 appends → up to 8 files per partition
+    * dir), [[graft.sinks.Compaction.compactPartitions]] rewrites the
+    * oversized dirs to one file each via the rename-aside swap, and the
+    * query aggregates the COMPACTED table; the oracle aggregates the
+    * original documents, so a lost, duplicated, or corrupted row breaks
+    * the hash. The spec asserts the file counts actually shrank. */
+  def k4Compaction(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("k4c")
+      .resolve("docs_by_lang").toString
+    val docs = Tables.documents(s, d)
+    for (i <- 0 until 8)
+      docs.where(col("doc_id") % 8 === i)
+        .write.mode("append").partitionBy("lang").parquet(root)
+    graft.sinks.Compaction.compactPartitions(s, root,
+      targetFiles = 1, maxFiles = 2)
+    s.read.parquet(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("lang"))
+  }
+
   /** J3: timestamp-keyed full-outer merge of per-type series (the reference's
     * 3-endpoint long/short-ratio merge, `binance/perp.py:168-185`). */
   def j3FullOuterMerge(s: SparkSession, d: String): DataFrame = {
@@ -2077,6 +2103,7 @@ object Queries {
     "j8_semi_join" -> j8SemiJoin _,
     "j9_salted_join" -> j9SaltedJoin _,
     "j10_bucketed" -> j10Bucketed _,
+    "k4_compaction" -> k4Compaction _,
     "j4_funding_lookup" -> j4FundingLookup _,
     "p2_align_floor" -> p2AlignFloor _,
     "p4_unit_normalize" -> p4UnitNormalize _,
