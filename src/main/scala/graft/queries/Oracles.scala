@@ -704,6 +704,50 @@ object Oracles {
          |HAVING (win_start + 86400000) * 1000 <= (SELECT wmf * 1000 FROM wm)
          |ORDER BY win_start""".stripMargin,
 
+    // w10: session-window watermark replay. Only first-decade rows are
+    // displaced (by two batches), so every late row's provisional session
+    // end sits far under the pre-batch watermark (all dropped) and no
+    // kept row can merge into an emitted-and-evicted session — the global
+    // per-user session merge over kept rows IS the state machine's result
+    // (see the w10 scaladoc for the delay+gap argument).
+    "w10_stream_sessions" ->
+      s"""WITH e AS (SELECT event_id, user_id, value,
+         |    epoch_ns(ts) // 1000 AS us,
+         |    epoch_ns(ts) // 1000000 - $RangeStartMs AS rel_ms
+         |  FROM events),
+         |b AS (SELECT *,
+         |    CASE WHEN rel_ms < ${10 * 86400000L} AND event_id % 11 = 0 THEN 2
+         |         WHEN rel_ms < ${10 * 86400000L} THEN 0
+         |         WHEN rel_ms < ${20 * 86400000L} THEN 1 ELSE 2 END AS batch
+         |  FROM e),
+         |wm AS (SELECT
+         |    max(CASE WHEN batch = 0 THEN us END) // 1000 - 7200000 AS wm1,
+         |    max(CASE WHEN batch <= 1 THEN us END) // 1000 - 7200000 AS wm2,
+         |    max(us) // 1000 - 7200000 AS wmf
+         |  FROM b),
+         |kept AS (SELECT b.* FROM b CROSS JOIN wm
+         |  WHERE batch = 0
+         |     OR (batch = 1 AND us + ${86400000000L} > wm1 * 1000)
+         |     OR (batch = 2 AND us + ${86400000000L} > wm2 * 1000)),
+         |s1 AS (SELECT *,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |           OR us - lag(us) OVER w >= ${86400000000L} THEN 1 ELSE 0
+         |    END AS brk
+         |  FROM kept
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s2 AS (SELECT *,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+         |  FROM s1)
+         |SELECT user_id,
+         |  min(us) // 1000 AS sess_start,
+         |  (max(us) + ${86400000000L}) // 1000 AS sess_end,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM s2
+         |GROUP BY user_id, sid
+         |HAVING max(us) + ${86400000000L} <= (SELECT wmf * 1000 FROM wm)
+         |ORDER BY user_id, sess_start""".stripMargin,
+
     "w8_frame_edges" ->
       """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
         |  lead(value, 1) OVER wt AS next_value,

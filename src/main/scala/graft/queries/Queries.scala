@@ -741,6 +741,57 @@ object Queries {
       .orderBy(col("win_start"))
   }
 
+  /** W10 (streaming semantics through the oracle, part 2): per-user
+    * event-time SESSION windows with a watermark — the data-dependent
+    * stateful shape (sessions merge across micro-batches in state, unlike
+    * w9's fixed tumbling grid). Delivery: three event-time decades;
+    * `event_id % 11 = 0` rows of the FIRST decade are displaced TWO
+    * batches (arriving when the watermark is ~day 20, so their
+    * provisional sessions end far under it — every displaced row is
+    * deterministically dropped). Only first-decade rows are displaced, by
+    * construction: an emitted session's last event is at least
+    * `delay + gap` older than any later batch's on-time rows, so no kept
+    * row can ever merge into an already-emitted-and-evicted session —
+    * which is exactly what makes the oracle replay closed-form (global
+    * session merge over kept rows) instead of a state-machine simulation.
+    * Sessions still merge across the day-10/day-20 batch boundaries in
+    * state, and append mode emits a session once the final watermark
+    * passes its end. */
+  def w10StreamSessions(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val usCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(ts)")
+    }
+    val ev = raw.select(col("event_id"), usCol.as("us"), col("user_id"),
+        col("value"))
+      .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
+    val dayMs = 86400000L
+    val base = when(col("rel_ms") < 10 * dayMs, 0)
+      .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+    val batchCol = when(base === 0 && col("event_id") % 11 === 0, 2)
+      .otherwise(base)
+    val lines = ev.select(col("event_id"), batchCol.as("batch"),
+      concat_ws("\t", col("event_id"), col("us"), col("user_id"),
+        col("value")).as("value_line"))
+    val root = java.nio.file.Files.createTempDirectory("w10q")
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    val sink = root.resolve("sink").toString
+    for (b <- 0 to 2) {
+      lines.where(col("batch") === b)
+        .orderBy(col("event_id")).select(col("value_line"))
+        .coalesce(1).write.mode("append").text(drop.toString)
+      graft.streaming.EventWindowStream.deliverSessions(s, drop.toString,
+        root.resolve("ckpt").toString, sink,
+        delay = "2 hours", gap = "1 day")
+    }
+    s.read.parquet(sink)
+      .select(col("user_id"), col("sess_start"), col("sess_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
   /** A11: dispersion stats per user — variance/stddev via the algebraic
     * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
     * The sufficient statistics merge associatively (map-side combine, any
@@ -2089,6 +2140,7 @@ object Queries {
     "w7_ranks" -> w7Ranks _,
     "w8_frame_edges" -> w8FrameEdges _,
     "w9_stream_windows" -> w9StreamWindows _,
+    "w10_stream_sessions" -> w10StreamSessions _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

@@ -54,4 +54,38 @@ object EventWindowStream {
     q.awaitTermination(300000)
     ()
   }
+
+  /** Session-window variant (w10): lines `event_id TAB epoch_us TAB
+    * user_id TAB value`, per-user event-time sessions with `gap`,
+    * append-mode emission once the watermark passes a session's end.
+    * Same sequential-delivery contract as [[deliver]]. */
+  def deliverSessions(spark: SparkSession, dropDir: String,
+      checkpointDir: String, sink: String, delay: String,
+      gap: String): Unit = {
+    val raw = spark.readStream.format("text").load(dropDir)
+      .select(
+        timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
+          .as("ts"),
+        split(col("value"), "\t").getItem(2).cast("long").as("user_id"),
+        split(col("value"), "\t").getItem(3).cast("double").as("value"))
+    val q = raw.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("sess_start"),
+        unix_millis(col("session_window.end")).as("sess_end"),
+        col("n_events"), col("total_value"))
+      .writeStream
+      .queryName("event-sessions")
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    ()
+  }
 }
