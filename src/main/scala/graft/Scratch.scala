@@ -553,6 +553,47 @@ object Scratch {
             head.crossJoin(tail).count()
           }
         }
+        // streaming watermark probe: 16x denser events through the SAME
+        // three deliveries — per-delivery wall must track the data term,
+        // the fixed streaming machinery (start/checkpoint/commit) must
+        // not multiply
+        if (ops("w9s")) {
+          val k = scales.max
+          val ev0w = spark.read.parquet(s"$sfDir/events.parquet")
+          val usColW = ev0w.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+            case _ => expr("unix_micros(ts)")
+          }
+          val eidSpan = ev0w.agg(max(col("event_id"))).head.getLong(0) + 1
+          val evw = (0 until k).map(i => ev0w
+            .withColumn("event_id", col("event_id") + lit(i * eidSpan)))
+            .reduce(_ unionByName _)
+            .select(col("event_id"), usColW.as("us"), col("value"))
+            .withColumn("rel_ms",
+              expr("us div 1000") - queries.QuerySpec.RangeStartMs)
+          val base0w = when(col("rel_ms") < 10 * 86400000L, 0)
+            .when(col("rel_ms") < 20 * 86400000L, 1).otherwise(2)
+          val batchW = least(base0w + when(col("event_id") % 11 === 0, 1)
+            .otherwise(0), lit(2))
+          val linesW = evw.select(col("event_id"), batchW.as("batch"),
+            concat_ws("\t", col("event_id"), col("us"), col("value"))
+              .as("value_line"))
+          val rootW = java.nio.file.Files.createTempDirectory("w9scale")
+          val dropW = rootW.resolve("drop")
+          java.nio.file.Files.createDirectories(dropW)
+          for (b <- 0 to 2) {
+            linesW.where(col("batch") === b)
+              .orderBy(col("event_id")).select(col("value_line"))
+              .coalesce(1).write.mode("append").text(dropW.toString)
+            timed(s"w9_x${k}_b$b") {
+              streaming.EventWindowStream.deliver(spark, dropW.toString,
+                rootW.resolve("ckpt").toString,
+                rootW.resolve("sink").toString,
+                delay = "2 hours", windowDur = "1 day")
+              spark.read.parquet(rootW.resolve("sink").toString).count()
+            }
+          }
+        }
         for (q <- Seq("d11", "d12", "t14", "q20", "pipe1")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
