@@ -24,6 +24,37 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L)))  // no windows, still reported
   }
 
+  test("substringDupSpans matches a brute-force reference on seeded corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val k = 3
+    for (trial <- 1 to 5) {
+      // tiny alphabet → dense window collisions; lengths straddle k
+      val docs = (1L to 40L).map { id =>
+        val n = rnd.nextInt(12) // 0..11 tokens
+        id -> Seq.fill(n)(s"w${rnd.nextInt(4)}").mkString(" ")
+      }
+      // brute force: global window-string counts, then per-doc union of
+      // duplicated spans via a covered-position set
+      val wins = docs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        (0 to t.length - k).map(i =>
+          (id, i, t.slice(i, i + k).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).map { case (fpv, g) => fpv -> g.size }
+      val expected = docs.map { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        val covered = wins.filter(w => w._1 == id && counts(w._3) >= 2)
+          .flatMap(w => w._2 until w._2 + k).toSet
+        id -> ((t.length.toLong, covered.size.toLong))
+      }.toMap
+      val got = Dedup.substringDupSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, d) => id -> ((n, d)) }.toMap
+      assert(got == expected, s"trial $trial diverged from brute force")
+    }
+  }
+
   private def docs = Seq(
     (1L, "the quick brown fox"),
     (2L, "THE  Quick   brown fox"),      // exact dup of 1 after normalization

@@ -45,6 +45,37 @@ class PerceptronSpec extends SparkSpec {
       f"pocket model acc $acc%.3f vs majority base $base%.3f")
   }
 
+  test("train matches an in-memory pocket loop on seeded data") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 120).map { _ =>
+        (if (rnd.nextBoolean()) 1 else -1,
+          rnd.nextInt(20).toLong, rnd.nextInt(9).toLong, 1L)
+      }
+      val epochs = 1 + rnd.nextInt(6)
+      // reference pocket loop, mirroring the operator's contract exactly
+      var w = Array(0L, 0L, 0L)
+      var bestErrs = Long.MaxValue
+      var bestW = w
+      for (e <- 0 to epochs) {
+        val mis = rows.filter { case (y, x1, x2, x3) =>
+          y * (w(0) * x1 + w(1) * x2 + w(2) * x3) <= 0 }
+        if (e >= 1 && mis.size < bestErrs) {
+          bestErrs = mis.size; bestW = w
+        }
+        if (e < epochs)
+          w = Array(
+            w(0) + mis.map(r => r._1 * r._2).sum,
+            w(1) + mis.map(r => r._1 * r._3).sum,
+            w(2) + mis.map(r => r._1 * r._4).sum)
+      }
+      val got = Perceptron.train(
+        rows.toDF("y", "x1", "x2", "x3").repartition(7),
+        "y", Seq("x1", "x2", "x3"), epochs)
+      assert(got.toSeq == bestW.toSeq, s"trial $trial (epochs=$epochs)")
+    }
+  }
+
   test("epochs < 1 rejected") {
     intercept[IllegalArgumentException] {
       Perceptron.train(fixture, "y", Seq("x1"), epochs = 0)
