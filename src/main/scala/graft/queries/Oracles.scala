@@ -63,6 +63,25 @@ object Oracles {
   private def cosChain(a: String, b: String): String =
     s"(${dotChain(a, b)}) / (sqrt(${dotChain(a, a)}) * sqrt(${dotChain(b, b)}))"
 
+  /** Shared t2 quality score as CTE fragments ending in
+    * `q(doc_id, quality)` — reused by t2's descendants (d13, t16). The
+    * expression text is identical to t2's inline version so the doubles are
+    * bit-identical across all three queries. */
+  private val qualityCtes: String = {
+    val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""qs AS (SELECT doc_id,
+       |  CAST(len(${rawToks("text")}) AS DOUBLE) AS n,
+       |  len(list_filter(${rawToks("text")}, x -> list_contains($sw, x))) AS hits,
+       |  CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS lsum
+       |FROM documents),
+       |q AS (SELECT doc_id,
+       |  floor((least(n / 100.0, 1.0) * 0.4
+       |    + (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END) * 0.3
+       |    + (CASE WHEN n > 0 AND lsum / n BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3)
+       |    * 10000.0 + 0.5) / 10000.0 AS quality
+       |FROM qs)""".stripMargin
+  }
+
   /** Shared d2 core: blocked exact-Jaccard pair CTEs ending in
     * `j(id_a, id_b, jaccard)` — reused by d2 and d9 (cluster closure). */
   private val d2Ctes: String =
@@ -954,6 +973,27 @@ object Oracles {
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // D13: d9's cluster closure × t2's quality — keep the best-quality doc
+    // per duplicate cluster (ties to the smallest id).
+    "d13_cluster_keep_best" ->
+      s"""WITH RECURSIVE $d2Ctes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= $JaccardThreshold),
+         |edges AS (SELECT id_a AS es, id_b AS et FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT rr.id AS id, e.et AS r FROM reach rr JOIN edges e ON rr.r = e.es),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |$qualityCtes,
+         |rk AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY q.quality DESC, cl.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality, n_docs
+         |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
     "d3_minhash_lsh" -> {
       val rows = MinhashK / MinhashBands
       val sigs = (0 until MinhashK).map(i =>
@@ -1189,6 +1229,16 @@ object Oracles {
          |    * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    // T16: per-source quality rank, capped at DomainCap per source.
+    "t16_domain_cap" ->
+      s"""WITH $qualityCtes,
+         |rk AS (SELECT d.doc_id, d.source, q.quality,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY q.quality DESC, d.doc_id) AS rk
+         |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+         |SELECT doc_id, source, quality, rk FROM rk
+         |WHERE rk <= $DomainCap ORDER BY source, rk""".stripMargin,
 
     "t3_token_stats" ->
       s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars
@@ -1607,6 +1657,27 @@ object Oracles {
          |WHERE nid NOT IN (SELECT idb FROM dr) ORDER BY vec_id""".stripMargin,
 
     "s3_ivf_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, cell FROM cass WHERE nid < $NumQueries),
+         |s AS (SELECT query_id, nid AS neighbor_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
+
+    // S15: same relational twin as s3 (the persisted index changes the
+    // PHYSICAL layout — build-once parquet partitioned by cell, DPP-pruned
+    // serving scan — not the answer).
+    "s15_ivf_index" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),
          |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),

@@ -1658,6 +1658,25 @@ object Queries {
         TextAnalysis.minShingleFingerprint(col("text"), ShingleK).as("shingle_fp"))
       .orderBy(col("doc_id"))
 
+  /** T16: per-domain document cap (RefinedWeb-style): rank each source's
+    * documents by quality (ties to the smallest doc_id) and keep at most
+    * [[QuerySpec.DomainCap]] — the anti-boilerplate lever that stops one
+    * over-crawled domain from dominating a training mix. Scale shape: the
+    * score is map-side and the election is one window partitioned by the
+    * domain key; at 100 TB the per-domain top-N would use the same plan
+    * (rank-then-filter pushes the cap into a bounded per-key heap under
+    * WindowGroupLimit — Spark rewrites rank<=k windows to TopK). */
+  def t16DomainCap(s: SparkSession, d: String): DataFrame = {
+    val byQuality = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+      .withColumn("rk", row_number().over(byQuality))
+      .where(col("rk") <= DomainCap)
+      .orderBy(col("source"), col("rk"))
+  }
+
   // ---- Similarity search -------------------------------------------------
 
   /** D9: duplicate CLUSTERS — connected components over the d2 pair list
@@ -1675,6 +1694,37 @@ object Queries {
     graft.operators.Components.connectedComponents(
       docs, "doc_id", pairs, "id_a", "id_b")
       .orderBy(col("doc_id"))
+  }
+
+  /** D13: duplicate-cluster CANONICAL SELECTION — the dedup POLICY step a
+    * training pipeline runs after clustering: within each d9 duplicate
+    * cluster keep the highest-QUALITY document (t2's score; ties break to
+    * the smallest doc_id), not an arbitrary min-id representative — dropping
+    * the best-written copy of a duplicated page is a real data-quality loss
+    * at corpus scale. One row per cluster with the kept doc and the cluster
+    * size. Scale shape: quality is map-side, the cluster join is id-keyed,
+    * and the winner election is one window over the hash-uniform cluster id
+    * (cluster sizes are bounded by the dedup relation, not the corpus). */
+  def d13ClusterKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // same pinned-open guard as d9: the recursive-CTE oracle closes over the
+    // exact uncapped pair set
+    val pairs = Dedup.jaccardDupPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), JaccardThreshold, maxBlock = Long.MaxValue)
+    val clusters = graft.operators.Components.connectedComponents(
+      docs, "doc_id", pairs, "id_a", "id_b")
+    val qual = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(qual, Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        row_number().over(byQuality).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).as("n_docs"))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality").as("keep_quality"), col("n_docs"))
+      .orderBy(col("cluster_id"))
   }
 
   /** S8: matryoshka-style two-stage ANN — 16-dim prefix cosine shortlists
@@ -2006,6 +2056,39 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S15: PERSISTED IVF index — the production serving shape s3 implies:
+    * the index BUILD (map-side cell assignment) runs once and writes the
+    * corpus partitioned BY CELL; the query path reads the index back and
+    * probes cells through the cell equi-join, so Spark's dynamic partition
+    * pruning restricts the scan to the probed cells' directories — on a
+    * 100 TB index, queries pay for `nprobe/k` of the corpus IN I/O, not
+    * just in compute (s3 re-assigns the in-memory corpus per run; this is
+    * the build-once/serve-many split). Results are bit-identical to s3's
+    * probe=1 semantics over the same quantizer (same oracle modulo names). */
+  def s15IvfIndexPersist(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("s15idx")
+      .resolve("ivf").toString
+    Similarity.assignCells(emb, cents, "vec_id", "embedding",
+      "neighbor_id", "cv", 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(idx)
+    val q = Similarity.assignCells(emb.where(col("vec_id") < NumQueries),
+      cents, "vec_id", "embedding", "query_id", "qv", 1)
+    val c = s.read.parquet(idx).withColumn("cell", col("cell").cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S14: ANN recall@k — the evaluation every approximate index ships
     * with: sign-LSH hits against the brute-force cosine ground truth, per
     * query (LSH is the engine's lossiest index — single-bucket candidates
@@ -2185,6 +2268,7 @@ object Queries {
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
+    "d13_cluster_keep_best" -> d13ClusterKeepBest _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,
@@ -2203,6 +2287,7 @@ object Queries {
     "t13_mix_rebalance" -> t13MixRebalance _,
     "t14_perceptron" -> t14Perceptron _,
     "t15_gopher_rules" -> t15GopherRules _,
+    "t16_domain_cap" -> t16DomainCap _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
@@ -2220,7 +2305,8 @@ object Queries {
     "s11_kmeans_train" -> s11KmeansTrain _,
     "s12_pq_ann" -> s12PqAnn _,
     "s13_ivf_pq" -> s13IvfPq _,
-    "s14_ann_recall" -> s14AnnRecall _)
+    "s14_ann_recall" -> s14AnnRecall _,
+    "s15_ivf_index" -> s15IvfIndexPersist _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

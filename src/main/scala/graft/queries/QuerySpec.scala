@@ -95,6 +95,9 @@ object QuerySpec {
   // T2 stopwords
   val Stopwords: Seq[String] = Seq("the", "a")
 
+  // T16 per-domain document cap (RefinedWeb-style dominance limit)
+  val DomainCap = 10
+
   // T14 pocket-perceptron epochs (query and generated oracle must agree)
   val T14Epochs = 12
 

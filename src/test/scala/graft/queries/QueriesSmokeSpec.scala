@@ -72,6 +72,16 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("LessThan(ts,"), plan.takeRight(1500))
   }
 
+  test("s15 serving scan is partition-pruned to the probed cells (DPP)") {
+    val plan = formattedPlan(Queries.s15IvfIndexPersist(spark, sfDir))
+    assert(plan.contains("dynamicpruning"), plan.takeRight(2500))
+  }
+
+  test("t16 domain cap compiles to a bounded per-key TopK (WindowGroupLimit)") {
+    val plan = formattedPlan(Queries.t16DomainCap(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("q3 dim joins broadcast (fact side never shuffles for the join)") {
     val plan = Queries.q3ShippingPriority(spark, sfDir)
       .queryExecution.executedPlan.toString
