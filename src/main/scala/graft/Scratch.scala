@@ -603,6 +603,111 @@ object Scratch {
           println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale5") =>
+        // 16x probes for the post-bench round-7 trio: d13's best-of-cluster
+        // election (cluster structure replicates per token namespace, so
+        // cluster count grows kx and the election window stays per-cluster
+        // bounded), t16's per-domain cap (WindowGroupLimit must keep the
+        // per-source heap bounded while each source's doc count grows kx),
+        // and s15's build/serve split (index BUILD pays kx, the DPP-pruned
+        // SERVE scan pays only the probed cells' share of the growth).
+        // env: SPARK_GRAFT_SCALES (default "1,4,16"),
+        //      SPARK_GRAFT_SCALE_OPS (default "d13,t16,s15")
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d13,t16,s15")
+          .split(",").map(_.trim).toSet
+        val docs0 = Tables.documents(spark, sfDir)
+        val emb0 = Tables.embeddings(spark, sfDir)
+        val didSpan = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val vidSpan = emb0.agg(max(col("vec_id"))).head.getLong(0) + 1
+        // same replica construction as scale4: replica 0 keeps the original
+        // text, later replicas get disjoint token namespaces so duplicate
+        // clusters replicate per-namespace instead of cross-matching
+        def repDocs(k: Int) = (0 until k).map { i =>
+          val txt = if (i == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+          docs0.select((col("doc_id") + lit(i * didSpan)).as("doc_id"),
+            txt.as("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        def repEmb(k: Int) = (0 until k).map(i =>
+          emb0.select((col("vec_id") + lit(i * vidSpan)).as("vec_id"),
+            col("embedding"))).reduce(_ unionByName _)
+        val times = scala.collection.mutable.Map[String, Double]()
+        def timed(name: String)(f: => Long): Unit = {
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt
+          println(f"TIMER $name%-10s ${dt}%8.2f s  rows=$n")
+        }
+        for (k <- scales) {
+          if (ops("d13")) timed(s"d13_x$k") {
+            val docs = repDocs(k)
+            val pairs = operators.Dedup.jaccardDupPairs(docs, "doc_id",
+              "text", Seq("lang", "source"), queries.QuerySpec.JaccardThreshold,
+              maxBlock = Long.MaxValue)
+            val clusters = operators.Components.connectedComponents(
+              docs, "doc_id", pairs, "id_a", "id_b")
+            val qual = docs.select(col("doc_id"),
+              operators.TextAnalysis.qualityScore(col("text"),
+                queries.QuerySpec.Stopwords).as("quality"))
+            val byQ = Window.partitionBy(col("cluster_id"))
+              .orderBy(col("quality").desc, col("doc_id"))
+            clusters.join(qual, Seq("doc_id"))
+              .withColumn("rk", row_number().over(byQ))
+              .where(col("rk") === 1).count()
+          }
+          if (ops("t16")) timed(s"t16_x$k") {
+            val byQ = Window.partitionBy(col("source"))
+              .orderBy(col("quality").desc, col("doc_id"))
+            repDocs(k).select(col("doc_id"), col("source"),
+              operators.TextAnalysis.qualityScore(col("text"),
+                queries.QuerySpec.Stopwords).as("quality"))
+              .withColumn("rk", row_number().over(byQ))
+              .where(col("rk") <= queries.QuerySpec.DomainCap).count()
+          }
+          if (ops("s15")) {
+            val cents = operators.Similarity.collectCentroids(
+              emb0.where(col("vec_id") < queries.QuerySpec.NumCentroids),
+              "vec_id", "embedding")
+            val idx = java.nio.file.Files.createTempDirectory(s"s15x$k")
+              .resolve("ivf").toString
+            timed(s"s15b_x$k") { // index BUILD: pays the full kx corpus
+              operators.Similarity.assignCells(repEmb(k), cents, "vec_id",
+                "embedding", "neighbor_id", "cv", 1)
+                .write.mode("overwrite").partitionBy("cell").parquet(idx)
+              k.toLong
+            }
+            timed(s"s15q_x$k") { // SERVE: DPP prunes to the probed cells
+              val q = operators.Similarity.assignCells(
+                emb0.where(col("vec_id") < queries.QuerySpec.NumQueries),
+                cents, "vec_id", "embedding", "query_id", "qv", 1)
+              val c = spark.read.parquet(idx)
+                .withColumn("cell", col("cell").cast("long"))
+              val w = Window.partitionBy(col("query_id"))
+                .orderBy(col("sim").desc, col("neighbor_id"))
+              c.join(broadcast(q), Seq("cell"))
+                .where(col("neighbor_id") =!= col("query_id"))
+                .withColumn("sim",
+                  operators.Similarity.cosine(col("qv"), col("cv")))
+                .withColumn("rank", row_number().over(w))
+                .where(col("rank") <= queries.QuerySpec.IvfTopK).count()
+            }
+          }
+        }
+        for (q <- Seq("d13", "t16", "s15b", "s15q")
+             if times.contains(s"${q}_x${scales.max}") &&
+               times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${q}_x${scales.max}") / times(s"${q}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC" else "SUPERLINEAR!"
+          println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")
