@@ -1240,6 +1240,24 @@ object Oracles {
          |SELECT doc_id, source, quality, rk FROM rk
          |WHERE rk <= $DomainCap ORDER BY source, rk""".stripMargin,
 
+    // T17: unigram-LM mean negative log-likelihood per doc, bucketed
+    // against the corpus mean. Same (doc, token, occ)-grain weighted-sum
+    // formulation as the Spark plan so float-order divergence stays within
+    // the floor-to-6-decimals collapse.
+    "t17_lm_perplexity" ->
+      s"""WITH u AS (SELECT doc_id, unnest(${rawToks("lower(text)")}) AS tok
+         |  FROM documents),
+         |dt AS (SELECT doc_id, tok, count(*) AS occ FROM u GROUP BY 1, 2),
+         |lm AS (SELECT tok, sum(occ) AS cnt FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM lm),
+         |sc AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_toks,
+         |    sum(occ * -ln(CAST(cnt AS DOUBLE) / total)) / sum(occ) AS nll
+         |  FROM dt JOIN lm USING (tok) CROSS JOIN tot GROUP BY doc_id),
+         |m AS (SELECT avg(nll) AS mean_nll FROM sc)
+         |SELECT doc_id, n_toks, floor(nll * 1000000 + 0.5) / 1000000 AS nll,
+         |  CASE WHEN sc.nll <= m.mean_nll THEN 'head' ELSE 'tail' END AS bucket
+         |FROM sc CROSS JOIN m ORDER BY doc_id""".stripMargin,
+
     "t3_token_stats" ->
       s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars
          |FROM documents)

@@ -2032,6 +2032,51 @@ object Queries {
       .orderBy(col("token"))
   }
 
+  /** T17: CCNet-style unigram-LM fluency filter — train a unigram LM on
+    * the corpus itself (token counts / total), score every document by its
+    * mean negative log-likelihood (the perplexity exponent), and bucket
+    * against the corpus-mean score (head = more fluent than average, the
+    * slice CCNet keeps; tail = candidate drop). Scale shape: ONE corpus
+    * scan builds the (doc, token, occ) grain (map-side combine shrinks the
+    * explode shuffle); the LM derives from that same grain — the repeated
+    * aggregate subtree is deduped by ReuseExchange — and is Heaps'-law
+    * bounded so the score join broadcasts under AQE; the scalar total and
+    * corpus mean are one-row broadcasts. The ln() lives INSIDE the rounded
+    * contract: per-doc sums differ across libm/fold-order by ~1e-13, the
+    * floor-to-6-decimals collapse absorbs it (same discipline as the
+    * rounded cosine family; cf. t12 which keeps ln out entirely). */
+  def t17LmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // persisted like d10's assignment subtree: dt feeds both the LM build
+    // and the scoring join, scored feeds both the corpus mean and the
+    // output — without the materialization each consumer re-derives the
+    // whole tree (column pruning differentiates the scan schemas, so
+    // ReuseExchange can't dedupe them) and the corpus is scanned 5×.
+    // MEMORY_AND_DISK: at 100 TB the (doc, token, occ) grain spills — a
+    // one-pass materialization, still strictly cheaper than re-scanning.
+    val dt = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+      .persist()
+    val lm = dt.groupBy(col("tok")).agg(sum(col("occ")).as("cnt"))
+    val total = lm.agg(sum(col("cnt")).as("total"))
+    val scored = dt.join(lm, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_toks"),
+        (sum(col("occ") * -log(col("cnt").cast("double") / col("total"))) /
+          sum(col("occ"))).as("nll"))
+      .persist()
+    val mean = scored.agg(avg(col("nll")).as("mean_nll"))
+    scored.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_toks"),
+        (floor(col("nll") * 1e6 + 0.5) / 1e6).as("nll"),
+        when(col("nll") <= col("mean_nll"), "head").otherwise("tail")
+          .as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S1: brute-force cosine top-k. */
   def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2288,6 +2333,7 @@ object Queries {
     "t14_perceptron" -> t14Perceptron _,
     "t15_gopher_rules" -> t15GopherRules _,
     "t16_domain_cap" -> t16DomainCap _,
+    "t17_lm_perplexity" -> t17LmPerplexity _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
