@@ -723,6 +723,44 @@ object Oracles {
          |HAVING (win_start + 86400000) * 1000 <= (SELECT wmf * 1000 FROM wm)
          |ORDER BY win_start""".stripMargin,
 
+    // w11: streaming-dedup state-TTL replay. Deliveries = originals
+    // (w9-displaced), same-batch copies (%5), next-batch verbatim copies
+    // (%3, provably dropped whether on time — live state — or late), and
+    // +25-day re-occurrences of decade-0 %13 keys (state expired → kept
+    // again). Closed form: non-late deliveries grouped by (key, us) —
+    // copies collapse into their originals, re-occurrences survive.
+    "w11_stream_dedup" ->
+      s"""WITH e AS (SELECT event_id, value,
+         |    epoch_ns(ts) // 1000 AS us,
+         |    epoch_ns(ts) // 1000000 - $RangeStartMs AS rel_ms
+         |  FROM events),
+         |b0 AS (SELECT *,
+         |    CASE WHEN rel_ms < ${10 * 86400000L} THEN 0
+         |         WHEN rel_ms < ${20 * 86400000L} THEN 1 ELSE 2 END AS base
+         |  FROM e),
+         |b AS (SELECT *,
+         |    least(base + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END,
+         |      2) AS batch
+         |  FROM b0),
+         |del AS (
+         |  SELECT event_id, us, value, batch FROM b
+         |  UNION ALL SELECT event_id, us, value, batch FROM b
+         |    WHERE event_id % 5 = 0
+         |  UNION ALL SELECT event_id, us, value, batch + 1 FROM b
+         |    WHERE event_id % 3 = 0 AND event_id % 11 <> 0 AND batch < 2
+         |  UNION ALL SELECT event_id, us + ${25L * 86400000L * 1000L}, value, 2
+         |    FROM b
+         |    WHERE base = 0 AND event_id % 13 = 0 AND event_id % 11 <> 0),
+         |wm AS (SELECT
+         |    max(CASE WHEN batch = 0 THEN us END) // 1000 - 7200000 AS wm1,
+         |    max(CASE WHEN batch <= 1 THEN us END) // 1000 - 7200000 AS wm2
+         |  FROM del)
+         |SELECT event_id, us AS ts_us, value FROM del CROSS JOIN wm
+         |WHERE batch = 0 OR (batch = 1 AND us > wm1 * 1000)
+         |   OR (batch = 2 AND us > wm2 * 1000)
+         |GROUP BY 1, 2, 3
+         |ORDER BY event_id, ts_us""".stripMargin,
+
     // w10: session-window watermark replay. Only first-decade rows are
     // displaced (by two batches), so every late row's provisional session
     // end sits far under the pre-batch watermark (all dropped) and no

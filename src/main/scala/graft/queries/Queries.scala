@@ -792,6 +792,70 @@ object Queries {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
+  /** W11 (streaming semantics through the oracle, part 3): streaming
+    * DEDUPLICATION with state TTL — `dropDuplicatesWithinWatermark` over
+    * the same three-decade sequential delivery as w9. Four delivery
+    * classes exercise every state path: (a) every `id % 5 = 0` row is
+    * delivered TWICE in its batch (in-batch state drop, payload-identical
+    * so the winner is immaterial); (b) every `id % 3 = 0, % 11 ≠ 0` row is
+    * re-delivered VERBATIM one batch later — if on time its state is
+    * provably alive (us > wm ⇒ us + delay > wm), if late it drops without
+    * touching state, so BOTH paths drop and the oracle needs no boundary
+    * rule for them; (c) w9's `id % 11 = 0` displacement makes some FIRST
+    * deliveries late — kept iff strictly above the watermark (the only
+    * boundary-sensitive class, same µs rule as w9); (d) every
+    * `id % 13 = 0, % 11 ≠ 0` decade-0 key RE-OCCURS in batch 2 displaced
+    * +25 days — its state (us₀ + 2 h) is ~18 days under the batch-2
+    * watermark, so the key is kept AGAIN: the state-TTL path no
+    * fixed-window dedup can express. The closed-form replay: non-late
+    * deliveries grouped by (key, event-time) — class-b copies collapse
+    * into their originals, class-d re-occurrences survive as second rows. */
+  def w11StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val usCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(ts)")
+    }
+    val ev = raw.select(col("event_id"), usCol.as("us"), col("value"))
+      .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
+    val dayMs = 86400000L
+    val base = when(col("rel_ms") < 10 * dayMs, 0)
+      .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+    val batchCol = least(base + when(col("event_id") % 11 === 0, 1)
+      .otherwise(0), lit(2))
+    val orig = ev.select(col("event_id"), col("us"), col("value"),
+      batchCol.as("batch"))
+    val dupSame = orig.where(col("event_id") % 5 === 0)
+    val dupNext = orig
+      .where(col("event_id") % 3 === 0 && col("event_id") % 11 =!= 0 &&
+        col("batch") < 2)
+      .withColumn("batch", col("batch") + 1)
+    val reoccur = ev
+      .where(base === 0 && col("event_id") % 13 === 0 &&
+        col("event_id") % 11 =!= 0)
+      .select(col("event_id"), (col("us") + lit(25L * dayMs * 1000L)).as("us"),
+        col("value"), lit(2).as("batch"))
+    val lines = orig.unionByName(dupSame).unionByName(dupNext)
+      .unionByName(reoccur)
+      .select(col("event_id"), col("batch"),
+        concat_ws("\t", col("event_id"), col("us"), col("value"))
+          .as("value_line"))
+    val root = java.nio.file.Files.createTempDirectory("w11q")
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    val sink = root.resolve("sink").toString
+    for (b <- 0 to 2) {
+      lines.where(col("batch") === b)
+        .orderBy(col("event_id")).select(col("value_line"))
+        .coalesce(1).write.mode("append").text(drop.toString)
+      graft.streaming.EventWindowStream.deliverDedup(s, drop.toString,
+        root.resolve("ckpt").toString, sink, delay = "2 hours")
+    }
+    s.read.parquet(sink)
+      .select(col("event_id"), col("ts_us"), col("value"))
+      .orderBy(col("event_id"), col("ts_us"))
+  }
+
   /** A11: dispersion stats per user — variance/stddev via the algebraic
     * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
     * The sufficient statistics merge associatively (map-side combine, any
@@ -2269,6 +2333,7 @@ object Queries {
     "w8_frame_edges" -> w8FrameEdges _,
     "w9_stream_windows" -> w9StreamWindows _,
     "w10_stream_sessions" -> w10StreamSessions _,
+    "w11_stream_dedup" -> w11StreamDedup _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

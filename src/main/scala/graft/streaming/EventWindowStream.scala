@@ -55,6 +55,38 @@ object EventWindowStream {
     ()
   }
 
+  /** Streaming-dedup variant (w11): lines `event_id TAB epoch_us TAB
+    * value`, `dropDuplicatesWithinWatermark` on the event id — the state-TTL
+    * dedup shape (state for a key lives until the watermark passes its event
+    * time + delay, so re-deliveries inside the delay window drop, late rows
+    * drop without forming state, and a key RE-OCCURRING after expiry is kept
+    * again). Kept rows emit in their processing batch (append mode has no
+    * emission gate for dedup). Same sequential-delivery contract as
+    * [[deliver]]. */
+  def deliverDedup(spark: SparkSession, dropDir: String,
+      checkpointDir: String, sink: String, delay: String): Unit = {
+    val raw = spark.readStream.format("text").load(dropDir)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
+        timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
+          .as("ts"),
+        split(col("value"), "\t").getItem(2).cast("double").as("value"))
+    val q = raw.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .writeStream
+      .queryName("event-dedup")
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    ()
+  }
+
   /** Session-window variant (w10): lines `event_id TAB epoch_us TAB
     * user_id TAB value`, per-user event-time sessions with `gap`,
     * append-mode emission once the watermark passes a session's end.
