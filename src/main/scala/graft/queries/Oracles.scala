@@ -1058,6 +1058,43 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // D14: minhash estimate (K-component agreement rate) vs exact Jaccard
+    // on the blocked pair space, decile rollup. Generated from the same
+    // MinhashK as the query; every double is one division over integer
+    // sufficient statistics.
+    "d14_minhash_est_error" -> {
+      val sigs = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(toks, x -> md5('$i:' || x))) AS m$i")
+        .mkString(",\n  ")
+      val mc = (0 until MinhashK).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id AS id, lang, source, ${lowSet("text")} AS toks
+         |  FROM documents),
+         |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+         |sig AS (SELECT id,
+         |  $sigs
+         |FROM t2),
+         |f AS (SELECT t2.*, sig.* EXCLUDE (id) FROM t2 JOIN sig USING (id)),
+         |p AS (SELECT
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+         |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss,
+         |    ($mc) AS mc
+         |  FROM f a JOIN f b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.id < b.id),
+         |j AS (SELECT mc,
+         |    CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END AS jac
+         |  FROM p),
+         |g AS (SELECT least(CAST(floor(jac * 10) AS INT), 9) AS bucket, mc,
+         |    CAST(floor(abs(mc / $MinhashK.0 - jac) * 1000000 + 0.5) AS BIGINT)
+         |      AS err_ppm
+         |  FROM j)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(mc) AS DOUBLE) / (count(*) * $MinhashK) AS mean_est,
+         |  CAST(sum(err_ppm) AS DOUBLE) / (count(*) * 1000000) AS mean_abs_err
+         |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
     "d4_simhash" -> {
       // portable hex→int: value of first 15 md5 hex chars, char i weight 16^(15-i)
       val hexVal = (1 to 15).map { i =>

@@ -1791,6 +1791,63 @@ object Queries {
       .orderBy(col("cluster_id"))
   }
 
+  /** D14: MinHash ESTIMATION-ERROR eval — what s14 is to the ANN indexes,
+    * this is to d3's MinHash: on the d2-style blocked pair space (lang ×
+    * source), compare the signature estimate (fraction of the K=16 minhash
+    * components that agree) against the exact token-set Jaccard, rolled up
+    * by exact-Jaccard decile. The sketch-shipping eval: it calibrates the
+    * band/threshold choice (how much mass sits near the 0.8 cut and how
+    * noisy the estimator is there). Every output double is a single
+    * correctly-rounded division over INTEGER sufficient statistics
+    * (component-match counts, floor-scaled error millionths) — exact on
+    * both engines, no float-order hazard, no rounding contract needed.
+    * Scale shape: signatures are vocab-grain hashed once (d3's plan), the
+    * pair space is blocked, and the rollup is a 10-key aggregate; at
+    * 100 TB the same eval runs on a sampled block subset. */
+  def d14MinhashEstError(s: SparkSession, d: String): DataFrame = {
+    val k = MinhashK
+    val docs = Tables.documents(s, d)
+    // persisted: feeds the vocab explode AND both pair sides (d3's lesson)
+    val base = docs.select(col("doc_id").as("id"), col("lang"),
+        col("source"), Dedup.tokenSet(col("text")).as("toks"))
+      .where(size(col("toks")) > 0).persist()
+    val exploded = base.select(col("id"), explode(col("toks")).as("tok"))
+    val vocab = exploded.select(col("tok")).distinct()
+      .select(col("tok") +: (0 until k).map(i =>
+        md5(concat(lit(s"$i:"), col("tok"))).as(s"h$i")): _*)
+    val sig = exploded.join(vocab, "tok").groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val full = base.join(sig, Seq("id"))
+    val a = full.select(col("lang") +: col("source") +:
+      col("id").as("id_a") +: col("toks").as("toks_a") +:
+      (0 until k).map(i => col(s"m$i").as(s"ma$i")): _*)
+    val b = full.select(col("lang") +: col("source") +:
+      col("id").as("id_b") +: col("toks").as("toks_b") +:
+      (0 until k).map(i => col(s"m$i").as(s"mb$i")): _*)
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+      .cast("double")
+    val uni = (size(col("toks_a")) + size(col("toks_b"))).cast("double") -
+      inter
+    val exact = when(uni > 0, inter / uni).otherwise(lit(1.0))
+    val m = (0 until k).map(i =>
+      when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("lang", "source")).where(col("id_a") < col("id_b"))
+      .select(least(floor(exact * 10).cast("int"), lit(9)).as("bucket"),
+        m.cast("long").as("mc"),
+        floor(abs(m / lit(k.toDouble) - exact) * 1e6 + 0.5).cast("long")
+          .as("err_ppm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("mc")).as("sum_match"),
+        sum(col("err_ppm")).as("sum_err"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_pairs"),
+        (col("sum_match").cast("double") / (col("n_pairs") * k))
+          .as("mean_est"),
+        (col("sum_err").cast("double") / (col("n_pairs") * 1000000L))
+          .as("mean_abs_err"))
+      .orderBy(col("bucket"))
+  }
+
   /** S8: matryoshka-style two-stage ANN — 16-dim prefix cosine shortlists
     * 20 candidates per query, full 64-dim exact cosine re-ranks to top-5.
     * The scan side at scale is 4× lighter than s1's. */
@@ -2379,6 +2436,7 @@ object Queries {
     "d9_dup_clusters" -> d9DupClusters _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d13_cluster_keep_best" -> d13ClusterKeepBest _,
+    "d14_minhash_est_error" -> d14MinhashEstError _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,
