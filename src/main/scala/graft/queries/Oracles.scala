@@ -761,6 +761,27 @@ object Oracles {
          |GROUP BY 1, 2, 3
          |ORDER BY event_id, ts_us""".stripMargin,
 
+    // w12: stream-stream interval-join replay. Displaced rows (decade-0,
+    // %11, arriving two batches late) are dropped pre-join on either side;
+    // for on-time rows delay (2h) > interval (30min) proves buffered state
+    // is alive for every feasible cross-batch match — so the replay is a
+    // plain interval join over non-displaced rows.
+    "w12_stream_join" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    epoch_ns(ts) // 1000 AS us,
+         |    epoch_ns(ts) // 1000000 - $RangeStartMs AS rel_ms
+         |  FROM events),
+         |k AS (SELECT * FROM e
+         |  WHERE NOT (rel_ms < ${10 * 86400000L} AND event_id % 11 = 0)),
+         |a AS (SELECT event_id AS a_id, user_id, us AS us_a FROM k
+         |  WHERE event_id % 2 = 0),
+         |b AS (SELECT event_id AS b_id, user_id, us AS us_b FROM k
+         |  WHERE event_id % 2 = 1)
+         |SELECT user_id, a_id, b_id, us_a, us_b
+         |FROM a JOIN b USING (user_id)
+         |WHERE us_b BETWEEN us_a - ${30 * 60000000L} AND us_a + ${30 * 60000000L}
+         |ORDER BY user_id, a_id, b_id""".stripMargin,
+
     // w10: session-window watermark replay. Only first-decade rows are
     // displaced (by two batches), so every late row's provisional session
     // end sits far under the pre-batch watermark (all dropped) and no

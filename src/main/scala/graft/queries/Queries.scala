@@ -856,6 +856,58 @@ object Queries {
       .orderBy(col("event_id"), col("ts_us"))
   }
 
+  /** W12 (streaming semantics through the oracle, part 4): stream-STREAM
+    * interval join — events split by id parity into two streams, joined on
+    * user id within ±30 min of event time, both sides watermarked (2 h).
+    * Cross-batch matches at the decade boundaries come from buffered join
+    * STATE — the surface this exercises beyond w9-w11. The oracle is
+    * closed-form because the construction separates the cases: decade-0
+    * `id % 11 = 0` rows are displaced TWO batches (w10's trick — they
+    * arrive ≥10 days under the watermark on either side, dropped pre-join,
+    * and never match), and for everything on time delay > interval proves
+    * buffered state is still alive for any feasible match: a partner
+    * on time in batch b has ts > max_{b-1} − 2 h, so a row within 30 min
+    * of it has ts > max_{b-1} − 2.5 h, strictly above the eviction cut
+    * (wm − 30 min = max_{b-1} − 2.5 h). Replay = plain interval join over
+    * the non-displaced rows. */
+  def w12StreamJoin(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val usCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(ts)")
+    }
+    val ev = raw.select(col("event_id"), usCol.as("us"), col("user_id"))
+      .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
+    val dayMs = 86400000L
+    val base = when(col("rel_ms") < 10 * dayMs, 0)
+      .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+    val batchCol = when(base === 0 && col("event_id") % 11 === 0, 2)
+      .otherwise(base)
+    val lines = ev.select(col("event_id"), batchCol.as("batch"),
+      (col("event_id") % 2).as("side"),
+      concat_ws("\t", col("event_id"), col("us"), col("user_id"))
+        .as("value_line"))
+    val root = java.nio.file.Files.createTempDirectory("w12q")
+    val dropA = root.resolve("dropA"); val dropB = root.resolve("dropB")
+    java.nio.file.Files.createDirectories(dropA)
+    java.nio.file.Files.createDirectories(dropB)
+    val sink = root.resolve("sink").toString
+    for (b <- 0 to 2) {
+      for ((side, dir) <- Seq(0 -> dropA, 1 -> dropB)) {
+        lines.where(col("batch") === b && col("side") === side)
+          .orderBy(col("event_id")).select(col("value_line"))
+          .coalesce(1).write.mode("append").text(dir.toString)
+      }
+      graft.streaming.EventWindowStream.deliverJoin(s, dropA.toString,
+        dropB.toString, root.resolve("ckpt").toString, sink,
+        delay = "2 hours")
+    }
+    s.read.parquet(sink)
+      .select(col("user_id"), col("a_id"), col("b_id"), col("us_a"),
+        col("us_b"))
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** A11: dispersion stats per user — variance/stddev via the algebraic
     * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
     * The sufficient statistics merge associatively (map-side combine, any
@@ -2391,6 +2443,7 @@ object Queries {
     "w9_stream_windows" -> w9StreamWindows _,
     "w10_stream_sessions" -> w10StreamSessions _,
     "w11_stream_dedup" -> w11StreamDedup _,
+    "w12_stream_join" -> w12StreamJoin _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

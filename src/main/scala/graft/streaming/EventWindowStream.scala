@@ -55,6 +55,44 @@ object EventWindowStream {
     ()
   }
 
+  /** Stream-STREAM interval join (w12): two file-delivered event streams
+    * (lines `event_id TAB epoch_us TAB user_id`), inner-joined on user id
+    * with `|ts_a − ts_b| ≤ 30 min`, both sides watermarked. Each side
+    * buffers rows in state until the watermark passes `ts + 30 min`, so
+    * matches across micro-batch boundaries come from buffered state; with
+    * delay (2 h) > interval (30 min), any row old enough to be evicted is
+    * too old to match a surviving on-time row — which is what makes the
+    * batch-mode interval join over non-late rows the exact oracle. Same
+    * sequential-delivery contract as [[deliver]]. */
+  def deliverJoin(spark: SparkSession, dropA: String, dropB: String,
+      checkpointDir: String, sink: String, delay: String): Unit = {
+    def side(dir: String, p: String) =
+      spark.readStream.format("text").load(dir).select(
+        split(col("value"), "\t").getItem(0).cast("long").as(s"${p}_id"),
+        timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
+          .as(s"ts_$p"),
+        split(col("value"), "\t").getItem(2).cast("long").as(s"user_$p"))
+    val a = side(dropA, "a").withWatermark("ts_a", delay)
+    val b = side(dropB, "b").withWatermark("ts_b", delay)
+    val q = a.join(b, expr(
+      """user_a = user_b AND
+         ts_b BETWEEN ts_a - INTERVAL 30 MINUTES
+                  AND ts_a + INTERVAL 30 MINUTES"""))
+      .select(col("user_a").as("user_id"), col("a_id"), col("b_id"),
+        unix_micros(col("ts_a")).as("us_a"),
+        unix_micros(col("ts_b")).as("us_b"))
+      .writeStream
+      .queryName("event-stream-join")
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    ()
+  }
+
   /** Streaming-dedup variant (w11): lines `event_id TAB epoch_us TAB
     * value`, `dropDuplicatesWithinWatermark` on the event id — the state-TTL
     * dedup shape (state for a key lives until the watermark passes its event
