@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge TRAINING in the engine — the tokenizer-building
+  * step of a training-data pipeline (Sennrich 2016 word-internal BPE over a
+  * whitespace-tokenized corpus). Each round counts adjacent symbol pairs
+  * over the weighted vocabulary, elects the most frequent pair (ties to the
+  * lexicographically smallest), and applies the merge greedily
+  * left-to-right inside every word.
+  *
+  * Scale shape, like the Lloyd loop (Similarity.kmeans): the per-round data
+  * work is a vocab-grain aggregate (Heaps'-law bounded, NOT corpus-grain —
+  * the corpus is scanned once to build word frequencies) and the only
+  * driver-side collect is the 1-row argmax; the merge apply is a pure
+  * map-side fold over the persisted vocabulary. N rounds = N model-sized
+  * round trips, the irreducible sequential structure of BPE.
+  */
+object Bpe {
+
+  /** One canonical greedy left-to-right non-overlapping merge of (a, b):
+    * fold the symbol list, merging when the accumulator's last element is
+    * an unconsumed `a` and the incoming symbol is `b` (a just-merged "ab"
+    * tail can never re-match as `a`). Interpreted HOF — fine at vocab
+    * grain, where rows are distinct words, not corpus tokens. */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learn `n` merges over `textCol`; returns (step, lft, rgt, pair_count)
+    * — the merge table a tokenizer ships. */
+  def learnMerges(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var v = words.select(col("word"), col("freq"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to n) {
+      // guard size >= 2: sequence(1, 0) would generate DESCENDING [1, 0]
+      val top = v.where(size(col("syms")) >= 2)
+        .select(col("freq"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+        .select(col("freq"), element_at(col("syms"), col("i")).as("lft"),
+          element_at(col("syms"), col("i") + 1).as("rgt"))
+        .groupBy(col("lft"), col("rgt")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      val row = top.head // corpora with >= n learnable pairs by contract
+      val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
+      merges += ((step.toLong, a, b, c))
+      val nv = v.select(col("word"), col("freq"),
+        mergeFold(col("syms"), a, b).as("syms")).persist()
+      v.unpersist(false)
+      v = nv
+    }
+    v.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lft", "rgt", "pair_count")
+  }
+}

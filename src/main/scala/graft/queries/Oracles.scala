@@ -1354,6 +1354,59 @@ object Oracles {
          |  CASE WHEN sc.nll <= m.mean_nll THEN 'head' ELSE 'tail' END AS bucket
          |FROM sc CROSS JOIN m ORDER BY doc_id""".stripMargin,
 
+    // T18: BPE merge training, unrolled to BpeMerges rounds (t14's
+    // generated-oracle pattern). Per round: pair count over the weighted
+    // vocab, 1-row argmax (ties to smallest pair), then the greedy
+    // left-to-right merge replayed as a gaps-and-islands parity window:
+    // consecutive matching sites (only possible in same-symbol runs) keep
+    // even offsets from the chain start — exactly the engine's fold.
+    "t18_bpe_merges" -> {
+      def round(r: Int): String = {
+        val prev = if (r == 1) "v0" else s"v${r - 1}"
+        s"""pe$r AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+           |  FROM $prev WHERE len(syms) >= 2),
+           |pc$r AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+           |    CAST(sum(freq) AS BIGINT) AS c
+           |  FROM pe$r GROUP BY 1, 2),
+           |m$r AS (SELECT lft, rgt, c FROM pc$r
+           |  ORDER BY c DESC, lft, rgt LIMIT 1),
+           |me$r AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS p,
+           |    syms FROM $prev),
+           |ms$r AS (SELECT word, freq, p, syms[p] AS sym,
+           |    CASE WHEN p < len(syms) AND syms[p] = m.lft
+           |          AND syms[p + 1] = m.rgt THEN 1 ELSE 0 END AS mt
+           |  FROM me$r CROSS JOIN m$r m),
+           |mg$r AS (SELECT *, p - sum(mt) OVER
+           |    (PARTITION BY word ORDER BY p) AS grp
+           |  FROM ms$r),
+           |mk$r AS (SELECT *, CASE WHEN mt = 1 AND
+           |      (p - min(p) OVER (PARTITION BY word, mt, grp)) % 2 = 0
+           |    THEN 1 ELSE 0 END AS mrg
+           |  FROM mg$r),
+           |mo$r AS (SELECT word, freq, p,
+           |    CASE WHEN mrg = 1 THEN sym ||
+           |      lead(sym) OVER (PARTITION BY word ORDER BY p)
+           |      ELSE sym END AS sym2,
+           |    lag(mrg, 1, 0) OVER (PARTITION BY word ORDER BY p) AS drp
+           |  FROM mk$r),
+           |v$r AS (SELECT word, freq, list(sym2 ORDER BY p) AS syms
+           |  FROM mo$r WHERE drp = 0 GROUP BY 1, 2)""".stripMargin
+      }
+      val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+      val out = (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS step, lft, rgt, c AS pair_count FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS (SELECT tok AS word, count(*) AS freq FROM
+         |    (SELECT unnest(${rawToks("lower(text)")}) AS tok FROM documents)
+         |  GROUP BY 1),
+         |v0 AS (SELECT word, freq,
+         |    [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms
+         |  FROM w),
+         |$rounds
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+
     "t3_token_stats" ->
       s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars
          |FROM documents)

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Decontaminate, Dedup, Multimodal, Perceptron, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, Perceptron, Sampling, Similarity, Skew, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -2250,6 +2250,19 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T18: BPE merge TRAINING ([[QuerySpec.BpeMerges]] rounds) — the
+    * tokenizer-building step, in the engine (see operators/Bpe.scala for
+    * the Lloyd-style scale argument: vocab-grain rounds, 1-row argmax
+    * collects). The oracle is GENERATED from the same round count (t14's
+    * no-drift pattern) and replays each greedy merge with a
+    * gaps-and-islands parity window — provably equivalent to the engine's
+    * left-to-right fold, since overlapping merge sites only arise inside
+    * same-symbol runs, where both keep exactly the even offsets. All
+    * outputs are strings and integer counts: no float contract at all. */
+  def t18BpeMerges(s: SparkSession, d: String): DataFrame =
+    Bpe.learnMerges(Tables.documents(s, d), "text", BpeMerges)
+      .orderBy(col("step"))
+
   /** S1: brute-force cosine top-k. */
   def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2510,6 +2523,7 @@ object Queries {
     "t15_gopher_rules" -> t15GopherRules _,
     "t16_domain_cap" -> t16DomainCap _,
     "t17_lm_perplexity" -> t17LmPerplexity _,
+    "t18_bpe_merges" -> t18BpeMerges _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

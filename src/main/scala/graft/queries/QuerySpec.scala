@@ -101,6 +101,9 @@ object QuerySpec {
   // T14 pocket-perceptron epochs (query and generated oracle must agree)
   val T14Epochs = 12
 
+  // T18 BPE merge rounds (query and generated oracle must agree)
+  val BpeMerges = 8
+
   // D12 sliding-window substring-dedup window length (tokens)
   val SubstrK = 10
 
