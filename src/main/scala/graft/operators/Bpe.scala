@@ -32,10 +32,12 @@ object Bpe {
             array(concat(element_at(acc, -1), x))))
           .otherwise(concat(acc, array(x))))
 
-  /** Learn `n` merges over `textCol`; returns (step, lft, rgt, pair_count)
-    * — the merge table a tokenizer ships. */
-  def learnMerges(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The training loop: returns the merge table and the final vocabulary
+    * state (word, freq, syms) — which IS the encoder: applying the merge
+    * list in rank order to a word reproduces exactly its final syms. The
+    * returned vocab DataFrame is left persisted for the caller. */
+  private def train(docs: DataFrame, textCol: String,
+      n: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val words = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -62,8 +64,23 @@ object Bpe {
       v.unpersist(false)
       v = nv
     }
-    v.unpersist(false)
-    import spark.implicits._
-    merges.toSeq.toDF("step", "lft", "rgt", "pair_count")
+    (merges.toSeq, v)
   }
+
+  /** Learn `n` merges over `textCol`; returns (step, lft, rgt, pair_count)
+    * — the merge table a tokenizer ships. */
+  def learnMerges(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, vocab) = train(docs, textCol, n)
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toDF("step", "lft", "rgt", "pair_count")
+  }
+
+  /** The encoder after `n` learned merges: (word, n_sub) — subword count
+    * per distinct word. Vocab-grain (Heaps'-law bounded), so downstream
+    * corpus joins can broadcast it. Left persisted (model-sized). */
+  def encodedVocab(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    train(docs, textCol, n)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
 }

@@ -42,6 +42,54 @@ object Oracles {
 
   private val hourFloor = s"epoch_ms(ts)//$HourMs*$HourMs"
 
+  /** One BPE training round as CTEs (t18/t19 shared; see the t18 entry
+    * for the parity-window equivalence argument). Reads v{r-1}, defines
+    * m$r (the elected merge) and v$r (the merged vocab). */
+  private def bpeRound(r: Int): String = {
+    val prev = if (r == 1) "v0" else s"v${r - 1}"
+    s"""pe$r AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+       |  FROM $prev WHERE len(syms) >= 2),
+       |pc$r AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+       |    CAST(sum(freq) AS BIGINT) AS c
+       |  FROM pe$r GROUP BY 1, 2),
+       |m$r AS (SELECT lft, rgt, c FROM pc$r
+       |  ORDER BY c DESC, lft, rgt LIMIT 1),
+       |me$r AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS p,
+       |    syms FROM $prev),
+       |ms$r AS (SELECT word, freq, p, syms[p] AS sym,
+       |    CASE WHEN p < len(syms) AND syms[p] = m.lft
+       |          AND syms[p + 1] = m.rgt THEN 1 ELSE 0 END AS mt
+       |  FROM me$r CROSS JOIN m$r m),
+       |mg$r AS (SELECT *, p - sum(mt) OVER
+       |    (PARTITION BY word ORDER BY p) AS grp
+       |  FROM ms$r),
+       |mk$r AS (SELECT *, CASE WHEN mt = 1 AND
+       |      (p - min(p) OVER (PARTITION BY word, mt, grp)) % 2 = 0
+       |    THEN 1 ELSE 0 END AS mrg
+       |  FROM mg$r),
+       |mo$r AS (SELECT word, freq, p,
+       |    CASE WHEN mrg = 1 THEN sym ||
+       |      lead(sym) OVER (PARTITION BY word ORDER BY p)
+       |      ELSE sym END AS sym2,
+       |    lag(mrg, 1, 0) OVER (PARTITION BY word ORDER BY p) AS drp
+       |  FROM mk$r),
+       |v$r AS (SELECT word, freq, list(sym2 ORDER BY p) AS syms
+       |  FROM mo$r WHERE drp = 0 GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Full BPE WITH-prefix: corpus word freqs → v0 (char split) → rounds
+    * 1..BpeMerges, ending at v$BpeMerges (the trained encoder state). */
+  private val bpeWith: String = {
+    val rounds = (1 to BpeMerges).map(bpeRound).mkString(",\n")
+    s"""w AS (SELECT tok AS word, count(*) AS freq FROM
+       |    (SELECT unnest(${rawToks("lower(text)")}) AS tok FROM documents)
+       |  GROUP BY 1),
+       |v0 AS (SELECT word, freq,
+       |    [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms
+       |  FROM w),
+       |$rounds""".stripMargin
+  }
+
   /** explicit left-fold dot-product chain: 0.0 + a[1]*b[1] + ... */
   private def dotChain(a: String, b: String): String =
     (1 to EmbeddingDim).map(i =>
@@ -1361,51 +1409,33 @@ object Oracles {
     // consecutive matching sites (only possible in same-symbol runs) keep
     // even offsets from the chain start — exactly the engine's fold.
     "t18_bpe_merges" -> {
-      def round(r: Int): String = {
-        val prev = if (r == 1) "v0" else s"v${r - 1}"
-        s"""pe$r AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-           |  FROM $prev WHERE len(syms) >= 2),
-           |pc$r AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
-           |    CAST(sum(freq) AS BIGINT) AS c
-           |  FROM pe$r GROUP BY 1, 2),
-           |m$r AS (SELECT lft, rgt, c FROM pc$r
-           |  ORDER BY c DESC, lft, rgt LIMIT 1),
-           |me$r AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS p,
-           |    syms FROM $prev),
-           |ms$r AS (SELECT word, freq, p, syms[p] AS sym,
-           |    CASE WHEN p < len(syms) AND syms[p] = m.lft
-           |          AND syms[p + 1] = m.rgt THEN 1 ELSE 0 END AS mt
-           |  FROM me$r CROSS JOIN m$r m),
-           |mg$r AS (SELECT *, p - sum(mt) OVER
-           |    (PARTITION BY word ORDER BY p) AS grp
-           |  FROM ms$r),
-           |mk$r AS (SELECT *, CASE WHEN mt = 1 AND
-           |      (p - min(p) OVER (PARTITION BY word, mt, grp)) % 2 = 0
-           |    THEN 1 ELSE 0 END AS mrg
-           |  FROM mg$r),
-           |mo$r AS (SELECT word, freq, p,
-           |    CASE WHEN mrg = 1 THEN sym ||
-           |      lead(sym) OVER (PARTITION BY word ORDER BY p)
-           |      ELSE sym END AS sym2,
-           |    lag(mrg, 1, 0) OVER (PARTITION BY word ORDER BY p) AS drp
-           |  FROM mk$r),
-           |v$r AS (SELECT word, freq, list(sym2 ORDER BY p) AS syms
-           |  FROM mo$r WHERE drp = 0 GROUP BY 1, 2)""".stripMargin
-      }
-      val rounds = (1 to BpeMerges).map(round).mkString(",\n")
       val out = (1 to BpeMerges).map(r =>
         s"SELECT CAST($r AS BIGINT) AS step, lft, rgt, c AS pair_count FROM m$r")
         .mkString("\nUNION ALL ")
-      s"""WITH w AS (SELECT tok AS word, count(*) AS freq FROM
-         |    (SELECT unnest(${rawToks("lower(text)")}) AS tok FROM documents)
-         |  GROUP BY 1),
-         |v0 AS (SELECT word, freq,
-         |    [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms
-         |  FROM w),
-         |$rounds
+      s"""WITH $bpeWith
          |$out
          |ORDER BY step""".stripMargin
     },
+
+    // T19: tokenizer fertility — the t18 encoder state (v$BpeMerges)
+    // applied to the corpus; all-integer (ppm) output, `//` to match
+    // Spark's `div` truncation (all values positive).
+    "t19_bpe_fertility" ->
+      s"""WITH $bpeWith,
+         |toks AS (SELECT source, unnest(${rawToks("lower(text)")}) AS word
+         |  FROM documents),
+         |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
+         |  FROM v$BpeMerges)
+         |SELECT source,
+         |  CAST(sum(n_sub) AS BIGINT) AS bpe_tokens,
+         |  count(*) AS n_words,
+         |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_sub) AS BIGINT) * 1000000 // count(*) AS fert_ppm,
+         |  CAST(sum(len(word)) AS BIGINT) * 1000000
+         |    // CAST(sum(n_sub) AS BIGINT) AS cpt_ppm
+         |FROM toks JOIN enc USING (word)
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     "t3_token_stats" ->
       s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars

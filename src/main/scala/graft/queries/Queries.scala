@@ -2263,6 +2263,29 @@ object Queries {
     Bpe.learnMerges(Tables.documents(s, d), "text", BpeMerges)
       .orderBy(col("step"))
 
+  /** T19: tokenizer fertility evaluation — encode the corpus with the
+    * BPE model t18 trains (the final vocab state IS the encoder) and
+    * report per-source subword counts and fertility (subwords/word,
+    * chars/subword) in parts-per-million, so every output is an integer
+    * (no float hash contract). Plan shape: the encoder is vocab-grain →
+    * broadcast; the exploded corpus joins it map-side; ONE shuffle total
+    * (the per-source partial agg). */
+  def t19BpeFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val enc = Bpe.encodedVocab(docs, "text", BpeMerges)
+    docs.select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n_sub")).as("bpe_tokens"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("bpe_tokens"), col("n_words"), col("n_chars"),
+        expr("bpe_tokens * 1000000L div n_words").as("fert_ppm"),
+        expr("n_chars * 1000000L div bpe_tokens").as("cpt_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** S1: brute-force cosine top-k. */
   def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2524,6 +2547,7 @@ object Queries {
     "t16_domain_cap" -> t16DomainCap _,
     "t17_lm_perplexity" -> t17LmPerplexity _,
     "t18_bpe_merges" -> t18BpeMerges _,
+    "t19_bpe_fertility" -> t19BpeFertility _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

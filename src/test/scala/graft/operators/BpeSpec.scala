@@ -52,6 +52,26 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("encodedVocab equals replaying the learned merge table per word") {
+    val docs = Seq(
+      "aaaa aaa banana bandana",
+      "banana banana cabana",
+      "aaaa the the the cat hat"
+    ).toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 5)
+      .orderBy("step").as[(Long, String, String, Long)].collect()
+    val got = Bpe.encodedVocab(docs, "text", 5)
+      .as[(String, Long)].collect().toMap
+    val words = docs.as[String].collect()
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty).distinct
+    for (w <- words) {
+      val enc = merges.foldLeft(w.toList.map(_.toString)) {
+        case (syms, (_, a, b, _)) => refMerge(syms, a, b)
+      }
+      assert(got(w) == enc.length.toLong, s"word $w")
+    }
+  }
+
   test("merge of a just-merged tail does not re-match as left symbol") {
     // One word "abab": after merging (a,b) the syms are [ab, ab]; a second
     // round must elect (ab, ab), not resurrect (a, b).
