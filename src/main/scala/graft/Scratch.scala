@@ -708,6 +708,74 @@ object Scratch {
           println(f"SCALE $q%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale6") =>
+        // 16x probes for the round-7 tail trio, run through the REAL
+        // registered queries against a replicated corpus written in the sf
+        // layout (no re-coded query bodies — what ships is what's probed):
+        //   t17 (unigram-LM fluency): the (doc, token, occ) grain grows kx;
+        //     LM build + scoring join must stay linear.
+        //   t18 (BPE training): per-round cost is VOCAB-grain — namespaced
+        //     replicas grow the vocab kx, so the 8 rounds must grow
+        //     ~linearly, not with corpus pair-position grain.
+        //   t19 (fertility eval): corpus explode + broadcast encoder join +
+        //     per-source partial agg — one linear scan must dominate.
+        // env: SPARK_GRAFT_SCALES (default "1,4,16"),
+        //      SPARK_GRAFT_SCALE_OPS (default "t17,t18,t19")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops6 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "t17,t18,t19")
+          .split(",").map(_.trim).toSet
+        val names = Seq("t17" -> "t17_lm_perplexity",
+          "t18" -> "t18_bpe_merges", "t19" -> "t19_bpe_fertility")
+        val registry = queries.Queries.all.toMap
+        val docs0 = Tables.documents(spark, sfDir)
+        val didSpan = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1
+        // replica 0 keeps the original text; later replicas get disjoint
+        // token namespaces (vocab and LM grow kx, the honest growth axis)
+        def repDocs(k: Int) = (0 until k).map { i =>
+          val txt = if (i == 0) col("text")
+            else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+          docs0.select((col("doc_id") + lit(i * didSpan)).as("doc_id"),
+            txt.as("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        val times = scala.collection.mutable.Map[String, Double]()
+        for (k <- scales) {
+          val dir = java.nio.file.Files.createTempDirectory(s"scale6x$k")
+            .toString
+          repDocs(k).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          for ((short, qname) <- names if ops6(short)) {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            // construction is INSIDE the timer: t18/t19 run their training
+            // collects while the plan is being built
+            val df = registry(qname)(spark, dir)
+            // force every output column (count() would prune the computed
+            // projections — see README bench notes): sum an xxhash64 over
+            // the full row struct
+            val n = df
+              .select((xxhash64(struct(df.columns.map(col): _*)) %
+                lit(1000000007L)).as("h"))
+              .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+              .head.getLong(1)
+            val dt = (System.nanoTime() - t0) / 1e9
+            times(s"${short}_x$k") = dt
+            println(f"TIMER ${short}_x$k%-10s ${dt}%8.2f s  rows=$n")
+          }
+        }
+        for ((short, _) <- names
+             if times.contains(s"${short}_x${scales.max}") &&
+               times.contains(s"${short}_x${scales.min}") &&
+               scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${short}_x${scales.max}") /
+            times(s"${short}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC"
+            else "SUPERLINEAR!"
+          println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")
