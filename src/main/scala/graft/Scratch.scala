@@ -776,6 +776,128 @@ object Scratch {
           println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale7") =>
+        // streaming STATE probes for the w11/w12 newcomers: replay their
+        // exact 3-delivery constructions at 1x and kx event density and
+        // time each delivery. user_id is namespaced per replica so w12's
+        // interval-join matches stay within-replica (honest linear growth:
+        // more users, not k^2 denser per-user match space); event_id
+        // namespacing keeps w11's dedup keys disjoint, so dedup state
+        // grows kx and the watermark TTL must keep each delivery's wall
+        // tracking the data term, not accumulated state.
+        // env: SPARK_GRAFT_SCALES (default "1,16"),
+        //      SPARK_GRAFT_SCALE_OPS (default "w11s,w12s")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops7 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "w11s,w12s")
+          .split(",").map(_.trim).toSet
+        val raw7 = spark.read.parquet(s"$sfDir/events.parquet")
+        val usCol7 = raw7.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+          case _ => expr("unix_micros(ts)")
+        }
+        val base7 = raw7.select(col("event_id"), usCol7.as("us"),
+          col("value"), col("user_id").cast("long").as("user_id"))
+        val eidSpan7 = base7.agg(max(col("event_id"))).head.getLong(0) + 1
+        val uidSpan7 = base7.agg(max(col("user_id"))).head.getLong(0) + 1
+        def rep7(k: Int) = (0 until k).map(i => base7.select(
+          (col("event_id") + lit(i * eidSpan7)).as("event_id"), col("us"),
+          col("value"), (col("user_id") + lit(i * uidSpan7)).as("user_id")))
+          .reduce(_ unionByName _)
+        val dayUs = 86400000000L
+        val times = scala.collection.mutable.Map[String, Double]()
+        def timed(name: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt
+          println(f"TIMER $name%-12s ${dt}%8.2f s  rows=$n")
+        }
+        for (k <- scales) {
+          val ev = rep7(k).withColumn("rel_ms",
+            expr("us div 1000") - queries.QuerySpec.RangeStartMs)
+          val dayMs = 86400000L
+          val base = when(col("rel_ms") < 10 * dayMs, 0)
+            .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+          if (ops7("w11s")) {
+            // w11's exact class construction over the replicated stream
+            val batchCol = least(base + when(col("event_id") % 11 === 0, 1)
+              .otherwise(0), lit(2))
+            val orig = ev.select(col("event_id"), col("us"), col("value"),
+              batchCol.as("batch"))
+            val dupSame = orig.where(col("event_id") % 5 === 0)
+            val dupNext = orig
+              .where(col("event_id") % 3 === 0 &&
+                col("event_id") % 11 =!= 0 && col("batch") < 2)
+              .withColumn("batch", col("batch") + 1)
+            val reoccur = ev
+              .where(base === 0 && col("event_id") % 13 === 0 &&
+                col("event_id") % 11 =!= 0)
+              .select(col("event_id"),
+                (col("us") + lit(25L * dayUs / 1000L * 1000L)).as("us"),
+                col("value"), lit(2).as("batch"))
+            val lines = orig.unionByName(dupSame).unionByName(dupNext)
+              .unionByName(reoccur)
+              .select(col("event_id"), col("batch"),
+                concat_ws("\t", col("event_id"), col("us"), col("value"))
+                  .as("value_line"))
+            val root = java.nio.file.Files.createTempDirectory(s"w11x$k")
+            val drop = root.resolve("drop")
+            java.nio.file.Files.createDirectories(drop)
+            val sink = root.resolve("sink").toString
+            for (b <- 0 to 2) {
+              lines.where(col("batch") === b)
+                .orderBy(col("event_id")).select(col("value_line"))
+                .coalesce(1).write.mode("append").text(drop.toString)
+              timed(s"w11_x${k}_b$b") {
+                streaming.EventWindowStream.deliverDedup(spark,
+                  drop.toString, root.resolve("ckpt").toString, sink,
+                  delay = "2 hours")
+                spark.read.parquet(sink).count()
+              }
+            }
+          }
+          if (ops7("w12s")) {
+            val batchCol = when(base === 0 && col("event_id") % 11 === 0, 2)
+              .otherwise(base)
+            val lines = ev.select(col("event_id"), batchCol.as("batch"),
+              (col("event_id") % 2).as("side"),
+              concat_ws("\t", col("event_id"), col("us"), col("user_id"))
+                .as("value_line"))
+            val root = java.nio.file.Files.createTempDirectory(s"w12x$k")
+            val dropA = root.resolve("dropA")
+            val dropB = root.resolve("dropB")
+            java.nio.file.Files.createDirectories(dropA)
+            java.nio.file.Files.createDirectories(dropB)
+            val sink = root.resolve("sink").toString
+            for (b <- 0 to 2) {
+              for ((side, dir) <- Seq(0 -> dropA, 1 -> dropB)) {
+                lines.where(col("batch") === b && col("side") === side)
+                  .orderBy(col("event_id")).select(col("value_line"))
+                  .coalesce(1).write.mode("append").text(dir.toString)
+              }
+              timed(s"w12_x${k}_b$b") {
+                streaming.EventWindowStream.deliverJoin(spark,
+                  dropA.toString, dropB.toString,
+                  root.resolve("ckpt").toString, sink, delay = "2 hours")
+                spark.read.parquet(sink).count()
+              }
+            }
+          }
+        }
+        for (q <- Seq("w11", "w12"); b <- 0 to 2
+             if times.contains(s"${q}_x${scales.max}_b$b") &&
+               times.contains(s"${q}_x${scales.min}_b$b") &&
+               scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${q}_x${scales.max}_b$b") /
+            times(s"${q}_x${scales.min}_b$b")
+          val verdict = if (r < growth) "SUBLINEAR"
+            else if (r < growth * growth) "SUBQUADRATIC" else "SUPERLINEAR!"
+          println(f"SCALE ${q}_b$b x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f)")
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")
