@@ -1408,20 +1408,23 @@ object Oracles {
     // left-to-right merge replayed as a gaps-and-islands parity window:
     // consecutive matching sites (only possible in same-symbol runs) keep
     // even offsets from the chain start — exactly the engine's fold.
+    // pinThreads on both BPE twins: the 8 unrolled rounds are the same
+    // many-CTE profile that intermittently OOMs unpinned 32-thread DuckDB
+    // (the r6 s6/s13/w5 lesson)
     "t18_bpe_merges" -> {
       val out = (1 to BpeMerges).map(r =>
         s"SELECT CAST($r AS BIGINT) AS step, lft, rgt, c AS pair_count FROM m$r")
         .mkString("\nUNION ALL ")
-      s"""WITH $bpeWith
+      pinThreads(s"""WITH $bpeWith
          |$out
-         |ORDER BY step""".stripMargin
+         |ORDER BY step""".stripMargin)
     },
 
     // T19: tokenizer fertility — the t18 encoder state (v$BpeMerges)
     // applied to the corpus; all-integer (ppm) output, `//` to match
     // Spark's `div` truncation (all values positive).
     "t19_bpe_fertility" ->
-      s"""WITH $bpeWith,
+      pinThreads(s"""WITH $bpeWith,
          |toks AS (SELECT source, unnest(${rawToks("lower(text)")}) AS word
          |  FROM documents),
          |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
@@ -1435,7 +1438,7 @@ object Oracles {
          |    // CAST(sum(n_sub) AS BIGINT) AS cpt_ppm
          |FROM toks JOIN enc USING (word)
          |GROUP BY source
-         |ORDER BY source""".stripMargin,
+         |ORDER BY source""".stripMargin),
 
     "t3_token_stats" ->
       s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars

@@ -163,6 +163,16 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "cartesian in s13")
   }
 
+  test("t19 fertility: encoder joins broadcast, corpus side never sorts") {
+    val plan = Queries.t19BpeFertility(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the vocab-grain encoder must broadcast into the exploded corpus —
+    // a sort-merge there would shuffle the whole corpus on `word`
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "corpus shuffled on word")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("j10 co-bucketed join: no Exchange below the sort-merge join") {
     // force the SMJ path (at test SF the optimizer would broadcast — also
     // shuffle-free, but the lock is about the bucketed layout)
