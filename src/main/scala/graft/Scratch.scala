@@ -727,7 +727,8 @@ object Scratch {
         val ops6 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "t17,t18,t19")
           .split(",").map(_.trim).toSet
         val names = Seq("t17" -> "t17_lm_perplexity",
-          "t18" -> "t18_bpe_merges", "t19" -> "t19_bpe_fertility")
+          "t18" -> "t18_bpe_merges", "t19" -> "t19_bpe_fertility",
+          "d15" -> "d15_incremental_dedup")
         val registry = queries.Queries.all.toMap
         val docs0 = Tables.documents(spark, sfDir)
         val didSpan = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -199,6 +199,82 @@ object Dedup {
     }
   }
 
+  /** Per-doc MinHash signature columns m0..m{k-1} at vocab grain (the d3
+    * lesson: hash each DISTINCT token once — Heaps' law — not once per
+    * (doc, token, hash-index)). Input: (id, toks). */
+  private def signatures(toks: DataFrame, k: Int): DataFrame = {
+    val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val vocab = exploded.select(col("tok")).distinct()
+      .select(col("tok") +: (0 until k).map(i =>
+        md5(concat(lit(s"$i:"), col("tok"))).as(s"h$i")): _*)
+    exploded.join(vocab, "tok").groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
+
+  /** Band keys b0..b{bands-1} from signature columns. */
+  private def bandCols(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sig.select((col("id") +: (0 until bands).map { b =>
+      concat(lit(s"$b|"), md5(concat_ws(",",
+        (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))).as(s"b$b")
+    }): _*)
+  }
+
+  /** Build a PERSISTED MinHash-LSH dedup index under `path` — the
+    * build-once/serve-many split (s15's pattern, for dedup): two tables,
+    * `bands/` = (band, id) for candidate generation and `toks/` =
+    * (id, toks) for exact verification. Build pays one corpus pass
+    * (vocab-grain hashing); every future batch dedups against it in
+    * O(batch), not O(corpus re-hash). */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 16, bands: Int = 4): Unit = {
+    val toks = df.select(col(idCol).as("id"),
+      tokenSet(col(textCol)).as("toks")).where(size(col("toks")) > 0)
+      .persist()
+    bandCols(signatures(toks, k), k, bands)
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        col(s"b$b")): _*)).as("band"))
+      .select(col("band"), col("id"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    toks.write.mode("overwrite").parquet(s"$path/toks")
+    toks.unpersist(false)
+  }
+
+  /** Dedup a NEW batch against a persisted index: (delta_id, corpus_id,
+    * jaccard ≥ threshold) pairs.
+    *
+    * Scale shape — nothing corpus-sized ever shuffles: the batch's band
+    * keys and token sets BROADCAST, so the index `bands/` scan hash-joins
+    * map-side, the (small) candidate set broadcasts back into the
+    * `toks/` scan for the verify fetch, and the only shuffle is the
+    * candidate-grain distinct. Serving cost = 2 index scans + O(batch),
+    * vs minhashDupPairs' full corpus re-hash + self-join per batch. */
+  def dedupAgainstIndex(delta: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val spark = delta.sparkSession
+    val dToks = delta.select(col(idCol).as("id"),
+      tokenSet(col(textCol)).as("toks")).where(size(col("toks")) > 0)
+      .persist()
+    val dBands = bandCols(signatures(dToks, k), k, bands)
+      .select(col("id").as("delta_id"), explode(array((0 until bands).map(
+        b => col(s"b$b")): _*)).as("band"))
+    // candidates: index scan ⋈ broadcast(batch bands); a pair colliding in
+    // c bands surfaces c times — the distinct is candidate-grain (small)
+    val cand = spark.read.parquet(s"$path/bands")
+      .join(broadcast(dBands), Seq("band"))
+      .select(col("id"), col("delta_id")).distinct()
+    // verify fetch: corpus toks scan ⋈ broadcast(candidates), map-side
+    spark.read.parquet(s"$path/toks")
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(dToks.select(col("id").as("delta_id"),
+        col("toks").as("dtoks"))), Seq("delta_id"))
+      .select(col("delta_id"), col("id").as("corpus_id"),
+        jaccard(col("toks"), col("dtoks")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Brute-force n-gram (word unigram) Jaccard duplicate pairs within
     * blocking buckets — the exact baseline the LSH path approximates.
     * Blocking keys bound the quadratic blowup (pairs only form inside a

@@ -1127,6 +1127,40 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // D15: incremental dedup replay — same signature/band SQL as d3 over
+    // the corpus/delta split; directed (delta, corpus) pairs, no a<b cut.
+    "d15_incremental_dedup" -> {
+      val rows = MinhashK / MinhashBands
+      val sigs = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(toks, x -> md5('$i:' || x))) AS m$i")
+        .mkString(",\n  ")
+      val bandKeys = (0 until MinhashBands).map { b =>
+        val parts = (b * rows until (b + 1) * rows).map(i => s"m$i")
+          .mkString(" || ',' || ")
+        s"'$b|' || md5($parts)"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id AS id, ${lowSet("text")} AS toks FROM documents),
+         |t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+         |sig AS (SELECT id,
+         |  $sigs
+         |FROM t2),
+         |bands AS (SELECT id, unnest([$bandKeys]) AS band FROM sig),
+         |cand AS (SELECT DISTINCT d.id AS delta_id, c.id AS corpus_id
+         |  FROM bands d JOIN bands c ON d.band = c.band
+         |  WHERE d.id % 10 = 7 AND c.id % 10 <> 7),
+         |p AS (SELECT delta_id, corpus_id,
+         |    CAST(len(list_intersect(td.toks, tc.toks)) AS DOUBLE) AS inter,
+         |    CAST(len(td.toks) + len(tc.toks) AS DOUBLE) AS ss
+         |  FROM cand JOIN t2 td ON td.id = delta_id
+         |    JOIN t2 tc ON tc.id = corpus_id),
+         |j AS (SELECT delta_id, corpus_id,
+         |  CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END AS jac
+         |  FROM p)
+         |SELECT delta_id, corpus_id, round(jac, 6) AS jaccard FROM j
+         |WHERE jac >= $MinhashThreshold
+         |ORDER BY delta_id, corpus_id""".stripMargin
+    },
+
     // D14: minhash estimate (K-component agreement rate) vs exact Jaccard
     // on the blocked pair space, decile rollup. Generated from the same
     // MinhashK as the query; every double is one division over integer

@@ -1900,6 +1900,25 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** D15: INCREMENTAL dedup — the build-once/serve-many split for the
+    * MinHash-LSH family (s15's move, applied to dedup): 90% of the corpus
+    * builds a persisted band+toks index, then the remaining 10% "new
+    * batch" dedups against it touching the index by SCAN only (batch
+    * bands and candidates broadcast — see Dedup.dedupAgainstIndex). At
+    * 100 TB this is the shape that matters: daily deltas pay O(delta),
+    * not a corpus re-hash. */
+  def d15IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = java.nio.file.Files.createTempDirectory("d15idx").toString
+    Dedup.buildMinhashIndex(docs.where(col("doc_id") % 10 =!= 7),
+      "doc_id", "text", idx, MinhashK, MinhashBands)
+    Dedup.dedupAgainstIndex(docs.where(col("doc_id") % 10 === 7),
+      "doc_id", "text", idx, MinhashK, MinhashBands, MinhashThreshold)
+      .select(col("delta_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   /** S8: matryoshka-style two-stage ANN — 16-dim prefix cosine shortlists
     * 20 candidates per query, full 64-dim exact cosine re-ranks to top-5.
     * The scan side at scale is 4× lighter than s1's. */
@@ -2526,6 +2545,7 @@ object Queries {
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d13_cluster_keep_best" -> d13ClusterKeepBest _,
     "d14_minhash_est_error" -> d14MinhashEstError _,
+    "d15_incremental_dedup" -> d15IncrementalDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,

@@ -118,6 +118,40 @@ class DedupSpec extends SparkSpec {
       "general-path candidate join lost its shuffle_hash hint")
   }
 
+  test("dedupAgainstIndex agrees with minhashDupPairs on cross-split pairs") {
+    // >62 distinct tokens so minhashDupPairs takes the general path whose
+    // band construction matches the index's (same signatures() semantics)
+    val bigVocab = (0 until 80).map(i => (100L + i, s"tok$i filler$i"))
+    val all = docs.union(bigVocab.toDF("doc_id", "text"))
+    val corpus = all.where(col("doc_id") % 2 === 0)
+    val delta = all.where(col("doc_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("idxspec").toString
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx, 16, 8)
+    val got = Dedup.dedupAgainstIndex(delta, "doc_id", "text", idx, 16, 8,
+      threshold = 0.5)
+      .select("delta_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // reference: full-corpus pair mining restricted to cross-split pairs,
+    // reoriented to (delta, corpus)
+    val ref = Dedup.minhashDupPairs(all, "doc_id", "text", k = 16,
+      bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 2) != (b % 2) }
+      .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+    assert(got == ref)
+  }
+
+  test("dedupAgainstIndex serve plan: index scans only, batch broadcasts") {
+    val idx = java.nio.file.Files.createTempDirectory("idxplan").toString
+    Dedup.buildMinhashIndex(docs.where(col("doc_id") =!= 1L), "doc_id",
+      "text", idx, 16, 8)
+    val plan = Dedup.dedupAgainstIndex(docs.where(col("doc_id") === 1L),
+      "doc_id", "text", idx, 16, 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), "index side shuffled")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("jaccardDupPairs bitmask and array paths agree (incl. empty docs)") {
     val blocked = Seq(
       (1L, "b1", "the quick brown fox"),
