@@ -830,6 +830,22 @@ object Oracles {
          |WHERE us_b BETWEEN us_a - ${30 * 60000000L} AND us_a + ${30 * 60000000L}
          |ORDER BY user_id, a_id, b_id""".stripMargin,
 
+    "w13_scd2" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, event_type FROM events),
+         |ch AS (SELECT *, lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+         |  FROM e),
+         |f AS (SELECT user_id, event_id, ts_ms, event_type FROM ch
+         |  WHERE prev IS NULL OR prev <> event_type),
+         |v AS (SELECT user_id, event_type AS state, ts_ms,
+         |    row_number() OVER w AS version, lead(ts_ms) OVER w AS nxt
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+         |SELECT user_id, version, state, ts_ms AS valid_from_ms,
+         |  coalesce(nxt, $RangeEndMs) AS valid_to_ms,
+         |  nxt IS NULL AS is_current
+         |FROM v ORDER BY user_id, version""".stripMargin,
+
     // w10: session-window watermark replay. Only first-decade rows are
     // displaced (by two batches), so every late row's provisional session
     // end sits far under the pre-batch watermark (all dropped) and no

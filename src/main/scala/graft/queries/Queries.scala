@@ -908,6 +908,36 @@ object Queries {
       .orderBy(col("user_id"), col("a_id"), col("b_id"))
   }
 
+  /** W13: SCD2 dimension-history build — the type-2 slowly-changing
+    * dimension load the reference approximates destructively with
+    * UNIQUE-key REPLACE upserts (`src/db/doris_db.py` Stream Load): here
+    * history is kept. Per user the event_type stream is change-detected
+    * (lag over the (ts, event_id) total order) and each surviving change
+    * point becomes a versioned validity interval [valid_from, valid_to)
+    * closed by the next change, with the open current row closed at the
+    * range end. Scale shape: both window passes share ONE partitioning and
+    * sort on (user_id | ts, event_id), so Catalyst plans a single Exchange
+    * + Sort feeding both Window operators — a linear per-key scan, not the
+    * textbook self-join; per-user state is one row of look-behind, so a
+    * 1000-executor run streams each key group once. */
+  def w13Scd2(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byTs).cast("long"))
+      .withColumn("nxt", lead(col("ts_ms"), 1).over(byTs))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"), col("ts_ms").as("valid_from_ms"),
+        coalesce(col("nxt"), lit(RangeEndMs)).as("valid_to_ms"),
+        col("nxt").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** A11: dispersion stats per user — variance/stddev via the algebraic
     * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
     * The sufficient statistics merge associatively (map-side combine, any
@@ -2499,6 +2529,7 @@ object Queries {
     "w10_stream_sessions" -> w10StreamSessions _,
     "w11_stream_dedup" -> w11StreamDedup _,
     "w12_stream_join" -> w12StreamJoin _,
+    "w13_scd2" -> w13Scd2 _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

@@ -173,6 +173,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("w13 SCD2: one hash Exchange feeds both window passes") {
+    // change-detect + interval-close share (user_id | ts, event_id), so
+    // the plan must hold exactly two shuffles: the window hash partition
+    // and the final orderBy range partition — a second window shuffle
+    // means the shared sort order was broken by a refactor (AQE off so the
+    // physical tree is walkable, as in the j10 lock)
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Queries.w13Scd2(spark, sfDir).queryExecution.executedPlan
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 2, s"${exch.length} shuffles:\n" +
+        plan.toString.take(1200))
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.length == 2, plan.toString.take(800))
+      val sortsBetween = wins.head.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sortsBetween.length == 1,
+        "window passes re-sorted:\n" + wins.head.toString.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("j10 co-bucketed join: no Exchange below the sort-merge join") {
     // force the SMJ path (at test SF the optimizer would broadcast — also
     // shuffle-free, but the lock is about the bucketed layout)
