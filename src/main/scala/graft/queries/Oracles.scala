@@ -659,6 +659,37 @@ object Oracles {
          |WHERE day >= cohort_day
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // A15: the portable md5 hash (value of first 15 hex chars, seeded per
+    // sketch row) reproduces every CMS bucket exactly — sketch and
+    // estimates are deterministic across engines.
+    "a15_cms" -> {
+      def hex15(e: String) = (1 to 15).map { i =>
+        val w = math.pow(16, 15 - i).toLong
+        s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $w"
+      }.mkString(" + ")
+      def bucket(r: Int) = s"((${hex15(s"'$r:' || tok")})) % $CmsWidth"
+      val rowsCte = (0 until CmsDepth).map { r =>
+        s"SELECT $r AS rw, ${bucket(r)} AS bucket FROM u" }
+        .mkString("\nUNION ALL\n")
+      val probeCte = (0 until CmsDepth).map { r =>
+        s"SELECT tok, exact_n, $r AS rw, ${bucket(r)} AS bucket FROM top" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT ${lowSeq("text")} AS toks FROM documents),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |sk AS (SELECT rw, bucket, count(*) AS cnt FROM (
+         |$rowsCte
+         |) GROUP BY 1, 2),
+         |top AS (SELECT tok, count(*) AS exact_n FROM u
+         |  GROUP BY 1 ORDER BY exact_n DESC, tok LIMIT $CmsTopN),
+         |pr AS (
+         |$probeCte
+         |)
+         |SELECT pr.tok, pr.exact_n, min(sk.cnt) AS cms_n,
+         |  min(sk.cnt) - pr.exact_n AS over_n
+         |FROM pr JOIN sk USING (rw, bucket)
+         |GROUP BY 1, 2 ORDER BY exact_n DESC, tok""".stripMargin
+    },
+
     "a13_approx_quantiles" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50,

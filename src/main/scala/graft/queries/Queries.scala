@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, Perceptron, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -1716,6 +1716,36 @@ object Queries {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** A15: count-min-sketch heavy hitters — frequency estimation where the
+    * exact vocabulary-grain count no longer fits. The sketch build shuffles
+    * at most CmsDepth×CmsWidth counter cells (map-side partial agg collapses
+    * every task to ≤2 k rows no matter the corpus size); the top-N exact
+    * counts (the eval's ground truth) and the CMS estimates are compared
+    * per token: est = min over rows of the probed counter, so over_n ≥ 0 by
+    * construction — the CMS one-sided error guarantee, which the oracle
+    * twin reproduces bucket-for-bucket via the portable md5 hash. Probes
+    * are broadcast into the 2 k-row sketch; nothing corpus-sized moves. */
+  def a15CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(transform(TextAnalysis.tokens(col("text")),
+        t => lower(t))).as("tok"))
+    val sketch = toks
+      .select(Sketches.cmsProbes(col("tok"), CmsDepth, CmsWidth)
+        .as(Seq("rw", "bucket")))
+      .groupBy(col("rw"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(CmsTopN)
+    val probes = top.select(col("tok"), col("exact_n"),
+      Sketches.cmsProbes(col("tok"), CmsDepth, CmsWidth)
+        .as(Seq("rw", "bucket")))
+    sketch.join(broadcast(probes), Seq("rw", "bucket"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+      .select(col("tok"), col("exact_n"), col("cms_n"),
+        (col("cms_n") - col("exact_n")).as("over_n"))
+      .orderBy(col("exact_n").desc, col("tok"))
+  }
+
   /** M3: payload feature extraction — the decode-adjacent step made real:
     * 8-dim interleaved byte-histogram features per binary payload,
     * L2-normalized, as pure Catalyst expressions (no UDF) so the whole
@@ -2520,6 +2550,7 @@ object Queries {
     "a9_approx_distinct" -> a9ApproxDistinct _,
     "a13_approx_quantiles" -> a13ApproxQuantiles _,
     "a14_retention" -> a14Retention _,
+    "a15_cms" -> a15CmsHeavyHitters _,
     "a10_cube" -> a10Cube _,
     "a11_dispersion" -> a11Dispersion _,
     "a12_correlation" -> a12Correlation _,

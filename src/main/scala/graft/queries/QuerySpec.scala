@@ -58,6 +58,11 @@ object QuerySpec {
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
 
+  // A15 count-min sketch: depth hash rows × width buckets, top-N eval
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val CmsTopN = 25
+
   // W4 fetch-window pagination: requests of FetchLimit × interval span
   val FetchLimit = 24
 

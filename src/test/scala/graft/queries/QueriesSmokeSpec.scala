@@ -197,6 +197,15 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("a15 CMS: probes broadcast into the sketch, never a sort-merge") {
+    // the sketch is ≤ depth×width rows and the probe side is top-N×depth —
+    // a SortMergeJoin here would mean a corpus-sized shuffle crept in
+    val plan = Queries.a15CmsHeavyHitters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("j10 co-bucketed join: no Exchange below the sort-merge join") {
     // force the SMJ path (at test SF the optimizer would broadcast — also
     // shuffle-free, but the lock is about the bucketed layout)
