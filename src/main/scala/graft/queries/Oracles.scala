@@ -1521,6 +1521,32 @@ object Oracles {
          |GROUP BY source
          |ORDER BY source""".stripMargin),
 
+    // T20: chunk-level rewrite dedup. Chunk i (0-based) = tokens
+    // [i*K+1, i*K+K] (1-based inclusive DuckDB slice); docs reassemble by
+    // string_agg over surviving chunks in idx order, and an all-removed or
+    // empty doc hashes the empty string — both matching Spark exactly.
+    "t20_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |c0 AS (SELECT doc_id,
+         |    [{'idx': i, 'chunk':
+         |        array_to_string(toks[i*$LineChunk+1 : i*$LineChunk+$LineChunk], ' ')}
+         |     for i in range(0, (len(toks)+${LineChunk - 1})//$LineChunk)] AS cs
+         |  FROM t),
+         |c AS (SELECT doc_id, unnest(cs, recursive:=true) FROM c0),
+         |common AS (SELECT chunk FROM c GROUP BY chunk
+         |  HAVING count(DISTINCT doc_id) >= $LineDupDocs),
+         |surv AS (SELECT doc_id, idx, chunk FROM c
+         |  WHERE chunk NOT IN (SELECT chunk FROM common)),
+         |agg AS (SELECT doc_id, count(*) AS n_surv,
+         |    string_agg(chunk, ' ' ORDER BY idx) AS new_text
+         |  FROM surv GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  (len(toks)+${LineChunk - 1})//$LineChunk AS n_chunks,
+         |  (len(toks)+${LineChunk - 1})//$LineChunk
+         |    - coalesce(n_surv, 0) AS n_removed,
+         |  md5(coalesce(new_text, '')) AS new_md5
+         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "t3_token_stats" ->
       s"""WITH s AS (SELECT source, CAST(len(${rawToks("text")}) AS BIGINT) AS tc, n_chars
          |FROM documents)

@@ -2365,6 +2365,48 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** T20: chunk-level corpus dedup that REWRITES documents — the
+    * RefinedWeb/CCNet line-dedup semantics (no newlines in this corpus, so
+    * the "line" unit is a non-overlapping LineChunk-token run). A chunk
+    * appearing in ≥ LineDupDocs distinct docs is deleted from EVERY doc
+    * and each doc is reassembled in chunk order; unlike d8 (flags docs by
+    * duplicated sliding passages) this edits the corpus and emits the new
+    * content hash. Scale shape: chunking is map-side O(n) per doc
+    * (non-overlapping, so no quadratic slice blowup); the duplicated-chunk
+    * census and anti-join shuffle at chunk-hash grain (uniform keys);
+    * reassembly groups by doc_id with an array_sort on collected (idx,
+    * chunk) structs — per-doc state, never a global window. */
+  def t20LineDedup(s: SparkSession, d: String): DataFrame = {
+    val k = LineChunk
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+      .withColumn("n_chunks", expr(s"(size(toks) + ${k - 1}) div $k")
+        .cast("long"))
+    val chunks = base
+      .where(col("n_chunks") > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_chunks") - 1).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * k + 1, lit(k)))))
+          .as(Seq("idx", "chunk")))
+    val common = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= LineDupDocs)
+      .select(col("chunk"))
+    val agg = chunks.join(common, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_surv"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          s => s("chunk")), " ").as("new_text"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_surv"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("new_text"), lit(""))).as("new_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S1: brute-force cosine top-k. */
   def s1CosineTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2630,6 +2672,7 @@ object Queries {
     "t17_lm_perplexity" -> t17LmPerplexity _,
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
+    "t20_line_dedup" -> t20LineDedup _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

@@ -58,6 +58,11 @@ object QuerySpec {
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
 
+  // T20 chunk-level dedup: non-overlapping chunk size (tokens) and the
+  // min distinct-doc count that marks a chunk as corpus-duplicated
+  val LineChunk = 10
+  val LineDupDocs = 2
+
   // A15 count-min sketch: depth hash rows × width buckets, top-N eval
   val CmsDepth = 4
   val CmsWidth = 512

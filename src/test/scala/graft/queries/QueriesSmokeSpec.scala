@@ -197,6 +197,15 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("t20 rewrite dedup: removal counts stay within chunk bounds") {
+    val rows = Queries.t20LineDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, rm) = (r.getLong(1), r.getLong(2))
+      assert(rm >= 0 && rm <= n, s"doc ${r.getLong(0)}: removed $rm of $n")
+    }
+  }
+
   test("a15 CMS: probes broadcast into the sketch, never a sort-merge") {
     // the sketch is ≤ depth×width rows and the probe side is top-N×depth —
     // a SortMergeJoin here would mean a corpus-sized shuffle crept in
