@@ -1103,6 +1103,25 @@ object Oracles {
       """SELECT DISTINCT user_id FROM events
         |WHERE event_type IN ('error', 'signup') ORDER BY user_id""".stripMargin,
 
+    // O7: the Morton interleave unrolled as the same shift/mask terms the
+    // Spark expression emits — the z-value is bit-exact across engines.
+    "o7_zorder" -> {
+      val z = (0 until ZBits).map { b =>
+        s"((((ux >> $b) & 1) << ${2 * b}) + (((vy >> $b) & 1) << ${2 * b + 1}))"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT user_id AS ux,
+         |    least(CAST(floor(value / 2) AS BIGINT), 255) AS vy FROM events),
+         |z AS (SELECT ux, vy, ($z) >> $ZShift AS bucket FROM e),
+         |b AS (SELECT bucket, count(*) AS n,
+         |    min(ux) AS ux_min, max(ux) AS ux_max,
+         |    min(vy) AS vy_min, max(vy) AS vy_max
+         |  FROM z GROUP BY 1)
+         |SELECT bucket, n, ux_min, ux_max, vy_min, vy_max,
+         |  ux_min <= ${ZProbeUx._2} AND ux_max >= ${ZProbeUx._1} AS probe_ux,
+         |  vy_min <= ${ZProbeVy._2} AND vy_max >= ${ZProbeVy._1} AS probe_vy
+         |FROM b ORDER BY bucket""".stripMargin
+    },
+
     "d1_exact_dedup" ->
       s"""SELECT md5(array_to_string(${lowSeq("text")}, ' ')) AS fp,
          |  min(doc_id) AS rep_id, count(*) AS dup_count

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -1439,6 +1439,35 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** O7: Z-order layout audit — quantize (user_id, value) to ZBits each,
+    * Morton-interleave, bucket rows by the z-value's high bits (the file
+    * grain a z-ordering writer would produce), and emit each bucket's
+    * min/max envelope on BOTH dimensions plus overlap flags against a fixed
+    * probe rectangle. The flags are the planning-time skip decision a
+    * parquet reader makes from footer stats: most buckets are false on at
+    * least one axis — single-column sorting can never narrow both. The
+    * z-value is an unrolled shift/mask expression fused into the scan
+    * (map-side, no UDF); the bucket census shuffles ≤2^(2·ZBits−ZShift)
+    * cells. `LayoutSpec` proves the same key prunes real files on disk. */
+  def o7Zorder(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("ux"),
+      least(floor(col("value") / 2).cast("long"), lit(255L)).as("vy"))
+    ev.withColumn("bucket",
+        shiftrightunsigned(Layout.morton(col("ux"), col("vy"), ZBits), ZShift))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("ux_min"), max(col("ux")).as("ux_max"),
+        min(col("vy")).as("vy_min"), max(col("vy")).as("vy_max"))
+      .select(col("bucket"), col("n"),
+        col("ux_min"), col("ux_max"), col("vy_min"), col("vy_max"),
+        (col("ux_min") <= ZProbeUx._2 && col("ux_max") >= ZProbeUx._1)
+          .as("probe_ux"),
+        (col("vy_min") <= ZProbeVy._2 && col("vy_max") >= ZProbeVy._1)
+          .as("probe_vy"))
+      .orderBy(col("bucket"))
+  }
+
   // ---- Wide fact (market_snapshot, 70 columns) ---------------------------
 
   /** SN1: the wide-fact exercise — a per-(symbol, hour) aggregate touching
@@ -2635,6 +2664,7 @@ object Queries {
     "p17_threshold_filter" -> p17ThresholdFilter _,
     "o1_topn" -> o1TopN _,
     "o5_union_distinct" -> o5UnionDistinct _,
+    "o7_zorder" -> o7Zorder _,
     "d1_exact_dedup" -> d1ExactDedup _,
     "d2_jaccard_pairs" -> d2JaccardPairs _,
     "d3_minhash_lsh" -> d3MinhashLsh _,

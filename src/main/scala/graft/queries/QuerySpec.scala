@@ -58,6 +58,13 @@ object QuerySpec {
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
 
+  // O7 z-order layout: bits per dimension, bucket = z >> ZShift, and the
+  // probe rectangle used for the pruning-effectiveness flags
+  val ZBits = 8
+  val ZShift = 10
+  val ZProbeUx: (Int, Int) = (32, 47)
+  val ZProbeVy: (Int, Int) = (100, 115)
+
   // T20 chunk-level dedup: non-overlapping chunk size (tokens) and the
   // min distinct-doc count that marks a chunk as corpus-duplicated
   val LineChunk = 10
