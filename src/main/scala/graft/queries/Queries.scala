@@ -2394,6 +2394,39 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** T21: BM25 keyword retrieval (Robertson/Spärck Jones; Lucene idf form
+    * ln(1 + (N − df + 0.5)/(df + 0.5))) — the curation-side retrieval
+    * primitive (mine a 100 TB corpus for docs matching a topic probe).
+    * Scale shape: occurrences FILTER to the query terms before anything
+    * shuffles (the isin sits against the explode, so corpus rows that
+    * match no term never leave the map side); df (|terms| rows) and the
+    * corpus stats (one row) broadcast back; the final global top-k is a
+    * TakeOrderedAndProject, not a full sort. */
+  def t21Bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") * lit(Bm25K1 + 1) /
+        (col("tf") +
+          lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("contrib")).as("sc"))
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("n_hits"), round(col("sc"), 6).as("score"))
+  }
+
   /** T20: chunk-level corpus dedup that REWRITES documents — the
     * RefinedWeb/CCNet line-dedup semantics (no newlines in this corpus, so
     * the "line" unit is a non-overlapping LineChunk-token run). A chunk
@@ -2703,6 +2736,7 @@ object Queries {
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,
+    "t21_bm25" -> t21Bm25 _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

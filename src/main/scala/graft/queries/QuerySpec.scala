@@ -58,6 +58,13 @@ object QuerySpec {
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
 
+  // T21 BM25 retrieval: query terms (df-diverse: 'dup' is rare), Lucene
+  // constants, result depth
+  val Bm25Terms: Seq[String] = Seq("dup", "window", "customer")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
   // O7 z-order layout: bits per dimension, bucket = z >> ZShift, and the
   // probe rectangle used for the pruning-effectiveness flags
   val ZBits = 8

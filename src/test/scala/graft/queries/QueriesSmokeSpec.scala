@@ -206,6 +206,15 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("t21 BM25: df and corpus stats broadcast; no sort-merge join") {
+    val plan = Queries.t21Bm25(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k compiled to a full sort:\n" + plan.take(800))
+  }
+
   test("a15 CMS: probes broadcast into the sketch, never a sort-merge") {
     // the sketch is ≤ depth×width rows and the probe side is top-N×depth —
     // a SortMergeJoin here would mean a corpus-sized shuffle crept in
