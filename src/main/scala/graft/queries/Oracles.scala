@@ -659,6 +659,27 @@ object Oracles {
          |WHERE day >= cohort_day
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // A16: identical (1 FOLLOWING, UNBOUNDED) conditional-min frame; the
+    // sum() arithmetic is all-integer so no float drift is possible.
+    "a16_seq_convert" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, event_type FROM events),
+         |w AS (SELECT *, min(CASE WHEN event_type = '$SeqEventB'
+         |      THEN ts_ms END) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ms, event_id
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+         |  FROM e),
+         |a AS (SELECT user_id, ts_ms, next_b,
+         |    next_b IS NOT NULL AND next_b - ts_ms <= $SeqWithinMs AS conv
+         |  FROM w WHERE event_type = '$SeqEventA')
+         |SELECT user_id, count(*) AS n_a,
+         |  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+         |  coalesce(min(CASE WHEN conv THEN next_b - ts_ms END), -1)
+         |    AS min_latency_ms,
+         |  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // count(*) AS conv_ppm
+         |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // A15: the portable md5 hash (value of first 15 hex chars, seeded per
     // sketch row) reproduces every CMS bucket exactly — sketch and
     // estimates are deterministic across engines.

@@ -2394,6 +2394,37 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  /** A16: sequential-pattern conversion (MATCH_RECOGNIZE-lite) — for every
+    * SeqEventA event, did a SeqEventB follow within SeqWithinMs? The naive
+    * formulation is a per-user self-join (A×B — quadratic in events per
+    * key); here the "next B at-or-after me" is a conditional min over a
+    * (1 FOLLOWING, UNBOUNDED) row frame on the per-user time order, so the
+    * whole pattern is ONE window pass + one aggregate on the same
+    * partitioning — linear per key, single shuffle, the shape sessionizers
+    * and funnel engines need at 100 TB. Integer-only outputs (ppm rate,
+    * −1 sentinel for never-converted). */
+  def a16SeqConvert(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val nextB = min(when(col("event_type") === SeqEventB, col("ts_ms")))
+      .over(byTs.rowsBetween(1, Window.unboundedFollowing))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"))
+      .withColumn("next_b", nextB)
+      .where(col("event_type") === SeqEventA)
+      .withColumn("conv",
+        col("next_b").isNotNull &&
+          col("next_b") - col("ts_ms") <= SeqWithinMs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_a"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_conv"),
+        coalesce(min(when(col("conv"), col("next_b") - col("ts_ms"))),
+          lit(-1L)).as("min_latency_ms"))
+      .withColumn("conv_ppm", expr("n_conv * 1000000L div n_a"))
+      .orderBy(col("user_id"))
+  }
+
   /** T21: BM25 keyword retrieval (Robertson/Spärck Jones; Lucene idf form
     * ln(1 + (N − df + 0.5)/(df + 0.5))) — the curation-side retrieval
     * primitive (mine a 100 TB corpus for docs matching a topic probe).
@@ -2655,6 +2686,7 @@ object Queries {
     "a13_approx_quantiles" -> a13ApproxQuantiles _,
     "a14_retention" -> a14Retention _,
     "a15_cms" -> a15CmsHeavyHitters _,
+    "a16_seq_convert" -> a16SeqConvert _,
     "a10_cube" -> a10Cube _,
     "a11_dispersion" -> a11Dispersion _,
     "a12_correlation" -> a12Correlation _,

@@ -58,6 +58,11 @@ object QuerySpec {
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
 
+  // A16 sequence match: A-event → B-event conversion window
+  val SeqEventA = "signup"
+  val SeqEventB = "purchase"
+  val SeqWithinMs: Long = 24 * 3600000L
+
   // T21 BM25 retrieval: query terms (df-diverse: 'dup' is rare), Lucene
   // constants, result depth
   val Bm25Terms: Seq[String] = Seq("dup", "window", "customer")

@@ -215,6 +215,20 @@ class QueriesSmokeSpec extends SparkSpec {
       "top-k compiled to a full sort:\n" + plan.take(800))
   }
 
+  test("a16 sequence match: no self-join, aggregate reuses the window shuffle") {
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Queries.a16SeqConvert(spark, sfDir).queryExecution.executedPlan
+      assert(!plan.toString.contains("Join"),
+        "pattern match degenerated to a join:\n" + plan.toString.take(800))
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length <= 2, s"${exch.length} shuffles:\n" +
+        plan.toString.take(1200))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("a15 CMS: probes broadcast into the sketch, never a sort-merge") {
     // the sketch is ≤ depth×width rows and the probe side is top-N×depth —
     // a SortMergeJoin here would mean a corpus-sized shuffle crept in
