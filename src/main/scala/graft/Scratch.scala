@@ -777,6 +777,86 @@ object Scratch {
           println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale8") =>
+        // 16x probes for the round-7 second-wave newcomers, through the
+        // REAL registered queries against replicated sf-layout temp dirs:
+        //   w13 (SCD2) / a16 (sequence match): user-namespaced events —
+        //     keys grow kx, per-key window state stays O(1); the shared
+        //     single-shuffle shape must scale with rows, not keys^2.
+        //   o7 (z-order census): input grows kx, the bucket census stays
+        //     <=64 cells — wall should track the scan term only.
+        //   a15 (CMS): input occurrences grow kx but the sketch is a fixed
+        //     2k-cell grid — the build's map-side collapse is the claim.
+        //   t20 (chunk-rewrite dedup): namespaced replicas — dup chunks
+        //     replicate per-namespace, census + anti-join grow kx.
+        //   t21 (BM25): PLAIN replicas (terms must keep matching) — tf
+        //     rows grow kx; only term-matching occurrences shuffle.
+        // env: SPARK_GRAFT_SCALES (default "1,16"), SPARK_GRAFT_SCALE_OPS
+        //      (default "w13,a16,o7,a15,t20,t21")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops8 = sys.env
+          .getOrElse("SPARK_GRAFT_SCALE_OPS", "w13,a16,o7,a15,t20,t21")
+          .split(",").map(_.trim).toSet
+        val names8 = Seq(
+          "w13" -> ("w13_scd2", "ev"), "a16" -> ("a16_seq_convert", "ev"),
+          "o7" -> ("o7_zorder", "ev"), "a15" -> ("a15_cms", "ns"),
+          "t20" -> ("t20_line_dedup", "ns"), "t21" -> ("t21_bm25", "pl"))
+        val registry8 = queries.Queries.all.toMap
+        val docs8 = Tables.documents(spark, sfDir)
+        val didSpan8 = docs8.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val ev8 = spark.read.parquet(s"$sfDir/events.parquet")
+        val eidSpan8 = ev8.agg(max(col("event_id"))).head.getLong(0) + 1
+        val uidSpan8 = ev8.agg(max(col("user_id"))).head.getLong(0) + 1
+        def repDocs8(k: Int, namespaced: Boolean) = (0 until k).map { i =>
+          val txt = if (i == 0 || !namespaced) col("text")
+            else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+          docs8.select((col("doc_id") + lit(i * didSpan8)).as("doc_id"),
+            txt.as("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        def repEv8(k: Int) = (0 until k).map(i => ev8.select(
+          (col("event_id") + lit(i * eidSpan8)).as("event_id"), col("ts"),
+          (col("user_id") + lit(i * uidSpan8)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+          .reduce(_ unionByName _)
+        val times8 = scala.collection.mutable.Map[String, Double]()
+        for (k <- scales) {
+          val dir = java.nio.file.Files.createTempDirectory(s"scale8x$k")
+            .toString
+          repDocs8(k, namespaced = true).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+          repEv8(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
+          val dirP = java.nio.file.Files.createTempDirectory(s"scale8px$k")
+            .toString
+          repDocs8(k, namespaced = false).write.mode("overwrite")
+            .parquet(s"$dirP/documents.parquet")
+          for ((short, (qname, kind)) <- names8 if ops8(short)) {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            val df = registry8(qname)(spark, if (kind == "pl") dirP else dir)
+            val n = df
+              .select((xxhash64(struct(df.columns.map(col): _*)) %
+                lit(1000000007L)).as("h"))
+              .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+              .head.getLong(1)
+            val dt = (System.nanoTime() - t0) / 1e9
+            times8(s"${short}_x$k") = dt
+            println(f"TIMER ${short}_x$k%-10s ${dt}%8.2f s  rows=$n")
+          }
+        }
+        for ((short, _) <- names8
+             if times8.contains(s"${short}_x${scales.max}") &&
+               times8.contains(s"${short}_x${scales.min}") &&
+               scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times8(s"${short}_x${scales.max}") /
+            times8(s"${short}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC"
+            else "SUPERLINEAR!"
+          println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("scale7") =>
         // streaming STATE probes for the w11/w12 newcomers: replay their
         // exact 3-delivery constructions at 1x and kx event density and
