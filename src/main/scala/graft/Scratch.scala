@@ -797,12 +797,13 @@ object Scratch {
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
           .split(",").map(_.trim.toInt).toSeq
         val ops8 = sys.env
-          .getOrElse("SPARK_GRAFT_SCALE_OPS", "w13,a16,o7,a15,t20,t21")
+          .getOrElse("SPARK_GRAFT_SCALE_OPS", "w13,a16,o7,a15,t20,t21,t22")
           .split(",").map(_.trim).toSet
         val names8 = Seq(
           "w13" -> ("w13_scd2", "ev"), "a16" -> ("a16_seq_convert", "ev"),
           "o7" -> ("o7_zorder", "ev"), "a15" -> ("a15_cms", "ns"),
-          "t20" -> ("t20_line_dedup", "ns"), "t21" -> ("t21_bm25", "pl"))
+          "t20" -> ("t20_line_dedup", "ns"), "t21" -> ("t21_bm25", "pl"),
+          "t22" -> ("t22_postings", "pl"))
         val registry8 = queries.Queries.all.toMap
         val docs8 = Tables.documents(spark, sfDir)
         val didSpan8 = docs8.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -1583,6 +1583,27 @@ object Oracles {
          |FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
 
+    // T22: the index-backed serve must reproduce t21's scan-time BM25
+    // exactly — one oracle text, two engine paths held to it.
+    "t22_postings" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*) AS n_hits,
+         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
+         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id)
+         |SELECT doc_id, n_hits,
+         |  floor(sc * 1000000 + 0.5) / 1000000 AS score
+         |FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
+
     // T20: chunk-level rewrite dedup. Chunk i (0-based) = tokens
     // [i*K+1, i*K+K] (1-based inclusive DuckDB slice); docs reassemble by
     // string_agg over surviving chunks in idx order, and an all-removed or

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2458,6 +2458,53 @@ object Queries {
       .select(col("doc_id"), col("n_hits"), round(col("sc"), 6).as("score"))
   }
 
+  /** T22: inverted-index build + serve — the index-backed twin of t21's
+    * scan-time BM25 (the s15/d15 build-once/serve-many move, for text).
+    * BUILD: one corpus pass explodes occurrences into (tok, doc_id, dl,
+    * tf) postings written partitioned by a term-hash bucket, plus a 1-row
+    * corpus-stats table. SERVE: the query terms' buckets are computed with
+    * the same xxhash64 (a |terms|-row collect — model-sized, like
+    * centroids), and the probe scan statically prunes to those partition
+    * directories (spec-locked): at 100 TB the serve I/O is the probed
+    * posting lists, never the corpus. df per term derives from its own
+    * bucket's postings (a term's postings are complete within its bucket),
+    * so the serve side reproduces t21's exact BM25 top-k — and shares its
+    * oracle. */
+  def t22PostingsServe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val idx = java.nio.file.Files.createTempDirectory("t22idx").toString
+    docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(PostingsBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$idx/postings")
+    docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$idx/stats")
+    val buckets = s.createDataset(Bm25Terms)(Encoders.STRING)
+      .select(pmod(xxhash64(col("value")), lit(PostingsBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val p = s.read.parquet(s"$idx/postings")
+      .where(col("bucket").isin(buckets: _*) &&
+        col("tok").isin(Bm25Terms: _*))
+    val stats = s.read.parquet(s"$idx/stats")
+    val dfreq = p.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    p.join(broadcast(dfreq), Seq("tok")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") * lit(Bm25K1 + 1) /
+        (col("tf") +
+          lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("contrib")).as("sc"))
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("n_hits"), round(col("sc"), 6).as("score"))
+  }
+
   /** T20: chunk-level corpus dedup that REWRITES documents — the
     * RefinedWeb/CCNet line-dedup semantics (no newlines in this corpus, so
     * the "line" unit is a non-overlapping LineChunk-token run). A chunk
@@ -2769,6 +2816,7 @@ object Queries {
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,
     "t21_bm25" -> t21Bm25 _,
+    "t22_postings" -> t22PostingsServe _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

@@ -69,6 +69,8 @@ object QuerySpec {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25TopK = 10
+  // T22 inverted index: term-hash partition count for the postings table
+  val PostingsBuckets = 16L
 
   // O7 z-order layout: bits per dimension, bucket = z >> ZShift, and the
   // probe rectangle used for the pruning-effectiveness flags

@@ -206,6 +206,16 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("t22 postings serve scan statically prunes to the terms' buckets") {
+    val plan = formattedPlan(Queries.t22PostingsServe(spark, sfDir))
+    // the probe must carry a bucket partition filter (directory-level
+    // pruning) — a serve that scans all 16 buckets re-reads the corpus
+    val scanBlock = plan.split("\n").filter(_.contains("PartitionFilters"))
+    assert(scanBlock.exists(_.contains("bucket")),
+      "no bucket partition filter on the postings scan:\n" +
+        plan.takeRight(2000))
+  }
+
   test("t21 BM25: df and corpus stats broadcast; no sort-merge join") {
     val plan = Queries.t21Bm25(spark, sfDir)
       .queryExecution.executedPlan.toString
