@@ -659,6 +659,37 @@ object Oracles {
          |WHERE day >= cohort_day
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // A18: generated-oracle pattern (t14/t18) — the PrIters PageRank
+    // rounds unroll as CTEs from the same constants; all-integer floor
+    // division, so round 8 matches Spark bit-for-bit.
+    "a18_pagerank" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS tok,
+           |    CAST(sum((e.w * p.r) // ow.wout) AS BIGINT) AS sc
+           |  FROM e JOIN ow USING (src) JOIN r${i - 1} p ON p.tok = e.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT nodes.tok,
+           |    (15 * ($PrScale // n)) // 100
+           |      + (85 * coalesce(sc, 0)) // 100 AS r
+           |  FROM nodes CROSS JOIN nn LEFT JOIN c$i USING (tok))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT ${lowSeq("text")} AS toks FROM documents),
+         |b0 AS (SELECT [{'src': toks[i], 'dst': toks[i+1]}
+         |    for i in range(1, len(toks))] AS bs
+         |  FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT unnest(bs, recursive:=true) FROM b0),
+         |e AS (SELECT src, dst, count(*) AS w FROM bi GROUP BY 1, 2),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+         |  FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS tok FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT tok, $PrScale // n AS r FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT tok, r AS rank_ppt FROM r$PrIters
+         |ORDER BY rank_ppt DESC, tok""".stripMargin
+    },
+
     // A16: identical (1 FOLLOWING, UNBOUNDED) conditional-min frame; the
     // sum() arithmetic is all-integer so no float drift is possible.
     "a16_seq_convert" ->

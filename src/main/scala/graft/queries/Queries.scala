@@ -2425,6 +2425,51 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** A18: TextRank (Mihalcea & Tarau 2004) — PageRank over the directed
+    * token-transition graph, the graph-centrality keyword ranker. Two
+    * regimes, cleanly split as a 100 TB plan must be: edge EXTRACTION is
+    * corpus-grain (one shifted-zip bigram pass, map-side, then a
+    * (src, dst)-grain count — this is the only step that sees the data);
+    * the ITERATIONS are graph-grain — each of PrIters rounds joins the
+    * edge table against the broadcast rank vector and re-aggregates by
+    * dst, exactly d9/s11's model-vs-data separation. All rank mass is
+    * integer (parts-per-trillion, every division a floor div), so 8 rounds
+    * stay bit-identical to the generated oracle — no float drift to
+    * round away. The node count is the only driver scalar (model-sized,
+    * like centroid collects). */
+  def a18Pagerank(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(transform(TextAnalysis.tokens(col("text")),
+        t => lower(t)).as("toks"))
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = bi.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val edges2 = edges.join(outw, Seq("src")).persist()
+    val nodes = edges2.select(col("src").as("tok"))
+      .union(edges2.select(col("dst").as("tok"))).distinct().persist()
+    val n = nodes.count()
+    val base = PrScale / n
+    val baseTerm = (15L * base) / 100L
+    var r: DataFrame = nodes.withColumn("r", lit(base))
+    for (_ <- 1 to PrIters) {
+      val c = edges2
+        .join(broadcast(r.withColumnRenamed("tok", "src")), Seq("src"))
+        .select(col("dst").as("tok"), expr("(w * r) div wout").as("c"))
+        .groupBy(col("tok")).agg(sum(col("c")).as("sc"))
+      r = nodes.join(c, Seq("tok"), "left")
+        .select(col("tok"),
+          (lit(baseTerm) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+    }
+    r.select(col("tok"), col("r").as("rank_ppt"))
+      .orderBy(col("rank_ppt").desc, col("tok"))
+  }
+
   /** T21: BM25 keyword retrieval (Robertson/Spärck Jones; Lucene idf form
     * ln(1 + (N − df + 0.5)/(df + 0.5))) — the curation-side retrieval
     * primitive (mine a 100 TB corpus for docs matching a topic probe).
@@ -2734,6 +2779,7 @@ object Queries {
     "a14_retention" -> a14Retention _,
     "a15_cms" -> a15CmsHeavyHitters _,
     "a16_seq_convert" -> a16SeqConvert _,
+    "a18_pagerank" -> a18Pagerank _,
     "a10_cube" -> a10Cube _,
     "a11_dispersion" -> a11Dispersion _,
     "a12_correlation" -> a12Correlation _,

@@ -58,6 +58,11 @@ object QuerySpec {
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
 
+  // A18 TextRank/PageRank: damping 85/100, rank mass scaled to parts-per-
+  // trillion so every iteration is integer-exact in both engines
+  val PrIters = 8
+  val PrScale = 1000000000000L
+
   // A16 sequence match: A-event → B-event conversion window
   val SeqEventA = "signup"
   val SeqEventB = "purchase"

@@ -206,6 +206,19 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("a18 pagerank: rank mass conserved up to floor-division loss") {
+    import graft.queries.QuerySpec.{PrScale, PrIters}
+    val rows = Queries.a18Pagerank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // every division floors, so mass only leaks downward — and at most a
+    // few ulps per node per round
+    assert(total <= PrScale, s"mass grew: $total")
+    assert(total >= PrScale - PrScale / 100 * PrIters,
+      s"mass leaked beyond floor losses: $total of $PrScale")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
   test("t22 postings serve scan statically prunes to the terms' buckets") {
     val plan = formattedPlan(Queries.t22PostingsServe(spark, sfDir))
     // the probe must carry a bucket partition filter (directory-level
