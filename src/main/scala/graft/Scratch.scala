@@ -562,7 +562,7 @@ object Scratch {
           val ev0w = spark.read.parquet(s"$sfDir/events.parquet")
           val usColW = ev0w.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-            case _ => expr("unix_micros(ts)")
+            case _ => expr("unix_micros(cast(ts as timestamp))")
           }
           val eidSpan = ev0w.agg(max(col("event_id"))).head.getLong(0) + 1
           val evw = (0 until k).map(i => ev0w
@@ -877,7 +877,7 @@ object Scratch {
         val raw7 = spark.read.parquet(s"$sfDir/events.parquet")
         val usCol7 = raw7.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-          case _ => expr("unix_micros(ts)")
+          case _ => expr("unix_micros(cast(ts as timestamp))")
         }
         val base7 = raw7.select(col("event_id"), usCol7.as("us"),
           col("value"), col("user_id").cast("long").as("user_id"))
@@ -1103,7 +1103,7 @@ object Scratch {
         val rawEv = spark.read.parquet(s"$sfDir/events.parquet")
         val usCol = rawEv.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-          case _ => expr("unix_micros(ts)")
+          case _ => expr("unix_micros(cast(ts as timestamp))")
         }
         val ev = rawEv.select(col("event_id"), usCol.as("us"), col("value"))
           .withColumn("rel_ms",

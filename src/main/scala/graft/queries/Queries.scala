@@ -712,7 +712,7 @@ object Queries {
     val raw = s.read.parquet(s"$d/events.parquet")
     val usCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("unix_micros(ts)")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
     }
     val ev = raw.select(col("event_id"), usCol.as("us"), col("value"))
       .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
@@ -761,7 +761,7 @@ object Queries {
     val raw = s.read.parquet(s"$d/events.parquet")
     val usCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("unix_micros(ts)")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
     }
     val ev = raw.select(col("event_id"), usCol.as("us"), col("user_id"),
         col("value"))
@@ -814,7 +814,7 @@ object Queries {
     val raw = s.read.parquet(s"$d/events.parquet")
     val usCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("unix_micros(ts)")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
     }
     val ev = raw.select(col("event_id"), usCol.as("us"), col("value"))
       .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
@@ -874,7 +874,7 @@ object Queries {
     val raw = s.read.parquet(s"$d/events.parquet")
     val usCol = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => expr("unix_micros(ts)")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
     }
     val ev = raw.select(col("event_id"), usCol.as("us"), col("user_id"))
       .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
