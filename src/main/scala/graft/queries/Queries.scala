@@ -2246,7 +2246,11 @@ object Queries {
       minQuality = 0.5, langs = Seq("en", "es", "de"), passageK = PassageK,
       sampleRates = Map("en" -> 0.25), sampleDefault = 0.5,
       markers = LangMarkers, stopwords = Stopwords,
-      trigger = Trigger.AvailableNow()).awaitTermination(300000)
+      trigger = Trigger.AvailableNow(),
+      // layout width follows STORE volume (dirs ~ store/partition target):
+      // a fixture-scale corpus is a 16-dir store; 256 dirs is the 100 TB
+      // default and costs ~16x the file creations per micro-batch here
+      prefixHex = 1).awaitTermination(300000)
     val fs = new org.apache.hadoop.fs.Path(sink)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(sink)))

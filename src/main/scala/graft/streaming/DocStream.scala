@@ -21,13 +21,22 @@ import graft.operators.{Sampling, TextAnalysis}
   *      cross-batch duplicates never append twice — first occurrence wins,
   *      which is the dedup semantic (vs the kline sink's newest-wins merge).
   *
-  * Scale shape of the cross-batch dedup: the sink is PARTITIONED by the
-  * first fingerprint byte (`fpp`, 256 uniform dirs), and the stored side is
-  * semi-joined against the batch's distinct prefixes before the anti-join —
-  * so a micro-batch reads only the prefix partitions its own fingerprints
-  * land in (plus only the `fp` column within them), not the full corpus
-  * column per batch. The anti-join itself shuffles on the uniform 128-bit
-  * fingerprint.
+  * Scale shape of the cross-batch dedup: the sink is PARTITIONED by a
+  * fingerprint prefix (`fpp`, 16^prefixHex uniform dirs), and the stored
+  * side is semi-joined against the batch's distinct prefixes before the
+  * anti-join — so a micro-batch reads only the prefix partitions its own
+  * fingerprints land in (plus only the `fp` column within them), not the
+  * full corpus column per batch. The anti-join itself shuffles on the
+  * uniform 128-bit fingerprint.
+  *
+  * `prefixHex` sizes the layout to the STORE's expected volume, not the
+  * batch's: target dirs ≈ store_bytes / desired_partition_bytes, so a
+  * 100 TB corpus wants 2 hex chars (256 dirs of ~400 GB — the default)
+  * while a fixture-sized store wants 1 (16 dirs): every batch pays one
+  * parquet file PER TOUCHED DIR per store, so an over-wide layout turns
+  * small batches into a small-files factory (the round-7 bench measured
+  * the 256-way layout costing pipe2 ~500 file creations per batch on a
+  * 5k-doc corpus).
   */
 object DocStream {
 
@@ -70,7 +79,8 @@ object DocStream {
     * doc's fingerprints, not just survivors'.
     *
     * The passage store is a second prefix-partitioned parquet table
-    * (`pp=p<2hex>`), probed per batch with the same prefix-semi-join +
+    * (`pp=p<prefixHex hex chars>`), probed per batch with the same
+    * prefix-semi-join +
     * partition-pruning pattern as the doc sink. Its rows are tagged with
     * the writing batch id and it is appended BEFORE the doc sink: a
     * replayed batch excludes its own earlier half-written rows by batch id
@@ -83,7 +93,9 @@ object DocStream {
       sinkPath: String, passageStorePath: String, minQuality: Double,
       langs: Seq[String], passageK: Int, sampleRates: Map[String, Double],
       sampleDefault: Double, markers: Seq[(String, Seq[String])],
-      stopwords: Seq[String], trigger: Trigger): StreamingQuery = {
+      stopwords: Seq[String], trigger: Trigger,
+      prefixHex: Int = 2): StreamingQuery = {
+    require(prefixHex >= 1 && prefixHex <= 4, s"prefixHex=$prefixHex")
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
@@ -104,7 +116,7 @@ object DocStream {
         val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
         val deduped = annotated.withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
-          .withColumn("fpp", concat(lit("p"), substring(col("fp"), 1, 2)))
+          .withColumn("fpp", concat(lit("p"), substring(col("fp"), 1, prefixHex)))
         val freshDocs = (if (exists(s, sinkPath)) {
           val prefixes = deduped.select(col("fpp")).distinct()
           val storedFps = s.read.parquet(sinkPath)
@@ -123,7 +135,7 @@ object DocStream {
           posexplode(transform(sequence(lit(0), nChunks - 1),
             i => md5(concat_ws(" ", slice(col("toks"), i * passageK + 1,
               lit(passageK)))))).as(Seq("idx", "pfp")))
-          .withColumn("pp", concat(lit("p"), substring(col("pfp"), 1, 2)))
+          .withColumn("pp", concat(lit("p"), substring(col("pfp"), 1, prefixHex)))
           .persist()
         val storedPfps = if (exists(s, passageStorePath)) {
           val pprefixes = passages.select(col("pp")).distinct()
@@ -183,7 +195,8 @@ object DocStream {
   def ingest(spark: SparkSession, dropDir: String, checkpointDir: String,
       sinkPath: String, minTokens: Int,
       markers: Seq[(String, Seq[String])], stopwords: Seq[String],
-      trigger: Trigger): StreamingQuery = {
+      trigger: Trigger, prefixHex: Int = 2): StreamingQuery = {
+    require(prefixHex >= 1 && prefixHex <= 4, s"prefixHex=$prefixHex")
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         // limit=2: a tab inside the text must not truncate it
@@ -199,7 +212,7 @@ object DocStream {
         // partition discovery infer an INT column and the next batch's
         // non-numeric prefix ("5b") explode the ANSI cast in the semi join
         val deduped = cleanBatch(batch, minTokens, markers, stopwords)
-          .withColumn("fpp", concat(lit("p"), substring(col("fp"), 1, 2)))
+          .withColumn("fpp", concat(lit("p"), substring(col("fp"), 1, prefixHex)))
         val fresh =
           if (exists(s, sinkPath)) {
             val prefixes = deduped.select(col("fpp")).distinct()
