@@ -40,6 +40,13 @@ object Oracles {
   private def dsum(c: String) =
     s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** The repo's portable md5 hash — value of the first 15 hex chars of
+    * md5(e), matching Spark's conv(substring(md5(e),1,15),16,10). */
+  private def md5Hash15(e: String) = (1 to 15).map { i =>
+    val w = math.pow(16, 15 - i).toLong
+    s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $w"
+  }.mkString("(", " + ", ")")
+
   private val hourFloor = s"epoch_ms(ts)//$HourMs*$HourMs"
 
   /** One BPE training round as CTEs (t18/t19 shared; see the t18 entry
@@ -1053,6 +1060,50 @@ object Oracles {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "t23_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  least(8, 1 + n_chars // 400) AS w FROM documents),
+         |u AS (SELECT doc_id, lang, w,
+         |  unnest(generate_series(1, w)) AS i FROM d),
+         |k AS (SELECT doc_id, lang, w,
+         |  max(${md5Hash15("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) AS skey
+         |  FROM u GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang, CAST(w AS INT) AS w, skey FROM k
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "t24_grouped_split" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+         |  ${md5Hash15("'split:' || source")} % 100 AS h FROM documents)
+         |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "a19_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_orderkey")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_rows,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v,
+           |  CAST(sum(CAST($c AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY col_name")
+    },
+
+    "k5_schema_merge" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_evolved,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS total_new_chars,
+        |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
+        |    AS n_sources
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "j10_bucketed" ->

@@ -2746,6 +2746,110 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
+    * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
+    * the distribution of the MAX of w iid uniforms, so the key is computed
+    * as max over i∈[1,w] of the repo's portable md5 hash of (doc_id, i) —
+    * no pow/ln in the oracle contract, bit-identical across engines. The
+    * key is pure map-side column math (an inline array of ≤8 hashes, no
+    * explode, no shuffle); the global top-k is TakeOrderedAndProject
+    * (per-partition heap + k-row driver merge) — the shape that holds at
+    * any corpus size. Weight = length bucket: 1 + n_chars div 400, capped
+    * at 8 (longer docs proportionally likelier, the curriculum-sampling
+    * move). */
+  def t23WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val w = least(lit(8L), lit(1L) + expr("n_chars div 400")).cast("int")
+    val skey = array_max(transform(sequence(lit(1), col("w")),
+      i => conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 15), 16, 10).cast("long")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), w.as("w"))
+      .withColumn("skey", skey)
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** T24: leakage-safe train/val/test split — the split key is the
+    * portable hash of the GROUP (source), not the document, so every doc
+    * of a source lands in the same split and near-duplicates sharing a
+    * source can never leak train→test (the grouped-split discipline of
+    * C4/RefinedWeb-style corpus prep). Pure map-side predicate + one
+    * group aggregate; no shuffle beyond the final stats rollup. 80/10/10
+    * by hash mod 100 — deterministic, retry-stable, and at 100 TB the
+    * assignment never needs a lookup table. */
+  def t24GroupedSplit(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("split:"), col("source"))), 1, 15),
+      16, 10).cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** A19: one-pass column profiling — the ANALYZE-style stats sweep a
+    * pipeline runs before planning (row counts, distincts, ranges, sums
+    * per column) as ONE aggregate over the scan, unpivoted to a row per
+    * column with `stack`. The multi-column distinct counts plan as a
+    * single Expand + two-stage aggregate (one pass over parquet, partial
+    * aggregation map-side); at 100 TB the exact distincts would swap for
+    * approx_count_distinct — same plan shape minus the Expand. Sums
+    * accumulate in decimal (order-independent), keys ≤ 2^53 so the double
+    * output is exact. */
+  def a19Profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_orderkey")
+    val li = Tables.lineitem(s, d)
+    val agged = li.agg(
+      count(col(cols.head)).as(s"n_0"),
+      (cols.indices.tail.map(i => count(col(cols(i))).as(s"n_$i")) ++
+        cols.indices.map(i =>
+          countDistinct(col(cols(i))).as(s"d_$i")) ++
+        cols.indices.map(i =>
+          min(col(cols(i)).cast("double")).as(s"mn_$i")) ++
+        cols.indices.map(i =>
+          max(col(cols(i)).cast("double")).as(s"mx_$i")) ++
+        cols.indices.map(i =>
+          sum(col(cols(i)).cast("decimal(28,2)")).cast("double")
+            .as(s"s_$i"))): _*)
+    val stackArgs = cols.indices.map(i =>
+      s"'${cols(i)}', n_$i, d_$i, mn_$i, mx_$i, s_$i").mkString(", ")
+    agged.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(col_name, n_rows, n_distinct, min_v, max_v, sum_v)")
+      .orderBy(col("col_name"))
+  }
+
+  /** K5: schema-evolution read — two write epochs with DIFFERENT schemas
+    * (epoch 2 adds n_chars + source) land in one parquet dir; the merged
+    * read (`mergeSchema`) nulls the missing columns for epoch-1 rows, and
+    * the aggregate proves no row was lost, duplicated, or mis-nulled
+    * (the oracle recomputes the same stats from the original table with
+    * the epoch rule inlined). This is the append-only evolution story a
+    * long-lived 100 TB store needs: old files are never rewritten, new
+    * columns appear as nulls behind a footer-merge — and the footer merge
+    * is a metadata operation, not a data scan. */
+  def k5SchemaMerge(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("k5m")
+      .resolve("docs_evolving").toString
+    val docs = Tables.documents(s, d)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("append").parquet(root)
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode("append").parquet(root)
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_evolved"),
+        sum(col("n_chars")).as("total_new_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
   /** name → query fn, in SURVEY §2 inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -2867,6 +2971,10 @@ object Queries {
     "t20_line_dedup" -> t20LineDedup _,
     "t21_bm25" -> t21Bm25 _,
     "t22_postings" -> t22PostingsServe _,
+    "t23_weighted_sample" -> t23WeightedSample _,
+    "t24_grouped_split" -> t24GroupedSplit _,
+    "a19_profile" -> a19Profile _,
+    "k5_schema_merge" -> k5SchemaMerge _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

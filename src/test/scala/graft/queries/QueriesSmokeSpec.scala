@@ -82,6 +82,25 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("t23 weighted sample is a map-side key + global TopK, no shuffle agg") {
+    val plan = Queries.t23WeightedSample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the A-ES key is inline column math (max of w hashes), so the only
+    // distributed step is the per-partition heap + k-row driver merge
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange"), "weighted sample shuffles:\n" +
+      plan.take(1500))
+  }
+
+  test("a19 profile reads the table once (one Expand, one scan)") {
+    val plan = formattedPlan(Queries.a19Profile(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    // formatted mode prints each node twice (tree + details)
+    assert(scans <= 2, s"profile re-scans per column: ${scans / 2} scans\n" +
+      plan.take(800))
+    assert(plan.contains("Expand"), plan.take(800))
+  }
+
   test("q3 dim joins broadcast (fact side never shuffles for the join)") {
     val plan = Queries.q3ShippingPriority(spark, sfDir)
       .queryExecution.executedPlan.toString
