@@ -777,6 +777,68 @@ object Scratch {
           println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale9") =>
+        // 16x probes for the round-7 third wave, through the REAL
+        // registered queries over namespaced doc replicas (disjoint
+        // per-replica token namespaces — vocab grows Heaps-ishly, so
+        // MinHash/graph grains grow with data, the honest axis):
+        //   d14 (MinHash estimation error): signature build grows kx,
+        //     the sampled pair-eval grain must not go quadratic.
+        //   d15 (incremental dedup): index build + batch serve both grow
+        //     kx; the serve probe must stay band-bucket-joined.
+        //   a18 (TextRank): graph nodes/edges grow kx; 8 rank rounds stay
+        //     graph-grain joins against a broadcast vector.
+        // env: SPARK_GRAFT_SCALES (default "1,16"), SPARK_GRAFT_SCALE_OPS
+        //      (default "d14,d15,a18")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops9 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d15,a18")
+          .split(",").map(_.trim).toSet
+        val names9 = Seq(
+          "d14" -> "d14_minhash_est_error",
+          "d15" -> "d15_incremental_dedup",
+          "a18" -> "a18_pagerank")
+        val registry9 = queries.Queries.all.toMap
+        val docs9 = Tables.documents(spark, sfDir)
+        val didSpan9 = docs9.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val times9 = scala.collection.mutable.Map[String, Double]()
+        for (k <- scales) {
+          val dir = java.nio.file.Files.createTempDirectory(s"scale9x$k")
+            .toString
+          (0 until k).map { i =>
+            val txt = if (i == 0) col("text")
+              else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+            docs9.select((col("doc_id") + lit(i * didSpan9)).as("doc_id"),
+              txt.as("text"), col("lang"), col("source"), col("n_chars"))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          for ((short, qname) <- names9 if ops9(short)) {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            val df = registry9(qname)(spark, dir)
+            val n = df
+              .select((xxhash64(struct(df.columns.map(col): _*)) %
+                lit(1000000007L)).as("h"))
+              .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+              .head.getLong(1)
+            val dt = (System.nanoTime() - t0) / 1e9
+            times9(s"${short}_x$k") = dt
+            println(f"TIMER ${short}_x$k%-10s ${dt}%8.2f s  rows=$n")
+          }
+        }
+        for ((short, _) <- names9
+             if times9.contains(s"${short}_x${scales.max}") &&
+               times9.contains(s"${short}_x${scales.min}") &&
+               scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times9(s"${short}_x${scales.max}") /
+            times9(s"${short}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC"
+            else "SUPERLINEAR!"
+          println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("scale8") =>
         // 16x probes for the round-7 second-wave newcomers, through the
         // REAL registered queries against replicated sf-layout temp dirs:

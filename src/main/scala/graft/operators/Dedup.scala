@@ -261,13 +261,18 @@ object Dedup {
       .select(col("id").as("delta_id"), explode(array((0 until bands).map(
         b => col(s"b$b")): _*)).as("band"))
     // candidates: index scan ⋈ broadcast(batch bands); a pair colliding in
-    // c bands surfaces c times — the distinct is candidate-grain (small)
+    // c bands surfaces c times — the distinct is candidate-grain
     val cand = spark.read.parquet(s"$path/bands")
       .join(broadcast(dBands), Seq("band"))
       .select(col("id"), col("delta_id")).distinct()
-    // verify fetch: corpus toks scan ⋈ broadcast(candidates), map-side
+    // verify fetch: candidate volume is DATA-DEPENDENT (O(batch × dup
+    // rate) — tiny on a clean corpus, corpus-sized on a dup-dense one),
+    // so the candidate join must NOT hard-code a broadcast: AQE
+    // broadcasts when the runtime size allows and falls back to a
+    // shuffled join when the delta is dirty. The batch token sets
+    // (dToks) are genuinely batch-sized and stay broadcast.
     spark.read.parquet(s"$path/toks")
-      .join(broadcast(cand), Seq("id"))
+      .join(cand, Seq("id"))
       .join(broadcast(dToks.select(col("id").as("delta_id"),
         col("toks").as("dtoks"))), Seq("delta_id"))
       .select(col("delta_id"), col("id").as("corpus_id"),
