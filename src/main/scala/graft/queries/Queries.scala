@@ -734,7 +734,9 @@ object Queries {
         .coalesce(1).write.mode("append").text(drop.toString)
       graft.streaming.EventWindowStream.deliver(s, drop.toString,
         root.resolve("ckpt").toString, sink,
-        delay = "2 hours", windowDur = "1 day")
+        delay = "2 hours", windowDur = "1 day",
+        // state sized to the fixture stream (see StreamConf scaladoc)
+        statePartitions = 8)
     }
     s.read.parquet(sink)
       .select(col("win_start"), col("n_events"), col("total_value"))
@@ -784,7 +786,7 @@ object Queries {
         .coalesce(1).write.mode("append").text(drop.toString)
       graft.streaming.EventWindowStream.deliverSessions(s, drop.toString,
         root.resolve("ckpt").toString, sink,
-        delay = "2 hours", gap = "1 day")
+        delay = "2 hours", gap = "1 day", statePartitions = 8)
     }
     s.read.parquet(sink)
       .select(col("user_id"), col("sess_start"), col("sess_end"),
@@ -849,7 +851,8 @@ object Queries {
         .orderBy(col("event_id")).select(col("value_line"))
         .coalesce(1).write.mode("append").text(drop.toString)
       graft.streaming.EventWindowStream.deliverDedup(s, drop.toString,
-        root.resolve("ckpt").toString, sink, delay = "2 hours")
+        root.resolve("ckpt").toString, sink, delay = "2 hours",
+        statePartitions = 8)
     }
     s.read.parquet(sink)
       .select(col("event_id"), col("ts_us"), col("value"))
@@ -900,7 +903,7 @@ object Queries {
       }
       graft.streaming.EventWindowStream.deliverJoin(s, dropA.toString,
         dropB.toString, root.resolve("ckpt").toString, sink,
-        delay = "2 hours")
+        delay = "2 hours", statePartitions = 8)
     }
     s.read.parquet(sink)
       .select(col("user_id"), col("a_id"), col("b_id"), col("us_a"),
@@ -2267,7 +2270,7 @@ object Queries {
       // layout width follows STORE volume (dirs ~ store/partition target):
       // a fixture-scale corpus is a 16-dir store; 256 dirs is the 100 TB
       // default and costs ~16x the file creations per micro-batch here
-      prefixHex = 1).awaitTermination(300000)
+      prefixHex = 1, statePartitions = 8).awaitTermination(300000)
     val fs = new org.apache.hadoop.fs.Path(sink)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(sink)))

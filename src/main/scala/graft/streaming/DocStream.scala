@@ -94,8 +94,9 @@ object DocStream {
       langs: Seq[String], passageK: Int, sampleRates: Map[String, Double],
       sampleDefault: Double, markers: Seq[(String, Seq[String])],
       stopwords: Seq[String], trigger: Trigger,
-      prefixHex: Int = 2): StreamingQuery = {
+      prefixHex: Int = 2, statePartitions: Int = 0): StreamingQuery = {
     require(prefixHex >= 1 && prefixHex <= 4, s"prefixHex=$prefixHex")
+    StreamConf.withStatePartitions(spark, statePartitions) {
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
@@ -190,13 +191,16 @@ object DocStream {
         ()
       }
       .start()
+    }
   }
 
   def ingest(spark: SparkSession, dropDir: String, checkpointDir: String,
       sinkPath: String, minTokens: Int,
       markers: Seq[(String, Seq[String])], stopwords: Seq[String],
-      trigger: Trigger, prefixHex: Int = 2): StreamingQuery = {
+      trigger: Trigger, prefixHex: Int = 2,
+      statePartitions: Int = 0): StreamingQuery = {
     require(prefixHex >= 1 && prefixHex <= 4, s"prefixHex=$prefixHex")
+    StreamConf.withStatePartitions(spark, statePartitions) {
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         // limit=2: a tab inside the text must not truncate it
@@ -232,5 +236,6 @@ object DocStream {
         ()
       }
       .start()
+    }
   }
 }

@@ -29,7 +29,9 @@ object EventWindowStream {
     * TAB value`), aggregate per `windowDur` tumbling event-time window,
     * append finalized windows to the parquet `sink`. */
   def deliver(spark: SparkSession, dropDir: String, checkpointDir: String,
-      sink: String, delay: String, windowDur: String): Unit = {
+      sink: String, delay: String, windowDur: String,
+      statePartitions: Int = 0): Unit =
+      StreamConf.withStatePartitions(spark, statePartitions) {
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
@@ -65,7 +67,9 @@ object EventWindowStream {
     * batch-mode interval join over non-late rows the exact oracle. Same
     * sequential-delivery contract as [[deliver]]. */
   def deliverJoin(spark: SparkSession, dropA: String, dropB: String,
-      checkpointDir: String, sink: String, delay: String): Unit = {
+      checkpointDir: String, sink: String, delay: String,
+      statePartitions: Int = 0): Unit =
+      StreamConf.withStatePartitions(spark, statePartitions) {
     def side(dir: String, p: String) =
       spark.readStream.format("text").load(dir).select(
         split(col("value"), "\t").getItem(0).cast("long").as(s"${p}_id"),
@@ -102,7 +106,9 @@ object EventWindowStream {
     * emission gate for dedup). Same sequential-delivery contract as
     * [[deliver]]. */
   def deliverDedup(spark: SparkSession, dropDir: String,
-      checkpointDir: String, sink: String, delay: String): Unit = {
+      checkpointDir: String, sink: String, delay: String,
+      statePartitions: Int = 0): Unit =
+      StreamConf.withStatePartitions(spark, statePartitions) {
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
@@ -131,7 +137,8 @@ object EventWindowStream {
     * Same sequential-delivery contract as [[deliver]]. */
   def deliverSessions(spark: SparkSession, dropDir: String,
       checkpointDir: String, sink: String, delay: String,
-      gap: String): Unit = {
+      gap: String, statePartitions: Int = 0): Unit =
+      StreamConf.withStatePartitions(spark, statePartitions) {
     val raw = spark.readStream.format("text").load(dropDir)
       .select(
         timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
