@@ -1066,6 +1066,60 @@ object Oracles {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    // J11: point-in-time join — the w13 SCD2 CTEs re-inlined, probed by
+    // purchase events at their own ts with half-open interval semantics.
+    "j11_pit_join" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, event_type, value FROM events),
+         |ch AS (SELECT *, lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+         |  FROM e),
+         |f AS (SELECT user_id, event_id, ts_ms, event_type FROM ch
+         |  WHERE prev IS NULL OR prev <> event_type),
+         |v AS (SELECT user_id, event_type AS state, ts_ms AS valid_from_ms,
+         |    row_number() OVER w AS version,
+         |    coalesce(lead(ts_ms) OVER w, $RangeEndMs) AS valid_to_ms
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+         |p AS (SELECT user_id, ts_ms + 21600000 AS ts_ms, value FROM e
+         |  WHERE event_type = 'purchase')
+         |SELECT v.state, count(*) AS n_probes,
+         |  ${dsum("p.value")} AS total_value,
+         |  max(p.ts_ms - v.valid_from_ms) AS max_age_ms,
+         |  count(DISTINCT p.user_id * 1000000 + v.version) AS n_versions
+         |FROM p JOIN v ON p.user_id = v.user_id
+         |  AND p.ts_ms >= v.valid_from_ms AND p.ts_ms < v.valid_to_ms
+         |GROUP BY 1 ORDER BY v.state""".stripMargin,
+
+    "o8_range_shards" ->
+      """WITH b AS (SELECT [quantile_cont(l_extendedprice, 1.0/8),
+        |  quantile_cont(l_extendedprice, 2.0/8),
+        |  quantile_cont(l_extendedprice, 3.0/8),
+        |  quantile_cont(l_extendedprice, 4.0/8),
+        |  quantile_cont(l_extendedprice, 5.0/8),
+        |  quantile_cont(l_extendedprice, 6.0/8),
+        |  quantile_cont(l_extendedprice, 7.0/8)] AS bnds FROM lineitem),
+        |s AS (SELECT l_extendedprice AS x,
+        |    len(list_filter(bnds, e -> x >= e)) AS shard
+        |  FROM lineitem, b)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_rows,
+        |  min(x) AS min_x, max(x) AS max_x
+        |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "a20_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.value, med.med,
+        |    abs(e.value - med.med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, count(*) AS n,
+        |  max(dev.med) AS med, max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY dev.event_type""".stripMargin,
+
     "t23_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |  least(8, 1 + n_chars // 400) AS w FROM documents),

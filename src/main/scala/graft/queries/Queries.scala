@@ -2766,6 +2766,92 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** J11: POINT-IN-TIME join against the SCD2 dimension — the
+    * feature-store correctness shape: each purchase probe joins the dim
+    * VERSION valid at its own event time ([valid_from, valid_to)
+    * half-open, so a probe landing exactly on a change boundary takes the
+    * new version — and with same-ms changes the empty [t,t) interval of
+    * the displaced version can never match). Composes w13's build as its
+    * input. Scale shape: equi-join on user_id carries the shuffle (both
+    * sides co-partition); the interval predicate is a residual filter
+    * inside the matched key group, never a nested-loop — at 100 TB the
+    * dim's per-user version chain is the only thing a key group holds. */
+  def j11PitJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = w13Scd2(s, d)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    // probes ask "what state was the user in 6 h AFTER the purchase" —
+    // shifted so the answer is a genuine lookup (a probe at its own ts
+    // would trivially land in the version it opened)
+    val probes = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("ts_ms") + lit(6L * 3600000L)).as("ts_ms"), col("value"))
+    probes.join(dim, Seq("user_id"))
+      .where(col("ts_ms") >= col("valid_from_ms") &&
+        col("ts_ms") < col("valid_to_ms"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_probes"),
+        dsum(col("value")).as("total_value"),
+        max(col("ts_ms") - col("valid_from_ms")).as("max_age_ms"),
+        countDistinct(col("user_id") * lit(1000000L) + col("version"))
+          .as("n_versions"))
+      .orderBy(col("state"))
+  }
+
+  /** O8: balanced range sharding — the global-sort layout move
+    * (repartitionByRange + one file per shard) made ORACLE-CHECKABLE:
+    * Spark's RangePartitioner draws sampled, nondeterministic boundaries,
+    * so the invariants it promises (contiguous key ranges, balanced
+    * counts) are proven here with exact interpolated-percentile
+    * boundaries instead (one 1-row aggregate, broadcast back; shard id =
+    * #boundaries ≤ x, a fold over the 7-element array). Per-shard
+    * count/min/max prove contiguity and ±quantization balance. At 100 TB
+    * the boundaries come from approxQuantile at 1e-4 relative error and
+    * the write is `repartitionByRange(n).sortWithinPartitions` — same
+    * invariants, sampled boundaries. */
+  def o8RangeShards(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val bnds = li.agg(percentile(col("x"),
+      array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bnds"))
+    li.crossJoin(broadcast(bnds))
+      .select(col("x"), aggregate(col("bnds"), lit(0),
+        (acc, b) => acc + when(col("x") >= b, 1).otherwise(0)).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("shard").cast("long").as("shard"), col("n_rows"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("shard"))
+  }
+
+  /** A20: robust outlier detection per group — median/MAD z-scores (the
+    * quality-filter shape that survives heavy tails where mean/stddev
+    * outlier cuts don't). Two exact-percentile aggregates with broadcast
+    * join-backs (group-grain model rows, never a row-data collect); the
+    * flag is a pure comparison |x − med| > 3·MAD, so the whole pipeline
+    * is deterministic double math the oracle reproduces bit-for-bit
+    * (interpolated percentiles match across engines — a13's proof). At
+    * 100 TB both percentiles swap to approx_percentile, same two-pass
+    * shape. */
+  def a20MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -2992,6 +3078,9 @@ object Queries {
     "t21_bm25" -> t21Bm25 _,
     "t22_postings" -> t22PostingsServe _,
     "t23_weighted_sample" -> t23WeightedSample _,
+    "j11_pit_join" -> j11PitJoin _,
+    "o8_range_shards" -> o8RangeShards _,
+    "a20_mad_outliers" -> a20MadOutliers _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,
