@@ -1090,6 +1090,54 @@ object Oracles {
          |  AND p.ts_ms >= v.valid_from_ms AND p.ts_ms < v.valid_to_ms
          |GROUP BY 1 ORDER BY v.state""".stripMargin,
 
+    // a21: exact tiers recomputed; the sketch-side contract flags are
+    // literal true — if the engine's merged estimate drifts past 5% or
+    // loses union monotonicity it emits false and the hash breaks.
+    "a21_sketch_union" ->
+      s"""WITH ev AS (SELECT event_type, user_id,
+         |    (epoch_ns(ts) // 1000000 - $RangeStartMs) // ${24L * HourMs}
+         |      AS day FROM events),
+         |daily AS (SELECT event_type, day,
+         |    count(DISTINCT user_id) AS n_day_exact FROM ev GROUP BY 1, 2)
+         |SELECT d.event_type, count(*) AS n_days,
+         |  max(x.n_exact) AS n_exact,
+         |  max(d.n_day_exact) AS max_day_exact,
+         |  true AS merged_ok, true AS monotone_ok
+         |FROM daily d JOIN (SELECT event_type,
+         |    count(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1) x
+         |  USING (event_type)
+         |GROUP BY 1 ORDER BY d.event_type""".stripMargin,
+
+    // t25: CDC chunk census — cut after token j where the 3-gram ending
+    // at j hashes ≡ 0 mod 8 (same portable 15-hex md5 value as the
+    // engine); tail chunk always closes at n.
+    "t25_cdc_chunks" -> {
+      val gh = hexVal15("md5(array_to_string(toks[j-2:j], ' '))")
+      s"""WITH t AS (SELECT doc_id, lang, ${lowSeq("text")} AS toks
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t
+         |  WHERE len(toks) > 0),
+         |e AS (SELECT lang, toks,
+         |    list_append(CASE WHEN n >= 4
+         |      THEN [j FOR j IN range(3, n) IF $gh % 8 = 0]
+         |      ELSE [] END, n) AS ends
+         |  FROM t2),
+         |s AS (SELECT lang, toks, ends,
+         |    list_prepend(1, list_transform(ends[:len(ends)-1],
+         |      x -> x + 1)) AS starts
+         |  FROM e),
+         |c AS (SELECT lang,
+         |    md5(array_to_string(toks[z[1]:z[2]], ' ')) AS fp,
+         |    z[2] - z[1] + 1 AS len
+         |  FROM (SELECT lang, toks, unnest(list_zip(starts, ends)) AS z
+         |        FROM s))
+         |SELECT lang, count(*) AS n_chunks,
+         |  count(DISTINCT fp) AS n_distinct,
+         |  CAST(sum(len) AS BIGINT) AS total_len,
+         |  CAST(max(len) AS BIGINT) AS max_len
+         |FROM c GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+
     "o8_range_shards" ->
       """WITH b AS (SELECT [quantile_cont(l_extendedprice, 1.0/8),
         |  quantile_cont(l_extendedprice, 2.0/8),

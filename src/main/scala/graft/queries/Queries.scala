@@ -2852,6 +2852,80 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** A21: MERGEABLE sketch rollup — the incremental-aggregation story a9
+    * only hints at: per-day HLL sketches (Apache DataSketches via
+    * hll_sketch_agg) union across days into a range estimate WITHOUT
+    * touching row data again — the pre-aggregated daily tier a 100 TB
+    * pipeline keeps so "distinct users last N days" is a k-row sketch
+    * merge, not a rescan. Contract columns per the a9/a13 pattern: exact
+    * values hash-compared, the merged estimate gated by a tolerance flag
+    * (the oracle expects literal true — a drifting sketch breaks the
+    * hash), plus union monotonicity (merged ≥ any single day's exact). */
+  def a21SketchUnion(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 24L * HourMs
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+      ((col("ts_ms") - lit(RangeStartMs)) / dayMs).cast("long").as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("n_day_exact"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("n_day_exact")).as("max_day_exact"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_exact"),
+        col("max_day_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") /
+          col("n_exact") < 0.05).as("merged_ok"),
+        (col("est") >= col("max_day_exact")).as("monotone_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** T25: content-defined chunking (the LBFS/rsync rolling-hash move,
+    * Muthitacharoen 2001): a chunk boundary falls AFTER token j wherever
+    * the 3-gram ending at j hashes to 0 mod 8 — so chunk boundaries are
+    * CONTENT-anchored and an insertion early in a document only redraws
+    * the one chunk it lands in, unlike fixed-width chunking (t20's grid)
+    * where every downstream chunk shifts. The storage-side dedup
+    * primitive: per-lang census of chunk count, distinct fingerprints
+    * (the dedup ratio), and size profile. Everything is per-doc array
+    * math (map-side, no explode until the chunk-grain census); the only
+    * shuffle is the lang+fingerprint aggregate. Expected chunk length is
+    * the modulus (8 tokens) — at 100 TB the modulus is the dial that
+    * trades dedup granularity against index size. */
+  def t25CdcChunks(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+      .where(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    def gramHash(j: Column) = conv(substring(md5(concat_ws(" ",
+        element_at(col("toks"), j - 2), element_at(col("toks"), j - 1),
+        element_at(col("toks"), j))), 1, 15), 16, 10).cast("long")
+    // interior cut positions: j in [3, n-1] with hash(gram ending j) ≡ 0;
+    // the last token never ends an interior cut (the tail chunk runs out)
+    val interior = when(n >= 4,
+      filter(sequence(lit(3), n - 1), j => gramHash(j) % 8 === 0))
+      .otherwise(array().cast("array<int>"))
+    val chunked = docs
+      .withColumn("ends", concat(interior, array(n)))
+      .withColumn("starts", transform(col("ends"), (_, i) =>
+        when(i === 0, lit(1)).otherwise(element_at(col("ends"), i) + 1)))
+      .select(col("lang"), explode(zip_with(col("starts"), col("ends"),
+        (st, en) => struct(
+          md5(concat_ws(" ", slice(col("toks"), st, en - st + 1)))
+            .as("fp"),
+          (en - st + 1).cast("long").as("len")))).as("c"))
+    chunked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("c.fp")).as("n_distinct"),
+        sum(col("c.len")).as("total_len"),
+        max(col("c.len")).as("max_len"))
+      .orderBy(col("lang"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -3081,6 +3155,8 @@ object Queries {
     "j11_pit_join" -> j11PitJoin _,
     "o8_range_shards" -> o8RangeShards _,
     "a20_mad_outliers" -> a20MadOutliers _,
+    "a21_sketch_union" -> a21SketchUnion _,
+    "t25_cdc_chunks" -> t25CdcChunks _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,
