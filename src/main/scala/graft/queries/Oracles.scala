@@ -1108,6 +1108,41 @@ object Oracles {
          |  USING (event_type)
          |GROUP BY 1 ORDER BY d.event_type""".stripMargin,
 
+    // pipe4: gate → dedup → pack → shard, recomputed declaratively; the
+    // engine's export/readback must reproduce these stats exactly.
+    "pipe4_pack_export" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
+         |    CAST(len(${rawToks("text")}) AS BIGINT) AS n,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+         |    CAST(len(list_filter(${rawToks("text")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(${rawToks("text")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+         |  FROM documents),
+         |g AS (SELECT doc_id, lang, n_chars, text FROM t
+         |  WHERE n >= 50 AND n <= 100000
+         |    AND 3 * n <= chars AND chars <= 10 * n
+         |    AND 10 * (hashes + dots) < n
+         |    AND 10 * alpha >= 8 * n AND stops >= 2),
+         |dd AS (SELECT doc_id, lang, n_chars, row_number() OVER
+         |    (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g),
+         |d2 AS (SELECT doc_id, lang, n_chars FROM dd WHERE rn = 1),
+         |p AS (SELECT doc_id, lang, n_chars,
+         |    CAST(floor(CAST(COALESCE(sum(n_chars) OVER
+         |      (PARTITION BY lang ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) / 4096.0) AS BIGINT) AS seq_id
+         |  FROM d2),
+         |sh AS (SELECT *,
+         |    ${md5Hash15("'shard:' || lang || ':' || CAST(seq_id AS VARCHAR)")} % 4
+         |      AS shard
+         |  FROM p)
+         |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  count(DISTINCT seq_id) AS n_seqs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc_id
+         |FROM sh GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+
     // t25: CDC chunk census — cut after token j where the 3-gram ending
     // at j hashes ≡ 0 mod 8 (same portable 15-hex md5 value as the
     // engine); tail chunk always closes at n.

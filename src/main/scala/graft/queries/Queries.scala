@@ -1699,22 +1699,29 @@ object Queries {
     * < 0.1 as `10·symbols < n` (symbols = '#' and '...'); ≥ 80%
     * alphabetic words as `10·alpha ≥ 8·n`; ≥ 2 stopword hits. Pure
     * map-side — the whole bundle is one projection over the scan. */
-  def t15GopherRules(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+  /** The five Gopher-style repetition/quality rules over a text column,
+    * as named boolean columns (t15's contract; reused by pipe4). */
+  private def gopherRules(text: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val toks = TextAnalysis.tokens(text)
     val n = size(toks).cast("long")
-    val chars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
-    val hashes = (length(col("text")) -
-      length(regexp_replace(col("text"), "#", ""))).cast("long")
-    val dots = ((length(col("text")) -
-      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val chars = length(regexp_replace(text, "\\s", "")).cast("long")
+    val hashes = (length(text) -
+      length(regexp_replace(text, "#", ""))).cast("long")
+    val dots = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
     val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
-    val stops = TextAnalysis.stopwordHits(col("text"), Stopwords)
-      .cast("long")
-    val rWords = n >= 50L && n <= 100000L
-    val rMeanLen = lit(3L) * n <= chars && chars <= lit(10L) * n
-    val rSymbol = lit(10L) * (hashes + dots) < n
-    val rAlpha = lit(10L) * alpha >= lit(8L) * n
-    val rStop = stops >= 2L
+    val stops = TextAnalysis.stopwordHits(text, Stopwords).cast("long")
+    (n >= 50L && n <= 100000L,
+      lit(3L) * n <= chars && chars <= lit(10L) * n,
+      lit(10L) * (hashes + dots) < n,
+      lit(10L) * alpha >= lit(8L) * n,
+      stops >= 2L)
+  }
+
+  def t15GopherRules(s: SparkSession, d: String): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("text"))
     def bit(c: Column) = when(c, 1).otherwise(0)
     Tables.documents(s, d).select(
       col("doc_id"), n.as("n_tokens"),
@@ -2852,6 +2859,51 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** PIPE4: pack-and-shard EXPORT — the training-data last mile run
+    * end-to-end through the store: Gopher quality gate (t15's five
+    * rules) → exact dedup (d1's first-occurrence winner) → per-lang
+    * fixed-budget sequence packing (t9's exclusive prefix sum) → shard
+    * assignment by portable hash of (lang, seq) → a partitionBy(lang,
+    * shard) parquet export, READ BACK and censused, so a row lost,
+    * duplicated, or mis-sharded in the write/readback breaks the oracle
+    * hash (k4's store-roundtrip gate applied to the export). Scale
+    * shape: the gate and shard key are map-side; dedup shuffles at
+    * fingerprint grain; packing windows per lang (never a global
+    * window); the export writes one file per (lang, shard) because the
+    * frame is repartitioned BY the partition columns first (DocStream's
+    * small-files rule). */
+  def pipe4PackExport(s: SparkSession, d: String): DataFrame = {
+    val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("text"))
+    val surv = Tables.documents(s, d)
+      .where(rWords && rMeanLen && rSymbol && rAlpha && rStop)
+    val wf = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val ded = surv.withColumn("fp", md5(col("text")))
+      .withColumn("_rn", row_number().over(wf)).where(col("_rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val wp = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = ded
+      .withColumn("seq_id", floor(coalesce(sum(col("n_chars")).over(wp),
+        lit(0L)) / lit(4096.0)).cast("long"))
+      .withColumn("shard", conv(substring(md5(concat(lit("shard:"),
+        col("lang"), lit(":"), col("seq_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 4)
+    val root = java.nio.file.Files.createTempDirectory("pipe4x")
+      .resolve("export").toString
+    packed.repartition(col("lang"), col("shard"))
+      .write.partitionBy("lang", "shard").parquet(root)
+    s.read.parquet(root)
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .select(col("lang"), col("shard").cast("long").as("shard"),
+        col("n_docs"), col("n_seqs"), col("total_chars"),
+        col("min_doc_id"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
   /** A21: MERGEABLE sketch rollup — the incremental-aggregation story a9
     * only hints at: per-day HLL sketches (Apache DataSketches via
     * hll_sketch_agg) union across days into a range estimate WITHOUT
@@ -3157,6 +3209,7 @@ object Queries {
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "t25_cdc_chunks" -> t25CdcChunks _,
+    "pipe4_pack_export" -> pipe4PackExport _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,
