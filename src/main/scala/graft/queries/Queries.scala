@@ -2948,28 +2948,10 @@ object Queries {
     * the modulus (8 tokens) — at 100 TB the modulus is the dial that
     * trades dedup granularity against index size. */
   def t25CdcChunks(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
-      .where(size(col("toks")) > 0)
-    val n = size(col("toks"))
-    def gramHash(j: Column) = conv(substring(md5(concat_ws(" ",
-        element_at(col("toks"), j - 2), element_at(col("toks"), j - 1),
-        element_at(col("toks"), j))), 1, 15), 16, 10).cast("long")
-    // interior cut positions: j in [3, n-1] with hash(gram ending j) ≡ 0;
-    // the last token never ends an interior cut (the tail chunk runs out)
-    val interior = when(n >= 4,
-      filter(sequence(lit(3), n - 1), j => gramHash(j) % 8 === 0))
-      .otherwise(array().cast("array<int>"))
-    val chunked = docs
-      .withColumn("ends", concat(interior, array(n)))
-      .withColumn("starts", transform(col("ends"), (_, i) =>
-        when(i === 0, lit(1)).otherwise(element_at(col("ends"), i) + 1)))
-      .select(col("lang"), explode(zip_with(col("starts"), col("ends"),
-        (st, en) => struct(
-          md5(concat_ws(" ", slice(col("toks"), st, en - st + 1)))
-            .as("fp"),
-          (en - st + 1).cast("long").as("len")))).as("c"))
+    val chunked = Tables.documents(s, d)
+      .where(size(TextAnalysis.tokens(col("text"))) > 0)
+      .select(col("lang"),
+        explode(TextAnalysis.cdcChunks(col("text"), 8)).as("c"))
     chunked.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("c.fp")).as("n_distinct"),
