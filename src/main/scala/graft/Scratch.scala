@@ -788,20 +788,31 @@ object Scratch {
         //     kx; the serve probe must stay band-bucket-joined.
         //   a18 (TextRank): graph nodes/edges grow kx; 8 rank rounds stay
         //     graph-grain joins against a broadcast vector.
+        //   j11 (PIT join): user-namespaced events — version chains stay
+        //     per-user O(1), the equi-join shuffle grows with rows.
+        //   t25 (CDC chunks) / p4 (pack-export): map-side chunk/gate math
+        //     + chunk/shard-grain aggregates; both should track the scan.
         // env: SPARK_GRAFT_SCALES (default "1,16"), SPARK_GRAFT_SCALE_OPS
-        //      (default "d14,d15,a18")
+        //      (default "d14,d15,a18,j11,t25,p4")
         import org.apache.spark.sql.functions._
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
           .split(",").map(_.trim.toInt).toSeq
-        val ops9 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d15,a18")
+        val ops9 = sys.env
+          .getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d15,a18,j11,t25,p4")
           .split(",").map(_.trim).toSet
         val names9 = Seq(
           "d14" -> "d14_minhash_est_error",
           "d15" -> "d15_incremental_dedup",
-          "a18" -> "a18_pagerank")
+          "a18" -> "a18_pagerank",
+          "j11" -> "j11_pit_join",
+          "t25" -> "t25_cdc_chunks",
+          "p4" -> "pipe4_pack_export")
         val registry9 = queries.Queries.all.toMap
         val docs9 = Tables.documents(spark, sfDir)
         val didSpan9 = docs9.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val ev9 = spark.read.parquet(s"$sfDir/events.parquet")
+        val eidSpan9 = ev9.agg(max(col("event_id"))).head.getLong(0) + 1
+        val uidSpan9 = ev9.agg(max(col("user_id"))).head.getLong(0) + 1
         val times9 = scala.collection.mutable.Map[String, Double]()
         for (k <- scales) {
           val dir = java.nio.file.Files.createTempDirectory(s"scale9x$k")
@@ -813,6 +824,12 @@ object Scratch {
               txt.as("text"), col("lang"), col("source"), col("n_chars"))
           }.reduce(_ unionByName _)
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          (0 until k).map(i => ev9.select(
+            (col("event_id") + lit(i * eidSpan9)).as("event_id"), col("ts"),
+            (col("user_id") + lit(i * uidSpan9)).as("user_id"),
+            col("event_type"), col("value"), col("props")))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
           for ((short, qname) <- names9 if ops9(short)) {
             spark.sharedState.cacheManager.clearCache()
             val t0 = System.nanoTime()

@@ -102,17 +102,24 @@ object TextAnalysis {
     when(n >= k, array_min(shingles)).otherwise(fingerprint(text))
   }
 
-  /** Content-defined chunks (LBFS/rsync, Muthitacharoen 2001) of a text
-    * column as an array of `struct(fp, len)`: a chunk boundary falls
-    * AFTER 1-based token j (3 ≤ j < n) wherever the portable hash of the
-    * 3-gram ending at j is ≡ 0 mod `modulus`; the tail chunk always
-    * closes at n. Boundaries are CONTENT-anchored, so a local edit
-    * redraws only the chunk it lands in (and at most the one whose
-    * boundary gram it overlaps) — the locality property CdcSpec proves.
-    * Expected chunk length ≈ `modulus` tokens. Pure per-row array math;
-    * nothing shuffles until the caller aggregates chunk rows. */
-  def cdcChunks(text: Column, modulus: Int): Column = {
-    val toks = transform(tokens(text), t => lower(t))
+  /** Content-defined chunks (LBFS/rsync, Muthitacharoen 2001) over a
+    * STAGED lowercase token-array column, as an array of
+    * `struct(fp, len)`: a chunk boundary falls AFTER 1-based token j
+    * (3 ≤ j < n) wherever the portable hash of the 3-gram ending at j is
+    * ≡ 0 mod `modulus`; the tail chunk always closes at n. Boundaries
+    * are CONTENT-anchored, so a local edit redraws only the chunk it
+    * lands in (and at most the one whose boundary gram it overlaps) —
+    * the locality property CdcSpec proves. Expected chunk length ≈
+    * `modulus` tokens. Pure per-row array math; nothing shuffles until
+    * the caller aggregates chunk rows.
+    *
+    * `toks` MUST be a materialized column (stage it with a prior
+    * projection), never an inline `transform(tokens(text), lower)`
+    * expression: the boundary scan reads elements inside per-index
+    * lambdas, and an inline expression re-tokenizes the whole document
+    * on every access — measured 80× slower at sf0.1 (the shingleHashes
+    * lesson, again). */
+  def cdcEnds(toks: Column, modulus: Int): Column = {
     val n = size(toks)
     def gramHash(j: Column) = conv(substring(md5(concat_ws(" ",
         element_at(toks, j - 2), element_at(toks, j - 1),
@@ -120,12 +127,19 @@ object TextAnalysis {
     val interior = when(n >= 4,
       filter(sequence(lit(3), n - 1), j => gramHash(j) % modulus === 0))
       .otherwise(array().cast("array<int>"))
-    val ends = concat(interior, array(n))
+    when(n > 0, concat(interior, array(n)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** Chunk structs from STAGED `toks` + STAGED `ends` (from [[cdcEnds]]).
+    * `ends` must also be materialized: `starts` reads it per index, and
+    * an inline ends expression re-runs the whole boundary scan per
+    * chunk. */
+  def cdcChunks(toks: Column, ends: Column): Column = {
     val starts = transform(ends, (_, i) =>
       when(i === 0, lit(1)).otherwise(element_at(ends, i) + 1))
-    when(n > 0, zip_with(starts, ends, (st, en) => struct(
-        md5(concat_ws(" ", slice(toks, st, en - st + 1))).as("fp"),
-        (en - st + 1).cast("long").as("len"))))
-      .otherwise(array().cast("array<struct<fp:string,len:bigint>>"))
+    zip_with(starts, ends, (st, en) => struct(
+      md5(concat_ws(" ", slice(toks, st, en - st + 1))).as("fp"),
+      (en - st + 1).cast("long").as("len")))
   }
 }

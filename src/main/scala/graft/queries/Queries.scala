@@ -2949,9 +2949,13 @@ object Queries {
     * trades dedup granularity against index size. */
   def t25CdcChunks(s: SparkSession, d: String): DataFrame = {
     val chunked = Tables.documents(s, d)
-      .where(size(TextAnalysis.tokens(col("text"))) > 0)
       .select(col("lang"),
-        explode(TextAnalysis.cdcChunks(col("text"), 8)).as("c"))
+        transform(TextAnalysis.tokens(col("text")), t => lower(t))
+          .as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("ends", TextAnalysis.cdcEnds(col("toks"), 8))
+      .select(col("lang"),
+        explode(TextAnalysis.cdcChunks(col("toks"), col("ends"))).as("c"))
     chunked.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("c.fp")).as("n_distinct"),

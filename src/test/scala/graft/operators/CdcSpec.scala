@@ -13,7 +13,11 @@ class CdcSpec extends SparkSpec {
 
   private def chunkFps(text: String): Seq[(String, Long)] = {
     Seq(Tuple1(text)).toDF("text")
-      .select(explode(TextAnalysis.cdcChunks(col("text"), 4)).as("c"))
+      .select(transform(TextAnalysis.tokens(col("text")),
+        t => lower(t)).as("toks"))
+      .withColumn("ends", TextAnalysis.cdcEnds(col("toks"), 4))
+      .select(explode(TextAnalysis.cdcChunks(col("toks"), col("ends")))
+        .as("c"))
       .select(col("c.fp"), col("c.len"))
       .as[(String, Long)].collect().toSeq
   }
