@@ -92,13 +92,15 @@ class QueriesSmokeSpec extends SparkSpec {
       plan.take(1500))
   }
 
-  test("a19 profile reads the table once (one Expand, one scan)") {
+  test("a19 profile scans are single-column pruned, no Expand") {
     val plan = formattedPlan(Queries.a19Profile(spark, sfDir))
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    // formatted mode prints each node twice (tree + details)
-    assert(scans <= 2, s"profile re-scans per column: ${scans / 2} scans\n" +
-      plan.take(800))
-    assert(plan.contains("Expand"), plan.take(800))
+    // one pruned scan per profiled column; the multi-countDistinct
+    // Expand plan (×6 row amplification) is the regression to catch
+    assert(!plan.contains("Expand"), plan.take(1200))
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_orderkey"))
+      assert(plan.contains(s"ReadSchema: struct<$c:"),
+        s"scan for $c not single-column pruned\n" + plan.takeRight(1500))
   }
 
   test("q3 dim joins broadcast (fact side never shuffles for the join)") {
