@@ -119,6 +119,47 @@ object Multimodal {
   def byteFeatures(payload: Column, dim: Int): Column =
     normalizeVec(byteSums(hex(payload), octet_length(payload), dim))
 
+  /** BATCHED decode/inference plumbing — the mapInPandas/model-server
+    * shape: payloads stream through `mapPartitions`, grouped into
+    * micro-batches of ≤ `batchSize`, and each group is one "model call"
+    * (a GPU decoder amortizes weights/transfer over the batch; calling
+    * per row is the classic 100× inference anti-pattern). Everything the
+    * engine owns is real — the binary→struct signature, the bounded
+    * batch buffering (never a whole partition in memory), the map-only
+    * plan — and the stub "model" computes the SAME interleaved byte-lane
+    * sums as [[byteSums]] in exact integers, so the relational oracle
+    * cross-checks the batched JVM path bit-for-bit (m4). Per-row outputs
+    * are independent of batch/partition boundaries by construction;
+    * MultimodalSpec pins that invariance. `calls` counts model
+    * invocations for the batching spec. */
+  def batchInferSums(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int = 8, stride: Int = 4, batchSize: Int = 64,
+      calls: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          calls.foreach(_.add(1)) // one model call per micro-batch
+          batch.iterator.map { case (id, payload) =>
+            val sums = new Array[Long](dim)
+            val n = if (payload == null) 0 else payload.length
+            var d = 0
+            while (d < dim) {
+              var i = d
+              var acc = 0L
+              while (i < n) { acc += (payload(i) & 0xff); i += dim * stride }
+              sums(d) = acc
+              d += 1
+            }
+            (id, sums, n.toLong)
+          }
+        }
+      }.toDF(idCol, "sums", "n_bytes")
+  }
+
   /** Full metadata extraction over a table with a binary `payloadCol`:
     * one narrow map stage, fully codegen'd except the stub decode. */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String,

@@ -1173,6 +1173,31 @@ object Oracles {
          |FROM c GROUP BY 1 ORDER BY lang""".stripMargin
     },
 
+    "j12_fuzzy_join" ->
+      s"""WITH h AS (SELECT p_partkey, p_name, p_brand,
+         |    ${md5Hash15("'typo:' || CAST(p_partkey AS VARCHAR)")} AS hv
+         |  FROM part),
+         |pr AS (SELECT p_partkey AS probe_id,
+         |    substr(p_name, 1, CAST(hv % length(p_name) AS INT))
+         |      || substr(p_name, CAST(hv % length(p_name) AS INT) + 2)
+         |      AS q_name
+         |  FROM h WHERE hv % 5 = 0),
+         |pk AS (SELECT p_partkey, p_name, p_brand,
+         |    unnest(['P' || substr(p_name, 1, 2),
+         |            'S' || substr(p_name, -2, 2)]) AS bk FROM part),
+         |qk AS (SELECT probe_id, q_name,
+         |    unnest(['P' || substr(q_name, 1, 2),
+         |            'S' || substr(q_name, -2, 2)]) AS bk FROM pr),
+         |cand AS (SELECT DISTINCT probe_id, q_name, p_partkey, p_name,
+         |    p_brand
+         |  FROM qk JOIN pk USING (bk)),
+         |m AS (SELECT * FROM cand WHERE levenshtein(q_name, p_name) <= 1)
+         |SELECT p_brand, count(*) AS n_pairs,
+         |  count(DISTINCT probe_id) AS n_probes_matched,
+         |  CAST(sum(CASE WHEN probe_id = p_partkey THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_self_matches
+         |FROM m GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
     "o8_range_shards" ->
       """WITH b AS (SELECT [quantile_cont(l_extendedprice, 1.0/8),
         |  quantile_cont(l_extendedprice, 2.0/8),
@@ -2174,6 +2199,24 @@ object Oracles {
          |w AS (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7,
          |  $normChain AS nrm FROM s)
          |SELECT doc_id, $outs FROM w ORDER BY doc_id""".stripMargin
+    },
+
+    // m4: the batched-JVM byte-lane sums recomputed declaratively —
+    // integer-exact, so the mapPartitions batch path has a bit-for-bit
+    // relational twin (stride-4 lanes: dim d samples bytes d+1, d+33, …).
+    "m4_batch_infer" -> {
+      val byteVal = "(16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)" +
+        " + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)"
+      val dims = (0 until 8).map(d =>
+        s"""CAST(coalesce(list_sum(list_transform(range(${d + 1}, n + 1, 32),
+           |    i -> $byteVal)), 0) AS BIGINT) AS s$d""".stripMargin)
+        .mkString(",\n")
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents)
+         |SELECT doc_id,
+         |$dims,
+         |  CAST(n AS BIGINT) AS n_bytes
+         |FROM b ORDER BY doc_id""".stripMargin
     },
 
     "s12_pq_ann" -> {

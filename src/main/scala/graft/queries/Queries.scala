@@ -2806,6 +2806,64 @@ object Queries {
       .orderBy(col("state"))
   }
 
+  /** M4: batched decode/inference — the multimodal batch shape run
+    * END-TO-END: payloads stream through mapPartitions in ≤64-row
+    * micro-batches (one stub "model call" each — see
+    * [[graft.operators.Multimodal.batchInferSums]]), and the batched JVM
+    * compute is cross-checked bit-for-bit against a declarative SQL twin
+    * of the same integer byte-lane sums. Proves the seam a real GPU
+    * decoder drops into: same signature, same plan, same oracle. */
+  def m4BatchInfer(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.operators.Multimodal
+      .batchInferSums(docs, "doc_id", "payload", dim = 8, stride = 4,
+        batchSize = 64)
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("sums"), i + 1).as(s"s$i")) :+
+        col("n_bytes"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** J12: FUZZY join (entity resolution) — probes with one deterministic
+    * character deletion rejoin their source rows via prefix/suffix
+    * BLOCKING + edit-distance verify: each side emits two block keys
+    * (first-2 and last-2 chars), and a single deletion always preserves
+    * at least one of them, so the candidate space is an equi-join on
+    * 2-gram keys — never an all-pairs levenshtein. The ER-blocking
+    * shape: at 100 TB only block-mates shuffle, hot 2-gram blocks are
+    * AQE-skew territory, and the O(len²) DP verify runs on candidates
+    * only. Both engines' levenshtein is the classic DP — value-exact. */
+  def j12FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    val h = conv(substring(md5(concat(lit("typo:"),
+      col("p_partkey").cast("string"))), 1, 15), 16, 10).cast("long")
+    val probes = part.where(h % 5 === 0)
+      .withColumn("pos", (h % length(col("p_name"))) + 1)
+      .select(col("p_partkey").as("probe_id"),
+        concat(expr("substring(p_name, 1, cast(pos as int) - 1)"),
+          expr("substring(p_name, cast(pos as int) + 1, 1000000)"))
+          .as("q_name"))
+    def blockKeys(name: Column) = array(
+      concat(lit("P"), substring(name, 1, 2)),
+      concat(lit("S"), substring(name, -2, 2)))
+    val pk = part.select(col("p_partkey"), col("p_name"), col("p_brand"),
+      explode(blockKeys(col("p_name"))).as("bk"))
+    val qk = probes.select(col("probe_id"), col("q_name"),
+      explode(blockKeys(col("q_name"))).as("bk"))
+    qk.join(pk, Seq("bk"))
+      .select(col("probe_id"), col("q_name"), col("p_partkey"),
+        col("p_name"), col("p_brand")).distinct()
+      .where(levenshtein(col("q_name"), col("p_name")) <= 1)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("probe_id")).as("n_probes_matched"),
+        sum(when(col("probe_id") === col("p_partkey"), 1L).otherwise(0L))
+          .as("n_self_matches"))
+      .orderBy(col("p_brand"))
+  }
+
   /** O8: balanced range sharding — the global-sort layout move
     * (repartitionByRange + one file per shard) made ORACLE-CHECKABLE:
     * Spark's RangePartitioner draws sampled, nondeterministic boundaries,
@@ -3190,6 +3248,8 @@ object Queries {
     "t22_postings" -> t22PostingsServe _,
     "t23_weighted_sample" -> t23WeightedSample _,
     "j11_pit_join" -> j11PitJoin _,
+    "j12_fuzzy_join" -> j12FuzzyJoin _,
+    "m4_batch_infer" -> m4BatchInfer _,
     "o8_range_shards" -> o8RangeShards _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,

@@ -72,4 +72,31 @@ class MultimodalSpec extends SparkSpec {
     assert(s == Seq(97.0 / 255.0 + 101.0 / 255.0,
       98.0 / 255.0 + 102.0 / 255.0))
   }
+
+  test("batchInferSums: results invariant to batch size and partitioning") {
+    val docs = (1L to 97L).map(i => (i, ("x" * (i % 50).toInt) + s"doc$i"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    def run(bs: Int, parts: Int) =
+      Multimodal.batchInferSums(docs.repartition(parts), "doc_id",
+        "payload", batchSize = bs)
+        .select($"doc_id", $"sums", $"n_bytes")
+        .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    val base = run(64, 1)
+    assert(run(1, 1) == base, "batchSize=1 diverged")
+    assert(run(7, 4) == base, "batchSize=7/4 partitions diverged")
+    assert(run(1000, 3) == base, "oversized batch diverged")
+  }
+
+  test("batchInferSums: one model call per ≤batchSize rows, bounded buffering") {
+    val docs = (1L to 100L).map(i => (i, s"payload$i")).toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .repartition(1)
+    val acc = spark.sparkContext.longAccumulator("modelCalls")
+    Multimodal.batchInferSums(docs, "doc_id", "payload", batchSize = 16,
+      calls = Some(acc)).count()
+    // 100 rows / 16 per batch = 7 calls — per-row calling (100) is the
+    // inference anti-pattern this plumbing exists to prevent
+    assert(acc.value == 7L, s"expected 7 model calls, got ${acc.value}")
+  }
 }
