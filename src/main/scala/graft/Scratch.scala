@@ -792,13 +792,17 @@ object Scratch {
         //     per-user O(1), the equi-join shuffle grows with rows.
         //   t25 (CDC chunks) / p4 (pack-export): map-side chunk/gate math
         //     + chunk/shard-grain aggregates; both should track the scan.
+        //   j12 (fuzzy join): runs on the namespaced doc titles — the
+        //     per-replica token prefixes keep PassJoin segment keys
+        //     replica-selective, so candidates grow linearly (block-key
+        //     selectivity IS the ER-blocking scaling contract).
         // env: SPARK_GRAFT_SCALES (default "1,16"), SPARK_GRAFT_SCALE_OPS
-        //      (default "d14,d15,a18,j11,t25,p4")
+        //      (default "d14,d15,a18,j11,t25,p4,j12")
         import org.apache.spark.sql.functions._
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
           .split(",").map(_.trim.toInt).toSeq
         val ops9 = sys.env
-          .getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d15,a18,j11,t25,p4")
+          .getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d15,a18,j11,t25,p4,j12")
           .split(",").map(_.trim).toSet
         val names9 = Seq(
           "d14" -> "d14_minhash_est_error",
@@ -806,7 +810,8 @@ object Scratch {
           "a18" -> "a18_pagerank",
           "j11" -> "j11_pit_join",
           "t25" -> "t25_cdc_chunks",
-          "p4" -> "pipe4_pack_export")
+          "p4" -> "pipe4_pack_export",
+          "j12" -> "j12_fuzzy_join")
         val registry9 = queries.Queries.all.toMap
         val docs9 = Tables.documents(spark, sfDir)
         val didSpan9 = docs9.agg(max(col("doc_id"))).head.getLong(0) + 1

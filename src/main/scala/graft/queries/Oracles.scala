@@ -1174,29 +1174,38 @@ object Oracles {
     },
 
     "j12_fuzzy_join" ->
-      s"""WITH h AS (SELECT p_partkey, p_name, p_brand,
-         |    ${md5Hash15("'typo:' || CAST(p_partkey AS VARCHAR)")} AS hv
-         |  FROM part),
-         |pr AS (SELECT p_partkey AS probe_id,
+      s"""WITH t0 AS (SELECT doc_id, lang,
+         |    array_to_string((${lowSeq("text")})[1:4], ' ') AS p_name
+         |  FROM documents),
+         |t AS (SELECT * FROM t0 WHERE length(p_name) >= 4),
+         |h AS (SELECT doc_id, lang, p_name,
+         |    ${md5Hash15("'typo:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM t),
+         |pr AS (SELECT doc_id AS probe_id,
          |    substr(p_name, 1, CAST(hv % length(p_name) AS INT))
          |      || substr(p_name, CAST(hv % length(p_name) AS INT) + 2)
          |      AS q_name
          |  FROM h WHERE hv % 5 = 0),
-         |pk AS (SELECT p_partkey, p_name, p_brand,
-         |    unnest(['P' || substr(p_name, 1, 2),
-         |            'S' || substr(p_name, -2, 2)]) AS bk FROM part),
-         |qk AS (SELECT probe_id, q_name,
-         |    unnest(['P' || substr(q_name, 1, 2),
-         |            'S' || substr(q_name, -2, 2)]) AS bk FROM pr),
-         |cand AS (SELECT DISTINCT probe_id, q_name, p_partkey, p_name,
-         |    p_brand
-         |  FROM qk JOIN pk USING (bk)),
-         |m AS (SELECT * FROM cand WHERE levenshtein(q_name, p_name) <= 1)
-         |SELECT p_brand, count(*) AS n_pairs,
+         |pk AS (SELECT doc_id, p_name, lang, unnest([
+         |      length(p_name) || '|1|' || substr(p_name, 1, length(p_name) // 2),
+         |      length(p_name) || '|2|' || substr(p_name, length(p_name) // 2 + 1)
+         |    ]) AS bk FROM t),
+         |qk AS (SELECT probe_id, q_name, unnest([
+         |      (length(q_name) - 1) || '|1|' || substr(q_name, 1, (length(q_name) - 1) // 2),
+         |      (length(q_name) - 1) || '|2|' || substr(q_name, length(q_name) - ((length(q_name) - 1) - (length(q_name) - 1) // 2) + 1),
+         |      length(q_name) || '|1|' || substr(q_name, 1, length(q_name) // 2),
+         |      length(q_name) || '|2|' || substr(q_name, length(q_name) - (length(q_name) - length(q_name) // 2) + 1),
+         |      (length(q_name) + 1) || '|1|' || substr(q_name, 1, (length(q_name) + 1) // 2),
+         |      (length(q_name) + 1) || '|2|' || substr(q_name, length(q_name) - ((length(q_name) + 1) - (length(q_name) + 1) // 2) + 1)
+         |    ]) AS bk FROM pr),
+         |m AS (SELECT DISTINCT probe_id, doc_id, lang
+         |  FROM qk JOIN pk USING (bk)
+         |  WHERE levenshtein(q_name, p_name) <= 1)
+         |SELECT lang, count(*) AS n_pairs,
          |  count(DISTINCT probe_id) AS n_probes_matched,
-         |  CAST(sum(CASE WHEN probe_id = p_partkey THEN 1 ELSE 0 END)
+         |  CAST(sum(CASE WHEN probe_id = doc_id THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_self_matches
-         |FROM m GROUP BY 1 ORDER BY p_brand""".stripMargin,
+         |FROM m GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "o8_range_shards" ->
       """WITH b AS (SELECT [quantile_cont(l_extendedprice, 1.0/8),
