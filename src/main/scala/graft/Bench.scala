@@ -45,9 +45,19 @@ object Bench {
     // median drops the first (codegen-compile) run — see object scaladoc.
     val heavy = Set("d2_jaccard_pairs", "d3_minhash_lsh", "d6_simhash_pairs",
       "d7_contamination", "d9_dup_clusters", "s11_kmeans_train",
-      "pipe1_funnel", "pipe2_stream_funnel", "d10_semantic_dedup",
+      "pipe1_funnel", "d10_semantic_dedup",
       "d11_bloom_contamination")
-    val ordered = selected.toSeq.sortBy { case (n, _) => (heavy(n), n) }
+    // Streaming lifecycles run FIRST: a streaming query's wall is
+    // dominated by micro-batch commit machinery that synchronizes with
+    // the shared listener bus, and after ~140 batch queries the
+    // accumulated listener/GC debt inflated w9 from a 6.0 s clean-JVM
+    // median to 27 s in-suite (round-7 measurement). Batch queries are
+    // insensitive to the little state streams leave behind.
+    val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
+      "w11_stream_dedup", "w12_stream_join", "pipe2_stream_funnel")
+    val ordered = selected.toSeq.sortBy { case (n, _) =>
+      (if (streamingFirst(n)) 0 else if (heavy(n)) 2 else 1, n)
+    }
     val baseRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt.max(1))
     val results = ordered.map { case (name, fn) =>
       def timedRun(): Double = {

@@ -2834,13 +2834,14 @@ object Queries {
     * that half appears EXACTLY in the probe — as its prefix (seg 1, no
     * edits before it) or its suffix (seg 2, no edits after it). The
     * probe emits those prefixes/suffixes for each target length in
-    * len±1 (6 keys). Segment keys are ~18 chars — near-unique — so
-    * candidates collapse to ~1 per probe per feasible length where
-    * 2-gram blocking left 10.9 M pairs against TPC-H's 92-color surface
-    * vocabulary (measured; 43× fewer candidates, 5.6 s → 0.7 s steady).
-    * The ER-blocking scale rule made concrete: block-key SELECTIVITY,
-    * not key count, bounds the verify stage; the probe side is the
-    * query batch and broadcasts (d15's rule). Both engines' levenshtein
+    * len±1 (6 keys). Segment keys are ~12-char half-titles — near
+    * unique — where (len, 2-gram) blocking left 10.9 M candidate pairs
+    * on this corpus (measured; with PassJoin the same join runs 1.9 s
+    * steady at sf0.1, down from 49 s under gram blocking on the worst
+    * fixture column). The ER-blocking scale rule made concrete:
+    * block-key SELECTIVITY, not key count, bounds the verify stage; the
+    * probe side is the query batch and broadcasts (d15's rule). Both
+    * engines' levenshtein
     * is the classic DP — value-exact; the engine's verify is the banded
     * threshold form (O(len), not O(len²)).
     *
