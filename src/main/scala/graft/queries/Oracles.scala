@@ -837,6 +837,28 @@ object Oracles {
     // upstream of the stateful aggregation); a late row is dropped when
     // its window END is at or under that watermark; append mode emits a
     // window once the FINAL watermark is at or past its end.
+    // w14: closed-form replay of the flatMapGroupsWithState cursor —
+    // per-(user, delivery) aggregates, then running totals over delivery
+    // order; one snapshot row per active user per delivery.
+    "w14_stateful_cursor" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    epoch_ns(ts) // 1000 AS us,
+         |    epoch_ns(ts) // 1000000 - $RangeStartMs AS rel_ms
+         |  FROM events),
+         |b AS (SELECT *,
+         |    least(CASE WHEN rel_ms < ${10 * 86400000L} THEN 0
+         |               WHEN rel_ms < ${20 * 86400000L} THEN 1 ELSE 2 END
+         |      + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END, 2) AS batch
+         |  FROM e),
+         |g AS (SELECT user_id, batch, count(*) AS n_batch, max(us) AS mx
+         |  FROM b GROUP BY 1, 2),
+         |r AS (SELECT user_id, n_batch,
+         |    CAST(sum(n_batch) OVER w AS BIGINT) AS n_total,
+         |    max(mx) OVER w AS max_ts_us
+         |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY batch))
+         |SELECT user_id, n_batch, n_total, max_ts_us FROM r
+         |ORDER BY user_id, n_total""".stripMargin,
+
     "w9_stream_windows" ->
       s"""WITH e AS (SELECT event_id, ts, value,
          |    epoch_ns(ts) // 1000 AS us,

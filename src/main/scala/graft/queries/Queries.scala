@@ -941,6 +941,49 @@ object Queries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** W14 (streaming semantics through the oracle, part 5): the
+    * ARBITRARY-state API — a per-user running (count, max-ts) ingest
+    * cursor in `flatMapGroupsWithState` (A4's semantic), one snapshot
+    * row per active user per micro-batch. Same three-decade delivery
+    * construction as w9 (event_id % 11 rows displaced one delivery);
+    * no watermark, so every row counts and the oracle is a pure
+    * closed-form replay: per-(user, delivery) aggregates + running
+    * sums/maxes over delivery order. Snapshot rows are identified by
+    * the strictly-increasing per-user n_total — no batch ids in the
+    * output contract. */
+  def w14StatefulCursor(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val usCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    val ev = raw.select(col("event_id"), usCol.as("us"), col("user_id"))
+      .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
+    val dayMs = 86400000L
+    val base = when(col("rel_ms") < 10 * dayMs, 0)
+      .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
+    val batchCol = least(base + when(col("event_id") % 11 === 0, 1)
+      .otherwise(0), lit(2))
+    val lines = ev.select(col("event_id"), batchCol.as("batch"),
+      concat_ws("\t", col("event_id"), col("us"), col("user_id"))
+        .as("value_line"))
+    val root = java.nio.file.Files.createTempDirectory("w14q")
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    val sink = root.resolve("sink").toString
+    for (b <- 0 to 2) {
+      lines.where(col("batch") === b)
+        .orderBy(col("event_id")).select(col("value_line"))
+        .coalesce(1).write.mode("append").text(drop.toString)
+      graft.streaming.EventWindowStream.deliverCursor(s, drop.toString,
+        root.resolve("ckpt").toString, sink, statePartitions = 8)
+    }
+    s.read.parquet(sink)
+      .select(col("user_id"), col("n_batch"), col("n_total"),
+        col("max_ts_us"))
+      .orderBy(col("user_id"), col("n_total"))
+  }
+
   /** A11: dispersion stats per user — variance/stddev via the algebraic
     * decomposition (n, Σx, Σx²) in EXACT decimals, final math in double.
     * The sufficient statistics merge associatively (map-side combine, any
@@ -3214,6 +3257,7 @@ object Queries {
     "w11_stream_dedup" -> w11StreamDedup _,
     "w12_stream_join" -> w12StreamJoin _,
     "w13_scd2" -> w13Scd2 _,
+    "w14_stateful_cursor" -> w14StatefulCursor _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

@@ -131,6 +131,64 @@ object EventWindowStream {
     ()
   }
 
+  /** CUSTOM-state cursor variant (w14): lines `event_id TAB epoch_us TAB
+    * user_id`, per-user running (count, max-ts) cursor maintained in
+    * `flatMapGroupsWithState` — the arbitrary-state API the built-in
+    * windows can't express (KlineStream's ingest-cursor semantic, A4,
+    * driven through the oracle gate). Per micro-batch each ACTIVE user
+    * emits one snapshot row (n_batch, cumulative n_total, cumulative
+    * max_ts): deterministic under the sequential-delivery contract, and
+    * identified by the strictly-increasing n_total rather than a batch
+    * id, so the output set is replayable in closed form (per-(user,
+    * delivery) aggregate + running window — the w14 oracle). NoTimeout:
+    * eviction/TTL semantics are w11's covered ground; this pins the
+    * state get/update/emit path itself. */
+  def deliverCursor(spark: SparkSession, dropDir: String,
+      checkpointDir: String, sink: String,
+      statePartitions: Int = 0): Unit =
+      StreamConf.withStatePartitions(spark, statePartitions) {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val raw = spark.readStream.format("text").load(dropDir)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
+        split(col("value"), "\t").getItem(1).cast("long").as("us"),
+        split(col("value"), "\t").getItem(2).cast("long").as("user_id"))
+      .as[(Long, Long, Long)]
+    val cursed = raw.groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var nBatch = 0L
+          var mx = Long.MinValue
+          rows.foreach { r => nBatch += 1; if (r._2 > mx) mx = r._2 }
+          if (nBatch == 0L) Iterator.empty
+          else {
+            val (n0, m0) = state.getOption.getOrElse((0L, Long.MinValue))
+            val n = n0 + nBatch
+            val m = math.max(m0, mx)
+            state.update((n, m))
+            Iterator((uid, nBatch, n, m))
+          }
+      }
+      .toDF("user_id", "n_batch", "n_total", "max_ts_us")
+    val q = cursed.writeStream
+      .queryName("event-cursor")
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(sink)
+        ()
+      }
+      .start()
+    q.awaitTermination(300000)
+    ()
+  }
+
   /** Session-window variant (w10): lines `event_id TAB epoch_us TAB
     * user_id TAB value`, per-user event-time sessions with `gap`,
     * append-mode emission once the watermark passes a session's end.
