@@ -54,7 +54,8 @@ object Bench {
     // median to 27 s in-suite (round-7 measurement). Batch queries are
     // insensitive to the little state streams leave behind.
     val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
-      "w11_stream_dedup", "w12_stream_join", "pipe2_stream_funnel")
+      "w11_stream_dedup", "w12_stream_join", "w14_stateful_cursor",
+      "pipe2_stream_funnel")
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (if (streamingFirst(n)) 0 else if (heavy(n)) 2 else 1, n)
     }
