@@ -28,6 +28,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Bound the status-store state that accumulates per executed query
+      // even with the UI off (SQLAppStatusListener retains 1000 executions
+      // by default; ~600 runs of 151 queries kept megabytes of live
+      // execution/job/stage graphs on the shared listener bus and inflated
+      // any streaming query run late in the suite ~4.5× — the round-7
+      // "streaming-first" workaround treated the symptom; this caps the
+      // source so ordering no longer matters materially).
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.worker.ui.retainedExecutors", "5")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated subset for local iteration
@@ -65,6 +77,16 @@ object Bench {
         // drop persisted frames from the previous run so every run pays its
         // own cold cost — medians measure the query, not cache residue
         spark.sharedState.cacheManager.clearCache()
+        // clear the terminated-streaming-query registry and let the shared
+        // listener bus drain before timing, so a query never pays for the
+        // event backlog of its predecessors (listenerBus is private[spark];
+        // reflection keeps this main outside the spark package)
+        spark.streams.resetTerminated()
+        try {
+          val bus = spark.sparkContext.getClass
+            .getMethod("listenerBus").invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: Throwable => () }
         System.gc() // don't bill the previous query's garbage to this one
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -112,7 +134,7 @@ object Bench {
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); heavies ordered last; cache cleared + GC between runs",
+         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first, heavies last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs",
          |"queries":$qs,
          |"cold_first_run":$coldJson,
          |"runs":$runsJson

@@ -861,6 +861,111 @@ object Scratch {
           println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
         }
+      case Some("scale10") =>
+        // 16x probes for the operators without one (r7 verdict item #5)
+        // plus the r8 newcomer t26, through the REAL registered queries
+        // over replicated inputs:
+        //   a19 (column profile): 16x lineitem, l_orderkey offset per
+        //     replica so the distinct axis grows too — five pruned
+        //     single-column scans must track column bytes.
+        //   a20/a21 (MAD outliers / HLL rollup): 16x events, user/event
+        //     ids offset — sketch grids and group counts stay fixed-size.
+        //   o8 (range shards): 16x lineitem — exact-percentile boundary
+        //     row stays 1, shard ids stay a map-side fold.
+        //   m4 (batched inference): 16x documents — model "calls" must
+        //     grow with rows/64, never per-row.
+        //   t23/t24 (weighted sample / grouped split): 16x documents —
+        //     keep-predicates map-side; t23's top-k stays heap+merge.
+        //   t26 (HTML extract): 16x documents — synthesis + extraction
+        //     is one fused projection, must track the scan.
+        //   k5 (schema-evolution read): per-dir store build + merged read.
+        //   j10 (bucketed SMJ): per-dir bucketed store build + zero-
+        //     Exchange join; orders/customer replicated on a shared
+        //     custkey offset so the join key stays consistent.
+        //   sn2 (wide snapshot): the snapshot fixture rebuilds from the
+        //     replicated events, so the wide scan grows 16x; the pruned
+        //     read must stay column-bytes-bound.
+        // env: SPARK_GRAFT_SCALES (default "1,16"), SPARK_GRAFT_SCALE_OPS
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val defOps = "a19,a20,a21,o8,m4,t23,t24,t26,k5,j10,sn2"
+        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
+          .split(",").map(_.trim).toSet
+        val names = Seq(
+          "a19" -> "a19_profile", "a20" -> "a20_mad_outliers",
+          "a21" -> "a21_sketch_union", "o8" -> "o8_range_shards",
+          "m4" -> "m4_batch_infer", "t23" -> "t23_weighted_sample",
+          "t24" -> "t24_grouped_split", "t26" -> "t26_html_extract",
+          "k5" -> "k5_schema_merge", "j10" -> "j10_bucketed",
+          "sn2" -> "sn2_book_shape")
+        val registry = queries.Queries.all.toMap
+        val docs = Tables.documents(spark, sfDir)
+        val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val eidSpan = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+        val uidSpan = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val okSpan = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1
+        val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+        val ckSpan = cust.agg(max(col("c_custkey"))).head.getLong(0) + 1
+        val times = scala.collection.mutable.Map[String, Double]()
+        for (k <- scales) {
+          val dir = java.nio.file.Files.createTempDirectory(s"scale10x$k")
+            .toString
+          def rep(base: org.apache.spark.sql.DataFrame,
+              shift: (org.apache.spark.sql.DataFrame, Int)
+                => org.apache.spark.sql.DataFrame, table: String): Unit =
+            (0 until k).map(i => shift(base, i)).reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+          rep(docs, (d, i) => {
+            val txt = if (i == 0) col("text")
+              else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+            d.select((col("doc_id") + lit(i * didSpan)).as("doc_id"),
+              txt.as("text"), col("lang"), col("source"), col("n_chars"))
+          }, "documents")
+          rep(ev, (d, i) => d.select(
+            (col("event_id") + lit(i * eidSpan)).as("event_id"), col("ts"),
+            (col("user_id") + lit(i * uidSpan)).as("user_id"),
+            col("event_type"), col("value"), col("props")), "events")
+          rep(li, (d, i) => d.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i * okSpan)), "lineitem")
+          rep(ords, (d, i) => d.withColumn("o_orderkey",
+              col("o_orderkey") + lit(i * okSpan))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * ckSpan)),
+            "orders")
+          rep(cust, (d, i) => d.withColumn("c_custkey",
+            col("c_custkey") + lit(i * ckSpan)), "customer")
+          for (t <- Seq("region", "nation", "supplier", "part", "embeddings"))
+            spark.read.parquet(s"$sfDir/$t.parquet")
+              .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+          for ((short, qname) <- names if ops(short)) {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            val df = registry(qname)(spark, dir)
+            val n = df
+              .select((xxhash64(struct(df.columns.map(col): _*)) %
+                lit(1000000007L)).as("h"))
+              .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+              .head.getLong(1)
+            val dt = (System.nanoTime() - t0) / 1e9
+            times(s"${short}_x$k") = dt
+            println(f"TIMER ${short}_x$k%-10s ${dt}%8.2f s  rows=$n")
+          }
+        }
+        for ((short, _) <- names
+             if times.contains(s"${short}_x${scales.max}") &&
+               times.contains(s"${short}_x${scales.min}") &&
+               scales.max > scales.min) {
+          val growth = scales.max.toDouble / scales.min
+          val r = times(s"${short}_x${scales.max}") /
+            times(s"${short}_x${scales.min}")
+          val verdict = if (r < growth * growth) "SUBQUADRATIC"
+            else "SUPERLINEAR!"
+          println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
+            f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
       case Some("scale8") =>
         // 16x probes for the round-7 second-wave newcomers, through the
         // REAL registered queries against replicated sf-layout temp dirs:

@@ -1,7 +1,7 @@
 package graft.queries
 
 import QuerySpec._
-import graft.operators.Similarity
+import graft.operators.{HtmlExtract, Similarity}
 import graft.sources.WideSnapshot
 
 /** DuckDB oracle SQL for every query in [[Queries]]. Each statement is the
@@ -14,16 +14,39 @@ object Oracles {
 
   // ---- shared SQL fragments ----------------------------------------------
 
-  /** Pin DuckDB to 8 threads for this statement (and, because SET persists
-    * on the connection, every later one). At 32 threads the checker's DuckDB
-    * intermittently fails small (16 KiB) allocations on the wide-expression
-    * vector queries — a thread-allocation artifact, not data size (the s6/s13
-    * intermediates are ~4 000 rows at sf0.01). DuckDB executes multi-statement
-    * strings through both `execute()` and `sql()`, returning the last result,
-    * so the prefix is transparent to the comparison. Applied only to the
-    * queries that have shown the failure, so a checker that can't take
-    * multi-statement SQL loses nothing that was green. */
-  private def pinThreads(sql: String): String = s"SET threads=8; $sql"
+  /** Resource pin prefixed to EVERY oracle statement (SET persists on the
+    * connection, but prefixing each statement also covers checkers that run
+    * subsets or re-order). Multi-statement strings are executed by DuckDB's
+    * `execute()` and `sql()`, returning the last result, so the prefix is
+    * transparent to the comparison — proven driver-compatible in round 7
+    * (s6/s13 went red→green with a `SET threads=8;` prefix).
+    *
+    * Why each knob (the r07 record lost 20 rows to oracle-side
+    * `OutOfMemoryException: failed to allocate block of <2KB-1MB>` — the
+    * CHECKER process memory-exhausted at the tail of its sorted run, on
+    * sf0.01 inputs measured in KB):
+    *  - `threads=2`: every DuckDB worker thread grows its own glibc
+    *    malloc arenas (64 MiB of VIRTUAL address space each, up to 8 per
+    *    thread, never returned to the OS) — at 32 threads the wide-
+    *    expression vector/BPE queries reserve gigabytes of VA and the
+    *    process dies on pthread_create ("Resource temporarily
+    *    unavailable", the r6 failure string) or tiny mallocs ("bad
+    *    allocation", the r7 string). Two threads keep arena growth
+    *    bounded; at KB-scale inputs parallelism buys nothing anyway.
+    *  - `memory_limit='1GB'`: DuckDB sizes its buffer pool from HOST RAM
+    *    (~80%), not the container cgroup cap, so over 151 statements the
+    *    pool grows until malloc dies. A hard 1 GB bound (1000× headroom
+    *    over the largest sf0.01 intermediate — measured with
+    *    scripts/check_oracle_driverlike.py) keeps the process flat.
+    *
+    * `temp_directory` (spill instead of erroring at the bound) goes ONLY
+    * on the alphabetically-FIRST statement ([[all]]): DuckDB refuses any
+    * later `SET temp_directory` once the directory has been used, so a
+    * per-statement SET would turn one spill into a failure cascade over
+    * the whole remaining run. */
+  private val OraclePin = "SET threads=2; SET memory_limit='1GB'; "
+  private val OracleSpillDir =
+    "SET temp_directory='/tmp/graft_oracle_spill'; "
 
   /** raw whitespace tokens (no lowercasing) of a text expression. */
   private def rawToks(t: String) =
@@ -58,33 +81,33 @@ object Oracles {
     * m$r (the elected merge) and v$r (the merged vocab). */
   private def bpeRound(r: Int): String = {
     val prev = if (r == 1) "v0" else s"v${r - 1}"
-    s"""pe$r AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+    s"""pe$r AS MATERIALIZED (SELECT freq, syms, unnest(range(1, len(syms))) AS i
        |  FROM $prev WHERE len(syms) >= 2),
-       |pc$r AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
+       |pc$r AS MATERIALIZED (SELECT syms[i] AS lft, syms[i + 1] AS rgt,
        |    CAST(sum(freq) AS BIGINT) AS c
        |  FROM pe$r GROUP BY 1, 2),
-       |m$r AS (SELECT lft, rgt, c FROM pc$r
+       |m$r AS MATERIALIZED (SELECT lft, rgt, c FROM pc$r
        |  ORDER BY c DESC, lft, rgt LIMIT 1),
-       |me$r AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS p,
+       |me$r AS MATERIALIZED (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS p,
        |    syms FROM $prev),
-       |ms$r AS (SELECT word, freq, p, syms[p] AS sym,
+       |ms$r AS MATERIALIZED (SELECT word, freq, p, syms[p] AS sym,
        |    CASE WHEN p < len(syms) AND syms[p] = m.lft
        |          AND syms[p + 1] = m.rgt THEN 1 ELSE 0 END AS mt
        |  FROM me$r CROSS JOIN m$r m),
-       |mg$r AS (SELECT *, p - sum(mt) OVER
+       |mg$r AS MATERIALIZED (SELECT *, p - sum(mt) OVER
        |    (PARTITION BY word ORDER BY p) AS grp
        |  FROM ms$r),
-       |mk$r AS (SELECT *, CASE WHEN mt = 1 AND
+       |mk$r AS MATERIALIZED (SELECT *, CASE WHEN mt = 1 AND
        |      (p - min(p) OVER (PARTITION BY word, mt, grp)) % 2 = 0
        |    THEN 1 ELSE 0 END AS mrg
        |  FROM mg$r),
-       |mo$r AS (SELECT word, freq, p,
+       |mo$r AS MATERIALIZED (SELECT word, freq, p,
        |    CASE WHEN mrg = 1 THEN sym ||
        |      lead(sym) OVER (PARTITION BY word ORDER BY p)
        |      ELSE sym END AS sym2,
        |    lag(mrg, 1, 0) OVER (PARTITION BY word ORDER BY p) AS drp
        |  FROM mk$r),
-       |v$r AS (SELECT word, freq, list(sym2 ORDER BY p) AS syms
+       |v$r AS MATERIALIZED (SELECT word, freq, list(sym2 ORDER BY p) AS syms
        |  FROM mo$r WHERE drp = 0 GROUP BY 1, 2)""".stripMargin
   }
 
@@ -92,10 +115,10 @@ object Oracles {
     * 1..BpeMerges, ending at v$BpeMerges (the trained encoder state). */
   private val bpeWith: String = {
     val rounds = (1 to BpeMerges).map(bpeRound).mkString(",\n")
-    s"""w AS (SELECT tok AS word, count(*) AS freq FROM
+    s"""w AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM
        |    (SELECT unnest(${rawToks("lower(text)")}) AS tok FROM documents)
        |  GROUP BY 1),
-       |v0 AS (SELECT word, freq,
+       |v0 AS MATERIALIZED (SELECT word, freq,
        |    [substr(word, i, 1) for i in range(1, len(word) + 1)] AS syms
        |  FROM w),
        |$rounds""".stripMargin
@@ -222,7 +245,7 @@ object Oracles {
       val uCols = xs.map(c =>
         s"CAST(sum(CASE WHEN $mis THEN y * $c ELSE 0 END) AS BIGINT) AS u_$c")
       val errs = s"CAST(sum(CASE WHEN $mis THEN 1 ELSE 0 END) AS BIGINT) AS errs"
-      s"e$k AS (SELECT\n  ${(iCols ++ (errs +: uCols)).mkString(",\n  ")}\n  FROM $from)"
+      s"e$k AS MATERIALIZED (SELECT\n  ${(iCols ++ (errs +: uCols)).mkString(",\n  ")}\n  FROM $from)"
     }
     // candidate w_k = e_k's input+update = e_{k+1}'s input (i_*); its error
     // count errs_k is computed by stage e_{k+1}
@@ -231,10 +254,10 @@ object Oracles {
       s"SELECT $k AS ep, errs, $ws FROM e${k + 1}"
     }.mkString("\nUNION ALL ")
     val margin = xs.map(c => s"w.w_$c * $c").mkString(" + ")
-    s"""WITH f0 AS (
+    s"""WITH f0 AS MATERIALIZED (
        |  SELECT doc_id, ${featCols.mkString(",\n    ")}
        |  FROM documents),
-       |f AS (SELECT doc_id, $yExpr AS y, ${xs.mkString(", ")} FROM f0),
+       |f AS MATERIALIZED (SELECT doc_id, $yExpr AS y, ${xs.mkString(", ")} FROM f0),
        |${(1 to (E + 1)).map(stage).mkString(",\n")},
        |cand AS (${cands}),
        |pocket AS (SELECT * FROM cand ORDER BY errs, ep LIMIT 1)
@@ -243,7 +266,7 @@ object Oracles {
        |FROM f CROSS JOIN pocket w ORDER BY doc_id""".stripMargin
   }
 
-  val all: Map[String, String] = Map(
+  private val raw: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -675,11 +698,11 @@ object Oracles {
     // division, so round 8 matches Spark bit-for-bit.
     "a18_pagerank" -> {
       val rounds = (1 to PrIters).map { i =>
-        s"""c$i AS (SELECT e.dst AS tok,
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS tok,
            |    CAST(sum((e.w * p.r) // ow.wout) AS BIGINT) AS sc
            |  FROM e JOIN ow USING (src) JOIN r${i - 1} p ON p.tok = e.src
            |  GROUP BY 1),
-           |r$i AS (SELECT nodes.tok,
+           |r$i AS MATERIALIZED (SELECT nodes.tok,
            |    (15 * ($PrScale // n)) // 100
            |      + (85 * coalesce(sc, 0)) // 100 AS r
            |  FROM nodes CROSS JOIN nn LEFT JOIN c$i USING (tok))"""
@@ -690,12 +713,12 @@ object Oracles {
          |    for i in range(1, len(toks))] AS bs
          |  FROM t WHERE len(toks) >= 2),
          |bi AS (SELECT unnest(bs, recursive:=true) FROM b0),
-         |e AS (SELECT src, dst, count(*) AS w FROM bi GROUP BY 1, 2),
-         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+         |e AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM bi GROUP BY 1, 2),
+         |ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout
          |  FROM e GROUP BY 1),
-         |nodes AS (SELECT src AS tok FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT tok, $PrScale // n AS r FROM nodes CROSS JOIN nn),
+         |nodes AS MATERIALIZED (SELECT src AS tok FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT tok, $PrScale // n AS r FROM nodes CROSS JOIN nn),
          |$rounds
          |SELECT tok, r AS rank_ppt FROM r$PrIters
          |ORDER BY rank_ppt DESC, tok""".stripMargin
@@ -1019,7 +1042,7 @@ object Oracles {
         |ORDER BY event_id""".stripMargin,
 
     "w5_rolling_stats" ->
-      pinThreads("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      ("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
         |  round(avg(value) OVER (PARTITION BY user_id
         |    ORDER BY epoch_ms(ts), event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
@@ -1132,6 +1155,26 @@ object Oracles {
 
     // pipe4: gate → dedup → pack → shard, recomputed declaratively; the
     // engine's export/readback must reproduce these stats exactly.
+    // pipe5: the backfill-closure spine is deterministic, so the oracle is
+    // its closed form — seeded = the events table's distinct (type, hour)
+    // grid cells; fetched = the 720-hour grid complement; closure means
+    // the full grid is present, the watermark sits on the last grid hour,
+    // and the re-scan finds zero gaps. The SPARK side earns these numbers
+    // by actually driving seed → gap scan → fetch plan → fixture fetch →
+    // adapter → upsert → re-scan; any spine break moves a number.
+    "pipe5_backfill_closure" -> {
+      val gridHours = (RangeEndMs - RangeStartMs) / HourMs
+      s"""WITH h AS (SELECT event_type AS symbol,
+         |    count(DISTINCT epoch_ms(ts) // $HourMs) AS n_seeded
+         |  FROM events GROUP BY 1)
+         |SELECT symbol, n_seeded,
+         |  $gridHours - n_seeded AS n_fetched,
+         |  CAST($gridHours AS BIGINT) AS n_rows,
+         |  CAST($LastHourMs AS BIGINT) AS max_ts,
+         |  CAST(0 AS BIGINT) AS n_gaps_after
+         |FROM h ORDER BY symbol""".stripMargin
+    },
+
     "pipe4_pack_export" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
          |    CAST(len(${rawToks("text")}) AS BIGINT) AS n,
@@ -1811,14 +1854,13 @@ object Oracles {
     // left-to-right merge replayed as a gaps-and-islands parity window:
     // consecutive matching sites (only possible in same-symbol runs) keep
     // even offsets from the chain start — exactly the engine's fold.
-    // pinThreads on both BPE twins: the 8 unrolled rounds are the same
-    // many-CTE profile that intermittently OOMs unpinned 32-thread DuckDB
-    // (the r6 s6/s13/w5 lesson)
+    // (the OraclePin prefix matters most here: the 8 unrolled rounds are
+    // the many-CTE profile that OOMed unpinned 32-thread DuckDB in r6/r7)
     "t18_bpe_merges" -> {
       val out = (1 to BpeMerges).map(r =>
         s"SELECT CAST($r AS BIGINT) AS step, lft, rgt, c AS pair_count FROM m$r")
         .mkString("\nUNION ALL ")
-      pinThreads(s"""WITH $bpeWith
+      (s"""WITH $bpeWith
          |$out
          |ORDER BY step""".stripMargin)
     },
@@ -1827,7 +1869,7 @@ object Oracles {
     // applied to the corpus; all-integer (ppm) output, `//` to match
     // Spark's `div` truncation (all values positive).
     "t19_bpe_fertility" ->
-      pinThreads(s"""WITH $bpeWith,
+      (s"""WITH $bpeWith,
          |toks AS (SELECT source, unnest(${rawToks("lower(text)")}) AS word
          |  FROM documents),
          |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub
@@ -1969,6 +2011,72 @@ object Oracles {
          |  r_alpha, r_stop,
          |  r_words * r_mean_len * r_symbol * r_alpha * r_stop AS passes
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // t26: the synthetic page is built with the same string algebra as
+    // HtmlExtract.syntheticPage (|| is null-safe here: no null inputs),
+    // then the extraction replayed: script/style strip ('g' flag — DuckDB
+    // replaces only the first match by default), '\n' block split,
+    // per-block anchor-char/word-count/link-density features, kept-block
+    // reassembly, Gopher gate on the extract (t15's integer twin).
+    "t26_html_extract" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, ${rawToks("text")} AS toks
+         |  FROM documents),
+         |pg AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style><script>var tracker = "x"; load();</script></head><body>' || chr(10) ||
+         |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/archive">' || lang || ' archive</a></nav>' || chr(10) ||
+         |  array_to_string(list_transform(
+         |      range(1, CAST(ceil(len(toks)/20.0) AS BIGINT) + 1),
+         |      i -> '<p>' || array_to_string(toks[((i-1)*20+1):(i*20)], ' ')
+         |        || '</p>'), chr(10)) || chr(10) ||
+         |  '<div class="promo"><a href="/buy">Buy now</a> top deals <a href="/go">click here</a></div>' || chr(10) ||
+         |  '<footer>Copyright 2026 ' || source || ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS html
+         |  FROM t),
+         |bl AS (SELECT doc_id,
+         |  string_split(regexp_replace(regexp_replace(html,
+         |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'), chr(10)) AS blocks
+         |  FROM pg),
+         |f0 AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+         |    txt := trim(regexp_replace(regexp_replace(b,
+         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+         |    anchors := CAST(coalesce(list_sum(list_transform(
+         |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+         |      a -> length(replace(a, ' ', '')))), 0) AS BIGINT))) AS f0
+         |  FROM bl),
+         |ks AS (SELECT doc_id, list_transform(f0, f -> struct_pack(
+         |    txt := f.txt, anchors := f.anchors,
+         |    keep := len(list_filter(string_split(f.txt, ' '),
+         |        x -> x <> '')) >= ${HtmlExtract.MinBlockWords}
+         |      AND f.anchors * ${HtmlExtract.LinkDensityDen}
+         |        < CAST(length(replace(f.txt, ' ', '')) AS BIGINT)
+         |          * ${HtmlExtract.LinkDensityNum})) AS fs
+         |  FROM f0),
+         |cl AS (SELECT doc_id, fs,
+         |  array_to_string(list_transform(list_filter(fs, f -> f.keep),
+         |    f -> f.txt), ' ') AS clean
+         |  FROM ks),
+         |g AS (SELECT doc_id, fs, clean,
+         |    CAST(len(${rawToks("clean")}) AS BIGINT) AS n,
+         |    CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS BIGINT) AS chars,
+         |    CAST(length(clean) - length(replace(clean, '#', '')) AS BIGINT) AS hashes,
+         |    CAST((length(clean) - length(replace(clean, '...', ''))) // 3 AS BIGINT) AS dots,
+         |    CAST(len(list_filter(${rawToks("clean")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(${rawToks("clean")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+         |  FROM cl)
+         |SELECT doc_id,
+         |  CAST(len(fs) AS BIGINT) AS n_blocks,
+         |  CAST(len(list_filter(fs, f -> f.keep)) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(list_sum(list_transform(fs, f -> f.anchors)), 0)
+         |    AS BIGINT) AS link_chars,
+         |  n AS clean_words,
+         |  CAST(length(replace(clean, ' ', '')) AS BIGINT) AS clean_chars,
+         |  md5(clean) AS fp,
+         |  CASE WHEN n >= 50 AND n <= 100000
+         |    AND 3 * n <= chars AND chars <= 10 * n
+         |    AND 10 * (hashes + dots) < n
+         |    AND 10 * alpha >= 8 * n
+         |    AND stops >= 2 THEN 1 ELSE 0 END AS passes
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     // d12: stride-1 window fingerprints with POSITION (lateral range), dup
     // election by global count >= 2, then a per-doc islands merge of the
@@ -2306,7 +2414,7 @@ object Oracles {
         s"JOIN cent b$j ON b$j.cent_id = codes.c$j").mkString(" ")
       val adist = (0 until PqM).map(j =>
         l2Chain("qv", s"b$j.cvec", j)).mkString("(", " + ", ")")
-      pinThreads(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+      (s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),
          |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
          |ca AS (SELECT nid, cv, cent_id,
@@ -2386,7 +2494,7 @@ object Oracles {
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
     "s6_ivf_probe2" ->
-      pinThreads(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+      (s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),
          |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
          |ca AS (SELECT nid, cv, cent_id,
@@ -2653,4 +2761,13 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $LshTopK ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Every oracle with the resource pin prefixed (see [[OraclePin]]); the
+    * spill directory rides only on the first statement of a sorted run. */
+  val all: Map[String, String] = {
+    val first = raw.keys.min
+    raw.map { case (k, v) =>
+      k -> (OraclePin + (if (k == first) OracleSpillDir else "") + v)
+    }
+  }
 }

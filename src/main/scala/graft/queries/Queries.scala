@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Bpe, Decontaminate, Dedup, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -22,6 +22,37 @@ import QuerySpec._
   *  - every result has a total ORDER BY on a unique key set.
   */
 object Queries {
+
+  /** Stage one delivery batch as a single, deterministically-ORDERED drop
+    * file: the part file is renamed to `b000<b>.txt` and stamped with a
+    * strictly increasing modification time, so a rate-limited file source
+    * (`maxFilesPerTrigger = 1`) processes staged batches in exactly
+    * delivery order — Spark's file source orders by (modTime); controlled
+    * stamps make that deterministic instead of relying on sub-millisecond
+    * write timing or tie-breaks. This lets a WATERMARK-FREE lifecycle
+    * (w14) run its N-batch delivery plan in ONE query start. The
+    * watermarked lifecycles (w9-w12) deliberately do NOT use it: inside a
+    * single run the late-record filter evaluates against the PREVIOUS
+    * batch's watermark (Spark's two-value watermark propagation — see
+    * EventDedupStreamSpec's in-run lag spec), while a restart loads the
+    * committed value — so their restart-per-delivery form is the one
+    * their oracles' watermark algebra replays. */
+  def stageBatchFile(lines: org.apache.spark.sql.DataFrame,
+      drop: java.nio.file.Path, b: Int): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+    lines.coalesce(1).write.mode("overwrite").text(tmp.toString)
+    val it = java.nio.file.Files.list(tmp).iterator()
+    var part: java.nio.file.Path = null
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.startsWith("part-")) part = p
+    }
+    val dst = drop.resolve(f"b$b%04d.txt")
+    java.nio.file.Files.move(part, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    ()
+  }
 
   /** exact money sum: decimal accumulate, double out. */
   private def dsum(c: Column): Column =
@@ -732,6 +763,10 @@ object Queries {
       lines.where(col("batch") === b)
         .orderBy(col("event_id")).select(col("value_line"))
         .coalesce(1).write.mode("append").text(drop.toString)
+      // one lifecycle PER delivery, deliberately: the late-record filter
+      // inside a single run lags one batch (see EventDedupStreamSpec's
+      // in-run watermark-lag spec), so the restart-per-delivery form is
+      // what this oracle's watermark algebra replays
       graft.streaming.EventWindowStream.deliver(s, drop.toString,
         root.resolve("ckpt").toString, sink,
         delay = "2 hours", windowDur = "1 day",
@@ -971,13 +1006,12 @@ object Queries {
     val drop = root.resolve("drop")
     java.nio.file.Files.createDirectories(drop)
     val sink = root.resolve("sink").toString
-    for (b <- 0 to 2) {
-      lines.where(col("batch") === b)
-        .orderBy(col("event_id")).select(col("value_line"))
-        .coalesce(1).write.mode("append").text(drop.toString)
-      graft.streaming.EventWindowStream.deliverCursor(s, drop.toString,
-        root.resolve("ckpt").toString, sink, statePartitions = 8)
-    }
+    for (b <- 0 to 2)
+      stageBatchFile(lines.where(col("batch") === b)
+        .orderBy(col("event_id")).select(col("value_line")), drop, b)
+    graft.streaming.EventWindowStream.deliverCursor(s, drop.toString,
+      root.resolve("ckpt").toString, sink, statePartitions = 8,
+      maxFilesPerTrigger = 1)
     s.read.parquet(sink)
       .select(col("user_id"), col("n_batch"), col("n_total"),
         col("max_ts_us"))
@@ -2934,10 +2968,13 @@ object Queries {
     // not O(len²)) is cheaper than shuffling the name-carrying candidate
     // rows through a distinct, so duplicates from double-key hits are
     // verified twice and deduped after, id-grain only
-    // the probe side is the query BATCH (like d15's delta): batch-sized
-    // by construction, so it broadcasts and the candidate join runs
-    // map-side against the part scan — nothing corpus-sized shuffles
-    broadcast(qk).join(pk, Seq("bk"))
+    // the probe side here is a hash-selected ~20% of the corpus ×6 keys —
+    // corpus-proportional, NOT batch-sized — so no broadcast hint: AQE
+    // sizes the join at runtime (broadcasts while the probe set is small,
+    // flips to a shuffle join when a real probe batch grows past the
+    // threshold). A caller with a genuinely bounded batch gets the
+    // map-side join from AQE for free.
+    qk.join(pk, Seq("bk"))
       .where(expr("levenshtein(q_name, p_name, 1)").between(0, 1))
       .select(col("probe_id"), col("doc_id"), col("lang")).distinct()
       .groupBy(col("lang"))
@@ -3014,6 +3051,74 @@ object Queries {
     * window); the export writes one file per (lang, shard) because the
     * frame is repartitioned BY the partition columns first (DocStream's
     * small-files rule). */
+  /** PIPE5: the SURVEY §7.3 minimum end-to-end slice as an ORACLE row —
+    * the whole ingest spine closed in one query: a kline sink is SEEDED
+    * with exactly the hours where the sf dir's events table has data (so
+    * the seed, and therefore every number below, is data-dependent), the
+    * gap engine scans the holes, the fetch planner paginates them
+    * (limit = FetchLimit), the fixture endpoint serves the missing
+    * klines, the adapter normalizes, the UNIQUE-key sink upserts — and
+    * the re-scan + watermark table prove closure. The oracle is closed
+    * form BECAUSE the spine is deterministic: n_seeded = the events
+    * table's distinct (type, hour) count, n_fetched = grid − seeded,
+    * n_rows = the full 720-hour grid, max_ts = the last grid hour,
+    * re-scan gaps = 0. Any break in W1-W3 gap math, W4 pagination, P1
+    * normalization, or K1 upsert semantics moves a number → red row.
+    * Scale shape: everything is the production flow itself (per-exchange
+    * sequential fetch task, partition-pruned upsert); the only fixture is
+    * the endpoint. */
+  def pipe5BackfillClosure(s: SparkSession, d: String): DataFrame = {
+    import graft.flows.SyncKlines
+    val hourMs = HourMs
+    val sink = java.nio.file.Files.createTempDirectory("pipe5").toString +
+      "/kline_1h"
+    val hours = Tables.events(s, d)
+      .select(col("event_type").as("symbol"),
+        (expr(s"ts_ms div $hourMs") * hourMs).as("h"))
+      .distinct()
+    // seed bodies: the present hours rendered as binance-shaped kline JSON
+    // (same fixture shape the endpoint serves — the seed IS an earlier
+    // partial sync)
+    val bodies = hours.groupBy(col("symbol"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(col("symbol"), concat(lit("["),
+        array_join(transform(col("hs"), ts => concat(lit("["),
+          ts.cast("string"),
+          lit(",\"100.1\",\"101.2\",\"99.3\",\"100.5\",\"7.5\","),
+          (ts + lit(hourMs - 1)).cast("string"),
+          lit(",\"750.0\",42,\"1\",\"1\",\"0\"]"))), ","),
+        lit("]")).as("body"))
+    val seed = graft.sources.KlineAdapters.binance(bodies, 9, 1, hourMs)
+      .withColumn("dt_date", date_format(col("dt"), "yyyy-MM-dd"))
+    graft.sinks.UpsertSink.upsert(s, sink, seed,
+      SyncKlines.KeyCols :+ "ts", "ts", Some("dt_date"))
+    // seeded counts from the SOURCE grid (hours is already distinct), not
+    // a lazy read of the sink: the upsert below swaps the sink's files,
+    // and a pre-run listing evaluated post-run would read dead paths
+    val nSeeded = hours.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_seeded"))
+    val keys = hours.select(col("symbol")).distinct()
+      .select(lit(9).cast("short").as("exchange_id"),
+        lit(1).cast("byte").as("inst_type"), col("symbol"))
+    SyncKlines.run(s, sink, keys, "binance", 9, 1, hourMs,
+      RangeStartMs, LastHourMs, limit = FetchLimit, mergeWithinMs = 0L)(
+      Pipe5Fixtures.serve)
+    val after = s.read.parquet(sink)
+    val wm = after.groupBy(col("symbol"))
+      .agg(max(col("ts")).as("max_ts"), count(lit(1)).as("n_rows"))
+    val gapsAfter = GapEngine.gapPlan(
+      after.select(col("exchange_id"), col("inst_type"), col("symbol"),
+        col("ts")),
+      keys, SyncKlines.KeyCols, "ts", hourMs, RangeStartMs, LastHourMs, 0L)
+      .groupBy(col("symbol")).agg(count(lit(1)).as("n_gaps"))
+    nSeeded.join(wm, Seq("symbol"))
+      .join(gapsAfter, Seq("symbol"), "left")
+      .select(col("symbol"), col("n_seeded"),
+        (col("n_rows") - col("n_seeded")).as("n_fetched"), col("n_rows"),
+        col("max_ts"), coalesce(col("n_gaps"), lit(0L)).as("n_gaps_after"))
+      .orderBy(col("symbol"))
+  }
+
   def pipe4PackExport(s: SparkSession, d: String): DataFrame = {
     val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("text"))
     val surv = Tables.documents(s, d)
@@ -3104,6 +3209,48 @@ object Queries {
         sum(col("c.len")).as("total_len"),
         max(col("c.len")).as("max_len"))
       .orderBy(col("lang"))
+  }
+
+  /** T26: HTML → clean-text extraction (jusText/trafilatura line rules; see
+    * [[graft.operators.HtmlExtract]]) — the from-raw-web front door that
+    * runs before any other text operator. Each document is wrapped in a
+    * DETERMINISTIC synthetic page (head/script/style + link-only nav +
+    * `<p>` content blocks + ad div + footer, same string algebra on both
+    * engines); the extractor must strip script/style wholesale, classify
+    * each block by word count and integer link density, and recover
+    * exactly the article text (clean fingerprint + Gopher gate on the
+    * extract). Every stage is a map-side projection over STAGED columns
+    * (toks → html → blocks → features: per-index lambdas never re-derive
+    * a subtree — the shingleHashes lesson), so at 100 TB this fuses into
+    * the scan and shuffles nothing. */
+  def t26HtmlExtract(s: SparkSession, d: String): DataFrame = {
+    val paged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        HtmlExtract.syntheticPage(col("doc_id"), col("lang"), col("source"),
+          col("toks")).as("html"))
+    val feats = paged
+      .select(col("doc_id"), HtmlExtract.blocks(col("html")).as("blocks"))
+      .select(col("doc_id"),
+        HtmlExtract.blockFeatures(col("blocks")).as("fs"))
+      .select(col("doc_id"), col("fs"),
+        HtmlExtract.cleanText(col("fs")).as("clean"))
+    val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("clean"))
+    feats.select(
+      col("doc_id"),
+      size(col("fs")).cast("long").as("n_blocks"),
+      size(filter(col("fs"), f => f.getField("keep")))
+        .cast("long").as("n_kept"),
+      aggregate(col("fs"), lit(0L),
+        (acc, f) => acc + f.getField("anchors")).as("link_chars"),
+      size(TextAnalysis.tokens(col("clean"))).cast("long").as("clean_words"),
+      length(regexp_replace(col("clean"), " ", ""))
+        .cast("long").as("clean_chars"),
+      md5(col("clean")).as("fp"),
+      when(rWords && rMeanLen && rSymbol && rAlpha && rStop, 1)
+        .otherwise(0).as("passes"))
+      .orderBy(col("doc_id"))
   }
 
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
@@ -3339,7 +3486,9 @@ object Queries {
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "t25_cdc_chunks" -> t25CdcChunks _,
+    "t26_html_extract" -> t26HtmlExtract _,
     "pipe4_pack_export" -> pipe4PackExport _,
+    "pipe5_backfill_closure" -> pipe5BackfillClosure _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,
@@ -3382,4 +3531,14 @@ object Queries {
     }
     outs.reduce(_ unionByName _).orderBy(col("exchange_id"), col("symbol"))
   }
+}
+
+/** pipe5's fixture REST endpoint — top level so the fetch closure shipped
+  * to executors captures only this serializable object, not the Queries
+  * graph (the SyncKlinesFlowSpec pattern). */
+object Pipe5Fixtures {
+  def serve(sym: String, s: Long, e: Long): String =
+    (s to e by QuerySpec.HourMs).map { ts =>
+      s"""[$ts,"100.1","101.2","99.3","100.5","7.5",${ts + QuerySpec.HourMs - 1},"750.0",42,"1","1","0"]"""
+    }.mkString("[", ",", "]")
 }

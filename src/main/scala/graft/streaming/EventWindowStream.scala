@@ -25,14 +25,39 @@ import org.apache.spark.sql.streaming.Trigger
   * the final watermark has passed. */
 object EventWindowStream {
 
+  /** The text file source, optionally rate-limited to `maxFiles` files per
+    * micro-batch. With `maxFiles = 1` a SINGLE `AvailableNow` lifecycle
+    * processes N pre-staged drop files as N sequential micro-batches at
+    * one query-start/stop cost instead of N (~1.5 s of lifecycle overhead
+    * per start, r7 bench). Callers must stage files with strictly
+    * increasing modification times
+    * ([[graft.queries.Queries.stageBatchFile]]) — the file source orders
+    * by modTime, so controlled stamps make batch order deterministic.
+    *
+    * SEMANTIC CAVEAT, measured (EventDedupStreamSpec pins it): within a
+    * single run the LATE-RECORD filter evaluates against the PREVIOUS
+    * batch's watermark (Spark's two-value watermark design: late-event
+    * filtering lags one batch behind state eviction), while a restarted
+    * query loads the committed watermark into both. A watermark-free
+    * lifecycle (w14's flatMapGroupsWithState cursor) is therefore
+    * bit-identical either way and uses `maxFiles = 1`; the watermarked
+    * lifecycles (w9-w12) keep one lifecycle per delivery — the restart
+    * semantics their oracles replay. The multi-call path also remains
+    * the restart-recovery contract, oracle-proven via pipe2. */
+  private def source(spark: SparkSession, dir: String, maxFiles: Int) = {
+    val base = spark.readStream.format("text")
+    (if (maxFiles > 0) base.option("maxFilesPerTrigger", maxFiles) else base)
+      .load(dir)
+  }
+
   /** One delivery round: drain `dropDir` (lines `event_id TAB epoch_us
     * TAB value`), aggregate per `windowDur` tumbling event-time window,
     * append finalized windows to the parquet `sink`. */
   def deliver(spark: SparkSession, dropDir: String, checkpointDir: String,
       sink: String, delay: String, windowDur: String,
-      statePartitions: Int = 0): Unit =
+      statePartitions: Int = 0, maxFilesPerTrigger: Int = 0): Unit =
       StreamConf.withStatePartitions(spark, statePartitions) {
-    val raw = spark.readStream.format("text").load(dropDir)
+    val raw = source(spark, dropDir, maxFilesPerTrigger)
       .select(
         split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
         timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
@@ -68,10 +93,10 @@ object EventWindowStream {
     * sequential-delivery contract as [[deliver]]. */
   def deliverJoin(spark: SparkSession, dropA: String, dropB: String,
       checkpointDir: String, sink: String, delay: String,
-      statePartitions: Int = 0): Unit =
+      statePartitions: Int = 0, maxFilesPerTrigger: Int = 0): Unit =
       StreamConf.withStatePartitions(spark, statePartitions) {
     def side(dir: String, p: String) =
-      spark.readStream.format("text").load(dir).select(
+      source(spark, dir, maxFilesPerTrigger).select(
         split(col("value"), "\t").getItem(0).cast("long").as(s"${p}_id"),
         timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
           .as(s"ts_$p"),
@@ -107,9 +132,9 @@ object EventWindowStream {
     * [[deliver]]. */
   def deliverDedup(spark: SparkSession, dropDir: String,
       checkpointDir: String, sink: String, delay: String,
-      statePartitions: Int = 0): Unit =
+      statePartitions: Int = 0, maxFilesPerTrigger: Int = 0): Unit =
       StreamConf.withStatePartitions(spark, statePartitions) {
-    val raw = spark.readStream.format("text").load(dropDir)
+    val raw = source(spark, dropDir, maxFilesPerTrigger)
       .select(
         split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
         timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
@@ -145,11 +170,11 @@ object EventWindowStream {
     * state get/update/emit path itself. */
   def deliverCursor(spark: SparkSession, dropDir: String,
       checkpointDir: String, sink: String,
-      statePartitions: Int = 0): Unit =
+      statePartitions: Int = 0, maxFilesPerTrigger: Int = 0): Unit =
       StreamConf.withStatePartitions(spark, statePartitions) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val raw = spark.readStream.format("text").load(dropDir)
+    val raw = source(spark, dropDir, maxFilesPerTrigger)
       .select(
         split(col("value"), "\t").getItem(0).cast("long").as("event_id"),
         split(col("value"), "\t").getItem(1).cast("long").as("us"),
@@ -195,9 +220,10 @@ object EventWindowStream {
     * Same sequential-delivery contract as [[deliver]]. */
   def deliverSessions(spark: SparkSession, dropDir: String,
       checkpointDir: String, sink: String, delay: String,
-      gap: String, statePartitions: Int = 0): Unit =
+      gap: String, statePartitions: Int = 0,
+      maxFilesPerTrigger: Int = 0): Unit =
       StreamConf.withStatePartitions(spark, statePartitions) {
-    val raw = spark.readStream.format("text").load(dropDir)
+    val raw = source(spark, dropDir, maxFilesPerTrigger)
       .select(
         timestamp_micros(split(col("value"), "\t").getItem(1).cast("long"))
           .as("ts"),
