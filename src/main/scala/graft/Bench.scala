@@ -131,11 +131,20 @@ object Bench {
     val coldJson = results.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v.head)
     }.mkString("{", ",", "}")
+    // tier subtotals: the streaming lifecycles carry a fixed micro-batch
+    // start/checkpoint/commit cost (scale7: the data term is invisible at
+    // 16×), so their sum is reported separately — a regression in a BATCH
+    // plan must stay visible instead of drowning in lifecycle overhead
+    val streamSum = meds.collect {
+      case (k, v) if streamingFirst(k) => v }.sum
+    val tiersJson =
+      s"""{"streaming":${fmt(streamSum)},"batch":${fmt(total - streamSum)}}"""
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
          |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first, heavies last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs",
          |"queries":$qs,
+         |"tiers":$tiersJson,
          |"cold_first_run":$coldJson,
          |"runs":$runsJson
          |}""".stripMargin

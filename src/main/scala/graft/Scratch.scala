@@ -878,6 +878,11 @@ object Scratch {
         //     keep-predicates map-side; t23's top-k stays heap+merge.
         //   t26 (HTML extract): 16x documents — synthesis + extraction
         //     is one fused projection, must track the scan.
+        //   t27 (URL dedup): 16x documents — canonicalization map-side,
+        //     the window shuffle grows with rows on a uniform key.
+        //   pipe6 (web curation): 16x documents — two window shuffles +
+        //     census agg; replica texts are namespaced so content dedup
+        //     works per-replica, never collapsing across replicas.
         //   k5 (schema-evolution read): per-dir store build + merged read.
         //   j10 (bucketed SMJ): per-dir bucketed store build + zero-
         //     Exchange join; orders/customer replicated on a shared
@@ -889,7 +894,7 @@ object Scratch {
         import org.apache.spark.sql.functions._
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
           .split(",").map(_.trim.toInt).toSeq
-        val defOps = "a19,a20,a21,o8,m4,t23,t24,t26,k5,j10,sn2"
+        val defOps = "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -897,6 +902,7 @@ object Scratch {
           "a21" -> "a21_sketch_union", "o8" -> "o8_range_shards",
           "m4" -> "m4_batch_infer", "t23" -> "t23_weighted_sample",
           "t24" -> "t24_grouped_split", "t26" -> "t26_html_extract",
+          "t27" -> "t27_url_dedup", "pipe6" -> "pipe6_web_curation",
           "k5" -> "k5_schema_merge", "j10" -> "j10_bucketed",
           "sn2" -> "sn2_book_shape")
         val registry = queries.Queries.all.toMap

@@ -164,6 +164,48 @@ object Oracles {
        |FROM qs)""".stripMargin
   }
 
+  /** Shared raw-URL synthesis CTEs (UrlNormalize.syntheticUrl's string
+    * algebra — bigints concat through `||` exactly as Spark's
+    * cast-to-string): end in `r(doc_id, raw_url)` — reused by t27, pipe6. */
+  private val urlSynthCtes: String =
+    s"""u AS (SELECT doc_id, doc_id // 3 AS article,
+       |    (doc_id // 3) % 7 AS hostn, doc_id % 6 AS v FROM documents),
+       |r AS (SELECT doc_id, CASE v
+       |  WHEN 0 THEN 'https://site' || hostn || '.example.com/posts/a' || article
+       |  WHEN 1 THEN 'HTTPS://WWW.Site' || hostn || '.Example.COM:443/posts/a' || article || '/'
+       |  WHEN 2 THEN 'https://site' || hostn || '.example.com/posts/a' || article || '?utm_source=feed&utm_campaign=c' || doc_id
+       |  WHEN 3 THEN 'http://site' || hostn || '.example.com:80/posts/a' || article || '#frag-' || doc_id
+       |  WHEN 4 THEN 'https://site' || hostn || '.example.com/posts/a' || article || '?b=2&a=1'
+       |  ELSE 'https://www.site' || hostn || '.example.com/posts/a' || article || '?a=1&fbclid=x' || doc_id || '&b=2'
+       |  END AS raw_url FROM u)""".stripMargin
+
+  /** Shared URL canonicalization CTEs (the UrlNormalize.canonical rules,
+    * replayed rule-for-rule): consume a CTE `r(doc_id, raw_url)`, end in
+    * `cn(doc_id, raw_url, sch, hst, pth, qq)` — reused by t27 and pipe6.
+    * `$$` renders a literal regex end-anchor through the s-interpolator. */
+  private val urlCanonCtes: String =
+    s"""cf AS (SELECT doc_id, raw_url,
+       |    regexp_replace(raw_url, '#.*$$', '') AS nf FROM r),
+       |pr AS (SELECT doc_id, raw_url,
+       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |    regexp_replace(lower(regexp_extract(nf, '^[^:]+://([^/?]+)', 1)),
+       |      '^www\\.', '') AS h0,
+       |    coalesce(regexp_extract(nf, '^[^:]+://[^/?]+(/[^?]*)', 1), '') AS pth0,
+       |    coalesce(regexp_extract(nf, '\\?(.*)$$', 1), '') AS q FROM cf),
+       |qs AS (SELECT doc_id, raw_url, sch, h0, pth0,
+       |    coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+       |        AND NOT list_contains(['fbclid','gclid','ref','mc_eid','igshid'],
+       |          string_split(p, '=')[1]))), '&'), '') AS qsort FROM pr),
+       |cn AS (SELECT doc_id, raw_url, sch,
+       |    CASE WHEN sch = 'http' THEN regexp_replace(h0, ':80$$', '')
+       |         WHEN sch = 'https' THEN regexp_replace(h0, ':443$$', '')
+       |         ELSE h0 END AS hst,
+       |    CASE WHEN pth0 = '/' THEN '' ELSE regexp_replace(pth0, '/$$', '')
+       |      END AS pth,
+       |    CASE WHEN qsort = '' THEN '' ELSE '?' || qsort END AS qq
+       |  FROM qs)""".stripMargin
+
   /** Shared d2 core: blocked exact-Jaccard pair CTEs ending in
     * `j(id_a, id_b, jaccard)` — reused by d2 and d9 (cluster closure). */
   private val d2Ctes: String =
@@ -2077,6 +2119,90 @@ object Oracles {
          |    AND 10 * alpha >= 8 * n
          |    AND stops >= 2 THEN 1 ELSE 0 END AS passes
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // t27: raw URLs synthesized with the same string algebra as
+    // UrlNormalize.syntheticUrl (bigints concat through || as in Spark's
+    // cast-to-string), then the RFC 3986 §6 canonicalization replayed
+    // rule-for-rule; clustering is two plain windows over the canonical key
+    "t27_url_dedup" ->
+      s"""WITH $urlSynthCtes,
+         |$urlCanonCtes,
+         |x AS (SELECT doc_id, raw_url,
+         |    sch || '://' || hst || pth || qq AS canon_url FROM cn)
+         |SELECT doc_id, raw_url, canon_url,
+         |  count(*) OVER (PARTITION BY canon_url) AS cluster_size,
+         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+         |    THEN 1 ELSE 0 END AS keep
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    // pipe6: t26's page-synth + extraction chain (lang carried through),
+    // Gopher gate on the extract, then the t27 URL canonicalization and two
+    // cascading conditional-window keep elections (URL key, content key) —
+    // the funnel census per lang. MATERIALIZED pins the html chain to one
+    // evaluation (the bpeWith lesson: DuckDB inlines CTEs per reference).
+    "pipe6_web_curation" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, ${rawToks("text")} AS toks
+         |  FROM documents),
+         |pg AS MATERIALIZED (SELECT doc_id, lang,
+         |  '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style><script>var tracker = "x"; load();</script></head><body>' || chr(10) ||
+         |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/archive">' || lang || ' archive</a></nav>' || chr(10) ||
+         |  array_to_string(list_transform(
+         |      range(1, CAST(ceil(len(toks)/20.0) AS BIGINT) + 1),
+         |      i -> '<p>' || array_to_string(toks[((i-1)*20+1):(i*20)], ' ')
+         |        || '</p>'), chr(10)) || chr(10) ||
+         |  '<div class="promo"><a href="/buy">Buy now</a> top deals <a href="/go">click here</a></div>' || chr(10) ||
+         |  '<footer>Copyright 2026 ' || source || ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS html
+         |  FROM t),
+         |bl AS (SELECT doc_id, lang,
+         |  string_split(regexp_replace(regexp_replace(html,
+         |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'), chr(10)) AS blocks
+         |  FROM pg),
+         |f0 AS (SELECT doc_id, lang, list_transform(blocks, b -> struct_pack(
+         |    txt := trim(regexp_replace(regexp_replace(b,
+         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+         |    anchors := CAST(coalesce(list_sum(list_transform(
+         |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+         |      a -> length(replace(a, ' ', '')))), 0) AS BIGINT))) AS f0
+         |  FROM bl),
+         |cl AS MATERIALIZED (SELECT doc_id, lang,
+         |  array_to_string(list_transform(list_filter(f0, f ->
+         |    len(list_filter(string_split(f.txt, ' '), x -> x <> ''))
+         |        >= ${HtmlExtract.MinBlockWords}
+         |      AND f.anchors * ${HtmlExtract.LinkDensityDen}
+         |        < CAST(length(replace(f.txt, ' ', '')) AS BIGINT)
+         |          * ${HtmlExtract.LinkDensityNum}),
+         |    f -> f.txt), ' ') AS clean
+         |  FROM f0),
+         |g AS (SELECT doc_id, lang, clean,
+         |    CAST(len(${rawToks("clean")}) AS BIGINT) AS n,
+         |    CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS BIGINT) AS chars,
+         |    CAST(length(clean) - length(replace(clean, '#', '')) AS BIGINT) AS hashes,
+         |    CAST((length(clean) - length(replace(clean, '...', ''))) // 3 AS BIGINT) AS dots,
+         |    CAST(len(list_filter(${rawToks("clean")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(${rawToks("clean")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+         |  FROM cl),
+         |ok AS (SELECT doc_id, lang, n AS words, md5(clean) AS fp,
+         |    (n >= 50 AND n <= 100000
+         |      AND 3 * n <= chars AND chars <= 10 * n
+         |      AND 10 * (hashes + dots) < n
+         |      AND 10 * alpha >= 8 * n
+         |      AND stops >= 2) AS clean_ok
+         |  FROM g),
+         |$urlSynthCtes,
+         |$urlCanonCtes,
+         |s1 AS (SELECT ok.*, sch || '://' || hst || pth || qq AS canon
+         |  FROM ok JOIN cn USING (doc_id)),
+         |s2 AS (SELECT *, clean_ok AND doc_id = min(CASE WHEN clean_ok
+         |    THEN doc_id END) OVER (PARTITION BY canon) AS url_ok FROM s1),
+         |s3 AS (SELECT *, url_ok AND doc_id = min(CASE WHEN url_ok
+         |    THEN doc_id END) OVER (PARTITION BY fp) AS final_ok FROM s2)
+         |SELECT lang, count(*) AS n_raw,
+         |  CAST(sum(CASE WHEN clean_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(sum(CASE WHEN url_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_url_unique,
+         |  CAST(sum(CASE WHEN final_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+         |  CAST(sum(CASE WHEN final_ok THEN words ELSE 0 END) AS BIGINT) AS final_words
+         |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin,
 
     // d12: stride-1 window fingerprints with POSITION (lateral range), dup
     // election by global count >= 2, then a per-doc islands merge of the

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Bpe, Decontaminate, Dedup, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis, UrlNormalize}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -3253,6 +3253,80 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T27: URL canonicalization + URL-keyed dedup — the identity pass a
+    * crawl corpus runs BEFORE any content pass (C4/RefinedWeb dedup on the
+    * normalized URL first; content dedup only sees URL-unique survivors).
+    * Raw URLs are synthesized deterministically
+    * ([[UrlNormalize.syntheticUrl]]: 3-doc article groups under case/www/
+    * port/slash/tracking/param-order/fragment noise, with an http variant
+    * that must NOT collapse into its https cluster), canonicalized by the
+    * RFC 3986 §6 rules ([[UrlNormalize.canonical]] — pure map-side column
+    * algebra fused into the scan), then clustered: cluster_size and a
+    * min-doc_id keep election over the canonical key. The window partitions
+    * on the high-cardinality uniform canonical URL — at 100 TB this is the
+    * ordinary hash shuffle a URL dedup costs, nothing more. */
+  def t27UrlDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("canon_url"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), UrlNormalize.syntheticUrl(col("doc_id")).as("raw_url"))
+      .withColumn("canon_url", UrlNormalize.canonical(col("raw_url")))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("keep",
+        when(col("doc_id") === min(col("doc_id")).over(w), 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PIPE6: the raw-web curation spine as ONE plan — the composition every
+    * from-crawl training-data pipeline runs, in the order it runs it:
+    * markup→clean-text extraction (t26's jusText rules), the Gopher
+    * quality gate on the EXTRACT (not the markup), URL-keyed dedup (t27's
+    * canonical key — cheapest first: no content comparison), then exact
+    * content dedup on the clean-text fingerprint, each stage electing
+    * min-doc_id among the PREVIOUS stage's survivors (the conditional
+    * window-min trick: `min(CASE WHEN survivor THEN doc_id END)` — one
+    * window per stage, no self-joins). Output is the per-lang funnel
+    * census: docs in → clean-gate → URL-unique → content-unique, plus the
+    * surviving token mass. Scale shape: two hash-window shuffles on
+    * high-cardinality uniform keys (canon URL, content fp) + one final
+    * tiny groupBy — the extraction and gates are map-side. */
+  def pipe6WebCuration(s: SparkSession, d: String): DataFrame = {
+    val paged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        HtmlExtract.syntheticPage(col("doc_id"), col("lang"), col("source"),
+          col("toks")).as("html"))
+    val clean = paged
+      .select(col("doc_id"), col("lang"),
+        HtmlExtract.blocks(col("html")).as("blocks"))
+      .select(col("doc_id"), col("lang"),
+        HtmlExtract.cleanText(HtmlExtract.blockFeatures(col("blocks")))
+          .as("clean"))
+    val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("clean"))
+    val staged = clean
+      .withColumn("clean_ok",
+        rWords && rMeanLen && rSymbol && rAlpha && rStop)
+      .withColumn("canon_url",
+        UrlNormalize.canonical(UrlNormalize.syntheticUrl(col("doc_id"))))
+      .withColumn("fp", md5(col("clean")))
+    val wUrl = Window.partitionBy(col("canon_url"))
+    val wFp = Window.partitionBy(col("fp"))
+    val gated = staged
+      .withColumn("url_ok", col("clean_ok") && col("doc_id") ===
+        min(when(col("clean_ok"), col("doc_id"))).over(wUrl))
+      .withColumn("final_ok", col("url_ok") && col("doc_id") ===
+        min(when(col("url_ok"), col("doc_id"))).over(wFp))
+    gated.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("clean_ok"), 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("url_ok"), 1L).otherwise(0L)).as("n_url_unique"),
+      sum(when(col("final_ok"), 1L).otherwise(0L)).as("n_final"),
+      sum(when(col("final_ok"),
+        size(TextAnalysis.tokens(col("clean"))).cast("long"))
+        .otherwise(0L)).as("final_words"))
+      .orderBy(col("lang"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -3487,8 +3561,10 @@ object Queries {
     "a21_sketch_union" -> a21SketchUnion _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
+    "t27_url_dedup" -> t27UrlDedup _,
     "pipe4_pack_export" -> pipe4PackExport _,
     "pipe5_backfill_closure" -> pipe5BackfillClosure _,
+    "pipe6_web_curation" -> pipe6WebCuration _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,

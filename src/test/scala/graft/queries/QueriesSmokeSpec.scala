@@ -194,6 +194,43 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t27 URL dedup: canonicalization is map-side, one data shuffle") {
+    // the canonical key must be computed inside the scan projection; the
+    // only data shuffle is the window hash partition on canon_url (plus
+    // the output orderBy's range partition) — a third Exchange means the
+    // canonicalization stopped fusing
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Queries.t27UrlDedup(spark, sfDir).queryExecution.executedPlan
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 2, s"${exch.length} shuffles:\n" +
+        plan.toString.take(1200))
+      assert(exch.exists(_.outputPartitioning.toString.contains("canon_url")))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
+  test("pipe6 funnel: exactly the two window shuffles + the census agg") {
+    // extraction, gates and URL algebra are all map-side; the plan's data
+    // shuffles are the canon-URL window, the content-fp window, the lang
+    // groupBy and the output orderBy — nothing corpus-wide beyond those
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan =
+        Queries.pipe6WebCuration(spark, sfDir).queryExecution.executedPlan
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 4, s"${exch.length} shuffles:\n" +
+        plan.toString.take(1200))
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.length == 2, plan.toString.take(800))
+      assert(!plan.toString.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("w13 SCD2: one hash Exchange feeds both window passes") {
     // change-detect + interval-close share (user_id | ts, event_id), so
     // the plan must hold exactly two shuffles: the window hash partition
