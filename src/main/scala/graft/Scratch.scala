@@ -617,7 +617,7 @@ object Scratch {
         import org.apache.spark.sql.expressions.Window
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
           .split(",").map(_.trim.toInt).toSeq
-        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d13,t16,s15")
+        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d13,t16,s15,s16")
           .split(",").map(_.trim).toSet
         val docs0 = Tables.documents(spark, sfDir)
         val emb0 = Tables.embeddings(spark, sfDir)
@@ -634,7 +634,7 @@ object Scratch {
         }.reduce(_ unionByName _)
         def repEmb(k: Int) = (0 until k).map(i =>
           emb0.select((col("vec_id") + lit(i * vidSpan)).as("vec_id"),
-            col("embedding"))).reduce(_ unionByName _)
+            col("embedding"), col("label"))).reduce(_ unionByName _)
         val times = scala.collection.mutable.Map[String, Double]()
         def timed(name: String)(f: => Long): Unit = {
           spark.sharedState.cacheManager.clearCache()
@@ -698,8 +698,18 @@ object Scratch {
                 .where(col("rank") <= queries.QuerySpec.IvfTopK).count()
             }
           }
+          if (ops("s16")) timed(s"s16_x$k") {
+            // contrastive mining: the corpus side grows kx but the query
+            // batch and the pos/neg output stay fixed — wall must track
+            // the probed-cell candidate scan, never the pair space
+            operators.Similarity.contrastivePairs(repEmb(k),
+              emb0.where(col("vec_id") < queries.QuerySpec.NumQueries),
+              emb0.where(col("vec_id") < queries.QuerySpec.NumCentroids),
+              "vec_id", "embedding", "label", queries.QuerySpec.PosK,
+              queries.QuerySpec.NegK, queries.QuerySpec.S16Probe).count()
+          }
         }
-        for (q <- Seq("d13", "t16", "s15b", "s15q")
+        for (q <- Seq("d13", "t16", "s15b", "s15q", "s16")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
           val growth = scales.max.toDouble / scales.min

@@ -176,7 +176,8 @@ object Similarity {
     * every row leaves the scan with its cell(s) attached. */
   def assignCells(df: DataFrame, cents: Array[(Long, Array[Double])],
       idCol: String, vecCol: String, outId: String, outVec: String,
-      cells: Int, assignVec: Column => Column = identity): DataFrame = {
+      cells: Int, assignVec: Column => Column = identity,
+      carry: Seq[String] = Nil): DataFrame = {
     // per-centroid norms with the same left-to-right fold the per-row
     // expressions (and the DuckDB oracle) use — bit-identical doubles
     val centMeta = typedlit(cents.map { case (id, v) =>
@@ -209,7 +210,8 @@ object Similarity {
         .otherwise(lit(Double.NegativeInfinity)).as("neg_sim"),
         m.getField("_1").as("cell"))
     })
-    df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+    df.select(col(idCol).as(outId) +: col(vecCol).as(outVec) +:
+        carry.map(col): _*)
       .withColumn("_dots", dots)
       .withColumn("_vnorm", sqrt(aggregate(
         transform(v, x => x.cast("double") * x.cast("double")),
@@ -217,7 +219,7 @@ object Similarity {
       .withColumn("cell",
         explode(transform(slice(array_sort(scored), 1, cells),
           t => t.getField("cell"))))
-      .select(col(outId), col(outVec), col("cell"))
+      .select(col(outId) +: col(outVec) +: col("cell") +: carry.map(col): _*)
   }
 
   /** Collect a centroid DataFrame to the driver-side model (k rows — a
@@ -458,6 +460,42 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Contrastive pair mining — the training-data op behind every
+    * embedding-model fine-tune (SimCSE/DPR/E5-style): for each query
+    * vector, elect the top `posK` most-similar SAME-label neighbors
+    * (positives) and the top `negK` most-similar DIFFERENT-label
+    * neighbors (HARD negatives — high cosine, wrong label: exactly the
+    * pairs a contrastive loss learns most from; random negatives are
+    * trivially separable and teach nothing).
+    *
+    * Scale shape = IVF candidate generation ([[ivfTopK]]'s): labels ride
+    * the cell assignment (`carry`), queries probe `nprobe` cells so a
+    * near-boundary query still sees its cross-cell hard negatives, and
+    * the per-(query, pair_type) rank is one window over the cell-join
+    * candidates — never a corpus×query crossJoin. At 100 TB the corpus
+    * side is the persisted s15 index; the query batch broadcasts. */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      posK: Int, negK: Int, nprobe: Int = 2): DataFrame = {
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val c = assignCells(corpus, cents, idCol, vecCol, "neighbor_id", "cv", 1,
+      carry = Seq(labelCol)).withColumnRenamed(labelCol, "n_label")
+    val q = assignCells(queries, cents, idCol, vecCol, "query_id", "qv",
+      nprobe, carry = Seq(labelCol)).withColumnRenamed(labelCol, "q_label")
+    val w = Window.partitionBy(col("query_id"), col("pair_type"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("pair_type",
+        when(col("n_label") === col("q_label"), "pos").otherwise("neg"))
+      .withColumn("rank", row_number().over(w))
+      .where((col("pair_type") === "pos" && col("rank") <= posK) ||
+        (col("pair_type") === "neg" && col("rank") <= negK))
+      .select(col("query_id"), col("pair_type"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
   }
 

@@ -2598,6 +2598,35 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
+    // S16: cell assignment replayed once for the corpus (arn = 1) and the
+    // query side reuses the SAME ranked cross join with arn <= probe; the
+    // pos/neg election mirrors the engine's per-(query, pair_type) window
+    "s16_hard_negatives" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv, label AS n_label
+         |  FROM embeddings),
+         |ca AS (SELECT nid, cv, n_label, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, n_label, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, n_label AS q_label,
+         |    cent_id AS cell
+         |  FROM ca WHERE nid < $NumQueries AND arn <= $S16Probe),
+         |s AS (SELECT query_id, nid AS neighbor_id,
+         |    CASE WHEN n_label = q_label THEN 'pos' ELSE 'neg' END AS pair_type,
+         |    ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |r AS (SELECT query_id, pair_type, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id, pair_type
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, pair_type, neighbor_id,
+         |  CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
+         |FROM r WHERE (pair_type = 'pos' AND rank <= $PosK)
+         |  OR (pair_type = 'neg' AND rank <= $NegK)
+         |ORDER BY query_id, pair_type, rank""".stripMargin,
+
     // S15: same relational twin as s3 (the persisted index changes the
     // PHYSICAL layout — build-once parquet partitioned by cell, DPP-pruned
     // serving scan — not the answer).

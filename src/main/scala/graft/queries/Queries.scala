@@ -2757,6 +2757,23 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S16: contrastive pair mining (SimCSE/DPR-style) — for each query
+    * vector, the top-2 most-similar SAME-label neighbors (positives) and
+    * the top-3 most-similar DIFFERENT-label neighbors (hard negatives)
+    * out of the IVF-probed cells (probe=2 so near-boundary queries see
+    * their cross-cell hard negatives). Candidate generation is the s3/s15
+    * cell equi-join with labels carried through the assignment — never a
+    * corpus×queries crossJoin; the pair election is one window per
+    * (query, pair_type). The op that turns a labeled 100 TB embedding
+    * store into an embedding-model training set. */
+  def s16HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.contrastivePairs(emb, emb.where(col("vec_id") < NumQueries),
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding",
+      "label", PosK, NegK, S16Probe)
+      .orderBy(col("query_id"), col("pair_type"), col("rank"))
+  }
+
   /** S14: ANN recall@k — the evaluation every approximate index ships
     * with: sign-LSH hits against the brute-force cosine ground truth, per
     * query (LSH is the engine's lossiest index — single-bucket candidates
@@ -3586,7 +3603,8 @@ object Queries {
     "s12_pq_ann" -> s12PqAnn _,
     "s13_ivf_pq" -> s13IvfPq _,
     "s14_ann_recall" -> s14AnnRecall _,
-    "s15_ivf_index" -> s15IvfIndexPersist _)
+    "s15_ivf_index" -> s15IvfIndexPersist _,
+    "s16_hard_negatives" -> s16HardNegatives _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders
     * part-table-derived fixtures into each exchange's raw exchange-info JSON

@@ -57,6 +57,10 @@ object QuerySpec {
   // S11 full Lloyd training: iteration cap (early stop at the fixpoint; the
   // oracle replays exactly this many steps — identities past convergence)
   val KmeansIters = 12
+  // S16 contrastive mining: positives / hard negatives per query, probed cells
+  val PosK = 2
+  val NegK = 3
+  val S16Probe = 2
 
   // A18 TextRank/PageRank: damping 85/100, rank mass scaled to parts-per-
   // trillion so every iteration is integer-exact in both engines

@@ -101,6 +101,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: positives share the label, negatives don't, " +
+      "probe=2 reaches the cross-cell hard negative") {
+    // two tight clusters on the axes; the boundary query q (id 10, label 0)
+    // lands in cell 0, but its HARDEST negative n (id 20, label 1) sits just
+    // across the boundary in cell 1 — probe=1 can never see it, probe=2 must
+    val lv = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // centroid/corpus, cell 0
+      (1L, Seq(0.0f, 1.0f), 1),   // centroid/corpus, cell 1
+      (10L, Seq(0.8f, 0.6f), 0),  // boundary query, cell 0
+      (11L, Seq(0.9f, 0.1f), 0),  // same-label neighbor in cell 0
+      (20L, Seq(0.6f, 0.8f), 1),  // the cross-cell hard negative
+      (21L, Seq(0.1f, 0.9f), 1)).toDF("vec_id", "embedding", "label")
+    val cents = lv.where($"vec_id" < 2)
+    def mined(nprobe: Int) =
+      Similarity.contrastivePairs(lv, lv.where($"vec_id" === 10), cents,
+        "vec_id", "embedding", "label", posK = 2, negK = 2, nprobe = nprobe)
+        .select("pair_type", "neighbor_id", "rank")
+        .as[(String, Long, Long)].collect().toList
+    val p2 = mined(2)
+    // positives: ids 11 and 0 (label 0), negatives led by the boundary
+    // vector 20 — the highest-cosine wrong-label pair is rank-1
+    assert(p2.filter(_._1 == "pos").map(_._2).toSet == Set(0L, 11L))
+    assert(p2.filter(_._1 == "neg").minBy(_._3) == ("neg", 20L, 1L))
+    // probe=1 stays inside cell 0: no wrong-label vector lives there, so
+    // the hard negative is invisible — the nprobe knob IS the recall story
+    assert(mined(1).forall(_._1 == "pos"))
+  }
+
   // prefix-2 slices must be nonzero: cosine over a zero-norm prefix is a
   // 0/0 (ANSI divide-by-zero) in ANY engine — same contract as the oracle
   private def mrlVecs = Seq(
