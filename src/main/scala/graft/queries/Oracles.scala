@@ -1388,6 +1388,24 @@ object Oracles {
         |    AS n_sources
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
 
+    // k6: the engine's JSONL round-trip must reproduce the parquet table
+    // exactly (60-bit md5 content checksum mod 1e9+7), plus the two
+    // well-formed side rows and the one malformed line as a `?corrupt`
+    // census group — all constants derivable from the side file's literals
+    "k6_jsonl_roundtrip" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(sum(${md5Hash15("text")} % 1000000007) AS BIGINT) AS text_hash
+         |FROM documents GROUP BY lang
+         |UNION ALL SELECT 'xx', CAST(2 AS BIGINT), CAST(21 AS BIGINT),
+         |  CAST(18000003 AS BIGINT),
+         |  CAST(${md5Hash15("'extra alpha'")} % 1000000007
+         |    + ${md5Hash15("'extra beta'")} % 1000000007 AS BIGINT)
+         |UNION ALL SELECT '?corrupt', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |ORDER BY lang""".stripMargin,
+
     "j10_bucketed" ->
       s"""SELECT c_nationkey, count(*) AS n_orders,
          |  ${dsum("o_totalprice")} AS total_price
@@ -2203,6 +2221,55 @@ object Oracles {
          |  CAST(sum(CASE WHEN final_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
          |  CAST(sum(CASE WHEN final_ok THEN words ELSE 0 END) AS BIGINT) AS final_words
          |FROM s3 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // pipe7: the WARC mechanics (record synth, text-source split on the
+    // record magic, header parse, payload strip) are the ENGINE's burden —
+    // the oracle computes the expected census directly from documents via
+    // the same t26 extraction chain (lang carried through), plus the
+    // request-record count as a constant-shape group
+    "pipe7_warc_ingest" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, ${rawToks("text")} AS toks
+         |  FROM documents),
+         |pg AS MATERIALIZED (SELECT doc_id, lang,
+         |  '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style><script>var tracker = "x"; load();</script></head><body>' || chr(10) ||
+         |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/archive">' || lang || ' archive</a></nav>' || chr(10) ||
+         |  array_to_string(list_transform(
+         |      range(1, CAST(ceil(len(toks)/20.0) AS BIGINT) + 1),
+         |      i -> '<p>' || array_to_string(toks[((i-1)*20+1):(i*20)], ' ')
+         |        || '</p>'), chr(10)) || chr(10) ||
+         |  '<div class="promo"><a href="/buy">Buy now</a> top deals <a href="/go">click here</a></div>' || chr(10) ||
+         |  '<footer>Copyright 2026 ' || source || ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS html
+         |  FROM t),
+         |bl AS (SELECT doc_id, lang,
+         |  string_split(regexp_replace(regexp_replace(html,
+         |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'), chr(10)) AS blocks
+         |  FROM pg),
+         |f0 AS (SELECT doc_id, lang, list_transform(blocks, b -> struct_pack(
+         |    txt := trim(regexp_replace(regexp_replace(b,
+         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+         |    anchors := CAST(coalesce(list_sum(list_transform(
+         |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+         |      a -> length(replace(a, ' ', '')))), 0) AS BIGINT))) AS f0
+         |  FROM bl),
+         |cl AS MATERIALIZED (SELECT doc_id, lang,
+         |  array_to_string(list_transform(list_filter(f0, f ->
+         |    len(list_filter(string_split(f.txt, ' '), x -> x <> ''))
+         |        >= ${HtmlExtract.MinBlockWords}
+         |      AND f.anchors * ${HtmlExtract.LinkDensityDen}
+         |        < CAST(length(replace(f.txt, ' ', '')) AS BIGINT)
+         |          * ${HtmlExtract.LinkDensityNum}),
+         |    f -> f.txt), ' ') AS clean
+         |  FROM f0)
+         |SELECT 'response' AS wtype, lang,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(sum(len(${rawToks("clean")})) AS BIGINT) AS clean_words,
+         |  CAST(sum(${md5Hash15("clean")} % 1000000007) AS BIGINT) AS text_hash
+         |FROM cl GROUP BY lang
+         |UNION ALL SELECT 'request', '-', CAST(count(*) AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM documents WHERE doc_id % 7 = 0
+         |ORDER BY wtype, lang""".stripMargin,
 
     // d12: stride-1 window fingerprints with POSITION (lateral range), dup
     // election by global count >= 2, then a per-doc islands merge of the

@@ -3344,6 +3344,65 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** PIPE7: WARC ingest — the step BEFORE pipe6 in a real from-crawl
+    * pipeline: the corpus arrives as ISO 28500 WARC shards (record =
+    * `WARC/1.0\r\n` + headers + `\r\n\r\n` + payload), not as a parquet
+    * table. The splitter is Spark's own text source with a multi-byte
+    * `lineSep` of the record magic — each task scans its file slice and
+    * emits whole records, no custom InputFormat, no driver-side parsing;
+    * header fields and the payload split are pure map-side column algebra
+    * (one regexp per header + one bounded `split`). Non-response records
+    * (here: interleaved `request` records) are census-counted and
+    * filtered, never silently dropped. Response payloads then run the
+    * t26 markup→clean-text extraction, and the output census carries the
+    * same 60-bit content checksum as k6 — any byte the record
+    * writer/splitter mangles breaks the oracle hash. Scale notes: shards
+    * are written uncompressed so the text scan stays splittable (real
+    * CommonCrawl WARCs are per-record gzip members — there, parallelism
+    * = shard count, same plan); records never concatenate into one task
+    * row because the delimiter bounds them. */
+  def pipe7WarcIngest(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("p7w")
+      .resolve("warc").toString
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val page = HtmlExtract.syntheticPage(col("doc_id"), col("lang"),
+      col("source"), col("toks"))
+    val uri = UrlNormalize.syntheticUrl(col("doc_id"))
+    val response = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), length(page).cast("string"),
+      lit("\r\n\r\n"), page)
+    val request = concat(
+      lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: 5\r\n\r\nGET /"))
+    docs.select(response.as("value"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0).select(request.as("value")))
+      .write.mode("overwrite").text(root)
+    val isResp = col("wtype") === "response"
+    s.read.option("lineSep", "WARC/1.0\r\n").text(root)
+      .where(length(col("value")) > 0)
+      .select(
+        regexp_extract(col("value"), "WARC-Type: ([a-z]+)", 1).as("wtype"),
+        regexp_replace(split(col("value"), "\r\n\r\n", 2).getItem(1),
+          "\n+$", "").as("payload"))
+      .withColumn("lang", when(isResp,
+        regexp_extract(col("payload"), "/archive\">([a-z]+) archive", 1))
+        .otherwise(lit("-")))
+      .withColumn("clean", when(isResp, HtmlExtract.cleanText(
+        HtmlExtract.blockFeatures(HtmlExtract.blocks(col("payload")))))
+        .otherwise(lit("")))
+      .groupBy(col("wtype"), col("lang"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(isResp, size(TextAnalysis.tokens(col("clean"))).cast("long"))
+          .otherwise(0L)).as("clean_words"),
+        sum(when(isResp,
+          conv(substring(md5(col("clean")), 1, 15), 16, 10).cast("long")
+            % 1000000007L).otherwise(0L)).as("text_hash"))
+      .orderBy(col("wtype"), col("lang"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -3444,6 +3503,52 @@ object Queries {
         count(col("n_chars")).as("n_evolved"),
         sum(col("n_chars")).as("total_new_chars"),
         countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** K6: the JSONL ingest seam EXERCISED through the oracle gate — the
+    * interchange format every LLM corpus actually arrives in. The
+    * documents table is exported as gzip JSONL, a hand-written side file
+    * adds two well-formed rows plus one malformed line, and the read-back
+    * uses an EXPLICIT schema (schema-on-read — no sampling-inference scan,
+    * which at 100 TB would read the corpus twice) in PERMISSIVE mode with
+    * a corrupt-record column, so one bad line becomes one quarantined row
+    * instead of a dead job. The census per lang carries a 60-bit
+    * md5-derived content checksum (mod 1e9+7 so a billion-row sum still
+    * fits in int64): any character the JSON writer or parser mangles in
+    * round-trip breaks the oracle hash. Corrupt rows surface as their own
+    * `?corrupt` group with zeroed sums — count-visible, never silently
+    * dropped. Scale note: gzip makes one task per file (a .gz member is
+    * not splittable) — parallelism = file count, which the upstream
+    * writer's partitioning already set; at 100 TB prefer zstd/none for
+    * splittable scans, same plan otherwise. */
+  def k6JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("k6j")
+      .resolve("docs_jsonl").toString
+    Tables.documents(s, d).write.mode("overwrite")
+      .option("compression", "gzip").json(root)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "side_feed.json"),
+      java.util.Arrays.asList(
+        """{"doc_id":9000001,"text":"extra alpha","lang":"xx","source":"side","n_chars":11}""",
+        """{"doc_id":9000002,"text":"extra beta","lang":"xx","source":"side","n_chars":10}""",
+        """{"doc_id":9000003,"text":"truncated"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(root)
+      .groupBy(coalesce(col("lang"), lit("?corrupt")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"),
+        sum(coalesce(col("doc_id"), lit(0L))).as("sum_doc_id"),
+        sum(coalesce(
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+            % 1000000007L, lit(0L))).as("text_hash"))
       .orderBy(col("lang"))
   }
 
@@ -3582,9 +3687,11 @@ object Queries {
     "pipe4_pack_export" -> pipe4PackExport _,
     "pipe5_backfill_closure" -> pipe5BackfillClosure _,
     "pipe6_web_curation" -> pipe6WebCuration _,
+    "pipe7_warc_ingest" -> pipe7WarcIngest _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,
+    "k6_jsonl_roundtrip" -> k6JsonlRoundtrip _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

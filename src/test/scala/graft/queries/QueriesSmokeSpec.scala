@@ -341,6 +341,36 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("k6 JSONL: bad line quarantined as one ?corrupt row, side rows kept") {
+    val rows = Queries.k6JsonlRoundtrip(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // PERMISSIVE + corrupt-record column: the malformed line is ONE
+    // censused row, not a dead job and not a silent drop
+    assert(rows.get("?corrupt").contains(1L), rows.toString)
+    assert(rows.get("xx").contains(2L), rows.toString) // the two side rows
+    // and the parquet-table langs all survived the round-trip
+    val langs = graft.Tables.documents(spark, sfDir)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(rows.keySet), (langs -- rows.keySet).toString)
+  }
+
+  test("pipe7 WARC: splitter loses no records; requests censused not dropped") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val nReq = docs.where(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .count()
+    val rows = Queries.pipe7WarcIngest(spark, sfDir).collect()
+    // every response record re-emerges from the lineSep splitter with its
+    // lang header intact (a mangled record boundary would shift a record
+    // into the wrong group or the '' lang bucket)
+    val resp = rows.filter(_.getString(0) == "response")
+    assert(resp.map(_.getLong(2)).sum == nDocs, resp.mkString("\n"))
+    assert(!resp.exists(_.getString(1).isEmpty), "lang header lost")
+    // non-response records: counted as their own group, never silently cut
+    val req = rows.filter(_.getString(0) == "request")
+    assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
