@@ -904,7 +904,8 @@ object Scratch {
         import org.apache.spark.sql.functions._
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
           .split(",").map(_.trim.toInt).toSeq
-        val defOps = "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2"
+        val defOps =
+          "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -914,7 +915,11 @@ object Scratch {
           "t24" -> "t24_grouped_split", "t26" -> "t26_html_extract",
           "t27" -> "t27_url_dedup", "pipe6" -> "pipe6_web_curation",
           "k5" -> "k5_schema_merge", "j10" -> "j10_bucketed",
-          "sn2" -> "sn2_book_shape")
+          "sn2" -> "sn2_book_shape",
+          // r8 ingest seams: k6 (JSONL round-trip — gzip export + permissive
+          // read grow with the corpus, census stays |langs|+2 rows),
+          // pipe7 (WARC — record synth/split/extract all scan-tracking)
+          "k6" -> "k6_jsonl_roundtrip", "pipe7" -> "pipe7_warc_ingest")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
