@@ -2153,6 +2153,49 @@ object Oracles {
          |    THEN 1 ELSE 0 END AS keep
          |FROM x ORDER BY doc_id""".stripMargin,
 
+    // t28: RRF fusion of t21's BM25 list (same CTE text → same doubles)
+    // and s1's cosine ranker pinned to query vec 0; fused score in integer
+    // parts-per-trillion via BIGINT floor division (`//`), so rank → score
+    // is bit-exact. Depth caps make every post-ranker relation ≤10 rows.
+    "t28_hybrid_rrf" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
+         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id),
+         |top AS (SELECT doc_id,
+         |    floor(sc * 1000000 + 0.5) / 1000000 AS score
+         |  FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK),
+         |sp AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY score DESC, doc_id) AS rank_s
+         |  FROM top QUALIFY rank_s <= $RrfDepth),
+         |q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = $RrfQueryVec),
+         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+         |ds AS (SELECT doc_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM c CROSS JOIN q WHERE doc_id <> $RrfQueryVec),
+         |dn AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY sim DESC, doc_id) AS rank_d
+         |  FROM ds QUALIFY rank_d <= $RrfDepth),
+         |fu AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |    coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_s), 0)
+         |      + coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_d), 0)
+         |      AS rrf_ppt,
+         |    coalesce(rank_s, 0) AS rank_s, coalesce(rank_d, 0) AS rank_d
+         |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+         |SELECT doc_id, CAST(rank_s AS BIGINT) AS rank_sparse,
+         |  CAST(rank_d AS BIGINT) AS rank_dense, rrf_ppt
+         |FROM fu ORDER BY rrf_ppt DESC, doc_id LIMIT $RrfTopK""".stripMargin
+    },
+
     // pipe6: t26's page-synth + extraction chain (lang carried through),
     // Gopher gate on the extract, then the t27 URL canonicalization and two
     // cascading conditional-window keep elections (URL key, content key) —

@@ -3293,6 +3293,45 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T28: hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009) — the sparse+dense fusion every modern retrieval stack
+    * runs: BM25 (t21's ranker) and embedding-cosine ANN (s1's ranker) each
+    * produce a depth-limited ranked list, and a doc's fused score is
+    * Σ 1/(k + rank) over the lists it appears in, k=60. Scores are integer
+    * parts-per-trillion (`PrScale div (k + rank)`) so the fusion is
+    * bit-exact in both engines; with depth ≤ 10 any doc present in BOTH
+    * lists provably outranks any single-list doc (2/(60+10) > 1/(60+1) —
+    * spec-pinned). Scale shape: each ranker is its own depth-K top-k (the
+    * BM25 side only moves term-matching occurrences; the dense side's
+    * documented brute baseline has the s15 DPP-pruned IVF serve as its
+    * production twin), and the fusion itself joins two ≤K-row lists — the
+    * rank windows and the full-outer join are list-sized, never
+    * corpus-sized. */
+  def t28HybridRrf(s: SparkSession, d: String): DataFrame = {
+    // rank windows below are unpartitioned but operate on the ≤RrfDepth-row
+    // ranker outputs (post-limit), never on corpus-grain data
+    val sparse = t21Bm25(s, d)
+      .withColumn("rank_s", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank_s") <= RrfDepth)
+      .select(col("doc_id"), col("rank_s"))
+    val emb = Tables.embeddings(s, d)
+    val dense = Similarity.cosineTopK(emb,
+        emb.where(col("vec_id") === RrfQueryVec), "vec_id", "embedding",
+        RrfDepth)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_d"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_ppt",
+        coalesce(expr(s"$PrScale div ($RrfK + rank_s)"), lit(0L)) +
+        coalesce(expr(s"$PrScale div ($RrfK + rank_d)"), lit(0L)))
+      .orderBy(col("rrf_ppt").desc, col("doc_id"))
+      .limit(RrfTopK)
+      .select(col("doc_id"),
+        coalesce(col("rank_s"), lit(0)).cast("long").as("rank_sparse"),
+        coalesce(col("rank_d"), lit(0)).cast("long").as("rank_dense"),
+        col("rrf_ppt"))
+  }
+
   /** PIPE6: the raw-web curation spine as ONE plan — the composition every
     * from-crawl training-data pipeline runs, in the order it runs it:
     * markup→clean-text extraction (t26's jusText rules), the Gopher
@@ -3684,6 +3723,7 @@ object Queries {
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,
+    "t28_hybrid_rrf" -> t28HybridRrf _,
     "pipe4_pack_export" -> pipe4PackExport _,
     "pipe5_backfill_closure" -> pipe5BackfillClosure _,
     "pipe6_web_curation" -> pipe6WebCuration _,

@@ -81,6 +81,15 @@ object QuerySpec {
   // T22 inverted index: term-hash partition count for the postings table
   val PostingsBuckets = 16L
 
+  // T28 hybrid retrieval: RRF constant (Cormack 2009's k=60), per-ranker
+  // list depth, the query vector id, and the fused result depth. Fused
+  // scores are integer parts-per-trillion (PrScale div (k + rank)) so the
+  // fusion is bit-exact in both engines.
+  val RrfK = 60
+  val RrfDepth = 10
+  val RrfQueryVec = 0
+  val RrfTopK = 10
+
   // O7 z-order layout: bits per dimension, bucket = z >> ZShift, and the
   // probe rectangle used for the pruning-effectiveness flags
   val ZBits = 8

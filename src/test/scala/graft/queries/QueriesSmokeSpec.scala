@@ -371,6 +371,25 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
   }
 
+  test("t28 RRF: both-list docs dominate; scores are exact integer RRF") {
+    val rows = Queries.t28HybridRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exact integer fusion: rrf_ppt must equal the closed form of the ranks
+    val P = QuerySpec.PrScale; val K = QuerySpec.RrfK
+    rows.foreach { r =>
+      val (rs, rd, sc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = (if (rs > 0) P / (K + rs) else 0L) +
+        (if (rd > 0) P / (K + rd) else 0L)
+      assert(sc == want, s"doc ${r.getLong(0)}: $sc != $want")
+    }
+    // with depth<=10, membership in BOTH lists dominates any single list:
+    // min both-list score 2/(60+10) > max single-list score 1/(60+1)
+    val both = rows.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+    val single = rows.filter(r => r.getLong(1) == 0 || r.getLong(2) == 0)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getLong(3)).min > single.map(_.getLong(3)).max)
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
