@@ -905,7 +905,8 @@ object Scratch {
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
-          "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7"
+          "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
+            "k7,t28"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -919,7 +920,10 @@ object Scratch {
           // r8 ingest seams: k6 (JSONL round-trip — gzip export + permissive
           // read grow with the corpus, census stays |langs|+2 rows),
           // pipe7 (WARC — record synth/split/extract all scan-tracking)
-          "k6" -> "k6_jsonl_roundtrip", "pipe7" -> "pipe7_warc_ingest")
+          "k6" -> "k6_jsonl_roundtrip", "pipe7" -> "pipe7_warc_ingest",
+          // k7 (snapshot diff — one full-outer equi-join, census fixed),
+          // t28 (RRF — rankers corpus-grain, fusion list-sized)
+          "k7" -> "k7_snapshot_diff", "t28" -> "t28_hybrid_rrf")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

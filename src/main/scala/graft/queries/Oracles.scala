@@ -1406,6 +1406,30 @@ object Oracles {
          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |ORDER BY lang""".stripMargin,
 
+    // k7: the deterministic v2 synth repeated verbatim (%10 removed, %7
+    // revised, %13 re-crawled at +10M), then one full-outer diff join and
+    // the per-(status, lang) churn census with k6's content checksum
+    "k7_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+         |v2 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM v1 WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id + 10000000, lang, 'recrawl ' || text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         |    coalesce(v2.lang, v1.lang) AS lang,
+         |    CASE WHEN v1.text IS NULL THEN 'added'
+         |      WHEN v2.text IS NULL THEN 'removed'
+         |      WHEN v1.text <> v2.text THEN 'changed'
+         |      ELSE 'unchanged' END AS status,
+         |    coalesce(v2.text, v1.text) AS text
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT status, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(sum(${md5Hash15("text")} % 1000000007) AS BIGINT) AS text_hash
+         |FROM j GROUP BY 1, 2 ORDER BY status, lang""".stripMargin,
+
     "j10_bucketed" ->
       s"""SELECT c_nationkey, count(*) AS n_orders,
          |  ${dsum("o_totalprice")} AS total_price

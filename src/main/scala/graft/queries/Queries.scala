@@ -3561,6 +3561,47 @@ object Queries {
     * not splittable) — parallelism = file count, which the upstream
     * writer's partitioning already set; at 100 TB prefer zstd/none for
     * splittable scans, same plan otherwise. */
+  /** K7: corpus snapshot diff — the data-versioning primitive behind
+    * incremental crawls and dataset releases: given snapshot v1 and the
+    * next crawl v2, classify every doc as added / removed / changed /
+    * unchanged and census the churn per (status, lang) with a content
+    * checksum over the SURVIVING text. v2 is synthesized deterministically
+    * from v1 (doc_id%10 removed, %7 text-revised, %13 re-crawled under a
+    * +10M id — all map-side column algebra the oracle repeats verbatim).
+    * The diff itself is ONE hash-partitioned full-outer equi-join on the
+    * doc key + a map-side text comparison — at 100 TB both snapshots
+    * shuffle once on a uniform key (or zero times if both are bucketed by
+    * doc_id, j10's layout), no sort, no window, and the churn census is a
+    * |status×langs|-row aggregate. Feeding ONLY the 'added'+'changed'
+    * slice to d15's incremental dedup is the snapshot-to-snapshot
+    * pipeline. */
+  def k7SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val v1 = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("text"))
+    val v2 = v1.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(v1.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("lang"),
+          concat(lit("recrawl "), col("text")).as("text")))
+    val a = v1.select(col("doc_id"), col("lang").as("lang1"),
+      col("text").as("t1"))
+    val b = v2.select(col("doc_id"), col("lang").as("lang2"),
+      col("text").as("t2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"), coalesce(col("lang2"), col("lang1")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(conv(substring(md5(coalesce(col("t2"), col("t1"))), 1, 15),
+          16, 10).cast("long") % 1000000007L).as("text_hash"))
+      .orderBy(col("status"), col("lang"))
+  }
+
   def k6JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("k6j")
@@ -3732,6 +3773,7 @@ object Queries {
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,
     "k6_jsonl_roundtrip" -> k6JsonlRoundtrip _,
+    "k7_snapshot_diff" -> k7SnapshotDiff _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

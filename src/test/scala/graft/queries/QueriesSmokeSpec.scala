@@ -371,6 +371,26 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
   }
 
+  test("k7 diff: one equi-join (no nested loop), churn classes exact") {
+    import org.apache.spark.sql.functions.col
+    val df = Queries.k7SnapshotDiff(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    val byStatus = df.collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val n = docs.count()
+    val removed = docs.where(col("doc_id") % 10 === 0).count()
+    val added = docs.where(col("doc_id") % 13 === 0).count()
+    val changed = docs
+      .where(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0).count()
+    assert(byStatus("removed") == removed, byStatus.toString)
+    assert(byStatus("added") == added, byStatus.toString)
+    assert(byStatus("changed") == changed, byStatus.toString)
+    assert(byStatus("unchanged") == n - removed - changed, byStatus.toString)
+  }
+
   test("t28 RRF: both-list docs dominate; scores are exact integer RRF") {
     val rows = Queries.t28HybridRrf(spark, sfDir).collect()
     assert(rows.nonEmpty)
