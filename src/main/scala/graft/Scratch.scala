@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28"
+            "k7,t28,pipe8"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -923,7 +923,9 @@ object Scratch {
           "k6" -> "k6_jsonl_roundtrip", "pipe7" -> "pipe7_warc_ingest",
           // k7 (snapshot diff — one full-outer equi-join, census fixed),
           // t28 (RRF — rankers corpus-grain, fusion list-sized)
-          "k7" -> "k7_snapshot_diff", "t28" -> "t28_hybrid_rrf")
+          "k7" -> "k7_snapshot_diff", "t28" -> "t28_hybrid_rrf",
+          // pipe8 (sequence packing — one shard shuffle, 8-row census)
+          "pipe8" -> "pipe8_seq_pack")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -2338,6 +2338,31 @@ object Oracles {
          |FROM documents WHERE doc_id % 7 = 0
          |ORDER BY wtype, lang""".stripMargin,
 
+    // pipe8: the same portable md5 order key, per-shard exclusive running
+    // token count, and integer window arithmetic (`//` = Spark's `div`)
+    "pipe8_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(${rawToks("text")}) AS BIGINT) AS toks,
+         |    ${md5Hash15("CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks, ord, ord % $PackShards AS shard FROM t),
+         |c AS (SELECT shard, toks,
+         |    coalesce(sum(toks) OVER (PARTITION BY shard
+         |      ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM s)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_toks,
+         |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx AS BIGINT)
+         |    AS n_windows,
+         |  CAST(sum(CASE WHEN (cum_before + toks - 1) // $PackCtx
+         |      > cum_before // $PackCtx THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spanning,
+         |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx * $PackCtx
+         |    - sum(toks) AS BIGINT) AS padding
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+
     // d12: stride-1 window fingerprints with POSITION (lateral range), dup
     // election by global count >= 2, then a per-doc islands merge of the
     // k-long spans; docs shorter than k keep n_dup_tokens = 0

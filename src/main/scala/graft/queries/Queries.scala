@@ -3442,6 +3442,49 @@ object Queries {
       .orderBy(col("wtype"), col("lang"))
   }
 
+  /** PIPE8: sequence packing — the LLM batch-prep step after pipe4's
+    * budget packing: concatenate the token stream and cut it into
+    * fixed-length context windows (GPT-style concat-and-chunk), so no
+    * window is padded except the last. Packing is PER SHARD: docs hash to
+    * `PackShards` shards and get a deterministic pseudo-random order
+    * inside the shard from a portable md5-derived key (the training-order
+    * shuffle, retry-stable — t23's no-rand rule), so the only shuffle is
+    * one hash partition + per-shard sort; there is NO global cumsum — at
+    * 100 TB each shard packs independently and in parallel, which is
+    * exactly how real pipelines shard their tokenized corpora. Per-doc
+    * window span comes from the exclusive running token count: start_win =
+    * cum_before div ctx, end_win = (cum_before + toks - 1) div ctx; a doc
+    * with end_win > start_win crosses a window boundary (attention-mask
+    * relevant — censused per shard). Output: per-shard docs, tokens,
+    * windows, boundary-crossing docs, and the padding the last window
+    * carries. */
+  def pipe8SeqPack(s: SparkSession, d: String): DataFrame = {
+    val ord = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+      .withColumn("ord", ord)
+      .withColumn("shard", pmod(col("ord"), lit(PackShards)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("start_win", expr(s"cum_before div $PackCtx"))
+      .withColumn("end_win", expr(s"(cum_before + toks - 1) div $PackCtx"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_toks"),
+        (expr(s"(sum(toks) + ${PackCtx - 1}) div $PackCtx"))
+          .as("n_windows"),
+        sum(when(col("end_win") > col("start_win"), 1L).otherwise(0L))
+          .as("n_spanning"),
+        expr(s"(sum(toks) + ${PackCtx - 1}) div $PackCtx * $PackCtx" +
+          " - sum(toks)").as("padding"))
+      .orderBy(col("shard"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -3769,6 +3812,7 @@ object Queries {
     "pipe5_backfill_closure" -> pipe5BackfillClosure _,
     "pipe6_web_curation" -> pipe6WebCuration _,
     "pipe7_warc_ingest" -> pipe7WarcIngest _,
+    "pipe8_seq_pack" -> pipe8SeqPack _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,

@@ -90,6 +90,12 @@ object QuerySpec {
   val RrfQueryVec = 0
   val RrfTopK = 10
 
+  // PIPE8 sequence packing: fixed context length (tokens) and the shard
+  // fan-out; docs are ordered inside a shard by a portable md5-derived key
+  // (deterministic pseudo-random training order, retry-stable like t23)
+  val PackCtx = 512L
+  val PackShards = 8L
+
   // O7 z-order layout: bits per dimension, bucket = z >> ZShift, and the
   // probe rectangle used for the pruning-effectiveness flags
   val ZBits = 8

@@ -371,6 +371,29 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
   }
 
+  test("pipe8 packing: one shard shuffle; window accounting closes") {
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Queries.pipe8SeqPack(spark, sfDir)
+      // per-shard packing: the only data shuffle is the shard hash
+      // partition for the running-count window (+ the output's range sort)
+      val exch = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 2, exch.length.toString)
+      assert(exch.exists(_.outputPartitioning.toString.contains("shard")))
+      val rows = df.collect()
+      assert(rows.length == QuerySpec.PackShards)
+      val nDocs = graft.Tables.documents(spark, sfDir).count()
+      assert(rows.map(_.getLong(1)).sum == nDocs)
+      rows.foreach { r =>
+        val (toks, wins, pad) = (r.getLong(2), r.getLong(3), r.getLong(5))
+        assert(pad >= 0 && pad < QuerySpec.PackCtx, r.toString)
+        assert(wins * QuerySpec.PackCtx == toks + pad, r.toString)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("k7 diff: one equi-join (no nested loop), churn classes exact") {
     import org.apache.spark.sql.functions.col
     val df = Queries.k7SnapshotDiff(spark, sfDir)
