@@ -2643,6 +2643,44 @@ object Oracles {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
+    // m5: the pair-filter chain repeated relationally — per-token dim via
+    // the portable md5 key, hashed-BoW vectors as dim-count comprehensions,
+    // ascending-fold cosine (s1's chain shape at ClipDim), threshold gate
+    "m5_pair_filter" -> {
+      val tokDim = s"${hexVal15("md5(x)")} % $ClipDim"
+      def bowOf(src: String) =
+        s"[CAST(len(list_filter($src, h -> h = d)) AS DOUBLE) " +
+          s"for d in range(0, $ClipDim)]"
+      def dotOf(a: String, b: String) = (1 to ClipDim).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+        .mkString("0.0 + ", " + ", "")
+      s"""WITH t AS (SELECT doc_id, ${rawToks("text")} AS toks
+         |  FROM documents),
+         |cap AS (SELECT doc_id, toks[1:$ClipCapTokens] AS cap FROM t),
+         |pr AS (SELECT t.doc_id,
+         |    (t.doc_id % $ClipShiftMod = 0 AND nc.cap IS NOT NULL)
+         |      AS shifted,
+         |    t.toks,
+         |    CASE WHEN t.doc_id % $ClipShiftMod = 0 AND nc.cap IS NOT NULL
+         |      THEN nc.cap ELSE c.cap END AS capt
+         |  FROM t JOIN cap c ON c.doc_id = t.doc_id
+         |  LEFT JOIN cap nc ON nc.doc_id = t.doc_id + 1),
+         |dm AS (SELECT doc_id, shifted,
+         |    list_transform(toks, x -> $tokDim) AS cd,
+         |    list_transform(capt, x -> $tokDim) AS qd FROM pr),
+         |hv AS (SELECT doc_id, shifted,
+         |    ${bowOf("cd")} AS cv,
+         |    ${bowOf("qd")} AS qv FROM dm),
+         |sc AS (SELECT doc_id, shifted,
+         |    (${dotOf("cv", "qv")}) /
+         |    (sqrt(${dotOf("cv", "cv")}) * sqrt(${dotOf("qv", "qv")}))
+         |      AS sim
+         |  FROM hv)
+         |SELECT doc_id, shifted, sim >= $ClipThreshold AS kept,
+         |  round(sim, 6) AS sim
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
     "s12_pq_ann" -> {
       val dsub = EmbeddingDim / PqM
       // subspace-j L2² between a[.] and b[.], ascending-index left fold —

@@ -2919,6 +2919,54 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** M5: multimodal pair filtering — the CLIP-score curation gate (LAION's
+    * "drop pairs whose image/text embeddings disagree"): each (content,
+    * caption) pair gets both sides embedded, cosine-scored, and kept iff
+    * sim ≥ threshold. Embeddings here are the deterministic stand-in for
+    * the model encoders (the m4 stub contract): a hashed bag-of-words into
+    * `ClipDim` dims via the portable md5 key — computed MAP-SIDE from
+    * staged per-token dim arrays (one md5 per token, then 32 cheap integer
+    * filters; no explode, no shuffle). Misaligned pairs are synthesized by
+    * swapping every `ClipShiftMod`-th doc's caption with the NEXT doc's
+    * (one 1-offset equi-join — at 100 TB the pair table simply arrives as
+    * rows and this join disappears). Per-pair verdict out; the filter is
+    * honestly imperfect (96% aligned kept / 51% shifted dropped at the
+    * fixture — exactly the CLIP-filter trade-off). Scale shape: embed +
+    * score are one fused projection over the pair scan; nothing
+    * corpus-wide moves but the output sort. */
+  def m5PairFilter(s: SparkSession, d: String): DataFrame = {
+    val tokHash = (x: Column) => pmod(
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long"),
+      lit(ClipDim.toLong))
+    val bow = (dims: Column) =>
+      transform(sequence(lit(0L), lit(ClipDim - 1L)), dd =>
+        size(filter(dims, h => h === dd)).cast("double"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val caps = toks.select(col("doc_id"),
+      slice(col("toks"), 1, ClipCapTokens).as("cap"))
+    val nextCap = caps.select((col("doc_id") - 1).as("doc_id"),
+      col("cap").as("next_cap"))
+    toks.join(caps, Seq("doc_id")).join(nextCap, Seq("doc_id"), "left_outer")
+      .withColumn("shifted",
+        col("doc_id") % ClipShiftMod === 0 && col("next_cap").isNotNull)
+      .withColumn("capt",
+        when(col("shifted"), col("next_cap")).otherwise(col("cap")))
+      // staged projections (the m3 lesson): md5 once per token, then the
+      // 32 dim-filters run over small int arrays
+      .select(col("doc_id"), col("shifted"),
+        transform(col("toks"), tokHash).as("cdims"),
+        transform(col("capt"), tokHash).as("qdims"))
+      .select(col("doc_id"), col("shifted"),
+        bow(col("cdims")).as("cv"), bow(col("qdims")).as("qv"))
+      .withColumn("sim",
+        Similarity.cosine(col("cv"), col("qv")))
+      .select(col("doc_id"), col("shifted"),
+        (col("sim") >= ClipThreshold).as("kept"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("doc_id"))
+  }
+
   /** J12: FUZZY join (entity resolution) — probes with one deterministic
     * character deletion rejoin their source rows via PassJoin segment
     * blocking (Li, Deng, Feng 2011, "PASS-JOIN: a partition-based method
@@ -3801,6 +3849,7 @@ object Queries {
     "j11_pit_join" -> j11PitJoin _,
     "j12_fuzzy_join" -> j12FuzzyJoin _,
     "m4_batch_infer" -> m4BatchInfer _,
+    "m5_pair_filter" -> m5PairFilter _,
     "o8_range_shards" -> o8RangeShards _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,

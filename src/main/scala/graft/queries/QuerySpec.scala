@@ -96,6 +96,16 @@ object QuerySpec {
   val PackCtx = 512L
   val PackShards = 8L
 
+  // M5 pair filtering: hashed-BoW embedding dims, caption length (tokens),
+  // cosine keep threshold, and the misalignment synth rate (docs whose
+  // caption is swapped with the next doc's). D=32 / th=0.6 measured on the
+  // fixture: keeps ~96% of aligned pairs, drops ~51% of shifted ones —
+  // an honestly imperfect filter, like the real thing.
+  val ClipDim = 32
+  val ClipCapTokens = 12
+  val ClipThreshold = 0.6
+  val ClipShiftMod = 5
+
   // O7 z-order layout: bits per dimension, bucket = z >> ZShift, and the
   // probe rectangle used for the pruning-effectiveness flags
   val ZBits = 8

@@ -371,6 +371,22 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
   }
 
+  test("m5 pair filter: equi-joins only; aligned pairs survive more") {
+    val df = Queries.m5PairFilter(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    val rows = df.collect()
+    val (shifted, aligned) = rows.partition(_.getBoolean(1))
+    def keepRate(rs: Array[org.apache.spark.sql.Row]) =
+      rs.count(_.getBoolean(2)).toDouble / rs.length
+    assert(shifted.nonEmpty && aligned.nonEmpty)
+    // the filter must actually discriminate: misaligned captions are
+    // dropped at a strictly higher rate than aligned ones
+    assert(keepRate(aligned) > keepRate(shifted),
+      s"aligned=${keepRate(aligned)} shifted=${keepRate(shifted)}")
+  }
+
   test("pipe8 packing: one shard shuffle; window accounting closes") {
     val prevA = spark.conf.get("spark.sql.adaptive.enabled")
     try {
