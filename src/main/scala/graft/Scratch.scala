@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5"
+            "k7,t28,pipe8,m5,a22"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -926,7 +926,9 @@ object Scratch {
           "k7" -> "k7_snapshot_diff", "t28" -> "t28_hybrid_rrf",
           // pipe8 (sequence packing — one shard shuffle, 8-row census),
           // m5 (pair filter — embed+score fused into the pair scan)
-          "pipe8" -> "pipe8_seq_pack", "m5" -> "m5_pair_filter")
+          "pipe8" -> "pipe8_seq_pack", "m5" -> "m5_pair_filter",
+          // a22 (retention — user-grain shuffle, matrix stays |days|^2)
+          "a22" -> "a22_retention_cohorts")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -1180,6 +1180,16 @@ object Oracles {
     // a21: exact tiers recomputed; the sketch-side contract flags are
     // literal true — if the engine's merged estimate drifts past 5% or
     // loses union monotonicity it emits false and the hash breaks.
+    // a22: distinct (user, day) grain, min-day cohort, matrix census
+    "a22_retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+        |SELECT cohort, day - cohort AS offset_days,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin,
+
     "a21_sketch_union" ->
       s"""WITH ev AS (SELECT event_type, user_id,
          |    (epoch_ns(ts) // 1000000 - $RangeStartMs) // ${24L * HourMs}

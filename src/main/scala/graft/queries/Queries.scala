@@ -650,6 +650,29 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** A22: retention cohorts — the user-analytics matrix (cohort = first
+    * active day, offset = days since, cell = distinct users active at that
+    * offset). ONE user-grain shuffle does everything: groupBy(user) with a
+    * map-side-deduping collect_set(day) (partial aggregation collapses a
+    * user's events to ≤|day-domain| entries per map task), cohort =
+    * array_min, offsets explode from the per-user day set, and the matrix
+    * census is a |days|²-row aggregate. Per-user state is bounded by the
+    * calendar domain (31 days here); for an unbounded horizon swap the
+    * collect_set for the distinct + window-min form — same two-shuffle
+    * shape, no per-user array. */
+  def a22RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val byUser = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort"),
+        explode(col("days")).as("day"))
+    byUser
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset_days"))
+  }
+
   /** A8: hierarchical rollup — revenue subtotals at (status, priority),
     * (status), and grand-total levels in one pass. */
   def a8Rollup(s: SparkSession, d: String): DataFrame =
@@ -3853,6 +3876,7 @@ object Queries {
     "o8_range_shards" -> o8RangeShards _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
+    "a22_retention_cohorts" -> a22RetentionCohorts _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

@@ -371,6 +371,31 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
   }
 
+  test("a22 retention: one user-grain shuffle; cohort row dominates") {
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Queries.a22RetentionCohorts(spark, sfDir)
+      // user collect_set + matrix census + output sort = 3 exchanges, the
+      // first hash-partitioned on user_id (map-side partial dedup before it)
+      val exch = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 3, exch.length.toString)
+      assert(exch.exists(_.outputPartitioning.toString.contains("user_id")))
+      val rows = df.collect()
+      val cells = rows.map(r =>
+        (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // offset 0 is the cohort size; no later offset can exceed it
+      cells.foreach { case ((c, o), n) =>
+        assert(n <= cells((c, 0L)), s"cohort $c offset $o: $n")
+      }
+      // every user appears in exactly one cohort's offset-0 cell
+      val users = graft.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(cells.collect { case ((_, 0L), n) => n }.sum == users)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("m5 pair filter: equi-joins only; aligned pairs survive more") {
     val df = Queries.m5PairFilter(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
