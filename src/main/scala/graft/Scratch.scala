@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22"
+            "k7,t28,pipe8,m5,a22,a23"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -927,8 +927,10 @@ object Scratch {
           // pipe8 (sequence packing — one shard shuffle, 8-row census),
           // m5 (pair filter — embed+score fused into the pair scan)
           "pipe8" -> "pipe8_seq_pack", "m5" -> "m5_pair_filter",
-          // a22 (retention — user-grain shuffle, matrix stays |days|^2)
-          "a22" -> "a22_retention_cohorts")
+          // a22 (retention — user-grain shuffle, matrix stays |days|^2),
+          // a23 (funnel — shared-sort window passes, 4-row census)
+          "a22" -> "a22_retention_cohorts",
+          "a23" -> "a23_window_funnel")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -1180,6 +1180,29 @@ object Oracles {
     // a21: exact tiers recomputed; the sketch-side contract flags are
     // literal true — if the engine's merged estimate drifts past 5% or
     // loses union monotonicity it emits false and the hash breaks.
+    // a23: the two conditional-min window passes repeated verbatim, same
+    // (user | ts, event_id) ordering, ROWS 1 FOLLOWING strictly-after
+    "a23_window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts,
+        |    event_type FROM events),
+        |p1 AS (SELECT *, min(CASE WHEN event_type = '$FunnelC' THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e),
+        |p2 AS (SELECT *,
+        |    min(CASE WHEN event_type = '$FunnelB' THEN ts END) OVER w AS nc,
+        |    min(CASE WHEN event_type = '$FunnelB' THEN np END) OVER w AS npc
+        |  FROM p1 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |l AS (SELECT user_id, CASE WHEN event_type = '$FunnelA' THEN
+        |      (CASE WHEN npc <= ts + $SeqWithinMs THEN 3
+        |        WHEN nc <= ts + $SeqWithinMs THEN 2 ELSE 1 END)
+        |    ELSE 0 END AS level FROM p2),
+        |u AS (SELECT user_id, max(level) AS level FROM l GROUP BY 1)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1 ORDER BY level""".stripMargin,
+
     // a22: distinct (user, day) grain, min-day cohort, matrix census
     "a22_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -650,6 +650,44 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** A23: 3-step window funnel (ClickHouse `windowFunnel` semantics):
+    * per user, the deepest view→click→purchase chain where every later
+    * step lands within [[QuerySpec.SeqWithinMs]] of the FIRST step. No
+    * self-joins (the naive form is a per-user A×B×C cube, cubic on hot
+    * users): a16's conditional-min trick twice over ONE sort — pass 1
+    * gives every row its next-purchase time, pass 2 gives every row the
+    * earliest following click's ts AND that click's next-purchase; a
+    * chain to depth 3 exists iff the latter lands inside the deadline
+    * (any click whose purchase beats the deadline is itself inside it,
+    * since purchase > click). Same-ts ties order by event_id — strictly
+    *-after is the ROWS 1 FOLLOWING frame, deterministic. Both window
+    * passes share the (user_id | ts, event_id) sort (the w13 plan lock);
+    * per-user max level reuses the window partitioning, so the only data
+    * shuffles are the user hash + the 4-row census agg. */
+  def a23WindowFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val dl = col("ts_ms") + lit(SeqWithinMs)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"))
+      .withColumn("np",
+        min(when(col("event_type") === FunnelC, col("ts_ms"))).over(w))
+      .withColumn("nc",
+        min(when(col("event_type") === FunnelB, col("ts_ms"))).over(w))
+      .withColumn("npc",
+        min(when(col("event_type") === FunnelB, col("np"))).over(w))
+      .withColumn("level",
+        when(col("event_type") === FunnelA,
+          when(col("npc") <= dl, 3L)
+            .when(col("nc") <= dl, 2L)
+            .otherwise(1L)).otherwise(0L))
+      .groupBy(col("user_id")).agg(max(col("level")).as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   /** A22: retention cohorts — the user-analytics matrix (cohort = first
     * active day, offset = days since, cell = distinct users active at that
     * offset). ONE user-grain shuffle does everything: groupBy(user) with a
@@ -3877,6 +3915,7 @@ object Queries {
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "a22_retention_cohorts" -> a22RetentionCohorts _,
+    "a23_window_funnel" -> a23WindowFunnel _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

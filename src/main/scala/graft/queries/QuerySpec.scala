@@ -67,6 +67,13 @@ object QuerySpec {
   val PrIters = 8
   val PrScale = 1000000000000L
 
+  // A23 window funnel (3 steps, ClickHouse windowFunnel semantics): the
+  // step types in order; chain deadline reuses SeqWithinMs from the first
+  // step's timestamp
+  val FunnelA = "view"
+  val FunnelB = "click"
+  val FunnelC = "purchase"
+
   // A16 sequence match: A-event → B-event conversion window
   val SeqEventA = "signup"
   val SeqEventB = "purchase"

@@ -371,6 +371,31 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(req.length == 1 && req.head.getLong(2) == nReq, rows.mkString("\n"))
   }
 
+  test("a23 funnel: window passes share one sort; levels partition users") {
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Queries.a23WindowFunnel(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      // no self-join anywhere (the naive funnel is a per-user event cube)
+      assert(!plan.toString.contains("Join"), plan.toString.take(600))
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 3, exch.length.toString)
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      // one (user | ts, event_id) sort feeds every window pass + the
+      // output's range sort — a second window sort means the shared
+      // ordering broke
+      assert(sorts.length == 2, plan.toString.take(1200))
+      val rows = df.collect()
+      assert(rows.map(_.getLong(0)).forall(l => l >= 0 && l <= 3))
+      val users = graft.Tables.events(spark, sfDir)
+        .select("user_id").distinct().count()
+      assert(rows.map(_.getLong(1)).sum == users)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("a22 retention: one user-grain shuffle; cohort row dominates") {
     val prevA = spark.conf.get("spark.sql.adaptive.enabled")
     try {
