@@ -2253,6 +2253,58 @@ object Oracles {
          |FROM fu ORDER BY rrf_ppt DESC, doc_id LIMIT $RrfTopK""".stripMargin
     },
 
+    // s17: t28's fused-list SQL verbatim as CTEs, then the integer
+    // coverage scorer and a 10-row rerank window
+    "s17_rerank" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val termArr = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
+         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |  FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id,
+         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
+         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id),
+         |top AS (SELECT doc_id,
+         |    floor(sc * 1000000 + 0.5) / 1000000 AS score
+         |  FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK),
+         |sp AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY score DESC, doc_id) AS rank_s
+         |  FROM top QUALIFY rank_s <= $RrfDepth),
+         |q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = $RrfQueryVec),
+         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+         |ds AS (SELECT doc_id, ${cosChain("qv", "cv")} AS sim
+         |  FROM c CROSS JOIN q WHERE doc_id <> $RrfQueryVec),
+         |dn AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY sim DESC, doc_id) AS rank_d
+         |  FROM ds QUALIFY rank_d <= $RrfDepth),
+         |fu AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+         |    coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_s), 0)
+         |      + coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_d), 0)
+         |      AS rrf_ppt
+         |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+         |cand AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY rrf_ppt DESC, doc_id) AS rank_before
+         |  FROM fu QUALIFY rank_before <= $RrfTopK),
+         |sc2 AS (SELECT cand.doc_id, rank_before,
+         |    CAST(len(list_intersect(list_distinct(t.toks), $termArr))
+         |      AS BIGINT) AS terms_hit,
+         |    CAST(len(list_filter(t.toks, x -> x IN ($termList)))
+         |      AS BIGINT) AS tf_sum
+         |  FROM cand JOIN dt t ON t.doc_id = cand.doc_id)
+         |SELECT doc_id, CAST(rank_before AS BIGINT) AS rank_before,
+         |  CAST(row_number() OVER (ORDER BY terms_hit DESC, tf_sum DESC,
+         |    doc_id) AS BIGINT) AS rank_after,
+         |  terms_hit, tf_sum
+         |FROM sc2 ORDER BY rank_after""".stripMargin
+    },
+
     // pipe6: t26's page-synth + extraction chain (lang carried through),
     // Gopher gate on the extract, then the t27 URL canonicalization and two
     // cascading conditional-window keep elections (URL key, content key) —

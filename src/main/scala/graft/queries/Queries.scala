@@ -3441,6 +3441,41 @@ object Queries {
         col("rrf_ppt"))
   }
 
+  /** S17: candidate reranking — the third stage of the modern retrieval
+    * stack (retrieve → fuse → rerank): t28's fused top-10 go through a
+    * per-candidate "cross-encoder" scorer that is far too expensive for
+    * the corpus but trivial for 10 candidates — the whole point of the
+    * stage. The stub scorer (m4's deterministic-stand-in contract) is
+    * query-term coverage: distinct query terms present, then total term
+    * frequency, ties to doc_id — integer-exact. Scale shape: the
+    * candidate list BROADCASTS into the corpus scan (a 10-row build side
+    * — the only corpus-grain work is re-reading the candidates' rows;
+    * with a doc_id-sorted/z-ordered store that scan prunes to their
+    * files), scoring is map-side, and the rerank window is 10 rows. */
+  def s17Rerank(s: SparkSession, d: String): DataFrame = {
+    val cand = t28HybridRrf(s, d)
+      .select(col("doc_id"), col("rrf_ppt"),
+        row_number().over(Window.orderBy(col("rrf_ppt").desc,
+          col("doc_id"))).cast("long").as("rank_before"))
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      transform(TextAnalysis.tokens(col("text")), t => lower(t)).as("toks"))
+    val qTerms = array(Bm25Terms.map(lit): _*)
+    docs.join(broadcast(cand), Seq("doc_id"))
+      .withColumn("terms_hit",
+        size(array_intersect(array_distinct(col("toks")), qTerms))
+          .cast("long"))
+      .withColumn("tf_sum",
+        size(filter(col("toks"), t =>
+          array_contains(qTerms, t))).cast("long"))
+      // 10-row rerank window (candidate-bounded, never corpus-grain)
+      .withColumn("rank_after", row_number().over(
+        Window.orderBy(col("terms_hit").desc, col("tf_sum").desc,
+          col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_before"), col("rank_after"),
+        col("terms_hit"), col("tf_sum"))
+      .orderBy(col("rank_after"))
+  }
+
   /** PIPE6: the raw-web curation spine as ONE plan — the composition every
     * from-crawl training-data pipeline runs, in the order it runs it:
     * markup→clean-text extraction (t26's jusText rules), the Gopher
@@ -3920,6 +3955,7 @@ object Queries {
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,
     "t28_hybrid_rrf" -> t28HybridRrf _,
+    "s17_rerank" -> s17Rerank _,
     "pipe4_pack_export" -> pipe4PackExport _,
     "pipe5_backfill_closure" -> pipe5BackfillClosure _,
     "pipe6_web_curation" -> pipe6WebCuration _,

@@ -480,6 +480,25 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(byStatus("unchanged") == n - removed - changed, byStatus.toString)
   }
 
+  test("s17 rerank: candidates broadcast; permutation of the fused list") {
+    val df = Queries.s17Rerank(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the 10-row candidate list must broadcast into the corpus scan — a
+    // sort-merge THERE shuffles the corpus for 10 rows (t28's internal
+    // fusion join of two <=10-row lists may legitimately sort-merge)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    val smjs = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(!smjs.exists(_.toString.contains("documents")),
+      "corpus shuffled for 10 candidates")
+    val rows = df.collect()
+    assert(rows.length == QuerySpec.RrfTopK)
+    // rerank permutes, never drops: both rank columns are 1..K exactly
+    val expect = (1L to QuerySpec.RrfTopK.toLong).toSet
+    assert(rows.map(_.getLong(1)).toSet == expect)
+    assert(rows.map(_.getLong(2)).toSet == expect)
+  }
+
   test("t28 RRF: both-list docs dominate; scores are exact integer RRF") {
     val rows = Queries.t28HybridRrf(spark, sfDir).collect()
     assert(rows.nonEmpty)
