@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -932,7 +932,9 @@ object Scratch {
           "a22" -> "a22_retention_cohorts",
           "a23" -> "a23_window_funnel",
           // s17 (rerank — candidate-bounded scorer over t28's fused list)
-          "s17" -> "s17_rerank")
+          "s17" -> "s17_rerank",
+          // t29 (encoding repair — fused map-side projections, 3-row census)
+          "t29" -> "t29_fix_encoding")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

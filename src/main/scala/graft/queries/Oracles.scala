@@ -2423,6 +2423,30 @@ object Oracles {
          |FROM documents WHERE doc_id % 7 = 0
          |ORDER BY wtype, lang""".stripMargin,
 
+    // t29: corruption synth repeated verbatim (chr(7)/chr(11) wrappers,
+    // mojibake suffix; same CASE precedence), repair = global-flag regexp
+    // strip + replace, census carries chars_removed + the k6 checksum
+    "t29_fix_encoding" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || text || chr(11)
+         |      WHEN doc_id % 6 = 0 THEN text || ' CafÃ©'
+         |      ELSE text END AS raw,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'control_stripped'
+         |      WHEN doc_id % 6 = 0 THEN 'mojibake_fixed'
+         |      ELSE 'clean' END AS status
+         |  FROM documents),
+         |f AS (SELECT doc_id, status, raw,
+         |    replace(regexp_replace(raw,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
+         |      'Ã©', 'é') AS fixed
+         |  FROM r)
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(raw) - length(fixed)) AS BIGINT)
+         |    AS chars_removed,
+         |  CAST(sum(${md5Hash15("fixed")} % 1000000007) AS BIGINT)
+         |    AS text_hash
+         |FROM f GROUP BY status ORDER BY status""".stripMargin,
+
     // pipe8: the same portable md5 order key, per-shard exclusive running
     // token count, and integer window arithmetic (`//` = Spark's `div`)
     "pipe8_seq_pack" ->

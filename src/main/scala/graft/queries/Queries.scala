@@ -3586,6 +3586,43 @@ object Queries {
       .orderBy(col("wtype"), col("lang"))
   }
 
+  /** T29: encoding repair — the ftfy-style pass every from-web pipeline
+    * runs before any text op: strip C0 control characters (minus \t\n\r)
+    * and fix UTF-8-read-as-Latin-1 mojibake (the `Ã©`→`é` class; one
+    * representative mapping here — production carries the full ftfy
+    * table, same expression shape). Corruption is synthesized
+    * deterministically (doc_id%4 gets BEL…VT wrappers, else doc_id%6 gets
+    * a mojibake suffix) so the oracle repeats it verbatim; repair is two
+    * fused regexp/replace projections — pure map-side, census-only
+    * shuffle. The census carries chars_removed and the k6 content
+    * checksum over the REPAIRED text, so an over- or under-eager repair
+    * breaks the hash, and every repair class is count-visible. */
+  def t29FixEncoding(s: SparkSession, d: String): DataFrame = {
+    val isCtl = col("doc_id") % 4 === 0
+    val isMoji = col("doc_id") % 6 === 0
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("raw",
+        when(isCtl, concat(lit("\u0007"), col("text"), lit("\u000B")))
+          .when(isMoji, concat(col("text"), lit(" CafÃ©")))
+          .otherwise(col("text")))
+      .withColumn("status",
+        when(isCtl, "control_stripped")
+          .when(isMoji, "mojibake_fixed")
+          .otherwise("clean"))
+      .withColumn("fixed",
+        regexp_replace(
+          regexp_replace(col("raw"),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""),
+          "Ã©", "é"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((length(col("raw")) - length(col("fixed"))).cast("long"))
+          .as("chars_removed"),
+        sum(conv(substring(md5(col("fixed")), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("text_hash"))
+      .orderBy(col("status"))
+  }
+
   /** PIPE8: sequence packing — the LLM batch-prep step after pipe4's
     * budget packing: concatenate the token stream and cut it into
     * fixed-length context windows (GPT-style concat-and-chunk), so no
@@ -3961,6 +3998,7 @@ object Queries {
     "pipe6_web_curation" -> pipe6WebCuration _,
     "pipe7_warc_ingest" -> pipe7WarcIngest _,
     "pipe8_seq_pack" -> pipe8SeqPack _,
+    "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
     "k5_schema_merge" -> k5SchemaMerge _,

@@ -437,6 +437,27 @@ class QueriesSmokeSpec extends SparkSpec {
       s"aligned=${keepRate(aligned)} shifted=${keepRate(shifted)}")
   }
 
+  test("t29 repair: strip restores the original; classes partition docs") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.t29FixEncoding(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val nCtl = docs.where(col("doc_id") % 4 === 0).count()
+    val nMoji = docs
+      .where(col("doc_id") % 6 === 0 && col("doc_id") % 4 =!= 0).count()
+    assert(rows("control_stripped")._1 == nCtl, rows.toString)
+    assert(rows("mojibake_fixed")._1 == nMoji, rows.toString)
+    assert(rows("clean")._1 == n - nCtl - nMoji, rows.toString)
+    // control strip removes exactly the 2 injected chars per doc and the
+    // repaired text equals the original (checksum parity with the oracle
+    // pins the content; here we pin the arithmetic)
+    assert(rows("control_stripped")._2 == 2 * nCtl, rows.toString)
+    // mojibake repair rewrites in place: 'Ã©' (2 chars) -> 'é' (1 char)
+    assert(rows("mojibake_fixed")._2 == nMoji, rows.toString)
+    assert(rows("clean")._2 == 0L, rows.toString)
+  }
+
   test("pipe8 packing: one shard shuffle; window accounting closes") {
     val prevA = spark.conf.get("spark.sql.adaptive.enabled")
     try {
