@@ -3,11 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE compact JSON line (the driver contract:
   * metric/value/unit/queries/sf) and writes the full per-query detail —
-  * every raw run, cold first-run times, steady medians, method — to
-  * `BENCH_full.json` (override with SPARK_GRAFT_BENCH_FULL). The stdout
-  * line carries medians only: earlier rounds embedded the raw-runs arrays
-  * there and the driver's stdout capture truncated the line, leaving
-  * `"parsed": null` and only a tail of queries recoverable.
+  * every raw run with its GC time and process RSS, cold first-run times,
+  * steady medians, the dynamically-classified heavy set, host-contention
+  * canaries, and the method — to `BENCH_full.json` (override with
+  * SPARK_GRAFT_BENCH_FULL). The stdout line carries medians only: earlier
+  * rounds embedded the raw-runs arrays there and the driver's stdout
+  * capture truncated the line, leaving `"parsed": null`.
   *
   * Timing method: each query runs n times (3; 5 when heavy or when the
   * first run lands under a second). The reported median drops the FIRST
@@ -16,8 +17,71 @@ import org.apache.spark.sql.SparkSession
   * trees (d6's 60-wide zip_with fold) and amortized away on any real
   * cluster in the first seconds of a 100 TB job. The cold first runs stay
   * visible per query in BENCH_full.json.
+  *
+  * Noise controls (the round-5..8 lessons — sub-second medians moved
+  * ±3-5× and heavy medians up to 16× with zero code change):
+  *  - STREAMING lifecycles run first, completely: their wall is micro-batch
+  *    commit machinery synchronized with the shared listener bus, and
+  *    accumulated listener/GC debt from ~140 batch queries inflated w9
+  *    4.5× in round 7.
+  *  - Heavy batch queries are classified DYNAMICALLY from their own cold
+  *    run (>= heavyCutoffSec), not from a hard-coded name list: round 8's
+  *    stale round-6-era list omitted the then-heaviest query (d13), which
+  *    therefore ran mid-suite and recorded 15.9× its isolated median. The
+  *    cold pass runs every batch query once (discarded), then the steady
+  *    runs execute light queries first and heavies LAST, so a heavy's
+  *    GC/listener debt can't pollute a sub-second neighbor's timed runs.
+  *  - Per-run GC-time deltas and process RSS are recorded so a future
+  *    anomaly is attributable from the record alone.
+  *  - A fixed-work CPU+allocation canary runs before the first query,
+  *    after the streaming tier, and after the last query: the pre/post
+  *    drift quantifies HOST contention in the record itself (a 223s-vs-
+  *    171s same-code dispute becomes decidable in one look).
   */
 object Bench {
+  // deliberately opaque result sink so the canary loops can't be DCE'd
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work reference task (~1-2 s unloaded): a single-threaded
+    * xorshift64 arithmetic loop (CPU term) plus an array-allocation churn
+    * loop (~1.3 GB transient, the GC term). Deterministic work, so its
+    * wall time moves ONLY with host contention / JVM health. */
+  private def canarySec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+    }
+    var j = 0
+    while (j < 40000) {
+      val a = new Array[Long](4096)
+      a(j & 4095) = j; acc += a((j * 7) & 4095); j += 1
+    }
+    blackhole = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  private def rssMib(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("VmRSS:"))
+        .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private case class Run(sec: Double, gcMs: Long, rss: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -32,9 +96,7 @@ object Bench {
       // even with the UI off (SQLAppStatusListener retains 1000 executions
       // by default; ~600 runs of 151 queries kept megabytes of live
       // execution/job/stage graphs on the shared listener bus and inflated
-      // any streaming query run late in the suite ~4.5× — the round-7
-      // "streaming-first" workaround treated the symptom; this caps the
-      // source so ordering no longer matters materially).
+      // any streaming query run late in the suite ~4.5×).
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "50")
@@ -50,56 +112,80 @@ object Bench {
     // untimed warm-up: JIT/codegen + parquet footer priming, so the first
     // timed query doesn't absorb JVM startup
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
-    // Noise controls (the round-5/6 lessons — sub-second medians moved
-    // ±3-5× and heavy medians up to 8× with zero code change): HEAVY
-    // queries run LAST so their GC/JIT debt can't pollute a sub-second
-    // neighbor's runs, heavies and sub-second queries get 5 runs, and the
-    // median drops the first (codegen-compile) run — see object scaladoc.
-    val heavy = Set("d2_jaccard_pairs", "d3_minhash_lsh", "d6_simhash_pairs",
-      "d7_contamination", "d9_dup_clusters", "s11_kmeans_train",
-      "pipe1_funnel", "d10_semantic_dedup",
-      "d11_bloom_contamination")
-    // Streaming lifecycles run FIRST: a streaming query's wall is
-    // dominated by micro-batch commit machinery that synchronizes with
-    // the shared listener bus, and after ~140 batch queries the
-    // accumulated listener/GC debt inflated w9 from a 6.0 s clean-JVM
-    // median to 27 s in-suite (round-7 measurement). Batch queries are
-    // insensitive to the little state streams leave behind.
+
+    val loadPre = loadAvg()
+    canarySec() // untimed: JIT-compile the canary loops themselves, so
+                // `pre` measures the host, not the canary's own C2 warm-up
+    val canaryPre = canarySec()
+
     val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
       "w11_stream_dedup", "w12_stream_join", "w14_stateful_cursor",
       "pipe2_stream_funnel")
-    val ordered = selected.toSeq.sortBy { case (n, _) =>
-      (if (streamingFirst(n)) 0 else if (heavy(n)) 2 else 1, n)
-    }
+    // dynamic heavy cutoff: any batch query whose COLD run reaches this
+    // many seconds takes its steady runs in the runs-last tier
+    val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF")
+      .map(_.toDouble).getOrElse(2.0)
     val baseRuns = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt.max(1))
-    val results = ordered.map { case (name, fn) =>
-      def timedRun(): Double = {
-        // drop persisted frames from the previous run so every run pays its
-        // own cold cost — medians measure the query, not cache residue
-        spark.sharedState.cacheManager.clearCache()
-        // clear the terminated-streaming-query registry and let the shared
-        // listener bus drain before timing, so a query never pays for the
-        // event backlog of its predecessors (listenerBus is private[spark];
-        // reflection keeps this main outside the spark package)
-        spark.streams.resetTerminated()
-        try {
-          val bus = spark.sparkContext.getClass
-            .getMethod("listenerBus").invoke(spark.sparkContext)
-          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-        } catch { case _: Throwable => () }
-        System.gc() // don't bill the previous query's garbage to this one
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        // crashed queries record a NEGATIVE timing so failures are visible
-        // in the bench JSON instead of blending into the total
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val first = timedRun()
-      val total = baseRuns.getOrElse(
-        if (heavy(name) || (first >= 0 && first < 1.0)) 5 else 3)
-      name -> (first +: (2 to total).map(_ => timedRun()))
+
+    def timedRun(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Run = {
+      // drop persisted frames from the previous run so every run pays its
+      // own cold cost — medians measure the query, not cache residue
+      spark.sharedState.cacheManager.clearCache()
+      // clear the terminated-streaming-query registry and let the shared
+      // listener bus drain before timing, so a query never pays for the
+      // event backlog of its predecessors (listenerBus is private[spark];
+      // reflection keeps this main outside the spark package)
+      spark.streams.resetTerminated()
+      try {
+        val bus = spark.sparkContext.getClass
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => () }
+      System.gc() // don't bill the previous query's garbage to this one
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      // crashed queries record a NEGATIVE timing so failures are visible
+      // in the bench JSON instead of blending into the total
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      Run(sec, gcMillis() - gc0, rssMib())
     }
+    def totalRuns(heavy: Boolean, first: Double): Int = baseRuns.getOrElse(
+      if (heavy || (first >= 0 && first < 1.0)) 5 else 3)
+
+    val runsByName = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[Run]]
+
+    // tier 1: streaming lifecycles, complete (cold + steady), first
+    val (streamQs, batchQs) = selected.toSeq.sortBy(_._1)
+      .partition { case (n, _) => streamingFirst(n) }
+    streamQs.foreach { case (name, fn) =>
+      val first = timedRun(fn)
+      val rest = (2 to totalRuns(heavy = false, first.sec))
+        .map(_ => timedRun(fn))
+      runsByName(name) = (first +: rest).toVector
+    }
+    val canaryMid = canarySec()
+    // tier 2: every batch query's cold (discarded) run, alphabetical;
+    // classifies the CURRENT heavy set from measurement, not a stale list
+    batchQs.foreach { case (name, fn) => runsByName(name) = Vector(timedRun(fn)) }
+    val heavyNames = batchQs.collect {
+      case (n, _) if runsByName(n).head.sec >= heavyCutoff => n
+    }.toSet
+    // tier 3: steady runs — light queries first, heavies LAST
+    val (heavies, lights) = batchQs.partition { case (n, _) => heavyNames(n) }
+    (lights ++ heavies).foreach { case (name, fn) =>
+      val first = runsByName(name).head
+      val rest = (2 to totalRuns(heavyNames(name), first.sec))
+        .map(_ => timedRun(fn))
+      runsByName(name) = (first +: rest).toVector
+    }
+    val canaryPost = canarySec()
+    val loadPost = loadAvg()
+
+    val results: Seq[(String, Vector[Run])] = runsByName.toSeq
     def median(xs: Seq[Double]): Double =
       if (xs.exists(_ < 0)) -1.0
       else {
@@ -111,7 +197,7 @@ object Bench {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     // steady-state median: everything but the first (compile-bearing) run
     val meds = results.map { case (k, v) =>
-      k -> median(if (v.size > 1) v.tail else v)
+      k -> median(if (v.size > 1) v.tail.map(_.sec) else v.map(_.sec))
     }
     val qs = meds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -120,16 +206,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$maxRuns,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // full artifact: every raw run (first = cold/compile run), per-query
-    // steady median, and the method note — round-over-round deltas read
-    // from here, not from a truncated stdout tail
+    // full artifact: every raw run (first = cold/compile run) with GC/RSS,
+    // per-query steady median, canaries, and the method note —
+    // round-over-round deltas read from here, not from stdout
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "/root/repo/BENCH_full.json")
-    val runsJson = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
+    def runArr(f: Run => String): String = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val runsJson = runArr(r => fmt(r.sec))
+    val gcJson = runArr(r => r.gcMs.toString)
+    val rssJson = runArr(r => r.rss.toString)
     val coldJson = results.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(v.head)
+      "\"" + k + "\":" + fmt(v.head.sec)
     }.mkString("{", ",", "}")
     // tier subtotals: the streaming lifecycles carry a fixed micro-batch
     // start/checkpoint/commit cost (scale7: the data term is invisible at
@@ -139,14 +228,22 @@ object Bench {
       case (k, v) if streamingFirst(k) => v }.sum
     val tiersJson =
       s"""{"streaming":${fmt(streamSum)},"batch":${fmt(total - streamSum)}}"""
+    val heavyJson = heavyNames.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson =
+      s"""{"pre":${fmt(canaryPre)},"mid":${fmt(canaryMid)},"post":${fmt(canaryPost)},"load_avg_pre":${fmt(loadPre)},"load_avg_post":${fmt(loadPost)}}"""
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first, heavies last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs",
+         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary = fixed single-thread CPU+alloc reference work, its pre/mid/post drift measures host contention",
          |"queries":$qs,
          |"tiers":$tiersJson,
+         |"heavy_dynamic":$heavyJson,
+         |"canary_sec":$canaryJson,
          |"cold_first_run":$coldJson,
-         |"runs":$runsJson
+         |"runs":$runsJson,
+         |"gc_ms":$gcJson,
+         |"rss_mib":$rssJson
          |}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))

@@ -218,6 +218,54 @@ object Oracles {
        |  round(CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END, 4) AS jaccard
        |  FROM p)""".stripMargin
 
+  /** Shared BM25 scoring CTEs (Lucene idf form), ending in
+    * `sc(doc_id, n_hits, sc)` with `dt(doc_id, toks)` and `st(n_docs,
+    * avgdl)` also visible — ONE text read by t21 (scan-time ranker), t22
+    * (index-backed serve), t28 (fusion) and s17 (rerank). Parity across
+    * those four depends on the double-fold SQL being bit-identical;
+    * factoring it here makes divergence impossible instead of merely
+    * unlikely. */
+  private def bm25Ctes(termList: String): String =
+    s"""dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+       |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+       |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |  FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, count(*) AS n_hits,
+       |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
+       |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
+       |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id)""".stripMargin
+
+  /** Shared RRF fusion CTEs: [[bm25Ctes]] + the sparse/dense rankers and
+    * the full-outer fusion, ending in `fu(doc_id, rrf_ppt, rank_s,
+    * rank_d)` — reused by t28 and s17 (whose candidate list is t28's
+    * fused output verbatim). */
+  private def rrfCtes(termList: String): String =
+    s"""${bm25Ctes(termList)},
+       |top AS (SELECT doc_id,
+       |    floor(sc * 1000000 + 0.5) / 1000000 AS score
+       |  FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK),
+       |sp AS (SELECT doc_id, row_number()
+       |    OVER (ORDER BY score DESC, doc_id) AS rank_s
+       |  FROM top QUALIFY rank_s <= $RrfDepth),
+       |q AS (SELECT embedding AS qv FROM embeddings
+       |  WHERE vec_id = $RrfQueryVec),
+       |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+       |ds AS (SELECT doc_id, ${cosChain("qv", "cv")} AS sim
+       |  FROM c CROSS JOIN q WHERE doc_id <> $RrfQueryVec),
+       |dn AS (SELECT doc_id, row_number()
+       |    OVER (ORDER BY sim DESC, doc_id) AS rank_d
+       |  FROM ds QUALIFY rank_d <= $RrfDepth),
+       |fu AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+       |    coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_s), 0)
+       |      + coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_d), 0)
+       |      AS rrf_ppt,
+       |    coalesce(rank_s, 0) AS rank_s, coalesce(rank_d, 0) AS rank_d
+       |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)""".stripMargin
+
   /** Shared W3 core (interior ∪ boundary gaps, islands-merged) ending in CTE
     * `m(user_id, gap_start, gap_end)` — reused by w3 and w4. */
   private val w3With: String =
@@ -1431,7 +1479,7 @@ object Oracles {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
          |  CAST(sum(${md5Hash15("text")} % 1000000007) AS BIGINT) AS text_hash
          |FROM documents GROUP BY lang
-         |UNION ALL SELECT 'xx', CAST(2 AS BIGINT), CAST(21 AS BIGINT),
+         |UNION ALL SELECT 'zz~side', CAST(2 AS BIGINT), CAST(21 AS BIGINT),
          |  CAST(18000003 AS BIGINT),
          |  CAST(${md5Hash15("'extra alpha'")} % 1000000007
          |    + ${md5Hash15("'extra beta'")} % 1000000007 AS BIGINT)
@@ -2007,18 +2055,7 @@ object Oracles {
     // doc_id tie-break, as in Spark.
     "t21_bm25" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
-         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
-         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
-         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
-         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |  FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id, count(*) AS n_hits,
-         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
-         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
-         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id)
+      s"""WITH ${bm25Ctes(termList)}
          |SELECT doc_id, n_hits,
          |  floor(sc * 1000000 + 0.5) / 1000000 AS score
          |FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK""".stripMargin
@@ -2028,18 +2065,7 @@ object Oracles {
     // exactly — one oracle text, two engine paths held to it.
     "t22_postings" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
-         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
-         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
-         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
-         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |  FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id, count(*) AS n_hits,
-         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
-         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
-         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id)
+      s"""WITH ${bm25Ctes(termList)}
          |SELECT doc_id, n_hits,
          |  floor(sc * 1000000 + 0.5) / 1000000 AS score
          |FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK""".stripMargin
@@ -2216,79 +2242,18 @@ object Oracles {
     // is bit-exact. Depth caps make every post-ranker relation ≤10 rows.
     "t28_hybrid_rrf" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
-         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
-         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
-         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
-         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |  FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id,
-         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
-         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
-         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id),
-         |top AS (SELECT doc_id,
-         |    floor(sc * 1000000 + 0.5) / 1000000 AS score
-         |  FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK),
-         |sp AS (SELECT doc_id, row_number()
-         |    OVER (ORDER BY score DESC, doc_id) AS rank_s
-         |  FROM top QUALIFY rank_s <= $RrfDepth),
-         |q AS (SELECT embedding AS qv FROM embeddings
-         |  WHERE vec_id = $RrfQueryVec),
-         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
-         |ds AS (SELECT doc_id, ${cosChain("qv", "cv")} AS sim
-         |  FROM c CROSS JOIN q WHERE doc_id <> $RrfQueryVec),
-         |dn AS (SELECT doc_id, row_number()
-         |    OVER (ORDER BY sim DESC, doc_id) AS rank_d
-         |  FROM ds QUALIFY rank_d <= $RrfDepth),
-         |fu AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
-         |    coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_s), 0)
-         |      + coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_d), 0)
-         |      AS rrf_ppt,
-         |    coalesce(rank_s, 0) AS rank_s, coalesce(rank_d, 0) AS rank_d
-         |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+      s"""WITH ${rrfCtes(termList)}
          |SELECT doc_id, CAST(rank_s AS BIGINT) AS rank_sparse,
          |  CAST(rank_d AS BIGINT) AS rank_dense, rrf_ppt
          |FROM fu ORDER BY rrf_ppt DESC, doc_id LIMIT $RrfTopK""".stripMargin
     },
 
-    // s17: t28's fused-list SQL verbatim as CTEs, then the integer
-    // coverage scorer and a 10-row rerank window
+    // s17: t28's fused-list CTEs (the SAME interpolated text — rrfCtes),
+    // then the integer coverage scorer and a 10-row rerank window
     "s17_rerank" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       val termArr = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
-      s"""WITH dt AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
-         |d2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM dt),
-         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
-         |u AS (SELECT doc_id, dl, unnest(toks) AS tok FROM d2),
-         |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM u WHERE tok IN ($termList) GROUP BY 1, 2, 3),
-         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
-         |  FROM tf GROUP BY 1),
-         |sc AS (SELECT doc_id,
-         |    sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ($Bm25K1 + 1)
-         |      / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))) AS sc
-         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st GROUP BY doc_id),
-         |top AS (SELECT doc_id,
-         |    floor(sc * 1000000 + 0.5) / 1000000 AS score
-         |  FROM sc ORDER BY sc DESC, doc_id LIMIT $Bm25TopK),
-         |sp AS (SELECT doc_id, row_number()
-         |    OVER (ORDER BY score DESC, doc_id) AS rank_s
-         |  FROM top QUALIFY rank_s <= $RrfDepth),
-         |q AS (SELECT embedding AS qv FROM embeddings
-         |  WHERE vec_id = $RrfQueryVec),
-         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
-         |ds AS (SELECT doc_id, ${cosChain("qv", "cv")} AS sim
-         |  FROM c CROSS JOIN q WHERE doc_id <> $RrfQueryVec),
-         |dn AS (SELECT doc_id, row_number()
-         |    OVER (ORDER BY sim DESC, doc_id) AS rank_d
-         |  FROM ds QUALIFY rank_d <= $RrfDepth),
-         |fu AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
-         |    coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_s), 0)
-         |      + coalesce(CAST($PrScale AS BIGINT) // ($RrfK + rank_d), 0)
-         |      AS rrf_ppt
-         |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+      s"""WITH ${rrfCtes(termList)},
          |cand AS (SELECT doc_id, row_number()
          |    OVER (ORDER BY rrf_ppt DESC, doc_id) AS rank_before
          |  FROM fu QUALIFY rank_before <= $RrfTopK),
@@ -2785,7 +2750,7 @@ object Oracles {
          |    (sqrt(${dotOf("cv", "cv")}) * sqrt(${dotOf("qv", "qv")}))
          |      AS sim
          |  FROM hv)
-         |SELECT doc_id, shifted, sim >= $ClipThreshold AS kept,
+         |SELECT doc_id, shifted, round(sim, 6) >= $ClipThreshold AS kept,
          |  round(sim, 6) AS sim
          |FROM sc ORDER BY doc_id""".stripMargin
     },
