@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -934,7 +934,10 @@ object Scratch {
           // s17 (rerank — candidate-bounded scorer over t28's fused list)
           "s17" -> "s17_rerank",
           // t29 (encoding repair — fused map-side projections, 3-row census)
-          "t29" -> "t29_fix_encoding")
+          "t29" -> "t29_fix_encoding",
+          // pipe9 (crawl→shards spine — one crawl scan, 3 uniform-key
+          // window shuffles; census stays |shards| rows)
+          "pipe9" -> "pipe9_crawl_shards")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
@@ -1001,6 +1004,80 @@ object Scratch {
             else "SUPERLINEAR!"
           println(f"SCALE $short%-4s x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+        }
+      case Some("scale11") =>
+        // SUSTAINED probe past 16x for the genuinely data-bound operators
+        // (r8 verdict item #4): d14 (pair-space eval), d9 (uncapped pair
+        // gen + connected components — timed on its staged BUILD, which
+        // pays pairs + CC rounds), d15 (incremental-dedup index build).
+        // Default scales 1,16,64 over replicated documents.
+        //
+        // GROWTH MODEL: by default each replica namespaces its SOURCE
+        // (source_r<i>) as well as its token text — the "more domains"
+        // model of web growth, under which the (lang, source) candidate
+        // blocks multiply while block size stays fixed, so pair work
+        // grows LINEARLY and the probe measures the claimed linear path
+        // at real data-bound sizes. SPARK_GRAFT_NAMESPACE_SRC=0 keeps one
+        // shared source per replica — the "same domains, 64x bigger"
+        // model, under which in-block pair work provably grows k^2 (the
+        // curve bend, measurable on d14 at small k). Both models are the
+        // truth; which one a 100 TB corpus follows decides whether d2/d9/
+        // d14-style blocked pair generation needs an LSH band gate
+        // (d3/d15) in front of it.
+        // env: SPARK_GRAFT_SCALES (default "1,16,64"),
+        //      SPARK_GRAFT_SCALE_OPS (default "d14,d9,d15"),
+        //      SPARK_GRAFT_NAMESPACE_SRC (default "1")
+        import org.apache.spark.sql.functions._
+        val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16,64")
+          .split(",").map(_.trim.toInt).toSeq
+        val ops11 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d9,d15")
+          .split(",").map(_.trim).toSet
+        val nsSrc = !sys.env.get("SPARK_GRAFT_NAMESPACE_SRC").contains("0")
+        val names11 = Seq(
+          "d14" -> "d14_minhash_est_error",
+          "d9" -> "d9_dup_clusters",
+          "d15" -> "d15_incremental_dedup")
+        val registry11 = queries.Queries.all.toMap
+        val docs11 = Tables.documents(spark, sfDir)
+        val didSpan11 = docs11.agg(max(col("doc_id"))).head.getLong(0) + 1
+        val times11 = scala.collection.mutable.Map[String, Double]()
+        for (k <- scales) {
+          val dir = java.nio.file.Files.createTempDirectory(s"scale11x$k")
+            .toString
+          (0 until k).map { i =>
+            val txt = if (i == 0) col("text")
+              else regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1")
+            val src = if (i == 0 || !nsSrc) col("source")
+              else concat(col("source"), lit(s"_r$i"))
+            docs11.select((col("doc_id") + lit(i * didSpan11)).as("doc_id"),
+              txt.as("text"), col("lang"), src.as("source"), col("n_chars"))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          for ((short, qname) <- names11 if ops11(short)) {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            val df = registry11(qname)(spark, dir)
+            val n = df
+              .select((xxhash64(struct(df.columns.map(col): _*)) %
+                lit(1000000007L)).as("h"))
+              .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+              .head.getLong(1)
+            val dt = (System.nanoTime() - t0) / 1e9
+            times11(s"${short}_x$k") = dt
+            println(f"TIMER ${short}_x$k%-10s ${dt}%8.2f s  rows=$n")
+          }
+        }
+        for ((short, _) <- names11 if ops11(short)) {
+          val pts = scales.filter(k => times11.contains(s"${short}_x$k"))
+          for (Seq(lo, hi) <- pts.sliding(2) if pts.size >= 2) {
+            val growth = hi.toDouble / lo
+            val r = times11(s"${short}_x$hi") / times11(s"${short}_x$lo")
+            val verdict = if (r <= growth * 1.5) "LINEARISH"
+              else if (r < growth * growth) "SUBQUADRATIC"
+              else "SUPERLINEAR!"
+            println(f"SCALE $short%-4s x$hi/x$lo = ${r}%6.2f  " +
+              f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
+          }
         }
       case Some("scale8") =>
         // 16x probes for the round-7 second-wave newcomers, through the

@@ -206,6 +206,72 @@ object Oracles {
        |    CASE WHEN qsort = '' THEN '' ELSE '?' || qsort END AS qq
        |  FROM qs)""".stripMargin
 
+  /** Shared web-curation funnel CTEs — the t26 page-synth + extraction
+    * chain (lang carried through), Gopher gate, t27 URL canonicalization
+    * and the two cascading conditional-window keep elections — ending in
+    * `s3(doc_id, lang, words, fp, clean_ok, canon, url_ok, final_ok)`.
+    * Reused by pipe6 (the funnel census) and pipe9 (packing over the
+    * survivor set); one text so the two can never drift. MATERIALIZED
+    * pins the html chain to one evaluation (the bpeWith lesson: DuckDB
+    * inlines CTEs per reference). */
+  private val curationCtes: String =
+    s"""t AS (SELECT doc_id, lang, source, ${rawToks("text")} AS toks
+       |  FROM documents),
+       |pg AS MATERIALIZED (SELECT doc_id, lang,
+       |  '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style><script>var tracker = "x"; load();</script></head><body>' || chr(10) ||
+       |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/archive">' || lang || ' archive</a></nav>' || chr(10) ||
+       |  array_to_string(list_transform(
+       |      range(1, CAST(ceil(len(toks)/20.0) AS BIGINT) + 1),
+       |      i -> '<p>' || array_to_string(toks[((i-1)*20+1):(i*20)], ' ') ||
+       |        '</p>'), chr(10)) || chr(10) ||
+       |  '<div class="promo"><a href="/buy">Buy now</a> top deals <a href="/go">click here</a></div>' || chr(10) ||
+       |  '<footer>Copyright 2026 ' || source || ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS html
+       |  FROM t),
+       |bl AS (SELECT doc_id, lang,
+       |  string_split(regexp_replace(regexp_replace(html,
+       |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'), chr(10)) AS blocks
+       |  FROM pg),
+       |f0 AS (SELECT doc_id, lang, list_transform(blocks, b -> struct_pack(
+       |    txt := trim(regexp_replace(regexp_replace(b,
+       |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+       |    anchors := CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+       |      a -> length(replace(a, ' ', '')))), 0) AS BIGINT))) AS f0
+       |  FROM bl),
+       |cl AS MATERIALIZED (SELECT doc_id, lang,
+       |  array_to_string(list_transform(list_filter(f0, f ->
+       |    len(list_filter(string_split(f.txt, ' '), x -> x <> ''))
+       |        >= ${HtmlExtract.MinBlockWords}
+       |      AND f.anchors * ${HtmlExtract.LinkDensityDen}
+       |        < CAST(length(replace(f.txt, ' ', '')) AS BIGINT)
+       |          * ${HtmlExtract.LinkDensityNum}),
+       |    f -> f.txt), ' ') AS clean
+       |  FROM f0),
+       |g AS (SELECT doc_id, lang, clean,
+       |    CAST(len(${rawToks("clean")}) AS BIGINT) AS n,
+       |    CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS BIGINT) AS chars,
+       |    CAST(length(clean) - length(replace(clean, '#', '')) AS BIGINT) AS hashes,
+       |    CAST((length(clean) - length(replace(clean, '...', ''))) // 3 AS BIGINT) AS dots,
+       |    CAST(len(list_filter(${rawToks("clean")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+       |    CAST(len(list_filter(${rawToks("clean")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+       |  FROM cl),
+       |ok AS (SELECT doc_id, lang, n AS words, md5(clean) AS fp,
+       |    (n >= 50 AND n <= 100000
+       |      AND 3 * n <= chars AND chars <= 10 * n
+       |      AND 10 * (hashes + dots) < n
+       |      AND 10 * alpha >= 8 * n
+       |      AND stops >= 2) AS clean_ok
+       |  FROM g),
+       |$urlSynthCtes,
+       |$urlCanonCtes,
+       |s1 AS (SELECT ok.*, sch || '://' || hst || pth || qq AS canon
+       |  FROM ok JOIN cn USING (doc_id)),
+       |s2 AS (SELECT *, clean_ok AND doc_id = min(CASE WHEN clean_ok
+       |    THEN doc_id END) OVER (PARTITION BY canon) AS url_ok FROM s1),
+       |s3 AS (SELECT *, url_ok AND doc_id = min(CASE WHEN url_ok
+       |    THEN doc_id END) OVER (PARTITION BY fp) AS final_ok FROM s2)""".stripMargin
+
   /** Shared d2 core: blocked exact-Jaccard pair CTEs ending in
     * `j(id_a, id_b, jaccard)` — reused by d2 and d9 (cluster closure). */
   private val d2Ctes: String =
@@ -2276,62 +2342,7 @@ object Oracles {
     // the funnel census per lang. MATERIALIZED pins the html chain to one
     // evaluation (the bpeWith lesson: DuckDB inlines CTEs per reference).
     "pipe6_web_curation" ->
-      s"""WITH t AS (SELECT doc_id, lang, source, ${rawToks("text")} AS toks
-         |  FROM documents),
-         |pg AS MATERIALIZED (SELECT doc_id, lang,
-         |  '<html><head><title>Doc ' || doc_id || '</title><style>p { margin: 0; }</style><script>var tracker = "x"; load();</script></head><body>' || chr(10) ||
-         |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/archive">' || lang || ' archive</a></nav>' || chr(10) ||
-         |  array_to_string(list_transform(
-         |      range(1, CAST(ceil(len(toks)/20.0) AS BIGINT) + 1),
-         |      i -> '<p>' || array_to_string(toks[((i-1)*20+1):(i*20)], ' ')
-         |        || '</p>'), chr(10)) || chr(10) ||
-         |  '<div class="promo"><a href="/buy">Buy now</a> top deals <a href="/go">click here</a></div>' || chr(10) ||
-         |  '<footer>Copyright 2026 ' || source || ' <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS html
-         |  FROM t),
-         |bl AS (SELECT doc_id, lang,
-         |  string_split(regexp_replace(regexp_replace(html,
-         |    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-         |    '(?s)<style[^>]*>.*?</style>', ' ', 'g'), chr(10)) AS blocks
-         |  FROM pg),
-         |f0 AS (SELECT doc_id, lang, list_transform(blocks, b -> struct_pack(
-         |    txt := trim(regexp_replace(regexp_replace(b,
-         |      '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
-         |    anchors := CAST(coalesce(list_sum(list_transform(
-         |      regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
-         |      a -> length(replace(a, ' ', '')))), 0) AS BIGINT))) AS f0
-         |  FROM bl),
-         |cl AS MATERIALIZED (SELECT doc_id, lang,
-         |  array_to_string(list_transform(list_filter(f0, f ->
-         |    len(list_filter(string_split(f.txt, ' '), x -> x <> ''))
-         |        >= ${HtmlExtract.MinBlockWords}
-         |      AND f.anchors * ${HtmlExtract.LinkDensityDen}
-         |        < CAST(length(replace(f.txt, ' ', '')) AS BIGINT)
-         |          * ${HtmlExtract.LinkDensityNum}),
-         |    f -> f.txt), ' ') AS clean
-         |  FROM f0),
-         |g AS (SELECT doc_id, lang, clean,
-         |    CAST(len(${rawToks("clean")}) AS BIGINT) AS n,
-         |    CAST(length(regexp_replace(clean, '\\s', '', 'g')) AS BIGINT) AS chars,
-         |    CAST(length(clean) - length(replace(clean, '#', '')) AS BIGINT) AS hashes,
-         |    CAST((length(clean) - length(replace(clean, '...', ''))) // 3 AS BIGINT) AS dots,
-         |    CAST(len(list_filter(${rawToks("clean")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
-         |    CAST(len(list_filter(${rawToks("clean")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
-         |  FROM cl),
-         |ok AS (SELECT doc_id, lang, n AS words, md5(clean) AS fp,
-         |    (n >= 50 AND n <= 100000
-         |      AND 3 * n <= chars AND chars <= 10 * n
-         |      AND 10 * (hashes + dots) < n
-         |      AND 10 * alpha >= 8 * n
-         |      AND stops >= 2) AS clean_ok
-         |  FROM g),
-         |$urlSynthCtes,
-         |$urlCanonCtes,
-         |s1 AS (SELECT ok.*, sch || '://' || hst || pth || qq AS canon
-         |  FROM ok JOIN cn USING (doc_id)),
-         |s2 AS (SELECT *, clean_ok AND doc_id = min(CASE WHEN clean_ok
-         |    THEN doc_id END) OVER (PARTITION BY canon) AS url_ok FROM s1),
-         |s3 AS (SELECT *, url_ok AND doc_id = min(CASE WHEN url_ok
-         |    THEN doc_id END) OVER (PARTITION BY fp) AS final_ok FROM s2)
+      s"""WITH $curationCtes
          |SELECT lang, count(*) AS n_raw,
          |  CAST(sum(CASE WHEN clean_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
          |  CAST(sum(CASE WHEN url_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_url_unique,
@@ -2426,6 +2437,34 @@ object Oracles {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS cum_before
          |  FROM s)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_toks,
+         |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx AS BIGINT)
+         |    AS n_windows,
+         |  CAST(sum(CASE WHEN (cum_before + toks - 1) // $PackCtx
+         |      > cum_before // $PackCtx THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spanning,
+         |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx * $PackCtx
+         |    - sum(toks) AS BIGINT) AS padding
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // pipe9: the WARC mechanics are the ENGINE's burden (pipe7's
+    // convention); the oracle replays the shared curation funnel
+    // (curationCtes — the same text as pipe6) and packs the SURVIVORS'
+    // clean-token counts with pipe8's integer packing algebra
+    "pipe9_crawl_shards" ->
+      s"""WITH $curationCtes,
+         |pk AS (SELECT doc_id, words AS toks,
+         |    ${md5Hash15("CAST(doc_id AS VARCHAR)")} AS ord
+         |  FROM s3 WHERE final_ok),
+         |sh AS (SELECT doc_id, toks, ord, ord % $PackShards AS shard
+         |  FROM pk),
+         |c AS (SELECT shard, toks,
+         |    coalesce(sum(toks) OVER (PARTITION BY shard
+         |      ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM sh)
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(toks) AS BIGINT) AS total_toks,
          |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx AS BIGINT)

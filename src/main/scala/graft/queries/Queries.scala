@@ -3596,8 +3596,11 @@ object Queries {
     * CommonCrawl WARCs are per-record gzip members — there, parallelism
     * = shard count, same plan); records never concatenate into one task
     * row because the delimiter bounds them. */
-  def pipe7WarcIngest(s: SparkSession, d: String): DataFrame = {
-    val root = stagedDir("pipe7_warc", d) { dir =>
+  /** The staged synthetic WARC corpus shared by pipe7 and pipe9: response
+    * records for every document (payload = the t26 synthetic page) plus
+    * interleaved request records, written once per (sf dir) per JVM. */
+  private def warcStaged(s: SparkSession, d: String): String =
+    stagedDir("pipe7_warc", d) { dir =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           TextAnalysis.tokens(col("text")).as("toks"))
@@ -3616,6 +3619,9 @@ object Queries {
           docs.where(col("doc_id") % 7 === 0).select(request.as("value")))
         .write.mode("overwrite").text(dir)
     }
+
+  def pipe7WarcIngest(s: SparkSession, d: String): DataFrame = {
+    val root = warcStaged(s, d)
     val isResp = col("wtype") === "response"
     s.read.option("lineSep", "WARC/1.0\r\n").text(root)
       .where(length(col("value")) > 0)
@@ -3708,6 +3714,85 @@ object Queries {
       .orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("start_win", expr(s"cum_before div $PackCtx"))
+      .withColumn("end_win", expr(s"(cum_before + toks - 1) div $PackCtx"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_toks"),
+        (expr(s"(sum(toks) + ${PackCtx - 1}) div $PackCtx"))
+          .as("n_windows"),
+        sum(when(col("end_win") > col("start_win"), 1L).otherwise(0L))
+          .as("n_spanning"),
+        expr(s"(sum(toks) + ${PackCtx - 1}) div $PackCtx * $PackCtx" +
+          " - sum(toks)").as("padding"))
+      .orderBy(col("shard"))
+  }
+
+  /** PIPE9: the complete from-crawl spine AS ONE PLAN — WARC shards →
+    * record split + header parse (pipe7) → markup extraction + Gopher
+    * gate + URL/content dedup elections (pipe6's funnel, but with the
+    * URL taken from the crawl's own `WARC-Target-URI` header and the doc
+    * identity parsed from the page itself) → pipe8's sequence-packing
+    * census over the SURVIVING documents. Proves the stages fuse without
+    * a materialization seam: one text scan of the crawl feeds the whole
+    * pipeline, and Catalyst keeps the record parse + extraction + gates
+    * in a single map-side projection chain under the first window.
+    * Shuffle budget: 3 (the canon-URL election window, the content-fp
+    * election window, the per-shard packing window — whose `shard` key
+    * also co-partitions the final census aggregate). Scale shape: every
+    * window key is hash-uniform (canonical URL, md5 fingerprint, md5-
+    * derived shard), the crawl scan is splittable (uncompressed shards;
+    * per-record-gzip CommonCrawl makes parallelism = shard count), and
+    * nothing corpus-wide reaches the driver. The oracle replays the
+    * pipe6 curation chain + pipe8 packing over the survivor set from the
+    * parquet table — the WARC round-trip (record split, header parse,
+    * payload byte-exactness, in-band identity recovery) is the engine's
+    * burden, pinned by the packing census's dependence on every
+    * survivor's exact clean-token count. */
+  def pipe9CrawlShards(s: SparkSession, d: String): DataFrame = {
+    val root = warcStaged(s, d)
+    val recs = s.read.option("lineSep", "WARC/1.0\r\n").text(root)
+      .where(length(col("value")) > 0)
+      .select(
+        regexp_extract(col("value"), "WARC-Type: ([a-z]+)", 1).as("wtype"),
+        regexp_extract(col("value"), "WARC-Target-URI: ([^\r\n]+)", 1)
+          .as("uri"),
+        regexp_replace(split(col("value"), "\r\n\r\n", 2).getItem(1),
+          "\n$", "").as("payload"))
+      .where(col("wtype") === "response")
+    // identity comes from the crawl itself (the page's <title>), not from
+    // a pre-existing table — the from-raw-web contract
+    val parsed = recs.select(
+      regexp_extract(col("payload"), "<title>Doc (\\d+)</title>", 1)
+        .cast("long").as("doc_id"),
+      col("uri"),
+      HtmlExtract.cleanText(HtmlExtract.blockFeatures(
+        HtmlExtract.blocks(col("payload")))).as("clean"))
+    val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("clean"))
+    val staged = parsed
+      .withColumn("clean_ok",
+        rWords && rMeanLen && rSymbol && rAlpha && rStop)
+      .withColumn("canon_url", UrlNormalize.canonical(col("uri")))
+      .withColumn("fp", md5(col("clean")))
+    val wUrl = Window.partitionBy(col("canon_url"))
+    val wFp = Window.partitionBy(col("fp"))
+    val survivors = staged
+      .withColumn("url_ok", col("clean_ok") && col("doc_id") ===
+        min(when(col("clean_ok"), col("doc_id"))).over(wUrl))
+      .withColumn("final_ok", col("url_ok") && col("doc_id") ===
+        min(when(col("url_ok"), col("doc_id"))).over(wFp))
+      .where(col("final_ok"))
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("clean"))).cast("long").as("toks"))
+    val ord = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("ord", ord)
+      .withColumn("shard", pmod(col("ord"), lit(PackShards)))
       .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
       .withColumn("start_win", expr(s"cum_before div $PackCtx"))
       .withColumn("end_win", expr(s"(cum_before + toks - 1) div $PackCtx"))
@@ -4060,6 +4145,7 @@ object Queries {
     "pipe6_web_curation" -> pipe6WebCuration _,
     "pipe7_warc_ingest" -> pipe7WarcIngest _,
     "pipe8_seq_pack" -> pipe8SeqPack _,
+    "pipe9_crawl_shards" -> pipe9CrawlShards _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,

@@ -481,6 +481,47 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("pipe9 crawl→shards: one crawl scan, 3 window shuffles; closes with pipe6") {
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Queries.pipe9CrawlShards(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      // the whole spine is ONE plan over ONE pass of the crawl: record
+      // parse + extraction + gates fuse map-side under the first window;
+      // data shuffles are the canon-URL window, the content-fp window and
+      // the shard packing window (whose partitioning the census agg
+      // reuses) + the output's range sort — a second scan would mean a
+      // materialization seam crept in between the stages
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.length == 1, s"${scans.length} scans:\n" +
+        plan.toString.take(1200))
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 4, s"${exch.length} shuffles:\n" +
+        plan.toString.take(1200))
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.length == 3, plan.toString.take(800))
+      assert(!plan.toString.contains("CartesianProduct"))
+      // conservation against the funnel census: the packed survivor set
+      // IS pipe6's n_final / final_words, recovered entirely from the
+      // crawl bytes (identity parsed back out of each page's <title>)
+      val rows = df.collect()
+      val funnel = Queries.pipe6WebCuration(spark, sfDir).collect()
+      assert(rows.map(_.getLong(1)).sum == funnel.map(_.getLong(4)).sum,
+        "survivor count diverged from pipe6's n_final")
+      assert(rows.map(_.getLong(2)).sum == funnel.map(_.getLong(5)).sum,
+        "packed token total diverged from pipe6's final_words")
+      rows.foreach { r =>
+        val (toks, nw, pad) = (r.getLong(2), r.getLong(3), r.getLong(5))
+        assert(pad >= 0 && pad < QuerySpec.PackCtx, r.toString)
+        assert(nw * QuerySpec.PackCtx == toks + pad, r.toString)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("k7 diff: one equi-join (no nested loop), churn classes exact") {
     import org.apache.spark.sql.functions.col
     val df = Queries.k7SnapshotDiff(spark, sfDir)
