@@ -2336,6 +2336,47 @@ object Oracles {
          |FROM sc2 ORDER BY rank_after""".stripMargin
     },
 
+    // s18: t28's fused list (rrfCtes — the shared text), vector-capable
+    // candidates only, then the greedy MMR selection unrolled as MmrK
+    // chained argmax CTEs (greedy selection is sequential by definition;
+    // the relations are all candidate-bounded). MATERIALIZED everywhere a
+    // CTE is referenced more than once — DuckDB inlines per reference and
+    // ce/ps/sel_i close over the corpus-grain rankers.
+    "s18_mmr_diversify" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val steps = (2 to MmrK).map { i =>
+        s"""sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL
+           |  (SELECT c.doc_id, CAST($i AS BIGINT) AS mmr_rank, c.rel_ppm,
+           |      m.max_sim_ppm,
+           |      $MmrLambda10 * c.rel_ppm
+           |        - ${10 - MmrLambda10} * m.max_sim_ppm AS mmr_score
+           |    FROM ce c JOIN (SELECT a AS doc_id, max(sim_ppm) AS max_sim_ppm
+           |        FROM ps WHERE b IN (SELECT doc_id FROM sel${i - 1})
+           |        GROUP BY a) m USING (doc_id)
+           |    WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+           |    ORDER BY mmr_score DESC, c.doc_id LIMIT 1))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${rrfCtes(termList)},
+         |cand AS (SELECT doc_id, row_number()
+         |    OVER (ORDER BY rrf_ppt DESC, doc_id) AS rank_fused
+         |  FROM fu QUALIFY rank_fused <= $RrfTopK),
+         |ce AS MATERIALIZED (SELECT cand.doc_id,
+         |    CAST($RelScale AS BIGINT) // ($RrfK + rank_fused) AS rel_ppm,
+         |    e.embedding AS emb
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id),
+         |ps AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(floor(${cosChain("x.emb", "y.emb")} * 1000000 + 0.5)
+         |      AS BIGINT) AS sim_ppm
+         |  FROM ce x JOIN ce y ON x.doc_id <> y.doc_id),
+         |sel1 AS MATERIALIZED (SELECT doc_id, CAST(1 AS BIGINT) AS mmr_rank,
+         |    rel_ppm, CAST(0 AS BIGINT) AS max_sim_ppm,
+         |    $MmrLambda10 * rel_ppm AS mmr_score
+         |  FROM ce ORDER BY rel_ppm DESC, doc_id LIMIT 1),
+         |$steps
+         |SELECT doc_id, mmr_rank, rel_ppm, max_sim_ppm, mmr_score
+         |FROM sel$MmrK ORDER BY mmr_rank""".stripMargin
+    },
+
     // pipe6: t26's page-synth + extraction chain (lang carried through),
     // Gopher gate on the extract, then the t27 URL canonicalization and two
     // cascading conditional-window keep elections (URL key, content key) —

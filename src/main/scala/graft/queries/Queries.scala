@@ -3528,6 +3528,111 @@ object Queries {
       .orderBy(col("rank_after"))
   }
 
+  /** S18: MMR diversified selection (Carbonell & Goldstein 1998, maximal
+    * marginal relevance) — the retrieval stack's fourth stage after
+    * retrieve → fuse → rerank: from t28's fused candidates, greedily pick
+    * `MmrK` results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected, so near-duplicate hits can't crowd the result
+    * page. All integer arithmetic (RRF-style `RelScale div (RrfK+rank)`
+    * relevance, candidate-pair cosines floored to ppm, λ in tenths) —
+    * bit-exact on both engines. Greedy selection is inherently
+    * SEQUENTIAL, so the k steps are unrolled statically into the plan as
+    * k argmax-limit(1) sub-selections — no driver loop over row data, no
+    * collect; the candidate frame (≤ RrfTopK rows with their vectors) is
+    * persisted so the unrolled references replay a cached 10-row scan,
+    * not the corpus-grain rankers. Scale shape: the cluster's work ends
+    * at the fused candidate list (t28's shapes); everything past it is
+    * candidate-bounded (≤10 rows, ≤90 pair sims) — the serving-layer
+    * contract, same as s17's rerank window. Candidates without a stored
+    * vector can't be diversity-scored and are excluded up front (both
+    * engines; production backfills vectors at index time). */
+  def s18MmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val cand = t28HybridRrf(s, d)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("rrf_ppt").desc,
+          col("doc_id"))).cast("long").as("rank_fused"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // localCheckpoint (eager) TRUNCATES lineage: the corpus-grain rankers
+    // run exactly once, and everything downstream plans against a flat
+    // ≤10-row scan. A persist() is NOT enough — it leaves the logical
+    // tree in place, and the greedy selection references the candidate
+    // frame repeatedly (measured 21-31 s steady at sf0.1 under a
+    // persist-chained k-step unroll vs ~1 s checkpointed+fused; plan
+    // analysis of the multiplied ranker subtree dominated even with warm
+    // caches). Checkpointing a MODEL-SIZED frame (10 candidate rows) is
+    // the serving-layer contract, not a data checkpoint.
+    val ce = cand.join(emb, Seq("doc_id"))
+      .withColumn("rel_ppm", expr(s"$RelScale div ($RrfK + rank_fused)"))
+      .select(col("doc_id"), col("rel_ppm"), col("embedding"))
+      .localCheckpoint()
+    // ≤90-entry candidate-pair similarity list, integer ppm — lazy, from
+    // the checkpointed frame
+    val ps = ce.select(col("doc_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(ce.select(col("doc_id").as("b"), col("embedding").as("eb")))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        floor(Similarity.cosine(col("ea"), col("eb")) * 1e6 + 0.5)
+          .cast("long").as("sim_ppm"))
+    // the greedy selection is inherently sequential, so it runs as ONE
+    // fused fold over a single row holding the candidate list and the
+    // pair-sim list — k steps of argmax over ≤10 structs, pure map-side
+    // expression work, no per-step Spark actions and no driver loop over
+    // row data
+    val candsArr = ce.agg(collect_list(
+      struct(col("doc_id"), col("rel_ppm"))).as("cands"))
+    val simsArr = ps.agg(collect_list(
+      struct(col("a"), col("b"), col("sim_ppm"))).as("sims"))
+    val lam = lit(MmrLambda10)
+    val mu = lit(10L - MmrLambda10)
+    def maxSimTo(c: Column, selIds: Column, sims: Column): Column =
+      array_max(transform(
+        filter(sims, p => p.getField("a") === c.getField("doc_id") &&
+          array_contains(selIds, p.getField("b"))),
+        p => p.getField("sim_ppm")))
+    def pick(scored: Column, rank: Column): Column = {
+      val m = array_max(transform(scored, s => s.getField("mmr_score")))
+      val atM = filter(scored, s => s.getField("mmr_score") === m)
+      val d = array_min(transform(atM, s => s.getField("doc_id")))
+      val best = element_at(filter(atM, s => s.getField("doc_id") === d), 1)
+      struct(best.getField("doc_id").as("doc_id"),
+        rank.as("mmr_rank"),
+        best.getField("rel_ppm").as("rel_ppm"),
+        best.getField("max_sim_ppm").as("max_sim_ppm"),
+        best.getField("mmr_score").as("mmr_score"))
+    }
+    val first = pick(transform(col("cands"), c => struct(
+      c.getField("doc_id").as("doc_id"),
+      c.getField("rel_ppm").as("rel_ppm"),
+      lit(0L).as("max_sim_ppm"),
+      (lam * c.getField("rel_ppm")).as("mmr_score"))), lit(1L))
+    val selArr = aggregate(
+      sequence(lit(2L), lit(MmrK.toLong)),
+      when(size(col("cands")) > 0, array(first))
+        .otherwise(array().cast(
+          "array<struct<doc_id:bigint,mmr_rank:bigint,rel_ppm:bigint," +
+            "max_sim_ppm:bigint,mmr_score:bigint>>")),
+      (acc, i) => {
+        val selIds = transform(acc, s => s.getField("doc_id"))
+        val rem = filter(col("cands"),
+          c => !array_contains(selIds, c.getField("doc_id")))
+        val scored = transform(rem, c => {
+          val ms = maxSimTo(c, selIds, col("sims"))
+          struct(c.getField("doc_id").as("doc_id"),
+            c.getField("rel_ppm").as("rel_ppm"),
+            ms.as("max_sim_ppm"),
+            (lam * c.getField("rel_ppm") - mu * ms).as("mmr_score"))
+        })
+        when(size(rem) > 0, concat(acc, array(pick(scored, i))))
+          .otherwise(acc)
+      })
+    candsArr.crossJoin(simsArr)
+      .select(explode(selArr).as("s"))
+      .select(col("s.doc_id"), col("s.mmr_rank"), col("s.rel_ppm"),
+        col("s.max_sim_ppm"), col("s.mmr_score"))
+      .orderBy(col("mmr_rank"))
+  }
+
   /** PIPE6: the raw-web curation spine as ONE plan — the composition every
     * from-crawl training-data pipeline runs, in the order it runs it:
     * markup→clean-text extraction (t26's jusText rules), the Gopher
@@ -4140,6 +4245,7 @@ object Queries {
     "t27_url_dedup" -> t27UrlDedup _,
     "t28_hybrid_rrf" -> t28HybridRrf _,
     "s17_rerank" -> s17Rerank _,
+    "s18_mmr_diversify" -> s18MmrDiversify _,
     "pipe4_pack_export" -> pipe4PackExport _,
     "pipe5_backfill_closure" -> pipe5BackfillClosure _,
     "pipe6_web_curation" -> pipe6WebCuration _,

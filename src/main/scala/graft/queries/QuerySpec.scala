@@ -97,6 +97,16 @@ object QuerySpec {
   val RrfQueryVec = 0
   val RrfTopK = 10
 
+  // S18 MMR diversification (Carbonell & Goldstein 1998): select MmrK of
+  // the fused candidates greedily maximizing λ·relevance − (1−λ)·max
+  // similarity-to-selected, with λ = MmrLambda10/10. Relevance is the
+  // RRF-style integer score RelScale div (RrfK + fused rank) and
+  // candidate-pair cosines round to integer ppm, so every MMR score is
+  // exact integer arithmetic on both engines.
+  val MmrK = 5
+  val MmrLambda10 = 7L
+  val RelScale = 1000000L
+
   // PIPE8 sequence packing: fixed context length (tokens) and the shard
   // fan-out; docs are ordered inside a shard by a portable md5-derived key
   // (deterministic pseudo-random training order, retry-stable like t23)

@@ -481,6 +481,38 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("s18 MMR: greedy invariants hold; fold reads only the checkpoint") {
+    import org.apache.spark.sql.functions.col
+    val df = Queries.s18MmrDiversify(spark, sfDir)
+    // the cluster's work ends at the checkpointed candidate frame: the
+    // RETURNED plan must contain no file scan at all — the greedy fold
+    // reads the ≤10-row checkpoint, never the corpus-grain rankers
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.isEmpty, "returned plan re-scans the corpus:\n" +
+      df.queryExecution.executedPlan.toString.take(800))
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "checkpointed candidate scan missing from plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= QuerySpec.MmrK)
+    // ranks contiguous from 1; score identity holds at every step; the
+    // first selection carries no diversity penalty
+    assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+    assert(rows.head.getLong(3) == 0L, rows.head.toString)
+    rows.foreach { r =>
+      val (rel, ms, score) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(score == QuerySpec.MmrLambda10 * rel -
+        (10 - QuerySpec.MmrLambda10) * ms, r.toString)
+    }
+    // selections are distinct docs (no score-monotonicity assertion:
+    // pair cosines can be NEGATIVE, so a later pick's λ·rel − (1−λ)·sim
+    // can legitimately exceed the first pick's unpenalized λ·rel)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // relevance is non-increasing in fused rank, and the first pick is
+    // the highest-relevance vector-capable candidate
+    assert(rows.head.getLong(2) == rows.map(_.getLong(2)).max)
+  }
+
   test("pipe9 crawl→shards: one crawl scan, 3 window shuffles; closes with pipe6") {
     val prevA = spark.conf.get("spark.sql.adaptive.enabled")
     try {
