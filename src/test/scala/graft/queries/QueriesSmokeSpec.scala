@@ -347,7 +347,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // PERMISSIVE + corrupt-record column: the malformed line is ONE
     // censused row, not a dead job and not a silent drop
     assert(rows.get("?corrupt").contains(1L), rows.toString)
-    assert(rows.get("xx").contains(2L), rows.toString) // the two side rows
+    // the two side rows, under the collision-proof sentinel lang (a tilde
+    // can never appear in a generator lang code)
+    assert(rows.get("zz~side").contains(2L), rows.toString)
     // and the parquet-table langs all survived the round-trip
     val langs = graft.Tables.documents(spark, sfDir)
       .select("lang").distinct().collect().map(_.getString(0)).toSet
