@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -940,7 +940,13 @@ object Scratch {
           "pipe9" -> "pipe9_crawl_shards",
           // s18 (MMR — corpus term is t28's rankers; the greedy unroll is
           // candidate-bounded)
-          "s18" -> "s18_mmr_diversify")
+          "s18" -> "s18_mmr_diversify",
+          // o9 (compaction planner — metadata-grain: |files| rows, two
+          // per-dir shuffles)
+          "o9" -> "o9_compaction_plan",
+          // a24 (attribution — one user-grain RangeFrame window, census
+          // stays |days| rows)
+          "a24" -> "a24_attribution")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -1317,6 +1317,33 @@ object Oracles {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM u GROUP BY 1 ORDER BY level""".stripMargin,
 
+    // a24: one value-RANGE frame supplies both touches; peer semantics
+    // (value-based bounds, −1 excludes same-ms) match Spark's RangeFrame
+    "a24_attribution" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+         |  FROM events),
+         |w AS (SELECT user_id, event_type, ts_ms,
+         |    min(CASE WHEN event_type = '$FunnelB' THEN ts_ms END) OVER f
+         |      AS ft_ts,
+         |    max(CASE WHEN event_type = '$FunnelB' THEN ts_ms END) OVER f
+         |      AS lt_ts
+         |  FROM ev WINDOW f AS (PARTITION BY user_id ORDER BY ts_ms
+         |    RANGE BETWEEN $AttrLookbackMs PRECEDING AND 1 PRECEDING))
+         |SELECT CAST(ts_ms // ${24 * HourMs} AS BIGINT) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_conversions,
+         |  CAST(sum(CASE WHEN lt_ts IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_attributed,
+         |  CAST(sum(CASE WHEN ft_ts < lt_ts THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_multi_touch,
+         |  CAST(sum(CASE WHEN lt_ts IS NOT NULL
+         |    THEN (ts_ms - lt_ts) // 60000 ELSE 0 END)
+         |    AS BIGINT) AS sum_last_gap_min,
+         |  CAST(sum(CASE WHEN ft_ts IS NOT NULL
+         |    THEN (ts_ms - ft_ts) // 60000 ELSE 0 END)
+         |    AS BIGINT) AS sum_first_gap_min
+         |FROM w WHERE event_type = '$FunnelC'
+         |GROUP BY day ORDER BY day""".stripMargin,
+
     // a22: distinct (user, day) grain, min-day cohort, matrix census
     "a22_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id,
@@ -1475,6 +1502,27 @@ object Oracles {
         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_rows,
         |  min(x) AS min_x, max(x) AS max_x
         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // o9: the staged store's file mechanics (one file per (lang, frag),
+    // _metadata listing) are the engine's burden; each physical file is
+    // identified by its min doc_id, so the oracle replays the fragment
+    // rule and the same FFD running-sum binning directly from documents
+    "o9_compaction_plan" ->
+      s"""WITH f AS (SELECT lang, doc_id % $CompactFrag AS frag,
+         |    CAST(min(doc_id) AS BIGINT) AS file_key,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM documents GROUP BY lang, doc_id % $CompactFrag),
+         |c AS (SELECT lang, file_key, n_rows,
+         |    coalesce(sum(n_rows) OVER (PARTITION BY lang
+         |      ORDER BY n_rows DESC, file_key
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM f)
+         |SELECT lang, CAST(cum_before // $CompactTargetRows AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+         |  CAST(min(file_key) AS BIGINT) AS first_key
+         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "a20_mad_outliers" ->
       """WITH med AS (SELECT event_type,

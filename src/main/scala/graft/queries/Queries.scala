@@ -697,6 +697,51 @@ object Queries {
     * passes share the (user_id | ts, event_id) sort (the w13 plan lock);
     * per-user max level reuses the window partitioning, so the only data
     * shuffles are the user hash + the 4-row census agg. */
+  /** A24: conversion ATTRIBUTION — the marketing-analytics primitive
+    * funnels feed: credit each conversion (purchase) to its FIRST-touch
+    * and LAST-touch preceding click within a 7-day lookback, per user.
+    * Both touches come from ONE value-RANGE window frame
+    * `[ts−lookback, ts−1]` (conditional min and max share the frame, so
+    * Catalyst plans a single Window over a single (user | ts) sort) —
+    * the moving lower bound is exactly what RANGE frames express and
+    * ROWS frames cannot. Value-based frames have identical peer
+    * semantics on both engines (same-ms self-touches are excluded by the
+    * −1 upper bound on both). Census per conversion day: conversions,
+    * attributed, multi-touch, and integer-minute first/last gap sums —
+    * all exact integer arithmetic. Scale shape: one user-grain hash
+    * shuffle for the window, then a |days|-row census; at 100 TB the
+    * frame is per-key streaming state (Spark's RangeFrame holds only the
+    * rows inside the 7-day bound), never a self-join. */
+  def a24Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts_ms"))
+    val touchTs = when(col("event_type") === FunnelB, col("ts_ms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-AttrLookbackMs, -1)
+    ev
+      // one select = one Window operator carrying both frame aggregates
+      // (chained withColumns planned as two WindowExecs over the same
+      // sort — CollapseWindow didn't fuse them)
+      .select(col("user_id"), col("event_type"), col("ts_ms"),
+        min(touchTs).over(w).as("ft_ts"),
+        max(touchTs).over(w).as("lt_ts"))
+      .where(col("event_type") === FunnelC)
+      .withColumn("day", expr(s"ts_ms div ${24 * HourMs}"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(when(col("lt_ts").isNotNull, 1L).otherwise(0L))
+          .as("n_attributed"),
+        sum(when(col("ft_ts") < col("lt_ts"), 1L).otherwise(0L))
+          .as("n_multi_touch"),
+        sum(when(col("lt_ts").isNotNull,
+          expr("(ts_ms - lt_ts) div 60000")).otherwise(0L))
+          .as("sum_last_gap_min"),
+        sum(when(col("ft_ts").isNotNull,
+          expr("(ts_ms - ft_ts) div 60000")).otherwise(0L))
+          .as("sum_first_gap_min"))
+      .orderBy(col("day"))
+  }
+
   def a23WindowFunnel(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -3834,6 +3879,53 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** O9: small-file COMPACTION PLANNING — the metadata-only half of table
+    * maintenance (k4 executes; o9 plans): list the real files of a
+    * fragmented lang-partitioned store, one row per FILE (via the file
+    * source's `_metadata.file_path` — never a filename string crossing
+    * the oracle boundary: each file's stable identity is its min doc_id),
+    * and assign files to target-size output bins by first-fit-decreasing
+    * via a running-sum window per partition dir (files ordered size-desc;
+    * bin = exclusive running count div target). Row counts stand in for
+    * byte sizes and are gathered here by a scan so the oracle can check
+    * them — production reads them from parquet footers or the table
+    * manifest and the downstream plan is identical, pure metadata grain.
+    * Scale shape: the plan output is |files| rows (metadata, not data),
+    * the only shuffles are the per-dir file census and the per-dir
+    * running-sum window — at 100 TB a million-file table plans in
+    * seconds, and each (dir, bin) row becomes one compaction task (k4's
+    * rename-aside swap executes them). Census per (lang, bin): files in,
+    * rows, and the bin's first file key. */
+  def o9CompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val root = stagedDir("o9_frag", d) { dir =>
+      val docs = Tables.documents(s, d)
+      // 8 appends × coalesce(1) → exactly one file per (lang, fragment):
+      // file contents are a pure function of the corpus, so min(doc_id)
+      // identifies each physical file deterministically on both engines
+      for (i <- 0 until CompactFrag)
+        docs.where(col("doc_id") % CompactFrag === i)
+          .coalesce(1)
+          .write.mode("append").partitionBy("lang").parquet(dir)
+    }
+    val files = s.read.parquet(root)
+      .select(col("lang"), col("doc_id"),
+        col("_metadata.file_path").as("file"))
+      .groupBy(col("lang"), col("file"))
+      .agg(min(col("doc_id")).as("file_key"),
+        count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_rows").desc, col("file_key"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $CompactTargetRows"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("bin_rows"),
+        min(col("file_key")).as("first_key"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   /** PIPE9: the complete from-crawl spine AS ONE PLAN — WARC shards →
     * record split + header parse (pipe7) → markup extraction + Gopher
     * gate + URL/content dedup elections (pipe6's funnel, but with the
@@ -4236,10 +4328,12 @@ object Queries {
     "m4_batch_infer" -> m4BatchInfer _,
     "m5_pair_filter" -> m5PairFilter _,
     "o8_range_shards" -> o8RangeShards _,
+    "o9_compaction_plan" -> o9CompactionPlan _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "a22_retention_cohorts" -> a22RetentionCohorts _,
     "a23_window_funnel" -> a23WindowFunnel _,
+    "a24_attribution" -> a24Attribution _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

@@ -79,6 +79,10 @@ object QuerySpec {
   val SeqEventB = "purchase"
   val SeqWithinMs: Long = 24 * 3600000L
 
+  // A24 attribution: lookback window for crediting a conversion
+  // (FunnelC) to its first/last preceding touch (FunnelB).
+  val AttrLookbackMs: Long = 7 * 24 * 3600000L
+
   // T21 BM25 retrieval: query terms (df-diverse: 'dup' is rare), Lucene
   // constants, result depth
   val Bm25Terms: Seq[String] = Seq("dup", "window", "customer")
@@ -112,6 +116,13 @@ object QuerySpec {
   // (deterministic pseudo-random training order, retry-stable like t23)
   val PackCtx = 512L
   val PackShards = 8L
+
+  // O9 compaction planner: fragments per partition dir in the staged
+  // fixture, and the target rows per planned output bin (the row-count
+  // stand-in for a target file size; production divides target bytes by
+  // the manifest's avg row width).
+  val CompactFrag = 8
+  val CompactTargetRows = 64L
 
   // M5 pair filtering: hashed-BoW embedding dims, caption length (tokens),
   // cosine keep threshold, and the misalignment synth rate (docs whose

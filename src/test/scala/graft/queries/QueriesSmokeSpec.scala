@@ -483,6 +483,60 @@ class QueriesSmokeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("a24 attribution: one RangeFrame window serves both touches") {
+    import org.apache.spark.sql.functions.col
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Queries.a24Attribution(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      // first/last touch share one Window (conditional min+max over the
+      // same value-range frame) — two WindowExecs would mean the shared
+      // frame was broken by a refactor
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.length == 1, plan.toString.take(800))
+      assert(wins.head.toString.contains("RangeFrame"),
+        wins.head.toString.take(400))
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(exch.length == 3, s"${exch.length} shuffles")
+      // attribution algebra: attributed <= conversions, multi-touch <=
+      // attributed, and every crediting gap fits the lookback window
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (n, attr, multi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        val (lastGap, firstGap) = (r.getLong(4), r.getLong(5))
+        assert(attr <= n && multi <= attr, r.toString)
+        assert(lastGap <= attr * (QuerySpec.AttrLookbackMs / 60000L), r.toString)
+        assert(firstGap >= lastGap, r.toString) // first touch is never later
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
+  test("o9 plan: metadata-grain accounting closes; compaction compacts") {
+    import org.apache.spark.sql.functions.col
+    val rows = Queries.o9CompactionPlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // conservation: the planned bins account for every row in the store
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(3)).sum == nDocs, rows.mkString("\n"))
+    // the plan must actually compact: per lang, bins <= files, and no
+    // bin is empty
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      val files = rs.map(_.getLong(2)).sum
+      assert(rs.length <= files, s"$lang: ${rs.length} bins > $files files")
+      assert(rs.forall(_.getLong(3) > 0), lang)
+    }
+    // bins are dense from 0 per lang (running-sum binning can't skip)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq ==
+        (0L until rs.length).toSeq, lang)
+    }
+  }
+
   test("s18 MMR: greedy invariants hold; fold reads only the checkpoint") {
     import org.apache.spark.sql.functions.col
     val df = Queries.s18MmrDiversify(spark, sfDir)
