@@ -906,7 +906,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -946,7 +946,10 @@ object Scratch {
           "o9" -> "o9_compaction_plan",
           // a24 (attribution — one user-grain RangeFrame window, census
           // stays |days| rows)
-          "a24" -> "a24_attribution")
+          "a24" -> "a24_attribution",
+          // pipe10 (mix assembly — bucket sums uniform-key, exact sort
+          // only on the per-lang boundary buckets; census stays |langs|)
+          "pipe10" -> "pipe10_mix_budget")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
@@ -1039,11 +1042,15 @@ object Scratch {
         import org.apache.spark.sql.functions._
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16,64")
           .split(",").map(_.trim.toInt).toSeq
-        val ops11 = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d9,d15")
+        val ops11 = sys.env
+          .getOrElse("SPARK_GRAFT_SCALE_OPS", "d14,d9,d15,d16")
           .split(",").map(_.trim).toSet
         val nsSrc = !sys.env.get("SPARK_GRAFT_NAMESPACE_SRC").contains("0")
         val names11 = Seq(
           "d14" -> "d14_minhash_est_error",
+          // d16: d14's block-sampled calibration — the measured mitigation;
+          // its curve must be d14's shape scaled by ~1/CalibSampleMod
+          "d16" -> "d16_minhash_est_sampled",
           "d9" -> "d9_dup_clusters",
           "d15" -> "d15_incremental_dedup")
         val registry11 = queries.Queries.all.toMap

@@ -74,6 +74,47 @@ object Oracles {
     * md5(e), matching Spark's conv(substring(md5(e),1,15),16,10). */
   private def md5Hash15(e: String) = hexVal15(s"md5($e)")
 
+  /** Shared d14/d16 estimator-calibration SQL: minhash K-component
+    * agreement vs exact Jaccard over the blocked pair space, decile
+    * rollup over integer sufficient statistics. `docGate` is an extra
+    * predicate ANDed into the tokenized-document CTE — "" for the full
+    * eval (d14), the md5 block-sample gate for d16. */
+  private def minhashEstSql(docGate: String): String = {
+    // post-min 15-hex-long conversion, mirroring the engine's shuffle
+    // lightening (equality on converted mins ≡ equality on the strings
+    // up to 15-hex-prefix ties)
+    val sigs = (0 until MinhashK).map(i =>
+      s"${hexVal15(s"list_min(list_transform(toks, x -> md5('$i:' || x)))")} AS m$i")
+      .mkString(",\n  ")
+    val mc = (0 until MinhashK).map(i =>
+      s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id AS id, lang, source, ${lowSet("text")} AS toks
+       |  FROM documents),
+       |t2 AS (SELECT * FROM t WHERE len(toks) > 0$docGate),
+       |sig AS (SELECT id,
+       |  $sigs
+       |FROM t2),
+       |f AS (SELECT t2.*, sig.* EXCLUDE (id) FROM t2 JOIN sig USING (id)),
+       |p AS (SELECT
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+       |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss,
+       |    ($mc) AS mc
+       |  FROM f a JOIN f b
+       |    ON a.lang = b.lang AND a.source = b.source AND a.id < b.id),
+       |j AS (SELECT mc,
+       |    CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END AS jac
+       |  FROM p),
+       |g AS (SELECT least(CAST(floor(jac * 10) AS INT), 9) AS bucket, mc,
+       |    CAST(floor(abs(mc / $MinhashK.0 - jac) * 1000000 + 0.5) AS BIGINT)
+       |      AS err_ppm
+       |  FROM j)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  count(*) AS n_pairs,
+       |  CAST(sum(mc) AS DOUBLE) / (count(*) * $MinhashK) AS mean_est,
+       |  CAST(sum(err_ppm) AS DOUBLE) / (count(*) * 1000000) AS mean_abs_err
+       |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   private val hourFloor = s"epoch_ms(ts)//$HourMs*$HourMs"
 
   /** One BPE training round as CTEs (t18/t19 shared; see the t18 entry
@@ -1853,41 +1894,13 @@ object Oracles {
     // on the blocked pair space, decile rollup. Generated from the same
     // MinhashK as the query; every double is one division over integer
     // sufficient statistics.
-    "d14_minhash_est_error" -> {
-      // post-min 15-hex-long conversion, mirroring the engine's shuffle
-      // lightening (equality on converted mins ≡ equality on the strings
-      // up to 15-hex-prefix ties)
-      val sigs = (0 until MinhashK).map(i =>
-        s"${hexVal15(s"list_min(list_transform(toks, x -> md5('$i:' || x)))")} AS m$i")
-        .mkString(",\n  ")
-      val mc = (0 until MinhashK).map(i =>
-        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH t AS (SELECT doc_id AS id, lang, source, ${lowSet("text")} AS toks
-         |  FROM documents),
-         |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
-         |sig AS (SELECT id,
-         |  $sigs
-         |FROM t2),
-         |f AS (SELECT t2.*, sig.* EXCLUDE (id) FROM t2 JOIN sig USING (id)),
-         |p AS (SELECT
-         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
-         |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss,
-         |    ($mc) AS mc
-         |  FROM f a JOIN f b
-         |    ON a.lang = b.lang AND a.source = b.source AND a.id < b.id),
-         |j AS (SELECT mc,
-         |    CASE WHEN ss - inter > 0 THEN inter / (ss - inter) ELSE 1.0 END AS jac
-         |  FROM p),
-         |g AS (SELECT least(CAST(floor(jac * 10) AS INT), 9) AS bucket, mc,
-         |    CAST(floor(abs(mc / $MinhashK.0 - jac) * 1000000 + 0.5) AS BIGINT)
-         |      AS err_ppm
-         |  FROM j)
-         |SELECT CAST(bucket AS BIGINT) AS bucket,
-         |  count(*) AS n_pairs,
-         |  CAST(sum(mc) AS DOUBLE) / (count(*) * $MinhashK) AS mean_est,
-         |  CAST(sum(err_ppm) AS DOUBLE) / (count(*) * 1000000) AS mean_abs_err
-         |FROM g GROUP BY 1 ORDER BY bucket""".stripMargin
-    },
+    "d14_minhash_est_error" -> minhashEstSql(docGate = ""),
+
+    // D16: the identical estimator eval on a deterministic 1-in-N sample
+    // of candidate BLOCKS (lang, source) — md5-gated, mirroring the
+    // engine's portable block key.
+    "d16_minhash_est_sampled" -> minhashEstSql(docGate =
+      s" AND ${hexVal15("md5(lang || ':' || source)")} % $CalibSampleMod = 0"),
 
     "d4_simhash" -> {
       // portable hex→int: value of first 15 md5 hex chars, char i weight 16^(15-i)
@@ -2536,6 +2549,39 @@ object Oracles {
          |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx * $PackCtx
          |    - sum(toks) AS BIGINT) AS padding
          |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // pipe10: the naive single-window form of the engine's two-phase
+    // selection — per-lang md5-ordered exclusive running token count,
+    // kept while it is under the integer lang target. Identical result
+    // by construction: the engine's bucket split is a range partition of
+    // the same order key.
+    "pipe10_mix_budget" -> {
+      val vals = MixWeightsPpm
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH w(lang, w_ppm) AS (VALUES $vals),
+         |t AS (SELECT doc_id, lang,
+         |    CAST(len(${rawToks("text")}) AS BIGINT) AS toks,
+         |    ${md5Hash15("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |t2 AS (SELECT * FROM t WHERE toks > 0),
+         |tot AS (SELECT sum(toks) AS total FROM t2),
+         |tgt AS (SELECT lang,
+         |    (((CAST((SELECT total FROM tot) AS BIGINT) * $MixFracPpm)
+         |      // 1000000) * w_ppm) // 1000000 AS target
+         |  FROM w),
+         |c AS (SELECT t2.*, tgt.target,
+         |    coalesce(sum(toks) OVER (PARTITION BY t2.lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumb
+         |  FROM t2 JOIN tgt USING (lang))
+         |SELECT lang, max(target) AS target_toks,
+         |  CAST(count(*) AS BIGINT) AS kept_docs,
+         |  CAST(sum(toks) AS BIGINT) AS kept_toks,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM c WHERE cumb < target
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // pipe9: the WARC mechanics are the ENGINE's burden (pipe7's
     // convention); the oracle replays the shared curation funnel

@@ -2186,9 +2186,29 @@ object Queries {
     * Scale shape: signatures are vocab-grain hashed once (d3's plan), the
     * pair space is blocked, and the rollup is a 10-key aggregate; at
     * 100 TB the same eval runs on a sampled block subset. */
-  def d14MinhashEstError(s: SparkSession, d: String): DataFrame = {
+  def d14MinhashEstError(s: SparkSession, d: String): DataFrame =
+    minhashEstErrorOn(Tables.documents(s, d))
+
+  /** D16: d14's estimator eval on a DETERMINISTIC BLOCK SAMPLE — the
+    * measured form of d14's documented 100 TB mitigation ("the eval runs
+    * on a sampled block subset"). The sampling unit is the candidate
+    * BLOCK (lang, source), gated by the portable md5 key at rate
+    * 1/CalibSampleMod — sampling whole blocks keeps every kept pair's
+    * exact Jaccard intact (document sampling would bias the pair space),
+    * and the hash gate is retry-stable and oracle-replayable. scale11
+    * measures what d14's ×64 bend implies: pair work scales with the
+    * SAMPLE, so the calibration stays cheap at any corpus size by
+    * choosing the rate. */
+  def d16MinhashEstSampled(s: SparkSession, d: String): DataFrame = {
+    val blockKey = conv(substring(
+      md5(concat(col("lang"), lit(":"), col("source"))), 1, 15), 16, 10)
+      .cast("long")
+    minhashEstErrorOn(
+      Tables.documents(s, d).where(blockKey % CalibSampleMod === 0))
+  }
+
+  private def minhashEstErrorOn(docs: DataFrame): DataFrame = {
     val k = MinhashK
-    val docs = Tables.documents(s, d)
     // persisted: feeds the vocab explode AND both pair sides (d3's lesson)
     val base = docs.select(col("doc_id").as("id"), col("lang"),
         col("source"), Dedup.tokenSet(col("text")).as("toks"))
@@ -4005,6 +4025,86 @@ object Queries {
       .orderBy(col("shard"))
   }
 
+  /** PIPE10: TRAINING-MIX ASSEMBLY under a token budget — the final
+    * dataset-construction step (The Pile's mixture weights, Gao et al.
+    * 2020; LLaMA-style data mixes): the global budget is MixFracPpm of
+    * the corpus's total token count, split across languages by
+    * MixWeightsPpm; within each language docs are taken in portable md5
+    * order (a deterministic, retry-stable shuffle — t23's idiom) until
+    * the running pre-doc token total crosses the language's target, the
+    * crossing doc included, so each target is met exactly when supply
+    * allows (under-supplied languages keep everything). Census per
+    * language: target, kept docs/tokens, and the kept-id checksum
+    * pinning the exact selection.
+    *
+    * Scale shape — the naive form (one token-cumsum window per language)
+    * is a reducer-per-language bottleneck: 5 languages means 5 reducers
+    * each sorting a fifth of the corpus. This is the two-phase form: the
+    * 60-bit order-key space is range-bucketed by its TOP bits (so bucket
+    * order ≡ key order), per-(lang, bucket) token sums shuffle on a
+    * uniform key, the model-sized bucket frame (langs × 256 rows) takes
+    * the cheap cumsum and classifies every bucket kept / boundary /
+    * dropped, and the exact within-bucket sort runs ONLY on boundary
+    * buckets — one bucket per language, 1/2^(60-MixBucketShift) of the
+    * corpus, tunable by the shift at any scale. Dropped buckets are
+    * filtered BEFORE the window, so past-budget data never sorts. */
+  def pipe10MixBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    // skinny selection frame (id, lang, toks, order key, bucket): this is
+    // the staged artifact at 100 TB too — tokenize once, select twice
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+      .where(col("toks") > 0)
+      .withColumn("h", h)
+      .withColumn("bkt", expr(s"h div ${1L << MixBucketShift}"))
+      .persist()
+    val weights = MixWeightsPpm.toDF("lang", "w_ppm")
+    // 1-row scalar total × |langs| weights — model-sized target frame
+    val targets = weights.crossJoin(base.agg(sum(col("toks")).as("total")))
+      .select(col("lang"),
+        expr(s"(((total * $MixFracPpm) div 1000000) * w_ppm) div 1000000")
+          .as("target"))
+    val bw = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // toks > 0 everywhere makes the bucket cumsum strictly increasing, so
+    // "all" (ends at or under target), "drop" (starts at or past it) and
+    // the single per-lang boundary bucket partition the space exactly
+    // localCheckpoint (s18's idiom): the bucket frame is model-sized but
+    // its SUBTREE is a corpus-grain aggregate — both union branches below
+    // reference it, and an un-truncated lineage would re-run the census
+    // once per branch (plan-duplication, the d13/s18 lesson)
+    val classed = base.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("toks")).as("btoks"))
+      .join(targets, "lang")
+      .withColumn("cumb", coalesce(sum(col("btoks")).over(bw), lit(0L)))
+      .select(col("lang"), col("bkt"), col("target"), col("cumb"),
+        when(col("cumb") + col("btoks") <= col("target"), lit("all"))
+          .when(col("cumb") >= col("target"), lit("drop"))
+          .otherwise(lit("edge")).as("cls"))
+      .where(col("cls") =!= "drop")
+      .localCheckpoint()
+    // model-sized bucket frame broadcasts back under AQE; only the edge
+    // buckets reach the exact window
+    val tagged = base.join(classed, Seq("lang", "bkt"))
+    val ew = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptEdge = tagged.where(col("cls") === "edge")
+      .withColumn("wcum", coalesce(sum(col("toks")).over(ew), lit(0L)))
+      .where(col("cumb") + col("wcum") < col("target"))
+      .drop("wcum")
+    tagged.where(col("cls") === "all").unionByName(keptEdge)
+      .groupBy(col("lang"))
+      .agg(max(col("target")).as("target_toks"),
+        count(lit(1)).as("kept_docs"),
+        sum(col("toks")).as("kept_toks"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -4296,6 +4396,7 @@ object Queries {
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d13_cluster_keep_best" -> d13ClusterKeepBest _,
     "d14_minhash_est_error" -> d14MinhashEstError _,
+    "d16_minhash_est_sampled" -> d16MinhashEstSampled _,
     "d15_incremental_dedup" -> d15IncrementalDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
@@ -4346,6 +4447,7 @@ object Queries {
     "pipe7_warc_ingest" -> pipe7WarcIngest _,
     "pipe8_seq_pack" -> pipe8SeqPack _,
     "pipe9_crawl_shards" -> pipe9CrawlShards _,
+    "pipe10_mix_budget" -> pipe10MixBudget _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,

@@ -28,6 +28,8 @@ object QuerySpec {
   // dedup / text params
   val PassageK = 10
   val MinhashK = 16
+  // D16 sampled calibration: keep 1-in-N candidate blocks (md5-gated)
+  val CalibSampleMod = 4L
   val MinhashBands = 4
   val MinhashThreshold = 0.6
   val JaccardThreshold = 0.8
@@ -116,6 +118,20 @@ object QuerySpec {
   // (deterministic pseudo-random training order, retry-stable like t23)
   val PackCtx = 512L
   val PackShards = 8L
+
+  // PIPE10 training-mix assembly: global token budget = MixFracPpm of the
+  // corpus's total whitespace-token count, split across langs by
+  // MixWeightsPpm (langs absent from the weights get no allocation).
+  // Docs are selected per lang in portable md5 order until the running
+  // pre-doc token total crosses the lang target (the crossing doc kept).
+  // The engine range-buckets the 60-bit order key by its top bits
+  // (bucket = key div 2^MixBucketShift → 2^(60-shift) buckets) so the
+  // exact cumsum window touches one boundary bucket per lang.
+  val MixFracPpm = 500000L
+  val MixWeightsPpm: Seq[(String, Long)] = Seq(
+    "en" -> 500000L, "de" -> 125000L, "es" -> 125000L,
+    "fr" -> 125000L, "zh" -> 125000L)
+  val MixBucketShift = 52
 
   // O9 compaction planner: fragments per partition dir in the staged
   // fixture, and the target rows per planned output bin (the row-count

@@ -668,6 +668,73 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(both.map(_.getLong(3)).min > single.map(_.getLong(3)).max)
   }
 
+  test("d16 samples whole blocks: pairs = sum C(n,2) over md5-kept blocks") {
+    import org.apache.spark.sql.functions._
+    // block-grain sampling keeps each kept block's pair space INTACT: the
+    // sampled eval's total pair count must equal the closed form over the
+    // md5-gated (lang, source) blocks — any doc-grain leak breaks this
+    val blockPairs = graft.Tables.documents(spark, sfDir)
+      .where(size(graft.operators.Dedup.tokenSet(col("text"))) > 0)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        (conv(substring(md5(concat(col("lang"), lit(":"), col("source"))),
+          1, 15), 16, 10).cast("long") % QuerySpec.CalibSampleMod === 0)
+          .as("kept"))
+      .collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) * (r.getLong(0) - 1) / 2).sum
+    val keptWant = pairs(blockPairs.filter(_.getBoolean(1)))
+    val allWant = pairs(blockPairs)
+    val d16 = Queries.d16MinhashEstSampled(spark, sfDir)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    val d14 = Queries.d14MinhashEstError(spark, sfDir)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    assert(d16 == keptWant, s"sampled pair space $d16 != closed form $keptWant")
+    assert(d14 == allWant)
+    // the gate actually drops blocks at this SF (a no-op sample proves nothing)
+    assert(d16 < d14, "sample gate kept every block")
+  }
+
+  test("pipe10 two-phase selection == naive per-lang cumsum; edge-only sort") {
+    import org.apache.spark.sql.functions._
+    // naive reference: collect the (lang, toks, h, doc_id) frame and run
+    // the single-window selection rule in Scala
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("toks"))
+      .where(col("toks") > 0)
+      .withColumn("h", conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .collect()
+    val total = rows.map(_.getLong(2)).sum
+    val weights = QuerySpec.MixWeightsPpm.toMap
+    val want = rows.groupBy(_.getString(1)).filter(w => weights.contains(w._1))
+      .map { case (lang, docs) =>
+        val tgt = total * QuerySpec.MixFracPpm / 1000000L *
+          weights(lang) / 1000000L
+        var cum = 0L
+        val kept = docs.sortBy(r => (r.getLong(3), r.getLong(0)))
+          .takeWhile { r => val ok = cum < tgt; cum += r.getLong(2); ok }
+        lang -> ((tgt, kept.length.toLong, kept.map(_.getLong(2)).sum,
+          kept.map(_.getLong(0)).sum))
+      }
+    val got = Queries.pipe10MixBudget(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"two-phase != naive\n got=$got\nwant=$want")
+    // the selection is a real cut at this SF (not everything kept)
+    assert(got.values.map(_._3).sum < total)
+    // plan locks: the returned plan's ONLY window is the edge-bucket
+    // exact sort (the bucket cumsum ran once behind the localCheckpoint),
+    // and the edge filter sits under it so past-budget buckets never sort
+    val plan = Queries.pipe10MixBudget(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).length == 1, plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("= edge)"), "edge filter not in the plan")
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
