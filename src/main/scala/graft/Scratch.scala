@@ -698,6 +698,40 @@ object Scratch {
                 .where(col("rank") <= queries.QuerySpec.IvfTopK).count()
             }
           }
+          if (ops("s19")) {
+            // incremental index maintenance: the STANDING corpus grows kx
+            // (build pays it) but the delta batch stays fixed — the MERGE
+            // (frozen-quantizer assign + partitioned append) must be
+            // wall-flat in k; the census pass is the corpus-linear term
+            // and can run delta-only with carried stats at scale
+            val cents = operators.Similarity.collectCentroids(
+              emb0.where(col("vec_id") < queries.QuerySpec.NumCentroids),
+              "vec_id", "embedding")
+            val idx = java.nio.file.Files.createTempDirectory(s"s19x$k")
+              .resolve("ivf").toString
+            timed(s"s19b_x$k") { // standing index build: pays kx
+              operators.Similarity.assignCells(repEmb(k), cents, "vec_id",
+                "embedding", "nid", "cv", 1)
+                .withColumn("is_delta", lit(false))
+                .write.mode("overwrite").partitionBy("cell").parquet(idx)
+              k.toLong
+            }
+            timed(s"s19m_x$k") { // MERGE: fixed-size delta, append-only
+              val delta = emb0.where(
+                col("vec_id") >= queries.QuerySpec.NumCentroids &&
+                  col("vec_id") % queries.QuerySpec.S19DeltaMod === 0)
+                .select((col("vec_id") + lit(k.toLong * vidSpan))
+                  .as("vec_id"), col("embedding"), col("label"))
+              operators.Similarity.assignCells(delta, cents, "vec_id",
+                "embedding", "nid", "cv", 1)
+                .withColumn("is_delta", lit(true))
+                .write.mode("append").partitionBy("cell").parquet(idx)
+              1L
+            }
+            timed(s"s19c_x$k") { // census: one cell-grain index pass
+              spark.read.parquet(idx).groupBy(col("cell")).count().count()
+            }
+          }
           if (ops("s16")) timed(s"s16_x$k") {
             // contrastive mining: the corpus side grows kx but the query
             // batch and the pos/neg output stay fixed — wall must track
@@ -709,7 +743,8 @@ object Scratch {
               queries.QuerySpec.NegK, queries.QuerySpec.S16Probe).count()
           }
         }
-        for (q <- Seq("d13", "t16", "s15b", "s15q", "s16")
+        for (q <- Seq("d13", "t16", "s15b", "s15q", "s16",
+            "s19b", "s19m", "s19c")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
           val growth = scales.max.toDouble / scales.min

@@ -3093,6 +3093,43 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
+    // s19: the merged index CONTENT equals the batch assignment of the
+    // full corpus under the same quantizer (incremental add with a frozen
+    // quantizer is order-independent); the staged write/append round-trip
+    // is the engine's burden, pinned by the census reading the merged
+    // store. Means are integer-ppm sums with one final division.
+    "s19_index_merge" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |t AS (SELECT cell,
+         |    (nid >= $NumCentroids AND nid % $S19DeltaMod = 0) AS is_delta,
+         |    CAST(floor(${cosChain("cv", "cvec")} * 1000000 + 0.5)
+         |      AS BIGINT) AS sim_ppm
+         |  FROM cass JOIN cent ON cell = cent_id)
+         |SELECT cell,
+         |  CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_old,
+         |  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_add,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CASE WHEN sum(CASE WHEN is_delta THEN 0 ELSE 1 END) > 0 THEN
+         |    CAST(sum(CASE WHEN is_delta THEN 0 ELSE sim_ppm END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) * 1000000
+         |        AS DOUBLE)
+         |    ELSE 0.0 END AS mean_old_sim,
+         |  CASE WHEN sum(CASE WHEN is_delta THEN 1 ELSE 0 END) > 0 THEN
+         |    CAST(sum(CASE WHEN is_delta THEN sim_ppm ELSE 0 END) AS DOUBLE)
+         |      / CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) * 1000000
+         |        AS DOUBLE)
+         |    ELSE 0.0 END AS mean_add_sim
+         |FROM t GROUP BY cell ORDER BY cell""".stripMargin,
+
     "s6_ivf_probe2" ->
       (s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),

@@ -2948,6 +2948,70 @@ object Queries {
       .orderBy(col("query_id"), col("pair_type"), col("rank"))
   }
 
+  /** S19: INCREMENTAL INDEX MERGE — the maintenance op that keeps s15's
+    * persisted IVF index alive without rebuilds (FAISS `add` semantics):
+    * a delta batch is assigned cells under the FROZEN quantizer (pure
+    * map-side vs the broadcast centroid model) and APPENDED to the
+    * cell-partitioned store — only the touched cells' directories gain
+    * files; standing cell files stay byte-identical (the k1/upsert
+    * discipline applied to an index). The census reads the MERGED index
+    * back — proving the round-trip — and reports, per cell: standing
+    * count, added count, total, and the mean vector-to-centroid cosine
+    * of standing vs added rows (integer-ppm sums, one division — d14's
+    * no-float-order idiom). Diverging means are the re-train signal: a
+    * quantizer frozen too long stops fitting the data distribution
+    * (centroid drift), and this census is exactly the monitoring query
+    * that decides when s11's full Lloyd re-train pays for itself.
+    * Scale shape: delta assignment is O(delta) map-side work, the append
+    * writes only touched partitions, the census is one cell-grain
+    * aggregate over the index scan — at 100 TB daily deltas pay O(delta)
+    * while the census stays a metadata-cheap single pass (or runs on the
+    * delta alone with standing stats carried forward). */
+  def s19IndexMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val isDelta = col("vec_id") >= NumCentroids &&
+      col("vec_id") % S19DeltaMod === 0
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val root = stagedDir("s19_idx", d) { dir =>
+      // epoch 1: the standing index (s15's layout, delta rows absent)
+      Similarity.assignCells(emb.where(!isDelta), cents, "vec_id",
+        "embedding", "nid", "cv", 1)
+        .withColumn("is_delta", lit(false))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      // epoch 2: THE MERGE — frozen-quantizer assignment, append-only
+      Similarity.assignCells(emb.where(isDelta), cents, "vec_id",
+        "embedding", "nid", "cv", 1)
+        .withColumn("is_delta", lit(true))
+        .write.mode("append").partitionBy("cell").parquet(dir)
+    }
+    val centDf = cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cell", "cvec")
+    s.read.parquet(root)
+      .withColumn("cell", col("cell").cast("long"))
+      .join(centDf, Seq("cell"))
+      .withColumn("sim_ppm",
+        floor(Similarity.cosine(col("cv"), col("cvec")) * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy(col("cell"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_add"),
+        count(lit(1)).as("n_total"),
+        sum(when(!col("is_delta"), col("sim_ppm")).otherwise(0L))
+          .as("old_ppm"),
+        sum(when(col("is_delta"), col("sim_ppm")).otherwise(0L))
+          .as("add_ppm"))
+      .select(col("cell"), col("n_old"), col("n_add"), col("n_total"),
+        when(col("n_old") > 0, col("old_ppm").cast("double") /
+          (col("n_old") * lit(1000000L)).cast("double"))
+          .otherwise(lit(0.0)).as("mean_old_sim"),
+        when(col("n_add") > 0, col("add_ppm").cast("double") /
+          (col("n_add") * lit(1000000L)).cast("double"))
+          .otherwise(lit(0.0)).as("mean_add_sim"))
+      .orderBy(col("cell"))
+  }
+
   /** S14: ANN recall@k — the evaluation every approximate index ships
     * with: sign-LSH hits against the brute-force cosine ground truth, per
     * query (LSH is the engine's lossiest index — single-bucket candidates
@@ -4473,6 +4537,7 @@ object Queries {
     "s13_ivf_pq" -> s13IvfPq _,
     "s14_ann_recall" -> s14AnnRecall _,
     "s15_ivf_index" -> s15IvfIndexPersist _,
+    "s19_index_merge" -> s19IndexMerge _,
     "s16_hard_negatives" -> s16HardNegatives _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders

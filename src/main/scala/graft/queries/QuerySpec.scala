@@ -119,6 +119,12 @@ object QuerySpec {
   val PackCtx = 512L
   val PackShards = 8L
 
+  // S19 incremental index maintenance: the delta batch is every vector
+  // with id >= NumCentroids and id % S19DeltaMod == 0; the standing index
+  // is built without them, and the merge appends them cell-partitioned
+  // under the FROZEN quantizer (standard IVF incremental add).
+  val S19DeltaMod = 8L
+
   // PIPE10 training-mix assembly: global token budget = MixFracPpm of the
   // corpus's total whitespace-token count, split across langs by
   // MixWeightsPpm (langs absent from the weights get no allocation).

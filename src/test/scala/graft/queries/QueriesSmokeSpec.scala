@@ -735,6 +735,44 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(plan.contains("= edge)"), "edge filter not in the plan")
   }
 
+  test("s19 merged index == batch assignment; appends touch only delta cells") {
+    import org.apache.spark.sql.functions._
+    val got = Queries.s19IndexMerge(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // incremental add under a frozen quantizer must equal the one-shot
+    // batch assignment of the full corpus (order-independence of the
+    // merge) — computed here engine-vs-engine, not via the oracle
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = graft.operators.Similarity.collectCentroids(
+      emb.where(col("vec_id") < QuerySpec.NumCentroids),
+      "vec_id", "embedding")
+    val want = graft.operators.Similarity.assignCells(
+        emb, cents, "vec_id", "embedding", "nid", "cv", 1)
+      .withColumn("is_delta",
+        col("nid") >= QuerySpec.NumCentroids &&
+          col("nid") % QuerySpec.S19DeltaMod === 0)
+      .groupBy(col("cell"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("o"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want, s"merge != batch assignment\n got=$got\nwant=$want")
+    assert(got.values.map(t => t._1 + t._2).sum == emb.count())
+    assert(got.values.map(_._2).sum > 0, "no delta rows merged")
+    // physical append-only claim: every cell dir that gained delta rows
+    // holds files from BOTH write epochs; delta-free cells hold epoch 1
+    val root = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .filter(p => p.getFileName.toString.startsWith("graft_s19_idx_"))
+      .findFirst().get()
+    got.foreach { case (cell, (_, nAdd)) =>
+      val files = java.nio.file.Files.list(root.resolve(s"cell=$cell"))
+        .filter(_.toString.endsWith(".parquet")).count()
+      if (nAdd > 0) assert(files >= 2, s"cell=$cell: $files file(s)")
+      else assert(files >= 1, s"cell=$cell empty")
+    }
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
