@@ -1360,6 +1360,40 @@ object Oracles {
 
     // a24: one value-RANGE frame supplies both touches; peer semantics
     // (value-based bounds, −1 excludes same-ms) match Spark's RangeFrame
+    // a25: same first-A / first-B-at-or-after rule, minute-bucketed
+    // latencies, percentile = smallest bucket whose running count reaches
+    // ceil(p*n/100) — all integer arithmetic, -1 for convert-free cohorts
+    "a25_conversion_latency" ->
+      s"""WITH fa AS (SELECT user_id, min(epoch_ms(ts)) AS a_ts
+         |  FROM events WHERE event_type = '$SeqEventA' GROUP BY 1),
+         |fb AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS b_ts
+         |  FROM events e JOIN fa USING (user_id)
+         |  WHERE e.event_type = '$SeqEventB' AND epoch_ms(e.ts) >= a_ts
+         |  GROUP BY 1),
+         |c AS (SELECT a_ts // 86400000 AS cohort,
+         |    CASE WHEN b_ts IS NOT NULL
+         |      THEN (b_ts - a_ts) // $LatBucketMs END AS lat_b
+         |  FROM fa LEFT JOIN fb USING (user_id)),
+         |cen AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(count(lat_b) AS BIGINT) AS n_conv
+         |  FROM c GROUP BY 1),
+         |h AS (SELECT cohort, lat_b, count(*) AS cnt
+         |  FROM c WHERE lat_b IS NOT NULL GROUP BY 1, 2),
+         |cm AS (SELECT cohort, lat_b,
+         |    sum(cnt) OVER (PARTITION BY cohort ORDER BY lat_b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |p AS (SELECT cm.cohort,
+         |    min(CASE WHEN cum >= (n_conv * 50 + 99) // 100
+         |      THEN lat_b END) AS p50,
+         |    min(CASE WHEN cum >= (n_conv * 90 + 99) // 100
+         |      THEN lat_b END) AS p90
+         |  FROM cm JOIN cen USING (cohort) GROUP BY 1)
+         |SELECT cen.cohort, n_users, n_conv,
+         |  CAST(coalesce(p50, -1) AS BIGINT) AS p50_bucket,
+         |  CAST(coalesce(p90, -1) AS BIGINT) AS p90_bucket
+         |FROM cen LEFT JOIN p USING (cohort) ORDER BY cohort""".stripMargin,
+
     "a24_attribution" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
          |  FROM events),

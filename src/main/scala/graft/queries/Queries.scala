@@ -789,6 +789,54 @@ object Queries {
       .orderBy(col("cohort"), col("offset_days"))
   }
 
+  /** A25: conversion-latency percentiles per signup cohort — the
+    * time-to-convert distribution (p50/p90 from first signup to first
+    * at-or-after purchase, cohorted by signup day). EXACT percentiles
+    * without per-cohort sorts: latencies land on a bounded minute grid
+    * (LatBucketMs), the (cohort, bucket) HISTOGRAM is the only
+    * user-cardinality aggregate, and the percentile is read off the
+    * grid's running count — the cumulative window runs over GRID rows
+    * (≤ minutes-in-domain per cohort), so a cohort with a billion users
+    * costs the same window as one with a thousand. Percentile p =
+    * smallest bucket whose running count reaches ceil(p·n/100), all
+    * integer. Only signup/purchase events ever shuffle (two user-grain
+    * partial-corpus aggregates + one user-keyed join that reuses the
+    * partitioning); the latency rule is pure timestamp comparison
+    * (first B with ts ≥ first-A ts), no same-ms tie-break dependence.
+    * -1 marks a cohort with zero converts. */
+  def a25ConversionLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_type"))
+    val firstA = ev.where(col("event_type") === SeqEventA)
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("a_ts"))
+    val firstB = ev.where(col("event_type") === SeqEventB)
+      .join(firstA, Seq("user_id"))
+      .where(col("ts_ms") >= col("a_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("b_ts"))
+    val cohorts = firstA.join(firstB, Seq("user_id"), "left")
+      .select(expr("a_ts div 86400000").as("cohort"),
+        when(col("b_ts").isNotNull,
+          expr(s"(b_ts - a_ts) div $LatBucketMs")).as("lat_b"))
+    val census = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"), count(col("lat_b")).as("n_conv"))
+    val cw = Window.partitionBy(col("cohort")).orderBy(col("lat_b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pcts = cohorts.where(col("lat_b").isNotNull)
+      .groupBy(col("cohort"), col("lat_b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .join(census.select(col("cohort"), col("n_conv")), Seq("cohort"))
+      .groupBy(col("cohort"))
+      .agg(min(when(col("cum") >= expr("(n_conv * 50 + 99) div 100"),
+          col("lat_b"))).as("p50"),
+        min(when(col("cum") >= expr("(n_conv * 90 + 99) div 100"),
+          col("lat_b"))).as("p90"))
+    census.join(pcts, Seq("cohort"), "left")
+      .select(col("cohort"), col("n_users"), col("n_conv"),
+        coalesce(col("p50"), lit(-1L)).as("p50_bucket"),
+        coalesce(col("p90"), lit(-1L)).as("p90_bucket"))
+      .orderBy(col("cohort"))
+  }
+
   /** A8: hierarchical rollup — revenue subtotals at (status, priority),
     * (status), and grand-total levels in one pass. */
   def a8Rollup(s: SparkSession, d: String): DataFrame =
@@ -4499,6 +4547,7 @@ object Queries {
     "a22_retention_cohorts" -> a22RetentionCohorts _,
     "a23_window_funnel" -> a23WindowFunnel _,
     "a24_attribution" -> a24Attribution _,
+    "a25_conversion_latency" -> a25ConversionLatency _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

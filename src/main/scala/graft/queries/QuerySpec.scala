@@ -81,6 +81,13 @@ object QuerySpec {
   val SeqEventB = "purchase"
   val SeqWithinMs: Long = 24 * 3600000L
 
+  // A25 conversion-latency percentiles: cohort = first-SeqEventA day;
+  // latency = first SeqEventB at-or-after that first A, bucketed to
+  // whole minutes (the bounded histogram grid that turns exact
+  // percentiles into a grid-sized problem); percentile p = smallest
+  // bucket whose running count reaches ceil(p*n/100); -1 = no converts.
+  val LatBucketMs = 60000L
+
   // A24 attribution: lookback window for crediting a conversion
   // (FunnelC) to its first/last preceding touch (FunnelB).
   val AttrLookbackMs: Long = 7 * 24 * 3600000L

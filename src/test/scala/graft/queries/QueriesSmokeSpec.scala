@@ -773,6 +773,38 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("a25 histogram percentiles == naive per-cohort sort; p50 <= p90") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ms"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val users = byUser.iterator.flatMap { case (_, rows) =>
+      val as = rows.filter(_._3 == QuerySpec.SeqEventA).map(_._2)
+      if (as.isEmpty) None else {
+        val a = as.min
+        val bs = rows.filter(r => r._3 == QuerySpec.SeqEventB && r._2 >= a)
+          .map(_._2)
+        Some((a / 86400000L,
+          if (bs.isEmpty) None
+          else Some((bs.min - a) / QuerySpec.LatBucketMs)))
+      }
+    }.toSeq
+    val want = users.groupBy(_._1).map { case (cohort, rows) =>
+      val lats = rows.flatMap(_._2).sorted
+      def pct(p: Long): Long =
+        if (lats.isEmpty) -1L
+        else lats(((lats.size * p + 99) / 100 - 1).toInt)
+      cohort -> ((rows.size.toLong, lats.size.toLong, pct(50), pct(90)))
+    }
+    val got = Queries.a25ConversionLatency(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"histogram != naive\n got=$got\nwant=$want")
+    got.values.filter(_._4 >= 0).foreach(t => assert(t._3 <= t._4))
+    assert(got.values.exists(_._2 > 0), "no converts anywhere")
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
