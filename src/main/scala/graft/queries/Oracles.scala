@@ -1360,6 +1360,23 @@ object Oracles {
 
     // a24: one value-RANGE frame supplies both touches; peer semantics
     // (value-based bounds, −1 excludes same-ms) match Spark's RangeFrame
+    // a26: the interval-union identity — user counts toward day d's WAU
+    // iff d lands in the union of [a, a+6] over their active days a;
+    // DISTINCT (user, covered day) replicates the engine's per-user
+    // array_distinct
+    "a26_active_users" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |    epoch_ms(ts) // 86400000 AS day FROM events),
+         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+         |  FROM ud GROUP BY 1),
+         |cov AS (SELECT DISTINCT user_id, day + o.x AS day
+         |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x) o),
+         |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+         |  FROM cov GROUP BY 1)
+         |SELECT dau.day, dau, wau,
+         |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+         |FROM dau JOIN wau USING (day) ORDER BY dau.day""".stripMargin,
+
     // a25: same first-A / first-B-at-or-after rule, minute-bucketed
     // latencies, percentile = smallest bucket whose running count reaches
     // ceil(p*n/100) — all integer arithmetic, -1 for convert-free cohorts

@@ -837,6 +837,40 @@ object Queries {
       .orderBy(col("cohort"))
   }
 
+  /** A26: DAU/WAU — EXACT sliding-window distinct actives per day. The
+    * classic scale trap: "distinct users over the trailing 7 days, per
+    * day" re-counts each day's users 7 times (7 overlapping distincts,
+    * or a distinct inside a sliding window — unbounded state). Exact
+    * scalable form via INTERVAL UNION: one user-grain pass collapses a
+    * user to their active-day set (bounded by the calendar domain —
+    * a22's state argument), each active day a covers the 7 days [a, a+6]
+    * and a user counts toward a day's WAU iff it lands in their COVERED
+    * set, so per-user array math (union of intervals, deduped) turns the
+    * sliding distinct into a plain per-day count of (user, covered-day)
+    * rows — ≤ 7 per active day, exploded map-side, no distinct at day
+    * grain and no window at all. DAU rides the same per-user day set.
+    * Stickiness = DAU·10⁶ div WAU (integer). For an unbounded horizon
+    * the per-user set swaps for sort-within-user + a lag-6 scan — same
+    * single-shuffle shape. Output: one row per day with activity. */
+  def a26ActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val byUser = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+      .select(col("days"),
+        array_distinct(flatten(transform(col("days"),
+          a => sequence(a, a + lit(6L))))).as("cov"))
+      .persist()
+    val dau = byUser.select(explode(col("days")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = byUser.select(explode(col("cov")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
   /** A8: hierarchical rollup — revenue subtotals at (status, priority),
     * (status), and grand-total levels in one pass. */
   def a8Rollup(s: SparkSession, d: String): DataFrame =
@@ -4548,6 +4582,7 @@ object Queries {
     "a23_window_funnel" -> a23WindowFunnel _,
     "a24_attribution" -> a24Attribution _,
     "a25_conversion_latency" -> a25ConversionLatency _,
+    "a26_active_users" -> a26ActiveUsers _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

@@ -805,6 +805,30 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "no converts anywhere")
   }
 
+  test("a26 interval-union WAU == naive trailing-7-day distinct; no Window") {
+    import org.apache.spark.sql.functions._
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Queries.a26ActiveUsers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val activeDays = ud.map(_._2).distinct
+    assert(got.keySet == activeDays.toSet)
+    activeDays.foreach { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(u => u._2 >= d - 6 && u._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(got(d) == ((dau, wau)), s"day $d: ${got(d)} != ($dau, $wau)")
+      assert(wau >= dau)
+    }
+    // the whole point: no sliding window, no day-grain distinct — the
+    // plan is explodes + counts (any Window node means the trap form)
+    val plan = Queries.a26ActiveUsers(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sliding-window form crept in")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
