@@ -941,7 +941,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -990,7 +990,10 @@ object Scratch {
           "a25" -> "a25_conversion_latency",
           // a26 (DAU/WAU — one user-grain shuffle, interval-union
           // explode bounded by the calendar, day-grain counts)
-          "a26" -> "a26_active_users")
+          "a26" -> "a26_active_users",
+          // t30 (DSIR — vocab-grain LMs, one persisted (doc,tok,occ)
+          // grain feeding builds + scoring; output grows with docs)
+          "t30" -> "t30_dsir_weights")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -2177,6 +2177,35 @@ object Oracles {
     // against the corpus mean. Same (doc, token, occ)-grain weighted-sum
     // formulation as the Spark plan so float-order divergence stays within
     // the floor-to-6-decimals collapse.
+    // t30: add-1-smoothed unigram LMs over the shared raw vocab; the only
+    // float op is one ln per vocab token per side, floored to micro-nats
+    // BEFORE the doc rollup, so per-doc sums are integer
+    "t30_dsir_weights" ->
+      s"""WITH u AS (SELECT doc_id, lang,
+         |    unnest(${rawToks("lower(text)")}) AS tok
+         |  FROM documents),
+         |dt AS (SELECT doc_id, lang, tok, count(*) AS occ
+         |  FROM u GROUP BY 1, 2, 3),
+         |raw AS (SELECT tok, sum(occ) AS cr FROM dt GROUP BY 1),
+         |tgt AS (SELECT tok, sum(occ) AS ct FROM dt
+         |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+         |lm AS (SELECT tok, cr, coalesce(ct, 0) AS ct
+         |  FROM raw LEFT JOIN tgt USING (tok)),
+         |k AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
+         |slm AS (SELECT tok,
+         |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+         |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS lr_micro
+         |  FROM lm CROSS JOIN k),
+         |sc AS (SELECT doc_id, max(lang) AS lang,
+         |    CAST(sum(occ) AS BIGINT) AS n_toks,
+         |    CAST(sum(occ * lr_micro) AS BIGINT) AS score_micro
+         |  FROM dt JOIN slm USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, lang, n_toks, score_micro,
+         |  CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
     "t17_lm_perplexity" ->
       s"""WITH u AS (SELECT doc_id, unnest(${rawToks("lower(text)")}) AS tok
          |  FROM documents),

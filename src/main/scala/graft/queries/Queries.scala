@@ -2722,6 +2722,59 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T30: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the targeted
+    * data-selection op: score every raw doc by how much more likely its
+    * tokens are under the TARGET domain's unigram LM than under the raw
+    * corpus LM (add-1 smoothing over the shared raw vocab), keep docs
+    * whose summed log-ratio is positive. This is the quality-filter
+    * family's principled cousin: instead of hand-rules (t2/Gopher), the
+    * filter is induced from a target corpus — here the en slice stands
+    * in for "the domain we want more of".
+    * Parity: the ONLY float op is one ln per vocab token per side,
+    * floored to integer micro-nats at the TOKEN level, so every per-doc
+    * rollup is an integer sum (no float-order hazard — stricter than
+    * t17's double fold); no integer division anywhere (Spark `div`
+    * truncates, DuckDB `//` floors — they disagree on negatives, and
+    * DSIR scores are signed).
+    * Scale shape: t17's exactly — the (doc, tok, occ) grain is
+    * materialized once and feeds both LM builds and the scoring join;
+    * LMs are vocab-grain (Heaps-bounded), constants are a 1-row
+    * broadcast, scoring is a uniform-key vocab equi-join + one doc-grain
+    * rollup. At 100 TB DSIR hashes n-grams into a fixed-width bucket
+    * space (the paper's move) — the plan is identical with `tok`
+    * replaced by a hash bucket, and the LM side gets SMALLER. */
+  def t30DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val dt = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+      .persist() // feeds raw LM, target LM, and the scoring join (t17)
+    val raw = dt.groupBy(col("tok")).agg(sum(col("occ")).as("cr"))
+    val tgt = dt.where(col("lang") === DsirTargetLang)
+      .groupBy(col("tok")).agg(sum(col("occ")).as("ct"))
+    val lm = raw.join(tgt, Seq("tok"), "left")
+      .select(col("tok"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val consts = lm.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val scoredLm = lm.crossJoin(broadcast(consts))
+      .select(col("tok"),
+        floor((log((col("ct") + 1).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("nr") + col("v")).cast("double"))) * 1e6)
+          .cast("long").as("lr_micro"))
+    dt.join(scoredLm, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lang")).as("lang"),
+        sum(col("occ")).as("n_toks"),
+        sum(col("occ") * col("lr_micro")).as("score_micro"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
+        when(col("score_micro") > 0, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T18: BPE merge TRAINING ([[QuerySpec.BpeMerges]] rounds) — the
     * tokenizer-building step, in the engine (see operators/Bpe.scala for
     * the Lloyd-style scale argument: vocab-grain rounds, 1-row argmax
@@ -4564,6 +4617,7 @@ object Queries {
     "t15_gopher_rules" -> t15GopherRules _,
     "t16_domain_cap" -> t16DomainCap _,
     "t17_lm_perplexity" -> t17LmPerplexity _,
+    "t30_dsir_weights" -> t30DsirWeights _,
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,

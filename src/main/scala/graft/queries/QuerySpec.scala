@@ -126,6 +126,13 @@ object QuerySpec {
   val PackCtx = 512L
   val PackShards = 8L
 
+  // T30 DSIR importance weights: target domain = docs with this lang;
+  // per-token log importance ratio between the add-1-smoothed target and
+  // raw unigram LMs, floored to integer micro-nats PER TOKEN (so the
+  // per-doc rollup is an integer sum — no float-order hazard); a doc is
+  // kept when its summed score is positive (closer to the target).
+  val DsirTargetLang = "en"
+
   // S19 incremental index maintenance: the delta batch is every vector
   // with id >= NumCentroids and id % S19DeltaMod == 0; the standing index
   // is built without them, and the merge appends them cell-partitioned

@@ -829,6 +829,32 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t30 DSIR keeps the target domain and drops the rest") {
+    val rows = Queries.t30DsirWeights(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4)))
+    val (en, other) = rows.partition(_._1 == QuerySpec.DsirTargetLang)
+    assert(en.nonEmpty && other.nonEmpty)
+    // DSIR is a soft reweighting (the paper resamples by weight, not a
+    // hard cut) and the synthetic langs share template vocab, so the
+    // discrimination contract is distribution-level: the target lang
+    // must pass the sign cut at a strictly higher rate than EVERY other
+    // lang, and per-lang MEDIAN scores must separate by sign
+    val enRate = en.count(_._3 == 1L).toDouble / en.size
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    assert(median(en.map(_._2)) > 0, "target median not positive")
+    rows.groupBy(_._1).filterNot(_._1 == QuerySpec.DsirTargetLang)
+      .foreach { case (l, rs) =>
+        val rate = rs.count(_._3 == 1L).toDouble / rs.size
+        assert(enRate > rate, s"$l keep rate $rate >= target $enRate")
+        assert(median(rs.map(_._2).toSeq) < 0, s"$l median not negative")
+      }
+    // the (doc,tok,occ) grain is materialized once for its 3 consumers
+    val plan = Queries.t30DsirWeights(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), "dt grain not persisted")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
