@@ -617,7 +617,8 @@ object Scratch {
         import org.apache.spark.sql.expressions.Window
         val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,4,16")
           .split(",").map(_.trim.toInt).toSeq
-        val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", "d13,t16,s15,s16")
+        val ops = sys.env
+          .getOrElse("SPARK_GRAFT_SCALE_OPS", "d13,t16,s15,s16,s20")
           .split(",").map(_.trim).toSet
         val docs0 = Tables.documents(spark, sfDir)
         val emb0 = Tables.embeddings(spark, sfDir)
@@ -732,6 +733,32 @@ object Scratch {
               spark.read.parquet(idx).groupBy(col("cell")).count().count()
             }
           }
+          if (ops("s20")) timed(s"s20_x$k") {
+            // nprobe sweep: corpus side grows kx but is assigned/joined
+            // ONCE for the whole sweep; per-setting work is
+            // candidate-bounded windows over the checkpointed frame
+            val cents = operators.Similarity.collectCentroids(
+              emb0.where(col("vec_id") < queries.QuerySpec.NumCentroids),
+              "vec_id", "embedding")
+            val c = operators.Similarity.assignCells(repEmb(k), cents,
+              "vec_id", "embedding", "neighbor_id", "cv", 1)
+            val q = operators.Similarity.assignCellsRanked(
+              emb0.where(col("vec_id") < queries.QuerySpec.NumQueries),
+              cents, "vec_id", "embedding", "query_id", "qv",
+              queries.QuerySpec.NprobeSweep.max)
+            val cand = c.join(broadcast(q), Seq("cell"))
+              .where(col("neighbor_id") =!= col("query_id"))
+              .withColumn("sim",
+                operators.Similarity.cosine(col("qv"), col("cv")))
+              .localCheckpoint()
+            queries.QuerySpec.NprobeSweep.map { p =>
+              val w = Window.partitionBy(col("query_id"))
+                .orderBy(col("sim").desc, col("neighbor_id"))
+              cand.where(col("probe_rank") <= p)
+                .withColumn("rank", row_number().over(w))
+                .where(col("rank") <= queries.QuerySpec.TopK).count()
+            }.sum
+          }
           if (ops("s16")) timed(s"s16_x$k") {
             // contrastive mining: the corpus side grows kx but the query
             // batch and the pos/neg output stay fixed — wall must track
@@ -744,7 +771,7 @@ object Scratch {
           }
         }
         for (q <- Seq("d13", "t16", "s15b", "s15q", "s16",
-            "s19b", "s19m", "s19c")
+            "s19b", "s19m", "s19c", "s20")
              if times.contains(s"${q}_x${scales.max}") &&
                times.contains(s"${q}_x${scales.min}") && scales.max > scales.min) {
           val growth = scales.max.toDouble / scales.min
@@ -941,7 +968,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -993,7 +1020,10 @@ object Scratch {
           "a26" -> "a26_active_users",
           // t30 (DSIR — vocab-grain LMs, one persisted (doc,tok,occ)
           // grain feeding builds + scoring; output grows with docs)
-          "t30" -> "t30_dsir_weights")
+          "t30" -> "t30_dsir_weights",
+          // pipe11 (selection spine — DSIR gate + fp election + mix +
+          // packing in one plan; census stays |mix langs| rows)
+          "pipe11" -> "pipe11_select_pack")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -177,6 +177,19 @@ object Similarity {
   def assignCells(df: DataFrame, cents: Array[(Long, Array[Double])],
       idCol: String, vecCol: String, outId: String, outVec: String,
       cells: Int, assignVec: Column => Column = identity,
+      carry: Seq[String] = Nil): DataFrame =
+    assignCellsRanked(df, cents, idCol, vecCol, outId, outVec, cells,
+      assignVec, carry).drop("probe_rank")
+
+  /** [[assignCells]] that also emits the 1-based `probe_rank` of each
+    * (row, cell) pair — the position of that cell in the row's
+    * nearest-cell order (the posexplode index over the same scored-struct
+    * sort, so assignment semantics are identical). Callers sweeping the
+    * nprobe knob filter `probe_rank <= p` instead of re-assigning per
+    * setting — the corpus-side work happens once for the whole sweep. */
+  def assignCellsRanked(df: DataFrame, cents: Array[(Long, Array[Double])],
+      idCol: String, vecCol: String, outId: String, outVec: String,
+      cells: Int, assignVec: Column => Column = identity,
       carry: Seq[String] = Nil): DataFrame = {
     // per-centroid norms with the same left-to-right fold the per-row
     // expressions (and the DuckDB oracle) use — bit-identical doubles
@@ -216,10 +229,13 @@ object Similarity {
       .withColumn("_vnorm", sqrt(aggregate(
         transform(v, x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)))
-      .withColumn("cell",
-        explode(transform(slice(array_sort(scored), 1, cells),
-          t => t.getField("cell"))))
-      .select(col(outId) +: col(outVec) +: col("cell") +: carry.map(col): _*)
+      .select(col(outId) +: col(outVec) +:
+        posexplode(transform(slice(array_sort(scored), 1, cells),
+          t => t.getField("cell"))).as(Seq("_pr", "cell")) +:
+        carry.map(col): _*)
+      .withColumn("probe_rank", (col("_pr") + 1).cast("int"))
+      .select(col(outId) +: col(outVec) +: col("cell") +:
+        col("probe_rank") +: carry.map(col): _*)
   }
 
   /** Collect a centroid DataFrame to the driver-side model (k rows — a

@@ -117,6 +117,32 @@ object Oracles {
 
   private val hourFloor = s"epoch_ms(ts)//$HourMs*$HourMs"
 
+  /** Shared t30/pipe11 DSIR scoring CTEs, ending in
+    * `dscore(doc_id, lang, n_toks, score_micro)` — one text, interpolated
+    * into both entries so the gate cannot drift between them. */
+  private val dsirCtes: String =
+    s"""u AS (SELECT doc_id, lang,
+       |    unnest(${rawToks("lower(text)")}) AS tok
+       |  FROM documents),
+       |dt AS (SELECT doc_id, lang, tok, count(*) AS occ
+       |  FROM u GROUP BY 1, 2, 3),
+       |rawlm AS (SELECT tok, sum(occ) AS cr FROM dt GROUP BY 1),
+       |tgtlm AS (SELECT tok, sum(occ) AS ct FROM dt
+       |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |lmj AS (SELECT tok, cr, coalesce(ct, 0) AS ct
+       |  FROM rawlm LEFT JOIN tgtlm USING (tok)),
+       |lmk AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v
+       |  FROM lmj),
+       |slm AS (SELECT tok,
+       |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+       |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS lr_micro
+       |  FROM lmj CROSS JOIN lmk),
+       |dscore AS (SELECT doc_id, max(lang) AS lang,
+       |    CAST(sum(occ) AS BIGINT) AS n_toks,
+       |    CAST(sum(occ * lr_micro) AS BIGINT) AS score_micro
+       |  FROM dt JOIN slm USING (tok) GROUP BY doc_id)""".stripMargin
+
   /** One BPE training round as CTEs (t18/t19 shared; see the t18 entry
     * for the parity-window equivalence argument). Reads v{r-1}, defines
     * m$r (the elected merge) and v$r (the merged vocab). */
@@ -2179,32 +2205,65 @@ object Oracles {
     // the floor-to-6-decimals collapse.
     // t30: add-1-smoothed unigram LMs over the shared raw vocab; the only
     // float op is one ln per vocab token per side, floored to micro-nats
-    // BEFORE the doc rollup, so per-doc sums are integer
+    // BEFORE the doc rollup, so per-doc sums are integer (shared CTE
+    // text with pipe11 — the two cannot drift)
     "t30_dsir_weights" ->
-      s"""WITH u AS (SELECT doc_id, lang,
-         |    unnest(${rawToks("lower(text)")}) AS tok
-         |  FROM documents),
-         |dt AS (SELECT doc_id, lang, tok, count(*) AS occ
-         |  FROM u GROUP BY 1, 2, 3),
-         |raw AS (SELECT tok, sum(occ) AS cr FROM dt GROUP BY 1),
-         |tgt AS (SELECT tok, sum(occ) AS ct FROM dt
-         |  WHERE lang = '$DsirTargetLang' GROUP BY 1),
-         |lm AS (SELECT tok, cr, coalesce(ct, 0) AS ct
-         |  FROM raw LEFT JOIN tgt USING (tok)),
-         |k AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
-         |slm AS (SELECT tok,
-         |    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
-         |      - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))
-         |      * 1000000) AS BIGINT) AS lr_micro
-         |  FROM lm CROSS JOIN k),
-         |sc AS (SELECT doc_id, max(lang) AS lang,
-         |    CAST(sum(occ) AS BIGINT) AS n_toks,
-         |    CAST(sum(occ * lr_micro) AS BIGINT) AS score_micro
-         |  FROM dt JOIN slm USING (tok) GROUP BY doc_id)
+      s"""WITH $dsirCtes
          |SELECT doc_id, lang, n_toks, score_micro,
          |  CAST(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END AS BIGINT)
          |    AS kept
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |FROM dscore ORDER BY doc_id""".stripMargin,
+
+    // pipe11: the selection spine — shared DSIR CTEs (gate), fingerprint
+    // election among survivors, pipe10's naive mix selection restricted
+    // to the survivor set, pipe8's packing algebra on per-lang sums
+    "pipe11_select_pack" -> {
+      val vals = MixWeightsPpm
+        .map { case (l, wp) => s"('$l', $wp)" }.mkString(", ")
+      s"""WITH $dsirCtes,
+         |fpt AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |f AS (SELECT dscore.*, fpt.fp, (score_micro > 0) AS pass
+         |  FROM dscore JOIN fpt USING (doc_id)),
+         |el AS (SELECT f.*, row_number() OVER (PARTITION BY fp, pass
+         |    ORDER BY doc_id) AS rn FROM f),
+         |mw(lang, w_ppm) AS (VALUES $vals),
+         |t2m AS (SELECT doc_id, lang, n_toks AS toks,
+         |    ${md5Hash15("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM el WHERE pass AND rn = 1 AND n_toks > 0),
+         |tot AS (SELECT sum(toks) AS total FROM t2m),
+         |tgt2 AS (SELECT lang,
+         |    (((CAST((SELECT total FROM tot) AS BIGINT) * $MixFracPpm)
+         |      // 1000000) * w_ppm) // 1000000 AS target
+         |  FROM mw),
+         |cm AS (SELECT t2m.*, tgt2.target,
+         |    coalesce(sum(toks) OVER (PARTITION BY t2m.lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumb
+         |  FROM t2m JOIN tgt2 USING (lang)),
+         |kept AS (SELECT * FROM cm WHERE cumb < target),
+         |c0 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(n_toks) AS BIGINT) AS raw_toks,
+         |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dsir,
+         |    CAST(sum(CASE WHEN pass AND rn = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_unique
+         |  FROM el GROUP BY 1),
+         |c3 AS (SELECT lang, max(target) AS target_toks,
+         |    CAST(count(*) AS BIGINT) AS n_mix,
+         |    CAST(sum(toks) AS BIGINT) AS mix_toks
+         |  FROM kept GROUP BY 1)
+         |SELECT c0.lang, n_raw, raw_toks, n_dsir, n_unique,
+         |  CAST(coalesce(target_toks, 0) AS BIGINT) AS target_toks,
+         |  CAST(coalesce(n_mix, 0) AS BIGINT) AS n_mix,
+         |  CAST(coalesce(mix_toks, 0) AS BIGINT) AS mix_toks,
+         |  CAST((coalesce(mix_toks, 0) + ${PackCtx - 1}) // $PackCtx
+         |    AS BIGINT) AS n_windows,
+         |  CAST((coalesce(mix_toks, 0) + ${PackCtx - 1}) // $PackCtx
+         |    * $PackCtx - coalesce(mix_toks, 0) AS BIGINT) AS padding
+         |FROM c0 JOIN mw USING (lang) LEFT JOIN c3 USING (lang)
+         |ORDER BY c0.lang""".stripMargin
+    },
 
     "t17_lm_perplexity" ->
       s"""WITH u AS (SELECT doc_id, unnest(${rawToks("lower(text)")}) AS tok
@@ -3209,6 +3268,60 @@ object Oracles {
          |        AS DOUBLE)
          |    ELSE 0.0 END AS mean_add_sim
          |FROM t GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // s20: one candidate CTE carrying the query-side probe rank (arn),
+    // per-setting top-k + truth hits generated from the same NprobeSweep
+    // the engine uses; recall in integer ppm
+    "s20_nprobe_sweep" -> {
+      val maxP = NprobeSweep.max
+      val perP = NprobeSweep.map { p =>
+        s"""t$p AS (SELECT query_id, CAST(sum(tr) AS BIGINT) AS hits
+           |  FROM (SELECT query_id, nid, tr,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY sim DESC, nid) AS rank
+           |    FROM (SELECT c.query_id, c.nid, c.sim,
+           |        CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+           |          AS tr
+           |      FROM cands c LEFT JOIN truth t
+           |        ON t.query_id = c.query_id AND t.neighbor_id = c.nid
+           |      WHERE c.arn <= $p))
+           |  WHERE rank <= $TopK GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = NprobeSweep.map(p =>
+        s"SELECT $p AS np, query_id, hits FROM t$p")
+        .mkString("\n UNION ALL ")
+      val grid = NprobeSweep.map(p => s"($p)").mkString(", ")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |qa AS (SELECT nid AS query_id, cv AS qv, cent_id AS cell, arn
+         |  FROM ca WHERE nid < $NumQueries AND arn <= $maxP),
+         |cands AS (SELECT qa.query_id, cass.nid, qa.arn,
+         |    ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qa USING (cell) WHERE cass.nid <> qa.query_id),
+         |tb AS (SELECT q.nid AS query_id, c.nid AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.nid
+         |      ORDER BY ${cosChain("q.cv", "c.cv")} DESC, c.nid) AS rk
+         |  FROM corp c CROSS JOIN corp q
+         |  WHERE q.nid < $NumQueries AND c.nid <> q.nid),
+         |truth AS (SELECT query_id, neighbor_id FROM tb WHERE rk <= $TopK),
+         |$perP,
+         |h AS ($unions),
+         |grid AS (SELECT np, nid AS query_id FROM corp
+         |  CROSS JOIN (VALUES $grid) p(np) WHERE nid < $NumQueries)
+         |SELECT CAST(grid.np AS BIGINT) AS nprobe, grid.query_id,
+         |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hits, 0) * 1000000 // $TopK AS BIGINT)
+         |    AS recall_ppm
+         |FROM grid LEFT JOIN h ON h.np = grid.np
+         |  AND h.query_id = grid.query_id
+         |ORDER BY nprobe, grid.query_id""".stripMargin
+    },
 
     "s6_ivf_probe2" ->
       (s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec

@@ -2744,8 +2744,17 @@ object Queries {
     * rollup. At 100 TB DSIR hashes n-grams into a fixed-width bucket
     * space (the paper's move) — the plan is identical with `tok`
     * replaced by a hash bucket, and the LM side gets SMALLER. */
-  def t30DsirWeights(s: SparkSession, d: String): DataFrame = {
-    val dt = Tables.documents(s, d)
+  def t30DsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirScoredDocs(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
+        when(col("score_micro") > 0, 1L).otherwise(0L).as("kept"))
+      .orderBy(col("doc_id"))
+
+  /** t30's DSIR scoring over any (doc_id, lang, text) frame → one row per
+    * doc: (doc_id, lang, n_toks, score_micro). [[pipe11SelectPack]] uses
+    * the same scores as its selection gate. */
+  private def dsirScoredDocs(docs: DataFrame): DataFrame = {
+    val dt = docs
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("lang"), col("tok"))
@@ -2770,9 +2779,6 @@ object Queries {
       .agg(max(col("lang")).as("lang"),
         sum(col("occ")).as("n_toks"),
         sum(col("occ") * col("lr_micro")).as("score_micro"))
-      .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
-        when(col("score_micro") > 0, 1L).otherwise(0L).as("kept"))
-      .orderBy(col("doc_id"))
   }
 
   /** T18: BPE merge TRAINING ([[QuerySpec.BpeMerges]] rounds) — the
@@ -3145,6 +3151,59 @@ object Queries {
           (col("n_add") * lit(1000000L)).cast("double"))
           .otherwise(lit(0.0)).as("mean_add_sim"))
       .orderBy(col("cell"))
+  }
+
+  /** S20: recall-vs-nprobe SWEEP — the tuning curve every IVF deployment
+    * ships with (FAISS's nprobe knob): IVF recall@k against the
+    * brute-force truth at each sweep setting, in ONE plan. The sweep
+    * trick: the query side is assigned its max(nprobe) nearest cells
+    * ONCE with the probe rank attached ([[Similarity.assignCellsRanked]]),
+    * the corpus joins that candidate set once, and each setting is a
+    * filter `probe_rank <= p` + a candidate-bounded top-k window — the
+    * corpus is never re-assigned or re-joined per setting. The candidate
+    * frame is localCheckpointed (one materialization, |settings| + 1
+    * consumers — the s18 rule). Truth is the documented brute baseline
+    * (query-batch-sized broadcast). Recall in integer ppm. Monotonicity
+    * in nprobe is spec-locked; the curve's knee tells a deployment where
+    * the recall/IO tradeoff stops paying. */
+  def s20NprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < NumQueries)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val c = Similarity.assignCells(emb, cents, "vec_id", "embedding",
+      "neighbor_id", "cv", 1)
+    val q = Similarity.assignCellsRanked(queries, cents, "vec_id",
+      "embedding", "query_id", "qv", NprobeSweep.max)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        col("sim"))
+      .localCheckpoint()
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+      TopK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("tr"))
+      .localCheckpoint()
+    val hits = NprobeSweep.map { p =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      cand.where(col("probe_rank") <= p)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= TopK)
+        .join(truth, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("tr"), lit(0L))).as("hits"))
+        .select(lit(p.toLong).as("nprobe"), col("query_id"), col("hits"))
+    }.reduce(_ unionByName _)
+    queries.select(col("vec_id").as("query_id"))
+      .crossJoin(NprobeSweep.map(_.toLong).toDF("nprobe"))
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0) * 1000000 div $TopK").as("recall_ppm"))
+      .orderBy(col("nprobe"), col("query_id"))
   }
 
   /** S14: ANN recall@k — the evaluation every approximate index ships
@@ -4248,14 +4307,29 @@ object Queries {
     * corpus, tunable by the shift at any scale. Dropped buckets are
     * filtered BEFORE the window, so past-budget data never sorts. */
   def pipe10MixBudget(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val h = conv(substring(md5(concat(lit("mix:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
     // skinny selection frame (id, lang, toks, order key, bucket): this is
     // the staged artifact at 100 TB too — tokenize once, select twice
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"))
+    mixSelectOn(s, base)
+      .groupBy(col("lang"))
+      .agg(max(col("target")).as("target_toks"),
+        count(lit(1)).as("kept_docs"),
+        sum(col("toks")).as("kept_toks"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** pipe10's two-phase budgeted selection over any (doc_id, lang, toks)
+    * frame — returns the KEPT rows plus their lang `target`. See
+    * [[pipe10MixBudget]] for the scale argument; [[pipe11SelectPack]]
+    * runs the same selection over its DSIR+dedup survivor set. */
+  private def mixSelectOn(s: SparkSession, docsToks: DataFrame): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val base = docsToks
       .where(col("toks") > 0)
       .withColumn("h", h)
       .withColumn("bkt", expr(s"h div ${1L << MixBucketShift}"))
@@ -4296,11 +4370,59 @@ object Queries {
       .where(col("cumb") + col("wcum") < col("target"))
       .drop("wcum")
     tagged.where(col("cls") === "all").unionByName(keptEdge)
-      .groupBy(col("lang"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("target"))
+  }
+
+  /** PIPE11: the dataset SELECTION spine as one plan — pipe9's web-side
+    * counterpart for the curation side: DSIR importance gate (t30's
+    * induced filter, score > 0) → exact-duplicate election among the
+    * survivors (first doc per md5 fingerprint) → pipe10's two-phase
+    * token-budget mix selection over what remains → packing arithmetic
+    * (pipe8's integer algebra) on the final per-lang mix. Census per mix
+    * language: raw docs/tokens, DSIR survivors, unique survivors, mix
+    * target/kept/tokens, context windows + padding. Proves the selection
+    * stages COMPOSE without materialization seams: stage flags ride one
+    * persisted doc-grain frame (pipe1's flag idiom — the dedup election
+    * ranks inside (fp, gate) partitions so it needs no survivor-only
+    * re-shuffle), and every stage census reads that one frame. Shuffle
+    * keys: the DSIR token grains (vocab/doc), the doc-key meta join, the
+    * md5 fingerprint window, the mix bucket sums — all hash-uniform; the
+    * packing census needs only per-lang sums (windows = ceil(toks/ctx)),
+    * never a per-doc cumsum, so no reducer-per-lang window exists
+    * anywhere in the spine. */
+  def pipe11SelectPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = dsirScoredDocs(Tables.documents(s, d))
+    val meta = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val ew = Window.partitionBy(col("fp"), col("pass_dsir"))
+      .orderBy(col("doc_id"))
+    val flagged = scored.join(meta, Seq("doc_id"))
+      .withColumn("pass_dsir", col("score_micro") > 0)
+      .withColumn("rn", row_number().over(ew))
+      .withColumn("uniq", col("pass_dsir") && col("rn") === 1)
+      .persist() // one doc-grain frame carries every stage flag
+    val kept = mixSelectOn(s, flagged.where(col("uniq"))
+      .select(col("doc_id"), col("lang"), col("n_toks").as("toks")))
+    val c0 = flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("n_toks")).as("raw_toks"),
+        sum(when(col("pass_dsir"), 1L).otherwise(0L)).as("n_dsir"),
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"))
+    val c3 = kept.groupBy(col("lang"))
       .agg(max(col("target")).as("target_toks"),
-        count(lit(1)).as("kept_docs"),
-        sum(col("toks")).as("kept_toks"),
-        sum(col("doc_id")).as("id_sum"))
+        count(lit(1)).as("n_mix"),
+        sum(col("toks")).as("mix_toks"))
+    c0.join(MixWeightsPpm.map(_._1).toDF("lang"), Seq("lang"))
+      .join(c3, Seq("lang"), "left")
+      .select(col("lang"), col("n_raw"), col("raw_toks"), col("n_dsir"),
+        col("n_unique"),
+        coalesce(col("target_toks"), lit(0L)).as("target_toks"),
+        coalesce(col("n_mix"), lit(0L)).as("n_mix"),
+        coalesce(col("mix_toks"), lit(0L)).as("mix_toks"),
+        expr(s"(coalesce(mix_toks, 0) + ${PackCtx - 1}) div $PackCtx")
+          .as("n_windows"),
+        expr(s"(coalesce(mix_toks, 0) + ${PackCtx - 1}) div $PackCtx" +
+          s" * $PackCtx - coalesce(mix_toks, 0)").as("padding"))
       .orderBy(col("lang"))
   }
 
@@ -4650,6 +4772,7 @@ object Queries {
     "pipe8_seq_pack" -> pipe8SeqPack _,
     "pipe9_crawl_shards" -> pipe9CrawlShards _,
     "pipe10_mix_budget" -> pipe10MixBudget _,
+    "pipe11_select_pack" -> pipe11SelectPack _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
@@ -4676,6 +4799,7 @@ object Queries {
     "s14_ann_recall" -> s14AnnRecall _,
     "s15_ivf_index" -> s15IvfIndexPersist _,
     "s19_index_merge" -> s19IndexMerge _,
+    "s20_nprobe_sweep" -> s20NprobeSweep _,
     "s16_hard_negatives" -> s16HardNegatives _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders

@@ -133,6 +133,11 @@ object QuerySpec {
   // kept when its summed score is positive (closer to the target).
   val DsirTargetLang = "en"
 
+  // S20 recall-vs-nprobe sweep: evaluate IVF recall@TopK against the
+  // brute-force truth at each of these probe settings, from ONE corpus
+  // assignment pass (candidates carry the query-side probe rank).
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4)
+
   // S19 incremental index maintenance: the delta batch is every vector
   // with id >= NumCentroids and id % S19DeltaMod == 0; the standing index
   // is built without them, and the merge appends them cell-partitioned

@@ -855,6 +855,59 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s20 recall is monotone in nprobe and the sweep joins the corpus once") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.s20NprobeSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byQuery = rows.groupBy(_._2)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rs) =>
+      val curve = rs.sortBy(_._1).map(_._3)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"query $q recall not monotone: ${curve.mkString(",")}")
+    }
+    // sf0.001 saturates at probe=1 (95% mean — 8 cells over ~100
+    // vectors), so the distribution-level check is >=; the sf0.01
+    // oracle run shows the real curve (90 -> 92.5 -> 95%)
+    val mean = rows.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.map(_._3).sum / rs.size }
+    assert(mean(QuerySpec.NprobeSweep.max.toLong) >=
+      mean(QuerySpec.NprobeSweep.min.toLong), s"curve dips: $mean")
+    // one corpus assignment for the whole sweep: the settings reuse the
+    // checkpointed candidate frame, so the only parquet scan left in the
+    // returned plan is the 8-row grid side (vec_id < NumQueries pushed
+    // down) — NOT one corpus join per setting (s18's checkpoint lock)
+    val plan = Queries.s20NprobeSweep(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "sweep re-scans the corpus per setting")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("pipe11 stage funnel conserves against t30 and the packing identity") {
+    val rows = Queries.pipe11SelectPack(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // stage monotonicity + the pipe8 packing identity per lang
+    rows.foreach { r =>
+      val (nRaw, nDsir, nUniq, nMix) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(nRaw >= nDsir && nDsir >= nUniq && nUniq >= nMix,
+        s"funnel not monotone: $r")
+      val (mixToks, nWin, pad) = (r.getLong(7), r.getLong(8), r.getLong(9))
+      assert(nWin * QuerySpec.PackCtx == mixToks + pad, s"packing: $r")
+    }
+    // cross-operator conservation: the spine's DSIR stage must agree with
+    // the registered t30 gate, lang by lang
+    val t30kept = Queries.t30DsirWeights(spark, sfDir).collect()
+      .filter(_.getLong(4) == 1L)
+      .groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length.toLong }
+    rows.foreach { r =>
+      assert(r.getLong(3) == t30kept.getOrElse(r.getString(0), 0L),
+        s"dsir stage diverges from t30 for ${r.getString(0)}")
+    }
+    assert(rows.map(_.getLong(6)).sum > 0, "mix selected nothing")
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
