@@ -1722,6 +1722,27 @@ object Oracles {
     // k7: the deterministic v2 synth repeated verbatim (%10 removed, %7
     // revised, %13 re-crawled at +10M), then one full-outer diff join and
     // the per-(status, lang) churn census with k6's content checksum
+    // k8: file identities recomputed from the fragment rule — a day's
+    // file count is its distinct non-empty fragments, its first key the
+    // day-min event id; decisions from the same fixed "now"
+    "k8_vacuum_plan" -> {
+      val nowDay = RangeEndMs / 86400000L
+      s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_id
+         |  FROM events),
+         |c AS (SELECT day,
+         |    CAST(count(DISTINCT event_id % $CompactFrag) AS BIGINT)
+         |      AS n_files,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    min(event_id) AS first_key
+         |  FROM e GROUP BY 1)
+         |SELECT day,
+         |  CASE WHEN $nowDay - day <= $RetentionKeepDays THEN 'keep'
+         |    WHEN day % 7 = 0 THEN 'archive'
+         |    ELSE 'delete' END AS decision,
+         |  n_files, n_rows, first_key
+         |FROM c ORDER BY day""".stripMargin
+    },
+
     "k7_snapshot_diff" ->
       s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
          |v2 AS (SELECT doc_id, lang,

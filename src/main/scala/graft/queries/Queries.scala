@@ -4204,6 +4204,48 @@ object Queries {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** K8: RETENTION VACUUM PLANNING — the lifecycle half o9's compaction
+    * doesn't cover: against a real day-partitioned store (multiple files
+    * per day dir, the o9 staging discipline), classify every partition
+    * under the retention policy — recent days KEEP, older days ARCHIVE
+    * on the weekly grid, the rest DELETE — and report per day the plan's
+    * blast radius (files, rows, the partition's stable first-key
+    * identity). "Now" is the fixed corpus end, so the plan is
+    * deterministic and oracle-checkable; production swaps the literal
+    * for the wall clock and each (day, delete) row becomes one
+    * partition-dir removal, each (day, archive) row one k4 compaction
+    * task. Scale shape: pure metadata grain — the only shuffle is the
+    * per-(day, file) census; a million-file table plans in seconds and
+    * nothing row-sized leaves the executors. Why it matters at 100 TB:
+    * retention is the ONLY thing that keeps an append-only events store
+    * bounded, and a mis-planned vacuum is unrecoverable — hence the plan
+    * is a first-class, value-checked query rather than a script. */
+  def k8VacuumPlan(s: SparkSession, d: String): DataFrame = {
+    val root = stagedDir("k8_store", d) { dir =>
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("ts_ms div 86400000"))
+        .select(col("day"), col("event_id"))
+      for (i <- 0 until CompactFrag)
+        ev.where(col("event_id") % CompactFrag === i)
+          .coalesce(1).write.mode("append").partitionBy("day").parquet(dir)
+    }
+    val nowDay = RangeEndMs / 86400000L
+    s.read.parquet(root)
+      .select(col("day").cast("long").as("day"), col("event_id"),
+        col("_metadata.file_path").as("f"))
+      .groupBy(col("day"), col("f"))
+      .agg(count(lit(1)).as("rows_f"), min(col("event_id")).as("key_f"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_files"), sum(col("rows_f")).as("n_rows"),
+        min(col("key_f")).as("first_key"))
+      .select(col("day"),
+        when(lit(nowDay) - col("day") <= RetentionKeepDays, "keep")
+          .when(col("day") % 7 === 0, "archive")
+          .otherwise("delete").as("decision"),
+        col("n_files"), col("n_rows"), col("first_key"))
+      .orderBy(col("day"))
+  }
+
   /** PIPE9: the complete from-crawl spine AS ONE PLAN — WARC shards →
     * record split + header parse (pipe7) → markup extraction + Gopher
     * gate + URL/content dedup elections (pipe6's funnel, but with the
@@ -4779,6 +4821,7 @@ object Queries {
     "k5_schema_merge" -> k5SchemaMerge _,
     "k6_jsonl_roundtrip" -> k6JsonlRoundtrip _,
     "k7_snapshot_diff" -> k7SnapshotDiff _,
+    "k8_vacuum_plan" -> k8VacuumPlan _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

@@ -158,6 +158,12 @@ object QuerySpec {
     "fr" -> 125000L, "zh" -> 125000L)
   val MixBucketShift = 52
 
+  // K8 retention vacuum: day age measured from the fixed corpus end
+  // (RangeEndMs — deterministic "now"); the last RetentionKeepDays days
+  // stay, older days archive on the weekly grid (day % 7 == 0) and
+  // delete otherwise.
+  val RetentionKeepDays = 7L
+
   // O9 compaction planner: fragments per partition dir in the staged
   // fixture, and the target rows per planned output bin (the row-count
   // stand-in for a target file size; production divides target bytes by

@@ -908,6 +908,34 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.map(_.getLong(6)).sum > 0, "mix selected nothing")
   }
 
+  test("k8 vacuum decisions partition the day domain; planning is read-only") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.k8VacuumPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nowDay = QuerySpec.RangeEndMs / 86400000L
+    rows.foreach { case (day, dec, nFiles, _) =>
+      val want =
+        if (nowDay - day <= QuerySpec.RetentionKeepDays) "keep"
+        else if (day % 7 == 0) "archive" else "delete"
+      assert(dec == want, s"day $day: $dec != $want")
+      assert(nFiles >= 1 && nFiles <= QuerySpec.CompactFrag)
+    }
+    assert(rows.map(_._2).distinct.sorted.sameElements(
+      Array("archive", "delete", "keep")), "policy classes missing")
+    // total rows across the plan == the events table (nothing dropped)
+    assert(rows.map(_._4).sum == graft.Tables.events(spark, sfDir).count())
+    // the PLANNER is read-only: every day dir survives, deleted or not
+    val root = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .filter(p => p.getFileName.toString.startsWith("graft_k8_store_"))
+      .findFirst().get()
+    rows.foreach { case (day, _, _, _) =>
+      assert(java.nio.file.Files.isDirectory(root.resolve(s"day=$day")),
+        s"planner touched day=$day")
+    }
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
