@@ -3054,6 +3054,27 @@ object Oracles {
     // m5: the pair-filter chain repeated relationally — per-token dim via
     // the portable md5 key, hashed-BoW vectors as dim-count comprehensions,
     // ascending-fold cosine (s1's chain shape at ClipDim), threshold gate
+    // m6: same portable shard key; digest = order-independent sum of the
+    // per-record key mod 1e9+7 (BIGINT-safe on both engines)
+    "m6_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    least(len(${rawToks("text")}), $ClipCapTokens) AS cap_toks,
+         |    ${md5Hash15("'mshard:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |s AS (SELECT h % $PackShards AS shard,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(n_chars) AS BIGINT) AS payload_bytes,
+         |    CAST(sum(cap_toks) AS BIGINT) AS caption_toks,
+         |    CAST(sum(h % 1000000007) AS BIGINT) AS digest
+         |  FROM t GROUP BY 1),
+         |tb AS (SELECT sum(n_chars) AS tb FROM t)
+         |SELECT shard, n_pairs, payload_bytes, caption_toks,
+         |  CAST(payload_bytes * 1000000
+         |    // (CAST((SELECT tb FROM tb) AS BIGINT) // $PackShards)
+         |    AS BIGINT) AS balance_ppm,
+         |  digest
+         |FROM s ORDER BY shard""".stripMargin,
+
     "m5_pair_filter" -> {
       val tokDim = s"${hexVal15("md5(x)")} % $ClipDim"
       def bowOf(src: String) =

@@ -3339,6 +3339,45 @@ object Queries {
     * compute is cross-checked bit-for-bit against a declarative SQL twin
     * of the same integer byte-lane sums. Proves the seam a real GPU
     * decoder drops into: same signature, same plan, same oracle. */
+  /** M6: multimodal SHARD MANIFEST — the webdataset-style packing census
+    * for (payload, caption) pairs: records hash into PackShards shards
+    * (the same deterministic portable-key shuffle as pipe8, but records
+    * are ATOMIC — a pair never splits across shards), and each shard row
+    * reports its pair count, payload bytes (n_chars stands in for the
+    * opaque image column — m1/m2's convention), caption tokens (m5's
+    * ClipCapTokens cap), a BALANCE ratio against the ideal bytes/shard
+    * (shard skew stretches a training epoch to its slowest shard — this
+    * census is what you alert on), and a content DIGEST. The digest is
+    * deliberately ORDER-INDEPENDENT — sum over records of the portable
+    * md5 key mod 1e9+7 — so it aggregates map-side with bounded state;
+    * a collect_list-then-hash manifest would put corpus/shards ids in
+    * one reducer's memory, the exact trap the census exists to avoid.
+    * Integrity check = recompute the digest after any copy/move (k1's
+    * crash-safety story applied to training shards). */
+  def m6ShardManifest(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("mshard:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        least(size(TextAnalysis.tokens(col("text"))), lit(ClipCapTokens))
+          .cast("long").as("cap_toks"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(PackShards)))
+    val shards = base.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_chars")).as("payload_bytes"),
+        sum(col("cap_toks")).as("caption_toks"),
+        sum(col("h") % 1000000007L).as("digest"))
+    shards.crossJoin(broadcast(
+        base.agg(sum(col("n_chars")).as("tb"))))
+      .select(col("shard"), col("n_pairs"), col("payload_bytes"),
+        col("caption_toks"),
+        expr(s"payload_bytes * 1000000 div (tb div $PackShards)")
+          .as("balance_ppm"),
+        col("digest"))
+      .orderBy(col("shard"))
+  }
+
   def m4BatchInfer(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -4792,6 +4831,7 @@ object Queries {
     "j12_fuzzy_join" -> j12FuzzyJoin _,
     "m4_batch_infer" -> m4BatchInfer _,
     "m5_pair_filter" -> m5PairFilter _,
+    "m6_shard_manifest" -> m6ShardManifest _,
     "o8_range_shards" -> o8RangeShards _,
     "o9_compaction_plan" -> o9CompactionPlan _,
     "a20_mad_outliers" -> a20MadOutliers _,

@@ -936,6 +936,23 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("m6 manifest digests match a local recompute; pairs conserve") {
+    import org.apache.spark.sql.functions._
+    val got = Queries.m6ShardManifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    val hs = graft.Tables.documents(spark, sfDir)
+      .select(conv(substring(md5(concat(lit("mshard:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    val want = hs.groupBy(h => ((h % QuerySpec.PackShards) +
+        QuerySpec.PackShards) % QuerySpec.PackShards)
+      .map { case (sh, xs) =>
+        sh -> ((xs.length.toLong, xs.map(_ % 1000000007L).sum)) }
+    assert(got == want, s"digest mismatch\n got=$got\nwant=$want")
+    assert(got.values.map(_._1).sum ==
+      graft.Tables.documents(spark, sfDir).count())
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
