@@ -1988,6 +1988,50 @@ object Oracles {
          |ORDER BY delta_id, corpus_id""".stripMargin
     },
 
+    // d17: the same vocab-grain signature build as d14, a 31-struct
+    // unnest for the banded digests (matching the engine's per-combo
+    // '<b>|<i>|' prefix + comma-joined component text), bucket-count
+    // candidate algebra, and the S-curve as literal multiplication
+    // chains folded left-to-right (identical IEEE order on both engines)
+    "d17_lsh_tuning" -> {
+      val sigs = (0 until MinhashK).map(i =>
+        s"${hexVal15(s"list_min(list_transform(toks, x -> md5('$i:' || x)))")} AS m$i")
+        .mkString(",\n  ")
+      val structs = LshTuneCombos.flatMap { case (b, r) =>
+        (0 until b).map { i =>
+          val parts = (i * r until (i + 1) * r)
+            .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ',' || ")
+          s"{'b': CAST($b AS BIGINT), 'dg': md5('$b|$i|' || $parts)}"
+        }
+      }.mkString(",\n    ")
+      val curve = LshTuneCombos.map { case (b, r) =>
+        val jr = Seq.fill(r)(s"CAST($MinhashThreshold AS DOUBLE)")
+          .mkString("*")
+        val q = s"(1 - $jr)"
+        val qb = Seq.fill(b)(q).mkString("*")
+        s"(CAST($b AS BIGINT), CAST(${MinhashK / b} AS BIGINT), " +
+          s"CAST(floor((1 - $qb) * 1000000) AS BIGINT))"
+      }.mkString(",\n    ")
+      s"""WITH t AS (SELECT doc_id AS id, ${lowSet("text")} AS toks
+         |  FROM documents),
+         |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+         |sig AS (SELECT id,
+         |  $sigs
+         |FROM t2),
+         |bd AS (SELECT unnest([
+         |    $structs
+         |  ], recursive := true) FROM sig),
+         |g AS (SELECT b, dg, count(*) AS n FROM bd GROUP BY 1, 2),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+         |  FROM g GROUP BY 1),
+         |curve(b, rows_per_band, collision_ppm) AS (VALUES
+         |    $curve)
+         |SELECT c.b AS bands, rows_per_band, n_buckets, cand_pairs,
+         |  collision_ppm
+         |FROM c JOIN curve USING (b) ORDER BY bands""".stripMargin
+    },
+
     // D14: minhash estimate (K-component agreement rate) vs exact Jaccard
     // on the blocked pair space, decile rollup. Generated from the same
     // MinhashK as the query; every double is one division over integer

@@ -2289,6 +2289,67 @@ object Queries {
       Tables.documents(s, d).where(blockKey % CalibSampleMod === 0))
   }
 
+  /** D17: LSH PARAMETER TUNING — the engineering question behind d3's
+    * (bands, rows) choice, answered in one pass: for EVERY factorization
+    * of the MinhashK signature, (a) the measured index cost on this
+    * corpus (band-bucket count and candidate-pair volume — the shuffle
+    * and verify bill that banding actually generates, computed as
+    * Σ C(n,2) over bucket COUNTS, never materializing a pair), and
+    * (b) the closed-form S-curve collision probability 1−(1−j^r)^b at
+    * the Jaccard threshold (evaluated as the same left-to-right IEEE
+    * multiplication chain on both engines — bit-exact without a rounding
+    * contract). Reading the 5 rows together is the tuning: more bands =
+    * steeper recall at the threshold but measurably more candidates —
+    * (16,1) collides half the corpus into each bucket while (1,16)
+    * recalls almost nothing. Scale shape: signatures are the d3/d14
+    * vocab-grain build; the sweep adds ONE 31-digest map-side explode
+    * and one uniform-key (combo, digest) aggregate — the whole tuning
+    * table costs about one extra shuffle over the signature build. */
+  def d17LshTuning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = MinhashK
+    val base = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), Dedup.tokenSet(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+    val exploded = base.select(col("id"), explode(col("toks")).as("tok"))
+    val vocab = exploded.select(col("tok")).distinct()
+      .select(col("tok") +: (0 until k).map(i =>
+        md5(concat(lit(s"$i:"), col("tok"))).as(s"h$i")): _*)
+    val sig = exploded.join(vocab, "tok").groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("id") +: (0 until k).map(i =>
+        conv(substring(col(s"m$i"), 1, 15), 16, 10).cast("long")
+          .as(s"m$i")): _*)
+    val digests = LshTuneCombos.flatMap { case (b, r) =>
+      (0 until b).map { i =>
+        struct(lit(b.toLong).as("b"),
+          md5(concat(lit(s"$b|$i|"), concat_ws(",",
+            (i * r until (i + 1) * r)
+              .map(j => col(s"m$j").cast("string")): _*))).as("dg"))
+      }
+    }
+    val census = sig.select(explode(array(digests: _*)).as("s"))
+      .select(col("s.b").as("b"), col("s.dg").as("dg"))
+      .groupBy(col("b"), col("dg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+    // closed-form S-curve at the threshold: plain left-to-right double
+    // chains (the oracle folds the identical literal chain)
+    val curve = LshTuneCombos.map { case (b, r) =>
+      val j = MinhashThreshold
+      var jr = j; for (_ <- 1 until r) jr *= j
+      val q = 1.0 - jr
+      var qb = q; for (_ <- 1 until b) qb *= q
+      (b.toLong, (k / b).toLong, math.floor((1.0 - qb) * 1e6).toLong)
+    }.toDF("b", "rows_per_band", "collision_ppm")
+    census.join(curve, Seq("b"))
+      .select(col("b").as("bands"), col("rows_per_band"),
+        col("n_buckets"), col("cand_pairs"), col("collision_ppm"))
+      .orderBy(col("bands"))
+  }
+
   private def minhashEstErrorOn(docs: DataFrame): DataFrame = {
     val k = MinhashK
     // persisted: feeds the vocab explode AND both pair sides (d3's lesson)
@@ -4799,6 +4860,7 @@ object Queries {
     "d13_cluster_keep_best" -> d13ClusterKeepBest _,
     "d14_minhash_est_error" -> d14MinhashEstError _,
     "d16_minhash_est_sampled" -> d16MinhashEstSampled _,
+    "d17_lsh_tuning" -> d17LshTuning _,
     "d15_incremental_dedup" -> d15IncrementalDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,

@@ -31,6 +31,11 @@ object QuerySpec {
   // D16 sampled calibration: keep 1-in-N candidate blocks (md5-gated)
   val CalibSampleMod = 4L
   val MinhashBands = 4
+  // D17 LSH tuning: every (bands, rows) factorization of MinhashK,
+  // swept in one pass — measured candidate cost per banding + the
+  // closed-form S-curve collision probability at the threshold.
+  val LshTuneCombos: Seq[(Int, Int)] =
+    Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
   val MinhashThreshold = 0.6
   val JaccardThreshold = 0.8
   val ShingleK = 5

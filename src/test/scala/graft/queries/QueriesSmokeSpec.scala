@@ -953,6 +953,33 @@ class QueriesSmokeSpec extends SparkSpec {
       graft.Tables.documents(spark, sfDir).count())
   }
 
+  test("d17 tuning table: cost and collision both rise with band count") {
+    val rows = Queries.d17LshTuning(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(
+      QuerySpec.LshTuneCombos.map(_._1.toLong).sorted))
+    rows.foreach { case (b, r, nb, _, _) =>
+      assert(b * r == QuerySpec.MinhashK.toLong)
+      assert(nb >= 1)
+    }
+    // the tuning tradeoff itself: more bands => measurably more candidate
+    // pairs (looser buckets) AND higher S-curve collision at the
+    // threshold — both must be nondecreasing in b for the table to mean
+    // anything
+    rows.zip(rows.tail).foreach { case ((_, _, _, c1, p1), (b2, _, _, c2, p2)) =>
+      assert(c2 >= c1, s"candidates dip at bands=$b2")
+      assert(p2 >= p1, s"S-curve dips at bands=$b2")
+    }
+    // endpoints of the closed form, recomputed here from first principles
+    val j = QuerySpec.MinhashThreshold
+    var j16 = j; for (_ <- 1 until 16) j16 *= j
+    assert(rows.head._5 == math.floor(j16 * 1e6).toLong) // b=1: j^16
+    var q16 = 1 - j; val q0 = 1 - j
+    for (_ <- 1 until 16) q16 *= q0
+    assert(rows.last._5 == math.floor((1 - q16) * 1e6).toLong)
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
