@@ -61,6 +61,31 @@ object Joins {
         payloadCols.map(c => col("_m").getField(c).as(c)): _*)
   }
 
+  /** Every (a, b) row pair whose [aLo, aHi] and [bLo, bHi] intervals
+    * overlap (inclusive), emitted EXACTLY ONCE: both sides explode to the
+    * fixed-width buckets they cover, candidates equi-join on the bucket
+    * (uniform shuffle), the exact overlap predicate runs on bucket-mates
+    * only, and a pair is kept only in the bucket containing the overlap's
+    * START (the max of the lo's) — exactly-once without shuffling the
+    * candidate stream through a distinct. The replacement for a
+    * BroadcastNestedLoop theta join when NEITHER side fits in memory;
+    * `bucketWidth` trades per-row explode factor against candidate
+    * density (set it near the typical interval length). */
+  def overlapJoin(a: DataFrame, b: DataFrame, aLo: String, aHi: String,
+      bLo: String, bHi: String, bucketWidth: Long): DataFrame = {
+    val ea = a.withColumn("_bucket", explode(sequence(
+      (col(aLo) / bucketWidth).cast("long"),
+      (col(aHi) / bucketWidth).cast("long"))))
+    val eb = b.withColumn("_bucket", explode(sequence(
+      (col(bLo) / bucketWidth).cast("long"),
+      (col(bHi) / bucketWidth).cast("long"))))
+    ea.join(eb, Seq("_bucket"))
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .where(col("_bucket") ===
+        (greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("_bucket")
+  }
+
   /** Probe rows joined to every range containing them:
     * `probe.valueCol BETWEEN ranges.loCol AND ranges.hiCol`, bucket-expanded
     * with `bucketWidth`. Ranges may overlap; output one row per (probe row,

@@ -861,6 +861,36 @@ object Oracles {
          |  ON e.user_id = h.user_id AND e.ts_ms >= h.ts_ms
          |ORDER BY event_id""".stripMargin,
 
+    // x3: sessions from the same gaps-and-islands rule, the overlap as a
+    // plain theta join (the oracle can afford it; exactly-once is the
+    // engine's burden)
+    "x3_overlap_join" -> {
+      val vals = X3Campaigns
+        .map { case (i, lo, hi) => s"($i, $lo, $hi)" }.mkString(", ")
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_id
+         |  FROM events),
+         |l AS (SELECT user_id, ts, event_id,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) > $X3SessionGapMs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |si AS (SELECT user_id, ts,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM l),
+         |c AS (SELECT user_id, sid, min(ts) AS s_lo, max(ts) AS s_hi
+         |  FROM si GROUP BY 1, 2),
+         |camp(campaign_id, c_lo, c_hi) AS (VALUES $vals),
+         |j AS (SELECT campaign_id, user_id, s_lo, s_hi, c_lo, c_hi
+         |  FROM c JOIN camp ON s_lo <= c_hi AND c_lo <= s_hi)
+         |SELECT CAST(campaign_id AS BIGINT) AS campaign_id,
+         |  CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(least(s_hi, c_hi) - greatest(s_lo, c_lo)) AS BIGINT)
+         |    AS overlap_ms
+         |FROM j GROUP BY 1 ORDER BY campaign_id""".stripMargin
+    },
+
     "x2_range_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES
         |  (0, 0, 25000), (1, 20000, 60000), (2, 50000, 90000), (3, 85000, 110000))

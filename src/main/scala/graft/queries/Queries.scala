@@ -1562,6 +1562,43 @@ object Queries {
 
   /** X2: range join — lineitems matched to overlapping price bands via
     * bucket expansion (see [[Joins.rangeJoin]]). */
+  /** X3: INTERVAL-OVERLAP JOIN — the third temporal-join primitive after
+    * as-of (x1) and point-in-range (x2): every (session, campaign-window)
+    * pair whose intervals overlap, via [[Joins.overlapJoin]]'s bucket
+    * expansion — both interval sets explode to covered fixed-width
+    * buckets, candidates equi-join on the bucket, the exact predicate
+    * runs on bucket-mates only, and each pair surfaces exactly once (kept
+    * only in the overlap-start bucket; spec-pinned against the naive
+    * theta join). Sessions are classic gaps-and-islands (one user-grain
+    * sort). At this fixture the campaign side would broadcast — the
+    * point is the shape that survives when it doesn't: ad-exposure ×
+    * session at 100 TB is big×big, and the bucket equi-join is the only
+    * plan that isn't a nested loop. Census per campaign: overlapping
+    * sessions, distinct users, total overlap milliseconds. */
+  def x3OverlapJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("brk",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(ord) >
+          X3SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ms")).as("s_lo"), max(col("ts_ms")).as("s_hi"))
+    val camps = X3Campaigns.toDF("campaign_id", "c_lo", "c_hi")
+    graft.operators.Joins.overlapJoin(sess, camps, "s_lo", "s_hi",
+      "c_lo", "c_hi", X3BucketMs)
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("s_hi"), col("c_hi")) -
+          greatest(col("s_lo"), col("c_lo"))).as("overlap_ms"))
+      .orderBy(col("campaign_id"))
+  }
+
   def x2RangeJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bands = Seq(
@@ -4790,6 +4827,7 @@ object Queries {
     "s4_centroids" -> s4Centroids _,
     "x1_asof_join" -> x1AsofJoin _,
     "x2_range_join" -> x2RangeJoin _,
+    "x3_overlap_join" -> x3OverlapJoin _,
     "a1_watermark_max" -> a1WatermarkMax _,
     "a2_integrity_hours" -> a2IntegrityHours _,
     "a3_latest_per_user" -> a3LatestPerUser _,

@@ -86,6 +86,18 @@ object QuerySpec {
   val SeqEventB = "purchase"
   val SeqWithinMs: Long = 24 * 3600000L
 
+  // X3 overlap join: gap-based sessions (interval = [first, last] event
+  // ts) overlap-joined with campaign windows via bucket expansion;
+  // bucket width ~ the typical interval length.
+  val X3SessionGapMs = 1800000L
+  val X3BucketMs = 21600000L
+  val X3Campaigns: Seq[(Long, Long, Long)] = Seq(
+    (1L, RangeStartMs + 2L * 86400000, RangeStartMs + 5L * 86400000),
+    (2L, RangeStartMs + 9L * 86400000 + 43200000,
+      RangeStartMs + 11L * 86400000),
+    (3L, RangeStartMs + 19L * 86400000, RangeStartMs + 20L * 86400000),
+    (4L, RangeStartMs + 27L * 86400000, RangeStartMs + 30L * 86400000))
+
   // A25 conversion-latency percentiles: cohort = first-SeqEventA day;
   // latency = first SeqEventB at-or-after that first A, bucketed to
   // whole minutes (the bounded histogram grid that turns exact

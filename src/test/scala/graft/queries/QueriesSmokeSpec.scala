@@ -980,6 +980,36 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.last._5 == math.floor((1 - q16) * 1e6).toLong)
   }
 
+  test("x3 bucketed overlap join == naive theta join, exactly once, no NLJ") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sess = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("brk", when(col("ts_ms") - lag(col("ts_ms"), 1).over(ord) >
+        QuerySpec.X3SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ms")).as("s_lo"), max(col("ts_ms")).as("s_hi"))
+    val camps = QuerySpec.X3Campaigns.toDF("campaign_id", "c_lo", "c_hi")
+    // naive reference: broadcast theta join, count per campaign
+    val want = sess.crossJoin(camps)
+      .where(col("s_lo") <= col("c_hi") && col("c_lo") <= col("s_hi"))
+      .groupBy(col("campaign_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Queries.x3OverlapJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"bucketed != theta\n got=$got\nwant=$want")
+    // the scalable shape: equi-join on the bucket, never a nested loop
+    val plan = Queries.x3OverlapJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "theta join crept in")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
