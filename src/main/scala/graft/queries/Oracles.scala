@@ -2269,6 +2269,32 @@ object Oracles {
          |FROM gg ORDER BY doc_id""".stripMargin
     },
 
+    // t31: t1's scoring + first-wins tie-break, labeled-lang score via a
+    // CASE, integer margins, confusion-matrix rollup
+    "t31_label_noise" -> {
+      val scores = LangMarkers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(${rawToks("text")}, x -> list_contains($arr, x))) AS s_$lang"
+      }.mkString(",\n  ")
+      val langs = LangMarkers.map(_._1)
+      val g = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.init.map(l => s"WHEN s_$l = g THEN '$l'")
+        .mkString(" ")
+      val ls = langs.map(l => s"WHEN lang = '$l' THEN s_$l").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents),
+         |gg AS (SELECT *, $g AS g,
+         |    coalesce(CASE $ls END, 0) AS ls FROM s),
+         |p AS (SELECT lang, CASE $pick ELSE '${langs.last}' END
+         |    AS predicted, CAST(g - ls AS BIGINT) AS margin
+         |  FROM gg)
+         |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(margin) AS BIGINT) AS sum_margin,
+         |  CAST(max(margin) AS BIGINT) AS max_margin
+         |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    },
+
     "t2_quality_score" -> {
       val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH s AS (SELECT doc_id,

@@ -2172,6 +2172,39 @@ object Queries {
         TextAnalysis.langId(col("text"), LangMarkers).as("predicted"))
       .orderBy(col("doc_id"))
 
+  /** T31: LABEL-NOISE CENSUS — the lang-tag audit a multilingual corpus
+    * needs before per-lang budgets (pipe10) or per-lang dedup blocks
+    * (d2/d14) can be trusted: t1's n-gram lang-ID replayed against the
+    * RECORDED lang column, rolled up into the (labeled, predicted)
+    * confusion matrix with an integer disagreement MARGIN (best marker
+    * score minus the labeled lang's score — the number you threshold to
+    * auto-relabel vs route to review; ties resolve to the declared lang
+    * order with margin 0, same as t1). Pure map-side scoring + one
+    * ≤|langs|²-row aggregate — corpus-linear at any scale. */
+  def t31LabelNoise(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val scored = LangMarkers.map { case (l, words) =>
+      val w = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(w, t))).as("score"),
+        lit(l).as("lang"))
+    }
+    val best = scored.reduceLeft { (b, c) =>
+      when(c.getField("score") > b.getField("score"), c).otherwise(b)
+    }
+    val labeled = coalesce(LangMarkers.map { case (l, words) =>
+      val w = array(words.map(lit): _*)
+      when(col("lang") === l,
+        size(filter(toks, t => array_contains(w, t))))
+    } :+ lit(0): _*)
+    Tables.documents(s, d)
+      .select(col("lang"), best.getField("lang").as("predicted"),
+        (best.getField("score") - labeled).cast("long").as("margin"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("sum_margin"),
+        max(col("margin")).as("max_margin"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
   /** T2: per-doc quality score. */
   def t2QualityScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -4904,6 +4937,7 @@ object Queries {
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,
     "t1_lang_id" -> t1LangId _,
+    "t31_label_noise" -> t31LabelNoise _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,

@@ -1010,6 +1010,24 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t31 confusion matrix agrees with t1; margins behave") {
+    val got = Queries.t31LabelNoise(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cell counts must equal the registered t1 prediction rollup
+    val want = Queries.t1LangId(spark, sfDir).collect()
+      .groupBy(r => (r.getString(1), r.getString(2)))
+      .map { case (k, rs) => k -> rs.length.toLong }
+    assert(got.map { case (k, v) => k -> v._1 } == want)
+    got.foreach { case ((l, p), (_, sm, mm)) =>
+      assert(sm >= 0 && mm >= 0, s"negative margin at ($l,$p)")
+      // on the diagonal the best IS the labeled lang: margin exactly 0
+      if (l == p) assert(sm == 0 && mm == 0, s"diagonal margin at $l")
+    }
+    // the audit finds real label noise on this fixture
+    assert(got.exists { case ((l, p), _) => l != p })
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
