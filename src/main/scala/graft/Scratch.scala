@@ -968,7 +968,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11,k8,m6,d17,x3,t31"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11,k8,m6,d17,x3,t31,a27"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -1037,7 +1037,10 @@ object Scratch {
           // equi-join; 4 output rows)
           "x3" -> "x3_overlap_join",
           // t31 (label noise — map-side scoring, <=|langs|^2 rollup)
-          "t31" -> "t31_label_noise")
+          "t31" -> "t31_label_noise",
+          // a27 (session metrics — one user-grain sort, grid-bounded
+          // percentile window; |days| output rows)
+          "a27" -> "a27_session_metrics")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -1416,6 +1416,48 @@ object Oracles {
 
     // a24: one value-RANGE frame supplies both touches; peer semantics
     // (value-based bounds, −1 excludes same-ms) match Spark's RangeFrame
+    // a27: x3's session rule, a25's histogram-percentile algebra on the
+    // minute-bucketed duration grid, bounce rate in integer ppm
+    "a27_session_metrics" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_id
+         |  FROM events),
+         |l AS (SELECT user_id, ts, event_id,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) > $X3SessionGapMs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |si AS (SELECT user_id, ts,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM l),
+         |c AS (SELECT user_id, sid, count(*) AS n_events,
+         |    min(ts) AS s_lo, max(ts) AS s_hi
+         |  FROM si GROUP BY 1, 2),
+         |ss AS (SELECT s_lo // 86400000 AS day, n_events,
+         |    (s_hi - s_lo) // $LatBucketMs AS dur_b
+         |  FROM c),
+         |cen AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+         |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS bounces
+         |  FROM ss GROUP BY 1),
+         |h AS (SELECT day, dur_b, count(*) AS cnt
+         |  FROM ss GROUP BY 1, 2),
+         |cm AS (SELECT day, dur_b,
+         |    sum(cnt) OVER (PARTITION BY day ORDER BY dur_b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |p AS (SELECT cm.day,
+         |    min(CASE WHEN cum >= (n_sessions * 50 + 99) // 100
+         |      THEN dur_b END) AS p50,
+         |    min(CASE WHEN cum >= (n_sessions * 90 + 99) // 100
+         |      THEN dur_b END) AS p90
+         |  FROM cm JOIN cen USING (day) GROUP BY 1)
+         |SELECT cen.day, n_sessions,
+         |  CAST(bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm,
+         |  CAST(p50 AS BIGINT) AS p50_dur_min,
+         |  CAST(p90 AS BIGINT) AS p90_dur_min
+         |FROM cen JOIN p USING (day) ORDER BY cen.day""".stripMargin,
+
     // a26: the interval-union identity — user counts toward day d's WAU
     // iff d lands in the union of [a, a+6] over their active days a;
     // DISTINCT (user, covered day) replicates the engine's per-user

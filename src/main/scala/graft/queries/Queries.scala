@@ -871,6 +871,53 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** A27: SESSION METRICS per day — the product-analytics census over
+    * x3's gaps-and-islands sessions: sessions started, bounce rate
+    * (single-event sessions, integer ppm), and EXACT p50/p90 session
+    * duration via a25's bounded-histogram percentiles (durations land on
+    * a minute grid; the cumulative window rides GRID rows, so a
+    * billion-session day costs the same window as a thousand-session
+    * one). One user-grain sort builds the sessions, one day-grain census
+    * + one grid-bounded histogram does the rest — no per-day sort of
+    * sessions anywhere. */
+  def a27SessionMetrics(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("brk",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(ord) >
+          X3SessionGapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("s_lo"), max(col("ts_ms")).as("s_hi"))
+      .select(expr("s_lo div 86400000").as("day"),
+        col("n_events"),
+        expr(s"(s_hi - s_lo) div $LatBucketMs").as("dur_b"))
+      .persist() // day census + duration histogram share the frame
+    val census = sess.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"))
+    val cw = Window.partitionBy(col("day")).orderBy(col("dur_b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pcts = sess.groupBy(col("day"), col("dur_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cw))
+      .join(census.select(col("day"), col("n_sessions")), Seq("day"))
+      .groupBy(col("day"))
+      .agg(min(when(col("cum") >= expr("(n_sessions * 50 + 99) div 100"),
+          col("dur_b"))).as("p50_dur"),
+        min(when(col("cum") >= expr("(n_sessions * 90 + 99) div 100"),
+          col("dur_b"))).as("p90_dur"))
+    census.join(pcts, Seq("day"))
+      .select(col("day"), col("n_sessions"),
+        expr("bounces * 1000000 div n_sessions").as("bounce_ppm"),
+        col("p50_dur").as("p50_dur_min"), col("p90_dur").as("p90_dur_min"))
+      .orderBy(col("day"))
+  }
+
   /** A8: hierarchical rollup — revenue subtotals at (status, priority),
     * (status), and grand-total levels in one pass. */
   def a8Rollup(s: SparkSession, d: String): DataFrame =
@@ -4975,6 +5022,7 @@ object Queries {
     "a24_attribution" -> a24Attribution _,
     "a25_conversion_latency" -> a25ConversionLatency _,
     "a26_active_users" -> a26ActiveUsers _,
+    "a27_session_metrics" -> a27SessionMetrics _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

@@ -1028,6 +1028,39 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(got.exists { case ((l, p), _) => l != p })
   }
 
+  test("a27 session metrics == naive sessionization computed locally") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ms"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local gaps-and-islands sessionization
+    val sessions = ev.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (lo, hi, n) = (sorted.head._2, sorted.head._2, 1L)
+      for (r <- sorted.tail) {
+        if (r._2 - hi > QuerySpec.X3SessionGapMs) {
+          out += ((lo, hi, n)); lo = r._2; hi = r._2; n = 1L
+        } else { hi = r._2; n += 1 }
+      }
+      out += ((lo, hi, n)); out
+    }.toSeq
+    val want = sessions.groupBy(_._1 / 86400000L).map { case (day, ss) =>
+      val durs = ss.map(s => (s._2 - s._1) / QuerySpec.LatBucketMs).sorted
+      def pct(p: Long) = durs(((durs.size * p + 99) / 100 - 1).toInt)
+      day -> ((ss.size.toLong,
+        ss.count(_._3 == 1L).toLong * 1000000L / ss.size,
+        pct(50), pct(90)))
+    }
+    val got = Queries.a27SessionMetrics(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"session census != naive\n got=$got\nwant=$want")
+    got.values.foreach { case (_, b, p50, p90) =>
+      assert(b >= 0 && b <= 1000000L && p50 <= p90)
+    }
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
