@@ -968,7 +968,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11,k8,m6,d17,x3,t31,a27"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11,k8,m6,d17,x3,t31,a27,d18"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -1040,7 +1040,10 @@ object Scratch {
           "t31" -> "t31_label_noise",
           // a27 (session metrics — one user-grain sort, grid-bounded
           // percentile window; |days| output rows)
-          "a27" -> "a27_session_metrics")
+          "a27" -> "a27_session_metrics",
+          // d18 (multiplicity census — staged-cluster read + two tiny
+          // aggregates; |sizes| output rows)
+          "d18" -> "d18_cluster_census")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
@@ -1142,6 +1145,12 @@ object Scratch {
           // d16: d14's block-sampled calibration — the measured mitigation;
           // its curve must be d14's shape scaled by ~1/CalibSampleMod
           "d16" -> "d16_minhash_est_sampled",
+          // t30: DSIR — vocab-grain LM joins; the sustained probe measures
+          // the Heaps-law vocab growth term at real sizes
+          "t30" -> "t30_dsir_weights",
+          // pipe11: the selection spine end-to-end (DSIR + election +
+          // mix + packing) — the heaviest one-plan composition
+          "pipe11" -> "pipe11_select_pack",
           "d9" -> "d9_dup_clusters",
           "d15" -> "d15_incremental_dedup")
         val registry11 = queries.Queries.all.toMap

@@ -1979,6 +1979,24 @@ object Oracles {
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // d18: d9's closure, rolled to the cluster-size histogram
+    "d18_cluster_census" ->
+      s"""WITH RECURSIVE $d2Ctes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= $JaccardThreshold),
+         |edges AS (SELECT id_a AS es, id_b AS et FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT rr.id AS id, e.et AS r FROM reach rr JOIN edges e ON rr.r = e.es),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+         |  GROUP BY 1),
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
     // D13: d9's cluster closure × t2's quality — keep the best-quality doc
     // per duplicate cluster (ties to the smallest id).
     "d13_cluster_keep_best" ->

@@ -2344,6 +2344,22 @@ object Queries {
   def d9DupClusters(s: SparkSession, d: String): DataFrame =
     clusterTable(s, d).orderBy(col("doc_id"))
 
+  /** D18: DUPLICATE-MULTIPLICITY CENSUS — the corpus-health histogram
+    * every dedup paper reports (how much of the corpus is duplicated at
+    * what multiplicity, the power-law tail that decides whether dedup is
+    * worth its cost): cluster-size distribution over d9's connected
+    * components. Reads the memoized staged cluster table (the
+    * d13 build-once discipline), so the census itself is two tiny
+    * aggregates — cluster grain, then size grain — over an id-keyed
+    * scan; at 100 TB the histogram is |distinct sizes| rows. */
+  def d18ClusterCensus(s: SparkSession, d: String): DataFrame =
+    clusterTable(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** D13: duplicate-cluster CANONICAL SELECTION — the dedup POLICY step a
     * training pipeline runs after clustering: within each d9 duplicate
     * cluster keep the highest-QUALITY document (t2's score; ties break to
@@ -4974,6 +4990,7 @@ object Queries {
     "d12_substring_dedup" -> d12SubstringDup _,
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
+    "d18_cluster_census" -> d18ClusterCensus _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d13_cluster_keep_best" -> d13ClusterKeepBest _,
     "d14_minhash_est_error" -> d14MinhashEstError _,

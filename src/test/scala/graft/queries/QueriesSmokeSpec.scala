@@ -1061,6 +1061,22 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("d18 multiplicity histogram conserves docs and matches d9 clusters") {
+    val rows = Queries.d18ClusterCensus(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (sz, nc, nd) => assert(nd == sz * nc) }
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum == docs, "histogram loses docs")
+    // agrees with the registered d9 clustering, size by size
+    val want = Queries.d9DupClusters(spark, sfDir).collect()
+      .groupBy(_.getLong(1)).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == want)
+    // real duplicate mass exists at this SF (a flat all-singleton
+    // histogram would make the census meaningless)
+    assert(rows.exists(_._1 >= 2))
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
