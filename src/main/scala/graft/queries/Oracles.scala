@@ -1836,6 +1836,34 @@ object Oracles {
          |  CAST(sum(${md5Hash15("text")} % 1000000007) AS BIGINT) AS text_hash
          |FROM j GROUP BY 1, 2 ORDER BY status, lang""".stripMargin,
 
+    // k9: same epoch rules as k7, lang-grain censuses with integer-ppm
+    // shares and the L1 drift term
+    "k9_drift_census" ->
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+         |v2 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM v1 WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id + 10000000, lang, 'recrawl ' || text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |c1 AS (SELECT lang, count(*) AS n_a, sum(length(text)) AS chars_a
+         |  FROM v1 GROUP BY 1),
+         |c2 AS (SELECT lang, count(*) AS n_b, sum(length(text)) AS chars_b
+         |  FROM v2 GROUP BY 1),
+         |t AS (SELECT (SELECT count(*) FROM v1) AS t1,
+         |  (SELECT count(*) FROM v2) AS t2)
+         |SELECT lang,
+         |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+         |  CAST(coalesce(chars_a, 0) AS BIGINT) AS chars_a,
+         |  CAST(coalesce(chars_b, 0) AS BIGINT) AS chars_b,
+         |  CAST(coalesce(n_a, 0) * 1000000 // t1 AS BIGINT) AS share_a_ppm,
+         |  CAST(coalesce(n_b, 0) * 1000000 // t2 AS BIGINT) AS share_b_ppm,
+         |  CAST(abs(coalesce(n_a, 0) * 1000000 // t1
+         |    - coalesce(n_b, 0) * 1000000 // t2) AS BIGINT) AS drift_ppm
+         |FROM c1 FULL OUTER JOIN c2 USING (lang) CROSS JOIN t
+         |ORDER BY lang""".stripMargin,
+
     "j10_bucketed" ->
       s"""SELECT c_nationkey, count(*) AS n_orders,
          |  ${dsum("o_totalprice")} AS total_price

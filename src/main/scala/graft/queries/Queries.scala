@@ -4834,7 +4834,11 @@ object Queries {
     * |status×langs|-row aggregate. Feeding ONLY the 'added'+'changed'
     * slice to d15's incremental dedup is the snapshot-to-snapshot
     * pipeline. */
-  def k7SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+  /** k7/k9's deterministic snapshot pair: v2 drops doc_id%10==0, revises
+    * %7==0 texts, re-crawls %13==0 under shifted ids — ONE definition so
+    * the diff (k7) and the drift census (k9) audit the same epochs. */
+  private def snapshotPair(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val v1 = Tables.documents(s, d).select(
       col("doc_id"), col("lang"), col("text"))
     val v2 = v1.where(col("doc_id") % 10 =!= 0)
@@ -4843,6 +4847,11 @@ object Queries {
       .unionByName(v1.where(col("doc_id") % 13 === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("lang"),
           concat(lit("recrawl "), col("text")).as("text")))
+    (v1, v2)
+  }
+
+  def k7SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = snapshotPair(s, d)
     val a = v1.select(col("doc_id"), col("lang").as("lang1"),
       col("text").as("t1"))
     val b = v2.select(col("doc_id"), col("lang").as("lang2"),
@@ -4859,6 +4868,36 @@ object Queries {
         sum(conv(substring(md5(coalesce(col("t2"), col("t1"))), 1, 15),
           16, 10).cast("long") % 1000000007L).as("text_hash"))
       .orderBy(col("status"), col("lang"))
+  }
+
+  /** K9: DATA-DRIFT CENSUS between snapshot epochs — the monitoring
+    * query that pages a pipeline owner BEFORE k7's row-level diff is
+    * worth reading: per language, both epochs' doc counts, corpus
+    * shares (integer ppm of each epoch's total), character mass, and
+    * the absolute share drift — the L1 term of a population-stability
+    * check, exact integer arithmetic end to end (no ln, no PSI float).
+    * Same deterministic epoch pair as k7 (shared builder, cannot
+    * drift apart). Scale shape: two lang-grain censuses + two 1-row
+    * totals + a |langs|-row join — corpus-linear scans, model-sized
+    * everything else. */
+  def k9DriftCensus(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = snapshotPair(s, d)
+    def census(v: DataFrame, tag: String) = v.groupBy(col("lang"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(length(col("text")).cast("long")).as(s"chars_$tag"))
+    census(v1, "a").join(census(v2, "b"), Seq("lang"), "full_outer")
+      .crossJoin(broadcast(v1.agg(count(lit(1)).as("t1"))))
+      .crossJoin(broadcast(v2.agg(count(lit(1)).as("t2"))))
+      .select(col("lang"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("chars_a"), lit(0L)).as("chars_a"),
+        coalesce(col("chars_b"), lit(0L)).as("chars_b"),
+        expr("coalesce(n_a, 0) * 1000000 div t1").as("share_a_ppm"),
+        expr("coalesce(n_b, 0) * 1000000 div t2").as("share_b_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_a_ppm") - col("share_b_ppm")))
+      .orderBy(col("lang"))
   }
 
   def k6JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
@@ -5061,6 +5100,7 @@ object Queries {
     "k6_jsonl_roundtrip" -> k6JsonlRoundtrip _,
     "k7_snapshot_diff" -> k7SnapshotDiff _,
     "k8_vacuum_plan" -> k8VacuumPlan _,
+    "k9_drift_census" -> k9DriftCensus _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,

@@ -1077,6 +1077,28 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.exists(_._1 >= 2))
   }
 
+  test("k9 drift census conserves epochs and agrees with k7's totals") {
+    val rows = Queries.k9DriftCensus(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    // epoch A is the raw corpus, epoch B is k7's v2 — totals must agree
+    // with the registered k7 diff (removed rows leave B, added rows join)
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == docs)
+    val k7 = Queries.k7SnapshotDiff(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+      .map { case (st, rs) => st -> rs.map(_.getLong(2)).sum }
+    assert(rows.map(_._3).sum ==
+      k7.getOrElse("added", 0L) + k7.getOrElse("changed", 0L) +
+        k7.getOrElse("unchanged", 0L))
+    rows.foreach { case (l, _, _, sa, sb, dr) =>
+      assert(dr == math.abs(sa - sb), s"drift mismatch for $l")
+      assert(sa <= 1000000L && sb <= 1000000L)
+    }
+    // shares are a near-partition of 1e6 (floor-div loses < |langs| ppm)
+    assert(math.abs(rows.map(_._4).sum - 1000000L) < rows.length)
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
