@@ -2993,6 +2993,24 @@ object Oracles {
         |  CASE lang WHEN 'en' THEN '40' WHEN 'zh' THEN 'c0' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
 
+    // t32: per-doc distinct 3-gram shingles (t7's comprehension), global
+    // first-occurrence election by min doc_id, per-source rollup
+    "t32_novelty_census" ->
+      s"""WITH t AS (SELECT doc_id, source, ${lowSeq("text")} AS toks
+         |  FROM documents),
+         |gr AS (SELECT doc_id, source,
+         |    unnest(list_distinct([md5(array_to_string(toks[i:i+2], ' '))
+         |                          for i in range(1, len(toks) - 1)])) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1),
+         |j AS (SELECT source, doc_id, first_doc FROM gr JOIN f USING (g))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
+
     "t7_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
          |c AS (SELECT doc_id,

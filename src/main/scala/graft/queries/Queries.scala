@@ -2252,6 +2252,31 @@ object Queries {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** T32: NOVELTY CENSUS — how much of each source is first-seen content
+    * vs repeats of earlier corpus content (the redundancy signal behind
+    * "dedup improves LMs", Lee et al. 2022, and the data-value ordering
+    * a curriculum uses): per source, its docs' distinct 3-gram shingles,
+    * the subset whose GLOBAL first occurrence (min doc_id over the whole
+    * corpus) lands in that doc, and the novelty ratio in integer ppm.
+    * One shingle-grain shuffle (uniform md5 keys — d7's grain) elects
+    * first-owners, the persisted exploded frame feeds both the election
+    * and the rollup, and the census is |sources| rows. */
+  def t32NoveltyCensus(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.shingleHashes(col("text"), 3)).as("g"))
+      .persist() // feeds the first-occurrence election AND the join back
+    val first = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** T2: per-doc quality score. */
   def t2QualityScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -5041,6 +5066,7 @@ object Queries {
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,
     "t1_lang_id" -> t1LangId _,
     "t31_label_noise" -> t31LabelNoise _,
+    "t32_novelty_census" -> t32NoveltyCensus _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,

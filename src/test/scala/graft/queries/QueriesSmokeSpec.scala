@@ -1099,6 +1099,27 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1000000L) < rows.length)
   }
 
+  test("t32 novelty: every gram has one owner; ratios bounded; dups lower") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.t32NoveltyCensus(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, g, nv, ppm) =>
+      assert(nv >= 1 && nv <= g, s"$src novel out of range")
+      assert(ppm == nv * 1000000L / g)
+    }
+    // global conservation: total novel grams == distinct grams in corpus
+    val distinctGrams = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.operators.TextAnalysis
+        .shingleHashes(col("text"), 3)).as("g"))
+      .select(col("g")).distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams,
+      "novel-gram total != corpus distinct grams")
+    // duplicated content must depress novelty somewhere (the corpus has
+    // d9-proven duplicate clusters)
+    assert(rows.map(_._4).min < 1000000L)
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
