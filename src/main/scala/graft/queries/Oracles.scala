@@ -1416,6 +1416,25 @@ object Oracles {
 
     // a24: one value-RANGE frame supplies both touches; peer semantics
     // (value-based bounds, −1 excludes same-ms) match Spark's RangeFrame
+    // a28: decimal money through every sum including the running window
+    // (associative — no float-order hazard), double only on output
+    "a28_ltv_cohorts" ->
+      s"""WITH b AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    value FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort FROM b GROUP BY 1),
+         |c AS (SELECT cohort, day - cohort AS offset_days,
+         |    count(DISTINCT user_id) AS n_users,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS rev_d
+         |  FROM b JOIN f USING (user_id) GROUP BY 1, 2),
+         |w AS (SELECT *, sum(rev_d) OVER (PARTITION BY cohort
+         |    ORDER BY offset_days
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+         |  FROM c)
+         |SELECT cohort, offset_days, CAST(n_users AS BIGINT) AS n_users,
+         |  CAST(rev_d AS DOUBLE) AS revenue,
+         |  CAST(cum_d AS DOUBLE) AS cum_revenue
+         |FROM w ORDER BY cohort, offset_days""".stripMargin,
+
     // a27: x3's session rule, a25's histogram-percentile algebra on the
     // minute-bucketed duration grid, bounce rate in integer ppm
     "a27_session_metrics" ->

@@ -918,6 +918,38 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** A28: LTV COHORT CURVES — a22's retention matrix with the money
+    * dimension: per (first-active-day cohort, day offset), active users,
+    * that offset's revenue, and the RUNNING cumulative revenue — the
+    * curve a growth model reads LTV off. Value must ride event rows (the
+    * per-user day-set trick a22 uses can't carry sums), so the shape is
+    * two user-grain passes: a first-day aggregate and the cohort join —
+    * both on the user key, the join reusing the aggregate's partitioning.
+    * All money stays DECIMAL(18,2) through every sum INCLUDING the
+    * running window (decimal addition is associative, so engines are free
+    * to disagree on summation trees — a double running sum would be
+    * order-hazardous under DuckDB's segment-tree windows); cast to
+    * double only on output. The cumulative window rides the model-sized
+    * matrix (≤ |days|² rows), not events. */
+  def a28LtvCohorts(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.events(s, d)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+        col("value"))
+    val firstDay = b.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"))
+    val cells = b.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).as("rev_d"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("offset_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.withColumn("cum_d", sum(col("rev_d")).over(w))
+      .select(col("cohort"), col("offset_days"), col("n_users"),
+        col("rev_d").cast("double").as("revenue"),
+        col("cum_d").cast("double").as("cum_revenue"))
+      .orderBy(col("cohort"), col("offset_days"))
+  }
+
   /** A8: hierarchical rollup — revenue subtotals at (status, priority),
     * (status), and grand-total levels in one pass. */
   def a8Rollup(s: SparkSession, d: String): DataFrame =
@@ -5105,6 +5137,7 @@ object Queries {
     "a25_conversion_latency" -> a25ConversionLatency _,
     "a26_active_users" -> a26ActiveUsers _,
     "a27_session_metrics" -> a27SessionMetrics _,
+    "a28_ltv_cohorts" -> a28LtvCohorts _,
     "t25_cdc_chunks" -> t25CdcChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,

@@ -1120,6 +1120,29 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.map(_._4).min < 1000000L)
   }
 
+  test("a28 LTV curves: cum is a running total; cells agree with a22") {
+    val rows = Queries.a28LtvCohorts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // per cohort: cum_revenue is the exact running total of revenue
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val srt = rs.sortBy(_._2)
+      var run = BigDecimal(0)
+      srt.foreach { r =>
+        run += BigDecimal(r._4).setScale(2,
+          scala.math.BigDecimal.RoundingMode.HALF_UP)
+        assert(math.abs(run.toDouble - r._5) < 1e-6,
+          s"cohort $c offset ${r._2}: cum ${r._5} != $run")
+      }
+    }
+    // the (cohort, offset) user counts must equal a22's retention matrix
+    val a22 = Queries.a22RetentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == a22,
+      "LTV user cells diverge from a22 retention")
+  }
+
   test("s12 scans codes and broadcasts the query tables (ADC shape)") {
     val plan = Queries.s12PqAnn(spark, sfDir)
       .queryExecution.executedPlan.toString
