@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Floor-division bucket id, correct on SIGNED domains. A plain
+    * `(c / width).cast("long")` truncates toward zero, so a negative value
+    * lands one bucket too high and an overlap pair straddling zero can be
+    * missed. Subtracting the (always non-negative) `pmod` remainder first
+    * makes the numerator an exact multiple of `width`, so the double
+    * division is exact and the quotient IS the floor. */
+  private def bucketOf(c: Column, width: Long): Column =
+    ((c - pmod(c, lit(width))) / width).cast("long")
+
   /** For every left row, attach the payload of the latest right row with
     * `right.ts <= left.ts` within the same key (backward as-of, the
     * market-data "latest quote at event time" join). Right payload columns
@@ -74,15 +83,15 @@ object Joins {
   def overlapJoin(a: DataFrame, b: DataFrame, aLo: String, aHi: String,
       bLo: String, bHi: String, bucketWidth: Long): DataFrame = {
     val ea = a.withColumn("_bucket", explode(sequence(
-      (col(aLo) / bucketWidth).cast("long"),
-      (col(aHi) / bucketWidth).cast("long"))))
+      bucketOf(col(aLo), bucketWidth),
+      bucketOf(col(aHi), bucketWidth))))
     val eb = b.withColumn("_bucket", explode(sequence(
-      (col(bLo) / bucketWidth).cast("long"),
-      (col(bHi) / bucketWidth).cast("long"))))
+      bucketOf(col(bLo), bucketWidth),
+      bucketOf(col(bHi), bucketWidth))))
     ea.join(eb, Seq("_bucket"))
       .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
       .where(col("_bucket") ===
-        (greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+        bucketOf(greatest(col(aLo), col(bLo)), bucketWidth))
       .drop("_bucket")
   }
 
@@ -94,10 +103,10 @@ object Joins {
       loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     val expanded = ranges.withColumn("_bucket",
       explode(sequence(
-        (col(loCol) / bucketWidth).cast("long"),
-        (col(hiCol) / bucketWidth).cast("long"))))
+        bucketOf(col(loCol), bucketWidth),
+        bucketOf(col(hiCol), bucketWidth))))
     val probed = probe.withColumn("_bucket",
-      (col(valueCol) / bucketWidth).cast("long"))
+      bucketOf(col(valueCol), bucketWidth))
     probed.join(expanded, Seq("_bucket"))
       .where(col(valueCol).between(col(loCol), col(hiCol)))
       .drop("_bucket")
