@@ -80,7 +80,19 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  private case class Run(sec: Double, gcMs: Long, rss: Long)
+  /** JVM-wide CPU seconds consumed (user+sys, all threads): paired with
+    * wall time it separates "the query did more work" (cpu tracks wall)
+    * from "the JVM was descheduled / stalled on the host" (cpu flat while
+    * wall grows) — the r9 d6 dispute in one field. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
+  private case class Run(sec: Double, gcMs: Long, rss: Long,
+      cpuSec: Double, load: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,13 +156,14 @@ object Bench {
       } catch { case _: Throwable => () }
       System.gc() // don't bill the previous query's garbage to this one
       val gc0 = gcMillis()
+      val cpu0 = processCpuSec()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       // crashed queries record a NEGATIVE timing so failures are visible
       // in the bench JSON instead of blending into the total
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      Run(sec, gcMillis() - gc0, rssMib())
+      Run(sec, gcMillis() - gc0, rssMib(), processCpuSec() - cpu0, loadAvg())
     }
     def totalRuns(heavy: Boolean, first: Double): Int = baseRuns.getOrElse(
       if (heavy || (first >= 0 && first < 1.0)) 5 else 3)
@@ -217,6 +230,8 @@ object Bench {
     val runsJson = runArr(r => fmt(r.sec))
     val gcJson = runArr(r => r.gcMs.toString)
     val rssJson = runArr(r => r.rss.toString)
+    val cpuJson = runArr(r => fmt(r.cpuSec))
+    val loadJson = runArr(r => fmt(r.load))
     val coldJson = results.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v.head.sec)
     }.mkString("{", ",", "}")
@@ -235,7 +250,7 @@ object Bench {
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary = fixed single-thread CPU+alloc reference work, its pre/mid/post drift measures host contention",
+         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary = fixed single-thread CPU+alloc reference work, its pre/mid/post drift measures host contention; per-run cpu_sec (JVM process CPU) and load_avg attribute an outlier run: cpu tracking wall = the query worked, cpu flat while wall grew = host stall",
          |"queries":$qs,
          |"tiers":$tiersJson,
          |"heavy_dynamic":$heavyJson,
@@ -243,7 +258,9 @@ object Bench {
          |"cold_first_run":$coldJson,
          |"runs":$runsJson,
          |"gc_ms":$gcJson,
-         |"rss_mib":$rssJson
+         |"rss_mib":$rssJson,
+         |"cpu_sec":$cpuJson,
+         |"load_avg":$loadJson
          |}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       full.getBytes("UTF-8"))

@@ -1438,12 +1438,24 @@ object Scratch {
           operators.Dedup.tokenSet(col("text")).as("toks"))
           .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
         time("distinct_sets")(docs.select(col("setkey")).distinct().count())
+        val spreadDocs = operators.Spread(docs0)
+          .select(col("doc_id").as("id"),
+            operators.Dedup.tokenSet(col("text")).as("toks"))
+          .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+        time("distinct_sets_spread")(
+          spreadDocs.select(col("setkey")).distinct().count())
+        time("distinct_sets_spread2")(
+          spreadDocs.select(col("setkey")).distinct().count())
         val hashed = docs.groupBy(col("setkey"))
           .agg(first(col("toks")).as("toks"))
           .select(col("setkey"), operators.Dedup.simhash(col("toks"), 60).as("sh"))
         time("simhash_stage")(hashed.count())
         time("simhash_again")(hashed.count())
         time("full")(queries.Queries.d6SimhashPairs(spark, sfDir).count())
+        spark.sharedState.cacheManager.clearCache()
+        time("full2")(queries.Queries.d6SimhashPairs(spark, sfDir).count())
+        spark.sharedState.cacheManager.clearCache()
+        time("full3")(queries.Queries.d6SimhashPairs(spark, sfDir).count())
       case Some("d7x") =>
         import org.apache.spark.sql.functions._
         val docs = Tables.documents(spark, sfDir)

@@ -21,7 +21,7 @@ object Decontaminate {
     * anywhere in the benchmark set. Clean docs don't appear. */
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("doc_id"),
+    val c = Spread(corpus).select(col(idCol).as("doc_id"),
       explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
     val b = benchmark
       .select(explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
@@ -69,7 +69,7 @@ object Decontaminate {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val c = corpus.select(col(idCol).as("doc_id"),
+    val c = Spread(corpus).select(col(idCol).as("doc_id"),
         explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
       .where(call_function("bloom_might_contain",
         lit(bytes), xxhash64(col("sh"))))

@@ -83,7 +83,7 @@ object Dedup {
     // it returns a LAZY frame, so an internal unpersist would fire before
     // the caller ever runs it.
     val toks = cache(
-      df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      Spread(df).select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
         .where(size(col("toks")) > 0))
     // (id, tok) pairs; token sets are already distinct per doc. Derived from
     // the cached toks, so re-deriving it is a cheap explode, not a re-scan.
@@ -229,7 +229,7 @@ object Dedup {
     * O(batch), not O(corpus re-hash). */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, k: Int = 16, bands: Int = 4): Unit = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = Spread(df).select(col(idCol).as("id"),
       tokenSet(col(textCol)).as("toks")).where(size(col("toks")) > 0)
       .persist()
     bandCols(signatures(toks, k), k, bands)
@@ -254,7 +254,7 @@ object Dedup {
       path: String, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.6): DataFrame = {
     val spark = delta.sparkSession
-    val dToks = delta.select(col(idCol).as("id"),
+    val dToks = Spread(delta).select(col(idCol).as("id"),
       tokenSet(col(textCol)).as("toks")).where(size(col("toks")) > 0)
       .persist()
     val dBands = bandCols(signatures(dToks, k), k, bands)
@@ -293,8 +293,9 @@ object Dedup {
       cache: DataFrame => DataFrame = _.persist()): DataFrame = {
     // tokenize once; feeds the vocab probe, masks, and verify. `cache` hook:
     // see minhashDupPairs.
-    val all = cache(df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      tokenSet(col(textCol)).as("toks"): _*))
+    val all = cache(
+      Spread(df).select((col(idCol).as("id") +: blockCols.map(col)) :+
+        tokenSet(col(textCol)).as("toks"): _*))
     // Block-size guard: a hot (block) key makes the within-block pair space
     // a cartesian bomb (n² rows from one key — at the default 10k cap a
     // block at the limit is ~5×10^7 in-block pairs, the most a single
@@ -516,9 +517,11 @@ object Dedup {
     val bits = 60
     val bandBits = bits / bands
     // cached: (id, setkey) feeds both the distinct-set hash stage and the
-    // final doc-expansion join — without it the corpus tokenizes twice
+    // final doc-expansion join — without it the corpus tokenizes twice.
+    // Spread BEFORE the tokenize projection: it is the query's dominant
+    // CPU term and otherwise runs at input-split parallelism (see Spread).
     val docs = cache(
-      df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+      Spread(df).select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
         .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks"))))))
     // integer surrogate per distinct set: candidate rows shuffle as 4 longs
     // instead of 2×32-char digests (the distinct below is the big shuffle).
