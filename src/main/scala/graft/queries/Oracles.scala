@@ -1201,18 +1201,19 @@ object Oracles {
          |GROUP BY 1, 2, 3
          |ORDER BY event_id, ts_us""".stripMargin,
 
-    // w12: stream-stream interval-join replay. Displaced rows (decade-0,
-    // %11, arriving two batches late) are dropped pre-join on either side;
-    // for on-time rows delay (2h) > interval (30min) proves buffered state
-    // is alive for every feasible cross-batch match — so the replay is a
-    // plain interval join over non-displaced rows.
+    // w12: stream-stream interval-join replay. Displaced rows (%11 rows
+    // from days [0,13) redelivered one batch late, ≥ 2 days − 2 h under
+    // wm1) are dropped pre-join on either side; for on-time rows delay
+    // (2h) > interval (30min) proves buffered state is alive for every
+    // feasible cross-batch match — so the replay is a plain interval
+    // join over non-displaced rows.
     "w12_stream_join" ->
       s"""WITH e AS (SELECT event_id, user_id,
          |    epoch_ns(ts) // 1000 AS us,
          |    epoch_ns(ts) // 1000000 - $RangeStartMs AS rel_ms
          |  FROM events),
          |k AS (SELECT * FROM e
-         |  WHERE NOT (rel_ms < ${10 * 86400000L} AND event_id % 11 = 0)),
+         |  WHERE NOT (rel_ms < ${13 * 86400000L} AND event_id % 11 = 0)),
          |a AS (SELECT event_id AS a_id, user_id, us AS us_a FROM k
          |  WHERE event_id % 2 = 0),
          |b AS (SELECT event_id AS b_id, user_id, us AS us_b FROM k

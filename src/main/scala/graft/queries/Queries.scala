@@ -1230,10 +1230,20 @@ object Queries {
     val ev = raw.select(col("event_id"), usCol.as("us"), col("user_id"))
       .withColumn("rel_ms", expr("us div 1000") - RangeStartMs)
     val dayMs = 86400000L
-    val base = when(col("rel_ms") < 10 * dayMs, 0)
-      .when(col("rel_ms") < 20 * dayMs, 1).otherwise(2)
-    val batchCol = when(base === 0 && col("event_id") % 11 === 0, 2)
-      .otherwise(base)
+    // TWO deliveries (was three): batch 0 = days [0,15), batch 1 = the
+    // rest, and the displaced-late rows are %11 rows from days [0,13)
+    // redelivered in batch 1. wm1 = max batch-0 event time − 2 h ≈ day 15
+    // − 2 h, so every displaced row sits ≥ 2 days − 2 h under the
+    // watermark — a margin ≫ delay (2 h) + interval (30 min), hence
+    // dropped at the join input on its side with no boundary
+    // partial-match window. The old form displaced ALL first-decade %11
+    // rows, leaving some within 2 h of wm1, which forced a two-batch
+    // displacement and therefore a THIRD lifecycle; bounding the
+    // displaced rows' event time buys the same closed-form drop guarantee
+    // one ~3 s dual-stream lifecycle cheaper.
+    val base = when(col("rel_ms") < 15 * dayMs, 0).otherwise(1)
+    val batchCol = when(base === 0 && col("rel_ms") < 13 * dayMs &&
+      col("event_id") % 11 === 0, 1).otherwise(base)
     val lines = ev.select(col("event_id"), batchCol.as("batch"),
       (col("event_id") % 2).as("side"),
       concat_ws("\t", col("event_id"), col("us"), col("user_id"))
@@ -1243,7 +1253,7 @@ object Queries {
     java.nio.file.Files.createDirectories(dropA)
     java.nio.file.Files.createDirectories(dropB)
     val sink = root.resolve("sink").toString
-    for (b <- 0 to 2) {
+    for (b <- 0 to 1) {
       for ((side, dir) <- Seq(0 -> dropA, 1 -> dropB)) {
         lines.where(col("batch") === b && col("side") === side)
           .orderBy(col("event_id")).select(col("value_line"))
