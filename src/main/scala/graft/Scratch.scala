@@ -968,7 +968,7 @@ object Scratch {
           .split(",").map(_.trim.toInt).toSeq
         val defOps =
           "a19,a20,a21,o8,m4,t23,t24,t26,t27,pipe6,k5,j10,sn2,k6,pipe7," +
-            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11,k8,m6,d17,x3,t31,a27,d18,k9,t32,a28"
+            "k7,t28,pipe8,m5,a22,a23,s17,t29,pipe9,s18,o9,a24,pipe10,a25,a26,t30,pipe11,k8,m6,d17,x3,t31,a27,d18,k9,t32,a28,d19,t33"
         val ops = sys.env.getOrElse("SPARK_GRAFT_SCALE_OPS", defOps)
           .split(",").map(_.trim).toSet
         val names = Seq(
@@ -1051,7 +1051,13 @@ object Scratch {
           "t32" -> "t32_novelty_census",
           // a28 (LTV — two user-grain passes, matrix-sized decimal
           // window; |days|^2 output rows)
-          "a28" -> "a28_ltv_cohorts")
+          "a28" -> "a28_ltv_cohorts",
+          // d19 (incremental decontamination — staged prev table + k7
+          // diff + delta-only shingles; replicas add fresh benchmarks)
+          "d19" -> "d19_incremental_decontam",
+          // t33 (classifier loop — epochs+1 model-sized aggregates over
+          // the train split + one source-grain census)
+          "t33" -> "t33_classifier_loop")
         val registry = queries.Queries.all.toMap
         val docs = Tables.documents(spark, sfDir)
         val didSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

@@ -489,6 +489,71 @@ object Oracles {
        |FROM f CROSS JOIN pocket w ORDER BY doc_id""".stripMargin
   }
 
+  /** t33 twin: the t14 generator pattern with (a) the Gopher bundle as
+    * the label and integer quality signals as features, (b) training
+    * stages scanning ONLY the train split (hash-of-source < 80 — t24's
+    * grouped-split predicate, so the two engines cut identically), (c) a
+    * held-out per-source confusion census with integer-ppm precision /
+    * recall as the output. Same all-BIGINT arithmetic as t14 —
+    * bit-identical training by construction. */
+  private def t33Sql: String = {
+    val E = T14Epochs
+    val xs = (1 to 6).map(j => s"x$j")
+    def stage(k: Int): String = {
+      val (prev, from) =
+        if (k == 1) (xs.map(_ => "0"), "ft")
+        else (xs.map(c => s"any_value(w.i_$c) + any_value(w.u_$c)"),
+          s"ft CROSS JOIN e${k - 1} w")
+      val iCols = xs.zip(prev).map { case (c, p) => s"$p AS i_$c" }
+      val d = if (k == 1) "0"
+        else xs.map(c => s"(w.i_$c + w.u_$c) * $c").mkString(" + ")
+      val mis = s"y * ($d) <= 0"
+      val uCols = xs.map(c =>
+        s"CAST(sum(CASE WHEN $mis THEN y * $c ELSE 0 END) AS BIGINT) AS u_$c")
+      val errs =
+        s"CAST(sum(CASE WHEN $mis THEN 1 ELSE 0 END) AS BIGINT) AS errs"
+      s"e$k AS MATERIALIZED (SELECT\n  ${(iCols ++ (errs +: uCols)).mkString(",\n  ")}\n  FROM $from)"
+    }
+    val cands = (1 to E).map { k =>
+      val ws = xs.map(c => s"i_$c AS w_$c").mkString(", ")
+      s"SELECT $k AS ep, errs, $ws FROM e${k + 1}"
+    }.mkString("\nUNION ALL ")
+    val margin = xs.map(c => s"w.w_$c * $c").mkString(" + ")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source,
+       |    ${md5Hash15("'split:' || source")} % 100 AS h,
+       |    CAST(len(${rawToks("text")}) AS BIGINT) AS n,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+       |    CAST(len(list_filter(${rawToks("text")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+       |    CAST(len(list_filter(${rawToks("text")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+       |  FROM documents),
+       |f AS MATERIALIZED (SELECT doc_id, source, h,
+       |    CASE WHEN n >= 50 AND n <= 100000 AND 3 * n <= chars
+       |      AND chars <= 10 * n AND 10 * (hashes + dots) < n
+       |      AND 10 * alpha >= 8 * n AND stops >= 2 THEN 1 ELSE -1 END AS y,
+       |    n AS x1, chars AS x2, hashes + dots AS x3, alpha AS x4,
+       |    stops AS x5, CAST(1 AS BIGINT) AS x6
+       |  FROM t),
+       |ft AS MATERIALIZED (SELECT * FROM f WHERE h < 80),
+       |${(1 to (E + 1)).map(stage).mkString(",\n")},
+       |cand AS ($cands),
+       |pocket AS (SELECT * FROM cand ORDER BY errs, ep LIMIT 1),
+       |ev AS (SELECT source, y,
+       |    CASE WHEN $margin > 0 THEN 1 ELSE -1 END AS pred
+       |  FROM f CROSS JOIN pocket w WHERE h >= 80),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM ev GROUP BY source)
+       |SELECT source, n_docs, n_pos, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE -1 END AS precision_ppm,
+       |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE -1 END AS recall_ppm
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   private val raw: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -2626,6 +2691,38 @@ object Oracles {
         |FROM cin LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
 
     "t14_perceptron" -> t14Sql,
+
+    "t33_classifier_loop" -> t33Sql,
+
+    // d19 oracles the FULL recompute over snapshot v2 (k7's epoch rules,
+    // d7's shingle algebra at the %29 split): the Spark side answers
+    // incrementally from yesterday's staged table + the snapshot delta,
+    // so the hash match IS the incremental ≡ full proof.
+    "d19_incremental_decontam" ->
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+         |v2 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM v1 WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id + 10000000, lang, 'recrawl ' || text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |bt AS (SELECT ${lowSeq("text")} AS toks FROM v1
+         |  WHERE doc_id % 29 = 0),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM bt WHERE len(toks) >= 3),
+         |ct AS MATERIALIZED (SELECT doc_id, lang, ${lowSeq("text")} AS toks
+         |  FROM v2 WHERE doc_id % 29 <> 0),
+         |csh AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM ct WHERE len(toks) >= 3),
+         |cont AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM csh JOIN bsh USING (sh) GROUP BY 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(sum(n_shared) AS BIGINT) AS sum_shared
+         |FROM cont JOIN ct USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // t15: each Gopher rule as an integer comparison (no division, so no
     // rounding seam between engines); symbols = '#' chars + '...' runs

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Bpe, Decontaminate, Dedup, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, TextAnalysis, UrlNormalize}
+import graft.operators.{Bpe, Decontaminate, Dedup, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, Spread, TextAnalysis, UrlNormalize}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -2127,6 +2127,65 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T33: quality-classifier TRAINING LOOP with a leakage-safe grouped
+    * split — the C4/CCNet classifier-training story assembled from the
+    * engine's own pieces: t24's hash-of-source split (every SOURCE lands
+    * wholly in train or wholly in held-out, so no near-duplicate leakage
+    * across the boundary), the t15 Gopher bundle as the training label,
+    * t14's pocket perceptron as the model, and a per-source confusion
+    * census with integer-ppm precision/recall over the HELD-OUT sources
+    * only. All-integer end to end (features, weights, margins, ppm via
+    * integer div), so the DuckDB twin — generated from the same epoch
+    * count — replays training AND evaluation bit-identically. Scale
+    * shape: the feature build is one map-side projection (persisted,
+    * Spread against the narrow-scan pathology); training is epochs+1
+    * model-sized aggregates over the train split (map-side-combinable
+    * sums, one |x|+1-long row collected per pass); eval is one
+    * groupBy(source). Overflow headroom per the Perceptron scaladoc. */
+  def t33ClassifierLoop(s: SparkSession, d: String): DataFrame = {
+    val xCols = (1 to 6).map(j => s"x$j")
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val chars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val hashes = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val dots = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = TextAnalysis.stopwordHits(col("text"), Stopwords).cast("long")
+    val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("text"))
+    val y = when(rWords && rMeanLen && rSymbol && rAlpha && rStop, 1L)
+      .otherwise(-1L)
+    val h = conv(substring(md5(concat(lit("split:"), col("source"))), 1, 15),
+      16, 10).cast("long") % 100
+    val feats = Spread(Tables.documents(s, d)).select(
+      col("doc_id"), col("source"), (h < 80).as("is_train"), y.as("y"),
+      n.as("x1"), chars.as("x2"), (hashes + dots).as("x3"), alpha.as("x4"),
+      stops.as("x5"), lit(1L).as("x6")).persist()
+    val w = Perceptron.train(feats.where(col("is_train")), "y", xCols,
+      epochs = T14Epochs)
+    val margin = Perceptron.dot(w, xCols)
+    feats.where(!col("is_train"))
+      .select(col("source"), col("y"),
+        when(margin > 0, 1L).otherwise(-1L).as("pred"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === -1L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 1L && col("pred") === -1L, 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("source"), col("n_docs"), col("n_pos"), col("tp"),
+        col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) " +
+          "ELSE -1 END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) " +
+          "ELSE -1 END").as("recall_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** T15: the Gopher quality-rule bundle (Rae et al. 2021 §A1.1) — the
     * standard pre-filter suite of a web-scale pipeline, each rule in
     * INTEGER form so both engines decide identically with no division:
@@ -2642,6 +2701,57 @@ object Queries {
       .select(col("delta_id"), col("corpus_id"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
+  /** D19: INCREMENTAL decontamination across corpus snapshots — the
+    * nightly-refresh composition of d7 and k7: the benchmark/eval set is
+    * FIXED (v1's %29 docs), the corpus moves v1 → v2 (k7's deterministic
+    * snapshot pair), and yesterday's contamination table is UPDATED from
+    * the snapshot delta instead of re-shingling the corpus. Yesterday's
+    * table (contamination over corpus-v1) is a staged artifact — its
+    * build cost is yesterday's, not tonight's; tonight pays: (1) k7's one
+    * hash-partitioned full-outer diff to classify rows, (2) shingle work
+    * on ONLY the added/changed docs, (3) a metadata-grain semi-join that
+    * carries unchanged docs' old rows forward (removed/changed rows drop
+    * by the same predicate). Output = per-lang census of v2's
+    * contaminated corpus docs; the DuckDB oracle recomputes that census
+    * FULL-SCAN from v2, so hash equality IS the incremental ≡ full
+    * proof. At 100 TB: a daily delta is ~1% of the corpus, so the
+    * shingle+join cost drops two orders while the result stays exact —
+    * the same build-once/serve-many contract as d15/s15/t22, applied to
+    * the decontamination gate. */
+  def d19IncrementalDecontam(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = snapshotPair(s, d)
+    val bench = v1.where(col("doc_id") % 29 === 0)
+    val corp1 = v1.where(col("doc_id") % 29 =!= 0)
+    val corp2 = v2.where(col("doc_id") % 29 =!= 0)
+    // yesterday's artifact: (doc_id, n_shared) for corpus-v1 — built once
+    // per (query, sf dir) per JVM, read back metadata-grain thereafter
+    val prevDir = stagedDir("d19", d) { root =>
+      Decontaminate.contaminatedDocs(corp1, bench, "doc_id", "text", k = 3)
+        .write.mode("overwrite").parquet(s"$root/prev")
+    } + "/prev"
+    val prev = s.read.parquet(prevDir)
+    val diff = corp1.select(col("doc_id"), col("text").as("t1"))
+      .join(corp2.select(col("doc_id"), col("text").as("t2")),
+        Seq("doc_id"), "full_outer")
+    val carriedIds = diff
+      .where(col("t1").isNotNull && col("t2").isNotNull &&
+        col("t1") === col("t2"))
+      .select(col("doc_id"))
+    val delta = diff
+      .where(col("t2").isNotNull &&
+        (col("t1").isNull || col("t1") =!= col("t2")))
+      .select(col("doc_id"), col("t2").as("text"))
+    val incremental = prev.join(carriedIds, Seq("doc_id"), "left_semi")
+      .unionByName(
+        Decontaminate.contaminatedDocs(delta, bench, "doc_id", "text", k = 3))
+    incremental.join(corp2.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(col("n_shared")).as("sum_shared"))
+      .orderBy(col("lang"))
   }
 
   /** S8: matryoshka-style two-stage ANN — 16-dim prefix cosine shortlists
@@ -5133,6 +5243,7 @@ object Queries {
     "d8_passage_dedup" -> d8PassageDedup _,
     "d9_dup_clusters" -> d9DupClusters _,
     "d18_cluster_census" -> d18ClusterCensus _,
+    "d19_incremental_decontam" -> d19IncrementalDecontam _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d13_cluster_keep_best" -> d13ClusterKeepBest _,
     "d14_minhash_est_error" -> d14MinhashEstError _,
@@ -5145,6 +5256,7 @@ object Queries {
     "t1_lang_id" -> t1LangId _,
     "t31_label_noise" -> t31LabelNoise _,
     "t32_novelty_census" -> t32NoveltyCensus _,
+    "t33_classifier_loop" -> t33ClassifierLoop _,
     "t2_quality_score" -> t2QualityScore _,
     "t3_token_stats" -> t3TokenStats _,
     "t4_fingerprint" -> t4Fingerprint _,

@@ -1154,4 +1154,65 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "non-broadcast cartesian")
     assert(!plan.contains("SortMergeJoin"), "codes shuffled for the join")
   }
+
+  test("d19 incremental census == full Spark recompute over v2") {
+    import org.apache.spark.sql.functions._
+    val inc = Queries.d19IncrementalDecontam(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // full recompute inside Spark (same engine, no oracle in the loop):
+    // decontaminate corpus-v2 against the fixed v1 benchmark from scratch
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val v2 = docs.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("lang"),
+          concat(lit("recrawl "), col("text")).as("text")))
+    val full = graft.operators.Decontaminate.contaminatedDocs(
+        v2.where(col("doc_id") % 29 =!= 0),
+        docs.where(col("doc_id") % 29 === 0), "doc_id", "text", k = 3)
+      .join(v2.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"),
+        sum(col("n_shared")).as("sh"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc.nonEmpty)
+    // the delta actually contributes: some contaminated doc is added or
+    // changed (ids > 10M are recrawls; without this the carry path alone
+    // could pass trivially)
+    val hasDelta = Queries.d19IncrementalDecontam(spark, sfDir)
+      .agg(max(col("sum_doc_id"))).head().getLong(0) > 10000000L
+    assert(hasDelta, "no recrawled doc in the contaminated set")
+  }
+
+  test("t33 held-out census: leakage-free split, confusion closes") {
+    import org.apache.spark.sql.functions._
+    val rows = Queries.t33ClassifierLoop(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // every output source is HELD-OUT under the t24 split predicate, and
+    // none of them is a training source (grouped split = no leakage)
+    val splits = graft.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        (conv(substring(md5(concat(lit("split:"), col("source"))), 1, 15),
+          16, 10).cast("long") % 100 < 80).as("is_train"))
+      .distinct().collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (src, n, nPos, tp, fp, fn, prec, rec) =>
+      assert(!splits(src), s"training source $src leaked into eval")
+      assert(tp + fn == nPos, s"$src: tp+fn != n_pos")
+      assert(tp >= 0 && fp >= 0 && fn >= 0 && nPos <= n)
+      if (tp + fp > 0) assert(prec == tp * 1000000L / (tp + fp))
+      else assert(prec == -1L)
+      if (nPos > 0) assert(rec == tp * 1000000L / nPos) else assert(rec == -1L)
+    }
+    // all held-out docs are censused: per-source n sums to the held-out count
+    val heldout = splits.count(!_._2)
+    assert(rows.length == heldout, s"${rows.length} sources != $heldout")
+  }
 }
