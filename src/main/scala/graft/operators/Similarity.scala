@@ -223,7 +223,10 @@ object Similarity {
         .otherwise(lit(Double.NegativeInfinity)).as("neg_sim"),
         m.getField("_1").as("cell"))
     })
-    df.select(col(idCol).as(outId) +: col(vecCol).as(outVec) +:
+    // Spread: the k-dot argmax is the scan stage's dominant CPU term and
+    // a single-file corpus yields one split (no-op at production split
+    // counts — see operators.Spread)
+    Spread(df).select(col(idCol).as(outId) +: col(vecCol).as(outVec) +:
         carry.map(col): _*)
       .withColumn("_dots", dots)
       .withColumn("_vnorm", sqrt(aggregate(

@@ -2114,7 +2114,7 @@ object Queries {
       TextAnalysis.stopwordHits(col("text"), words).cast("long")
         .as(s"x${j + 1}")
     }
-    val feats = Tables.documents(s, d).select(
+    val feats = Spread(Tables.documents(s, d)).select(
       col("doc_id") +:
         when(TextAnalysis.langId(col("text"), LangMarkers) === "en", 1)
           .otherwise(-1).as("y") +:
@@ -2356,7 +2356,7 @@ object Queries {
       when(col("lang") === l,
         size(filter(toks, t => array_contains(w, t))))
     } :+ lit(0): _*)
-    Tables.documents(s, d)
+    Spread(Tables.documents(s, d))
       .select(col("lang"), best.getField("lang").as("predicted"),
         (best.getField("score") - labeled).cast("long").as("margin"))
       .groupBy(col("lang"), col("predicted"))

@@ -84,9 +84,13 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivfTopK cell assignment is map-side: no shuffle below the cell join") {
-    // the corpus must reach the cell equi-join without ANY exchange — the
-    // assignment argmax folds the broadcast centroid model per row. A
-    // shuffle below the join means the crossJoin+window regression is back.
+    // the corpus must reach the cell equi-join without any KEYED exchange
+    // — the assignment argmax folds the broadcast centroid model per row.
+    // A hash-partitioned shuffle below the join means the crossJoin+window
+    // regression is back. The one allowed node is Spread's RoundRobin
+    // repartition (parallelism guard for narrow scans — a no-op at
+    // production split counts): it redistributes rows without any key, so
+    // it cannot be hiding an aggregation or join.
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val cents = vecs.where($"vec_id" < 2)
@@ -95,9 +99,11 @@ class SimilaritySpec extends SparkSpec {
     val joins = plan.collect { case j: BroadcastHashJoinExec => j }
     assert(joins.nonEmpty, "cell join is not a broadcast hash join:\n" + plan)
     joins.foreach { j =>
-      val shuffles = j.collect { case s: ShuffleExchangeExec => s }
-      assert(shuffles.isEmpty,
-        "shuffle below the cell join (assignment is no longer map-side):\n" + j)
+      val keyed = j.collect { case s: ShuffleExchangeExec
+        if !s.outputPartitioning.toString.contains("RoundRobinPartitioning")
+        => s }
+      assert(keyed.isEmpty,
+        "keyed shuffle below the cell join (assignment is no longer map-side):\n" + j)
     }
   }
 
