@@ -2976,17 +2976,21 @@ object Queries {
   def pipe2StreamFunnel(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = scratchDir("pipe2q")
-    val drop = base.resolve("drop") // write.text creates it
     // one sorted file = one in-order delivery (first-delivered = min doc_id,
-    // matching the batch funnel's dedup winner)
-    Tables.documents(s, d)
-      .select(col("doc_id"), concat_ws("\t", col("doc_id"), col("text")).as("value"))
-      .orderBy(col("doc_id"))
-      .select(col("value"))
-      .coalesce(1)
-      .write.text(drop.toString)
+    // matching the batch funnel's dedup winner). The drop corpus is a pure
+    // function of the sf dir — staged ONCE per JVM; only the checkpoint /
+    // sink / fingerprint store are per-run state.
+    val drop = stagedDir("pipe2_drop", d) { root =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .orderBy(col("doc_id"))
+        .select(col("value"))
+        .coalesce(1)
+        .write.text(s"$root/drop")
+    } + "/drop"
     val sink = base.resolve("sink").toString
-    graft.streaming.DocStream.ingestFunnel(s, drop.toString,
+    graft.streaming.DocStream.ingestFunnel(s, drop,
       base.resolve("ckpt").toString, sink,
       base.resolve("pstore").toString,
       minQuality = 0.5, langs = Seq("en", "es", "de"), passageK = PassageK,
@@ -3284,9 +3288,15 @@ object Queries {
         .join(broadcast(r.withColumnRenamed("tok", "src")), Seq("src"))
         .select(col("dst").as("tok"), expr("(w * r) div wout").as("c"))
         .groupBy(col("tok")).agg(sum(col("c")).as("sc"))
+      // eager localCheckpoint per round: the rank frame is vocab-grain
+      // (model-sized), and truncating the lineage keeps each round's plan
+      // one join deep instead of compiling an 8-broadcast-deep DAG at the
+      // terminal action (the s18 lesson: analysis cost, not execution,
+      // dominates chained iteration plans)
       r = nodes.join(c, Seq("tok"), "left")
         .select(col("tok"),
           (lit(baseTerm) + expr("(85 * coalesce(sc, 0L)) div 100")).as("r"))
+        .localCheckpoint()
     }
     r.select(col("tok"), col("r").as("rank_ppt"))
       .orderBy(col("rank_ppt").desc, col("tok"))
