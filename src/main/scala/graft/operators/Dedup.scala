@@ -580,4 +580,90 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Prefix-filtering exact similarity self-join (AllPairs — Bayardo,
+    * Ma & Srikant, WWW 2007; SSJoin — Chaudhuri, Ganti & Kaushik, ICDE
+    * 2006): every pair of documents whose `k`-word-shingle sets have
+    * Jaccard ≥ threshold, with EXACT recall — the deterministic
+    * complement to MinHash-LSH ([[minhashDupPairs]] trades recall for a
+    * fixed band bill; this trades a threshold-dependent candidate bill
+    * for a guarantee).
+    *
+    * Why it scales: order the corpus's shingles rarest-first (ascending
+    * document frequency, shingle hash as tie-break). A doc with `sz`
+    * shingles only indexes its first `p = sz - ceil(t*sz) + 1` shingles
+    * in that order. Any pair with J ≥ t has overlap I ≥ t/(1+t)·(sza+szb)
+    * ≥ ceil(t·max(sza,szb)) (using the length bound min ≥ t·max that J ≥ t
+    * implies), and by pigeonhole two sets with I common elements must
+    * collide inside their (sz − I + 1)-prefixes — so the inverted index
+    * over PREFIXES alone finds every qualifying pair. The candidate bill
+    * is Σ_prefix-shingles C(df,2) over the RAREST shingles only; at
+    * t = 0.5 half of each doc's (mostly unique) shingles index, at 0.8 a
+    * fifth. Every stage is a uniform-key shuffle: dfreq groups by shingle
+    * md5, the per-doc ordering groups by doc id, the candidate join keys
+    * on shingle md5 (a residual hot shingle that survives into prefixes
+    * splits under AQE skew-join), and the verify joins key on doc id.
+    *
+    * The prefix length uses exact integer ceil in ppm —
+    * `(tPpm·sz + 999999) div 1e6` — because double `ceil(0.6 * 5)` is 4
+    * (0.6·5 = 3.0000000000000004): a one-off float error here silently
+    * SHORTENS a prefix and breaks the exact-recall guarantee.
+    *
+    * Verification rounds Jaccard to 4 dp before thresholding ([[jaccardDupPairs]]'s
+    * convention, shared with the DuckDB oracle). Candidate pairs dedup
+    * through a `distinct` on (id_a, id_b) — unlike minhash's fixed band
+    * count there is no closed-form first-collision index over a dynamic
+    * prefix, and the candidate stream at realistic thresholds is
+    * result-sized, not explosion-sized, so the light (long, long) shuffle
+    * is the simpler trade. */
+  def prefixFilterDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, thresholdPpm: Long,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    // shingle sets feed the df-count, the ordering join AND the final
+    // verify — one tokenization pass, three consumers (cache hook: see
+    // minhashDupPairs).
+    val sh = cache(Spread(df).select(col(idCol).as("id"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("shs"))
+      .where(size(col("shs")) > 0))
+    val exploded = sh.select(col("id"), explode(col("shs")).as("sh"))
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    // rarest-first global order, realized per doc: sort_array on
+    // struct(dfc, sh) orders by frequency then hash — a deterministic
+    // TOTAL order (md5 collisions aside), which the pigeonhole argument
+    // requires (ties broken differently per doc would break it).
+    // shuffle_hash: both sides arrive hashed on sh anyway — a merge join
+    // would add two corpus-shingle-grain sorts for nothing (dfreq builds,
+    // exploded streams; AQE splits a residual hot-shingle partition)
+    val ranked = exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfc"), col("sh")))).as("ord"))
+    // persisted: the candidate self-join reads pref TWICE and the two
+    // sides project differently, so ReuseExchange cannot dedupe the
+    // (explode → join → sort-agg) subtree — without this it runs twice
+    val pref = cache(ranked
+      .withColumn("sz", size(col("ord")).cast("long"))
+      .withColumn("plen",
+        (col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+          + lit(1L)).cast("int"))
+      .select(col("id"), col("sz"),
+        transform(slice(col("ord"), lit(1), col("plen")),
+          s => s.getField("sh")).as("pref")))
+    val inv = pref.select(col("id"), col("sz"), explode(col("pref")).as("sh"))
+    val cand = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh"))
+      .join(inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh")),
+        Seq("sh"))
+      .where(col("id_a") < col("id_b") &&
+        // length filter: J ≥ t forces min·1e6 ≥ max·tPpm — prunes before
+        // the distinct so mismatched-size collisions never shuffle twice
+        least(col("sz_a"), col("sz_b")) * lit(1000000L) >=
+          greatest(col("sz_a"), col("sz_b")) * lit(thresholdPpm))
+      .select(col("id_a"), col("id_b")).distinct()
+    val t = thresholdPpm.toDouble / 1e6
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("shs_a"), col("shs_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= t)
+  }
 }

@@ -2078,6 +2078,32 @@ object Oracles {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // d20: the prefix-filter join's exact contract — GLOBAL shingle-set
+    // Jaccard pairs above threshold. The oracle finds pairs through the
+    // shingle-overlap join (any pair sharing ≥1 shingle, grouped to
+    // overlap counts), which is a SUPERSET of the engine's prefix-indexed
+    // candidates — so one missed candidate on the Spark side hash-fails.
+    "d20_prefix_filter_pairs" -> {
+      val concat3 = (0 until PrefixJoinK)
+        .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tkc AS (SELECT doc_id, ${lowSeq("text")} AS tk FROM documents),
+         |shg AS (SELECT doc_id, list_distinct(
+         |    [md5($concat3) for i in range(1, len(tk) - ${PrefixJoinK - 2})])
+         |    AS shs
+         |  FROM tkc WHERE len(tk) >= $PrefixJoinK),
+         |e AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM shg),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS sza, b.sz AS szb, CAST(count(*) AS DOUBLE) AS inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT id_a, id_b,
+         |    round(inter / (sza + szb - inter), 4) AS jaccard FROM p)
+         |SELECT id_a, id_b, jaccard FROM j
+         |WHERE jaccard >= ${PrefixJoinPpm.toDouble / 1e6}
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // D9: transitive closure of the d2 pair graph — min reachable id per
     // node (= the Spark side's min-label-propagation fixpoint).
     "d9_dup_clusters" ->

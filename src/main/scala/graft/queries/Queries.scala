@@ -2015,6 +2015,18 @@ object Queries {
       bands = 6, maxHamming = 18)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D20: prefix-filtering EXACT similarity self-join (AllPairs — Bayardo
+    * et al. 2007): all doc pairs with `PrefixJoinK`-shingle Jaccard ≥ 0.5,
+    * GLOBAL (no blocking columns) yet never all-pairs — the rarest-first
+    * prefix index bounds candidates with exact recall, the deterministic
+    * complement to d3's LSH (see [[Dedup.prefixFilterDupPairs]]). The
+    * DuckDB twin verifies through the shingle-overlap join (pairs sharing
+    * ≥1 shingle, grouped), so a single missed candidate would hash-fail. */
+  def d20PrefixFilterPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixFilterDupPairs(Tables.documents(s, d), "doc_id", "text",
+      PrefixJoinK, PrefixJoinPpm)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D7: benchmark decontamination — corpus docs (doc_id % 29 ≠ 0) sharing
     * any 3-word shingle with the benchmark subset (doc_id % 29 = 0), with
     * the distinct-shingle overlap count. Hash equi-join on shingle md5 —
@@ -5260,6 +5272,7 @@ object Queries {
     "d16_minhash_est_sampled" -> d16MinhashEstSampled _,
     "d17_lsh_tuning" -> d17LshTuning _,
     "d15_incremental_dedup" -> d15IncrementalDedup _,
+    "d20_prefix_filter_pairs" -> d20PrefixFilterPairs _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,

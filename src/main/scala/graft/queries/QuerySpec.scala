@@ -264,6 +264,20 @@ object QuerySpec {
   // D12 sliding-window substring-dedup window length (tokens)
   val SubstrK = 10
 
+  // D20 prefix-filtering exact similarity join: shingle width (words) and
+  // the Jaccard threshold in exact ppm (integer ceil in the prefix-length
+  // math — see Dedup.prefixFilterDupPairs)
+  val PrefixJoinK = 3
+  val PrefixJoinPpm = 500000L
+
+  // D21 sorted-neighborhood blocking (Hernández & Stolfo 1995): sort-key
+  // text-prefix length (chars, whitespace-normalized), window width
+  // (pair each doc with the next w-1 in sort order), and the verify
+  // threshold on token-set Jaccard
+  val SnmPrefixChars = 24
+  val SnmWindow = 3
+  val SnmThreshold = 0.5
+
   // P8 order-status enum
   val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
 }

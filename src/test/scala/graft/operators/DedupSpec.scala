@@ -6,6 +6,53 @@ import graft.SparkSpec
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("prefixFilterDupPairs has EXACT recall vs brute force on seeded corpora") {
+    val rnd = new scala.util.Random(20260815L)
+    val k = 3
+    for (trial <- 1 to 3) {
+      // small alphabet + shared phrase injection → a spread of Jaccard
+      // values straddling the threshold, including near-misses
+      val phrases = Seq.fill(6)(Seq.fill(5)(s"p${rnd.nextInt(8)}").mkString(" "))
+      val docs = (1L to 30L).map { id =>
+        val base = Seq.fill(3 + rnd.nextInt(4))(phrases(rnd.nextInt(6)))
+        val noise = Seq.fill(rnd.nextInt(4))(s"n${rnd.nextInt(20)}")
+        id -> rnd.shuffle(base ++ noise).mkString(" ")
+      }
+      def shingles(text: String): Set[String] = {
+        val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        t.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+      }
+      val tPpm = 400000L
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size.toDouble
+        // HALF_UP like Spark's round() (rint would tie-to-even: 0.40625
+        // must go to 0.4063, not 0.4062)
+        jac = math.floor(inter / (sa.size + sb.size - inter) * 1e4 + 0.5) / 1e4
+        if jac >= tPpm.toDouble / 1e6
+      } yield (ia, ib, jac)).toSet
+      val got = Dedup.prefixFilterDupPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, tPpm)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"trial $trial")
+      assert(expected.nonEmpty, s"trial $trial produced no pairs — weak test")
+    }
+  }
+
+  test("prefixFilterDupPairs integer-ceil prefix survives the 0.6*5 float trap") {
+    // sz=5 shingles, t=0.6: double ceil(0.6*5) = 4 → prefix 2 (wrong);
+    // exact ceil = 3 → prefix 3. Two docs overlapping ONLY in their
+    // 3rd-rarest shingle must still pair when J ≥ 0.6.
+    // 7 tokens → 5 shingles each; 4 shared (J = 4/6 ≈ 0.667 ≥ 0.6).
+    val docs = Seq(
+      (1L, "a b c d e f x1"),
+      (2L, "a b c d e f x2")).toDF("doc_id", "text")
+    val got = Dedup.prefixFilterDupPairs(docs, "doc_id", "text", 3, 600000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.6667)))
+  }
+
   test("substringDupSpans catches shifted duplicates and merges overlaps") {
     val docs = Seq(
       (1L, "a b c d e"),      // shares window "a b c" with doc 2 (offset 0)
