@@ -666,4 +666,70 @@ object Dedup {
         round(jaccard(col("shs_a"), col("shs_b")), 4).as("jaccard"))
       .where(col("jaccard") >= t)
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995): sort
+    * the corpus by a domain key — here (lang, source, first `prefixChars`
+    * of the whitespace-normalized lowercase text) — slide a `window`-row
+    * window down the sorted order, and verify each in-window pair by exact
+    * token-set Jaccard ≥ `threshold`. The third classic blocking family
+    * next to hashing (d1/d2) and LSH banding (d3/d6): candidates come from
+    * ORDER proximity, which catches near-dups that share a sort-key prefix
+    * even when no block key or band matches, at a fixed w·n candidate bill.
+    *
+    * Scale shape — the global rank WITHOUT a single-reducer window: rank =
+    * bucket offset + intra-bucket row_number, where a bucket is a leading
+    * prefix of the sort tuple ((lang, source, first 2 key chars) here, so
+    * bucket order IS sort order). Bucket sizes come from one partial-agg
+    * shuffle; the running offsets are a cumsum window over the BUCKET-GRAIN
+    * count table (metadata-sized, like o8's range-shard table) that
+    * broadcasts back; the intra-bucket row_number partitions by bucket.
+    * The pairing step is an equi-join on the rank integer (explode of
+    * 1..w-1 offsets — uniform key by construction). A skewed key prefix
+    * (one hot bucket) is visible in the count table itself; production
+    * extends the bucket prefix until buckets fit an executor — the same
+    * histogram drives both decisions. Cross-bucket windows need no special
+    * casing: ranks are globally contiguous, so the offset join pairs the
+    * last rows of one bucket with the first rows of the next exactly like
+    * the in-bucket case. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      keyCols: Seq[String], prefixChars: Int, window: Int,
+      threshold: Double): DataFrame = {
+    val base = Spread(df).select((Seq(col(idCol).as("id"),
+      substring(regexp_replace(lower(col(textCol)), "\\s+", " "),
+        1, prefixChars).as("pfx"),
+      tokenSet(col(textCol)).as("toks")) ++ keyCols.map(col)): _*)
+    // bucket = the sort tuple truncated to the first 2 pfx chars; ordering
+    // buckets BY THE TUPLE (not a concat string - a separator char can
+    // misorder against multi-word key values) keeps bucket order a prefix
+    // of the global sort order, which rank contiguity requires
+    val b = base.withColumn("p2", substring(col("pfx"), 1, 2))
+    val bucketKeys = keyCols :+ "p2"
+    val offsets = b.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(bucketKeys.map(col): _*)
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .select((bucketKeys.map(col) :+ col("offset")): _*)
+    val rk = b.join(broadcast(offsets), bucketKeys)
+      .withColumn("rk", col("offset") + row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(bucketKeys.map(col): _*)
+          .orderBy((keyCols.map(col) :+ col("pfx") :+ col("id")): _*)))
+      .select(col("id"), col("toks"), col("rk"))
+    val a = rk.select(col("id").as("ia"), col("toks").as("ta"), col("rk"),
+        explode(sequence(lit(1), lit(window - 1))).as("gap"))
+      .withColumn("rk_b", col("rk") + col("gap"))
+    val pairs = a.join(
+      rk.select(col("id").as("ib"), col("toks").as("tb"),
+        col("rk").as("rk_b")), Seq("rk_b"))
+    pairs
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("gap").cast("long").as("gap"),
+        round(jaccard(col("ta"), col("tb")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -2078,6 +2078,33 @@ object Oracles {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // d21: sorted-neighborhood pairs. The oracle's rank is ONE flat
+    // row_number over the full sort tuple — the engine's bucket-offset
+    // scheme must reproduce it exactly (contiguity across bucket
+    // boundaries included). p2 (first 2 pfx chars) extends the tuple
+    // order consistently by the string-prefix property, so the two
+    // rankings agree by construction.
+    "d21_sorted_neighborhood" ->
+      s"""WITH tn AS (SELECT doc_id, lang, source,
+         |    substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+         |      1, $SnmPrefixChars) AS pfx,
+         |    ${lowSet("text")} AS toks FROM documents),
+         |r AS (SELECT doc_id, lang, source, pfx, toks,
+         |    row_number() OVER (ORDER BY lang, source, pfx, doc_id) AS rk
+         |  FROM tn),
+         |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, b.rk - a.rk AS gap,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+         |    CAST(len(a.toks) + len(b.toks) AS DOUBLE) AS ss
+         |  FROM r a JOIN r b
+         |    ON b.rk > a.rk AND b.rk <= a.rk + ${SnmWindow - 1}),
+         |j AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+         |    CAST(gap AS BIGINT) AS gap,
+         |    round(CASE WHEN ss - inter > 0 THEN inter / (ss - inter)
+         |      ELSE 1.0 END, 4) AS jaccard FROM p)
+         |SELECT id_a, id_b, gap, jaccard FROM j
+         |WHERE jaccard >= $SnmThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // d20: the prefix-filter join's exact contract — GLOBAL shingle-set
     // Jaccard pairs above threshold. The oracle finds pairs through the
     // shingle-overlap join (any pair sharing ≥1 shingle, grouped to

@@ -2027,6 +2027,21 @@ object Queries {
       PrefixJoinK, PrefixJoinPpm)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D21: sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * third classic dedup blocking family next to hashing (d1/d2) and LSH
+    * banding (d3/d6): sort by (lang, source, normalized text prefix),
+    * slide a `SnmWindow`-row window down the global order, verify in-window
+    * pairs by exact token-set Jaccard. The global rank is built WITHOUT a
+    * single-reducer window (bucket-offset + intra-bucket row_number — see
+    * [[Dedup.sortedNeighborhoodPairs]]); the oracle replays the rank with
+    * one flat row_number, so any contiguity error in the distributed
+    * ranking (a missed cross-bucket pair, a double-counted offset)
+    * hash-fails. */
+  def d21SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id", "text",
+      Seq("lang", "source"), SnmPrefixChars, SnmWindow, SnmThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D7: benchmark decontamination — corpus docs (doc_id % 29 ≠ 0) sharing
     * any 3-word shingle with the benchmark subset (doc_id % 29 = 0), with
     * the distinct-shingle overlap count. Hash equi-join on shingle md5 —
@@ -5273,6 +5288,7 @@ object Queries {
     "d17_lsh_tuning" -> d17LshTuning _,
     "d15_incremental_dedup" -> d15IncrementalDedup _,
     "d20_prefix_filter_pairs" -> d20PrefixFilterPairs _,
+    "d21_sorted_neighborhood" -> d21SortedNeighborhood _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,

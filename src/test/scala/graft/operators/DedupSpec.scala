@@ -53,6 +53,37 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.6667)))
   }
 
+  test("sortedNeighborhoodPairs matches a flat-sort brute force (cross-bucket ranks included)") {
+    val rnd = new scala.util.Random(20260816L)
+    val w = 3
+    val th = 0.3
+    // text prefixes spread over many first-2-char buckets so window pairs
+    // routinely straddle bucket boundaries — the contiguity hazard
+    val docs = (1L to 60L).map { id =>
+      val lead = s"${('a' + rnd.nextInt(6)).toChar}${('a' + rnd.nextInt(3)).toChar}x${rnd.nextInt(3)}"
+      val body = Seq.fill(4 + rnd.nextInt(4))(s"w${rnd.nextInt(10)}").mkString(" ")
+      (id, s"$lead $body", s"l${rnd.nextInt(2)}", s"s${rnd.nextInt(2)}")
+    }
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").take(12)
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val ranked = docs.sortBy { case (id, t, l, s) => (l, s, norm(t), id) }
+      .zipWithIndex.map { case ((id, t, _, _), i) => (i + 1, id, toks(t)) }
+    val expected = (for {
+      (ra, ia, ta) <- ranked; (rb, ib, tb) <- ranked
+      if rb > ra && rb <= ra + (w - 1)
+      inter = (ta & tb).size.toDouble
+      uni = ta.size + tb.size - inter
+      jac = math.floor((if (uni > 0) inter / uni else 1.0) * 1e4 + 0.5) / 1e4
+      if jac >= th
+    } yield (math.min(ia, ib), math.max(ia, ib), (rb - ra).toLong, jac)).toSet
+    val got = Dedup.sortedNeighborhoodPairs(
+        docs.toDF("doc_id", "text", "lang", "source"),
+        "doc_id", "text", Seq("lang", "source"), 12, w, th)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "seed produced no pairs — weak test")
+  }
+
   test("substringDupSpans catches shifted duplicates and merges overlaps") {
     val docs = Seq(
       (1L, "a b c d e"),      // shares window "a b c" with doc 2 (offset 0)
