@@ -496,6 +496,51 @@ object Oracles {
     * held-out per-source confusion census with integer-ppm precision /
     * recall as the output. Same all-BIGINT arithmetic as t14 —
     * bit-identical training by construction. */
+  /** t34's generated oracle: the per-domain unigram-LM loss in integer
+    * micro-nats, then `DoremiIters` multiplicative-weights rounds as
+    * unrolled CTEs. The ONLY float op is one ln per vocab token (floored
+    * to micro-nats at the token level, t30's discipline); every round is
+    * pure BIGINT floor-division on non-negative values. */
+  private def t34Sql: String = {
+    def mwRound(t: Int): String = {
+      val prev = s"i${t - 1}"
+      s"""s$t AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS sw FROM $prev),
+         |a$t AS MATERIALIZED (SELECT lang, loss_micro, w,
+         |    (w * 1000000) // (SELECT sw FROM s$t) AS alpha FROM $prev),
+         |m$t AS MATERIALIZED (SELECT CAST(sum(alpha * loss_micro) // 1000000 AS BIGINT)
+         |    AS ml FROM a$t),
+         |e$t AS MATERIALIZED (SELECT lang, loss_micro, w, alpha,
+         |    greatest(CAST(0 AS BIGINT),
+         |      loss_micro - (SELECT ml FROM m$t)) AS ex FROM a$t),
+         |i$t AS MATERIALIZED (SELECT lang, loss_micro,
+         |    (w * (1000000 + ($DoremiEtaPpm * ex) // 1000000)) // 1000000
+         |      AS w FROM e$t)""".stripMargin
+    }
+    val outs = (1 to DoremiIters).map(t =>
+      s"""SELECT $t AS iter, e.lang, e.loss_micro, e.alpha AS alpha_ppm,
+         |  e.ex AS excess_micro, i.w AS w_ppm
+         |FROM e$t e JOIN i$t i USING (lang)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH u AS (SELECT lang, unnest(${rawToks("lower(text)")}) AS tok
+       |  FROM documents),
+       |dt AS MATERIALIZED (SELECT lang, tok, CAST(count(*) AS BIGINT) AS occ
+       |  FROM u GROUP BY 1, 2),
+       |lm AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS cnt FROM dt GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+       |nv AS (SELECT tok, CAST(floor(
+       |    -ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)) * 1000000)
+       |    AS BIGINT) AS nll_micro FROM lm),
+       |dl AS MATERIALIZED (SELECT lang, CAST(sum(occ * nll_micro) AS BIGINT)
+       |    // CAST(sum(occ) AS BIGINT) AS loss_micro
+       |  FROM dt JOIN nv USING (tok) GROUP BY 1),
+       |i0 AS MATERIALIZED (SELECT lang, loss_micro, CAST(1000000 AS BIGINT) AS w FROM dl),
+       |${(1 to DoremiIters).map(mwRound).mkString(",\n")}
+       |SELECT CAST(iter AS BIGINT) AS iter, lang, loss_micro, alpha_ppm,
+       |  excess_micro, w_ppm
+       |FROM ($outs)
+       |ORDER BY iter, lang""".stripMargin
+  }
+
   private def t33Sql: String = {
     val E = T14Epochs
     val xs = (1 to 6).map(j => s"x$j")
@@ -2746,6 +2791,11 @@ object Oracles {
     "t14_perceptron" -> t14Sql,
 
     "t33_classifier_loop" -> t33Sql,
+
+    // t34: DoReMi MW trajectory — every round replayed as generated
+    // unrolled CTEs (the t14/t18/a18 pattern); all integer ppm/micro-nat
+    // arithmetic on non-negative values, so `//` ≡ Spark's `div`/Scala `/`
+    "t34_doremi_mix" -> t34Sql,
 
     // d19 oracles the FULL recompute over snapshot v2 (k7's epoch rules,
     // d7's shingle algebra at the %29 split): the Spark side answers

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.time.Align
 import graft.gaps.GapEngine
 import graft.functions.Funcs
-import graft.operators.{Bpe, Decontaminate, Dedup, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, Spread, TextAnalysis, UrlNormalize}
+import graft.operators.{Bpe, Decontaminate, Dedup, Doremi, HtmlExtract, Layout, Multimodal, Perceptron, Sampling, Similarity, Sketches, Skew, Spread, TextAnalysis, UrlNormalize}
 import QuerySpec._
 
 /** The declared query surface: one entry per operator family from
@@ -3161,6 +3161,43 @@ object Queries {
     * rollup. At 100 TB DSIR hashes n-grams into a fixed-width bucket
     * space (the paper's move) — the plan is identical with `tok`
     * replaced by a hash bucket, and the LM side gets SMALLER. */
+  /** T34: DoReMi domain-mixture reweighting (Xie et al. 2023) — the
+    * mixture-OPTIMIZATION step the training-data arc was missing between
+    * scoring (t30 DSIR) and assembly (pipe10/pipe11): per-lang proxy loss
+    * = mean token NLL under the corpus unigram LM in integer micro-nats
+    * (t17's LM under t30's integer discipline), then `DoremiIters`
+    * multiplicative-weights rounds against the current-mixture average
+    * loss (see [[graft.operators.Doremi]]). Model-vs-data split: the
+    * corpus pays ONE (lang, tok) aggregation + the vocab-grain scoring
+    * join; the recurrence runs on the 5-row domain vector (the s11
+    * centroid-collect precedent). The oracle replays every round as
+    * generated unrolled CTEs — bit-identical integers. */
+  def t34DoremiMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dt = Spread(Tables.documents(s, d))
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+      .persist() // feeds the LM build and the per-domain rollup
+    val lm = dt.groupBy(col("tok")).agg(sum(col("occ")).as("cnt"))
+    val tot = lm.agg(sum(col("cnt")).as("total"))
+    val nv = lm.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(-log(col("cnt").cast("double") / col("total")) * 1e6)
+          .cast("long").as("nll_micro"))
+    val losses = dt.join(nv, Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(expr("sum(occ * nll_micro) div sum(occ)").as("loss_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Doremi.mwTrajectory(losses, DoremiIters, DoremiEtaPpm)
+      .toDF("iter", "lang", "loss_micro", "alpha_ppm", "excess_micro",
+        "w_ppm")
+      .select(col("iter").cast("long"), col("lang"), col("loss_micro"),
+        col("alpha_ppm"), col("excess_micro"), col("w_ppm"))
+      .orderBy(col("iter"), col("lang"))
+  }
+
   def t30DsirWeights(s: SparkSession, d: String): DataFrame =
     dsirScores(s, d)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
@@ -5313,6 +5350,7 @@ object Queries {
     "t16_domain_cap" -> t16DomainCap _,
     "t17_lm_perplexity" -> t17LmPerplexity _,
     "t30_dsir_weights" -> t30DsirWeights _,
+    "t34_doremi_mix" -> t34DoremiMix _,
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,

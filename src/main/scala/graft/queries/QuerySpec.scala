@@ -150,6 +150,11 @@ object QuerySpec {
   // kept when its summed score is positive (closer to the target).
   val DsirTargetLang = "en"
 
+  // T34 DoReMi mixture reweighting: MW iterations and learning rate in
+  // ppm (query recurrence and generated oracle must agree)
+  val DoremiIters = 8
+  val DoremiEtaPpm = 200000L
+
   // S20 recall-vs-nprobe sweep: evaluate IVF recall@TopK against the
   // brute-force truth at each of these probe settings, from ONE corpus
   // assignment pass (candidates carry the query-side probe rank).
