@@ -2609,6 +2609,27 @@ object Oracles {
     // pipe11: the selection spine — shared DSIR CTEs (gate), fingerprint
     // election among survivors, pipe10's naive mix selection restricted
     // to the survivor set, pipe8's packing algebra on per-lang sums
+    // pipe12: host extraction reuses the t27/pipe6 canonicalization CTEs
+    // (cn.hst — the SAME interpolated rules), quality the t2 CTEs; the
+    // gate is integer e4 floor-division on non-negative sums
+    "pipe12_domain_gate" ->
+      s"""WITH $urlSynthCtes,
+         |$urlCanonCtes,
+         |${qualityCtes.replace("qs", "qql")},
+         |dq AS (SELECT cn.doc_id, cn.hst AS host,
+         |    CAST(round(quality * 10000) AS BIGINT) AS q_e4
+         |  FROM cn JOIN q ON cn.doc_id = q.doc_id),
+         |h AS (SELECT host, CAST(count(*) AS BIGINT) AS host_n,
+         |    CAST(sum(q_e4) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |      AS host_avg_e4
+         |  FROM dq GROUP BY 1),
+         |g AS (SELECT CAST(sum(q_e4) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS g_avg FROM dq)
+         |SELECT dq.doc_id, dq.host, dq.q_e4, h.host_n, h.host_avg_e4,
+         |  CAST(CASE WHEN h.host_avg_e4 >= (SELECT g_avg FROM g)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM dq JOIN h USING (host) ORDER BY doc_id""".stripMargin,
+
     "pipe11_select_pack" -> {
       val vals = MixWeightsPpm
         .map { case (l, wp) => s"('$l', $wp)" }.mkString(", ")

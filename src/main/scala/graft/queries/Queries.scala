@@ -4865,6 +4865,41 @@ object Queries {
     * buckets — one bucket per language, 1/2^(60-MixBucketShift) of the
     * corpus, tunable by the shift at any scale. Dropped buckets are
     * filtered BEFORE the window, so past-budget data never sorts. */
+  /** PIPE12: domain-level quality-gate induction (the RefinedWeb/C4
+    * blocklist step, induced from the data instead of hand-curated): every
+    * doc's host (t27's URL canonicalization rules) and integer quality
+    * (t2's score in e4 units) roll up to a per-host mean; hosts whose mean
+    * sits below the corpus mean are gated, and the verdict joins back to
+    * every doc. Quality propagates across the DOMAIN — a good doc on a
+    * junk host is dropped, which is the whole point of domain-level
+    * filtering. Scale shape: one host-grain aggregate (partial agg maps
+    * the corpus down to one row per host), one scalar mean broadcast, and
+    * a host-keyed join-back whose build side is host-grain (a hot host
+    * skews only the stream side — AQE splits it). Integer e4/floor-div
+    * arithmetic end to end; only the join-back touches corpus-grain rows
+    * twice, riding one persisted skinny frame. */
+  def pipe12DomainGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        UrlNormalize.host(UrlNormalize.syntheticUrl(col("doc_id")))
+          .as("host"),
+        round(TextAnalysis.qualityScore(col("text"), Stopwords) * 10000.0, 0)
+          .cast("long").as("q_e4"))
+      .persist() // feeds the host rollup, the corpus mean, and the join-back
+    val hosts = docs.groupBy(col("host"))
+      .agg(count(lit(1)).as("host_n"), sum(col("q_e4")).as("sq"))
+      .select(col("host"), col("host_n"),
+        expr("sq div host_n").as("host_avg_e4"))
+    val glob = docs.agg(expr("sum(q_e4) div count(1)").as("g_avg_e4"))
+    val gated = hosts.crossJoin(broadcast(glob))
+      .select(col("host"), col("host_n"), col("host_avg_e4"),
+        (col("host_avg_e4") >= col("g_avg_e4")).cast("long").as("keep"))
+    docs.join(gated, Seq("host"))
+      .select(col("doc_id"), col("host"), col("q_e4"), col("host_n"),
+        col("host_avg_e4"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def pipe10MixBudget(s: SparkSession, d: String): DataFrame = {
     // skinny selection frame (id, lang, toks, order key, bucket): this is
     // the staged artifact at 100 TB too — tokenize once, select twice
@@ -5387,6 +5422,7 @@ object Queries {
     "pipe9_crawl_shards" -> pipe9CrawlShards _,
     "pipe10_mix_budget" -> pipe10MixBudget _,
     "pipe11_select_pack" -> pipe11SelectPack _,
+    "pipe12_domain_gate" -> pipe12DomainGate _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
