@@ -667,6 +667,63 @@ object Dedup {
       .where(col("jaccard") >= t)
   }
 
+  /** CDC-chunk resemblance self-join (Broder 1997's resemblance computed
+    * at content-defined-chunk grain — the storage-dedup similarity of
+    * LBFS/Venti applied to documents): pairs whose DISTINCT chunk-
+    * fingerprint sets overlap by Jaccard ≥ `threshold`. Complements the
+    * token/shingle operators at a coarser grain: chunks are ~modulus-token
+    * content-anchored regions ([[TextAnalysis.cdcEnds]]), so two docs
+    * resemble only when whole passages survive verbatim — robust to small
+    * edits (boundaries redraw locally), blind to paraphrase, exactly what
+    * storage-level dedup wants.
+    *
+    * Scale shape: everything is joins/aggregates on (id, fp) rows — no
+    * array ever shuffles. Candidate bill = Σ_fp C(df,2): a ~64-token
+    * verbatim chunk shared by chance is vanishingly rare, so df > 1 means
+    * real duplication and candidates are result-sized. The one skew
+    * surface is a BOILERPLATE chunk (license header, nav footer) shared
+    * by everything: `maxDf` drops chunks beyond it map-side (a
+    * df-capped inverted index — boilerplate carries no discriminative
+    * signal; Broder's sketching argument); the registered query pins it
+    * open (Long.MaxValue skips the df probe entirely) to stay exactly the
+    * oracle's all-pairs contract. */
+  def chunkResemblancePairs(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int, threshold: Double,
+      maxDf: Long = Long.MaxValue,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    val chunked = Spread(df)
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+          .as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("ends", TextAnalysis.cdcEnds(col("toks"), modulus))
+      .select(col("id"),
+        explode(TextAnalysis.cdcChunks(col("toks"), col("ends"))).as("c"))
+      .select(col("id"), col("c.fp").as("fp"))
+      .distinct()
+    val cs = cache(
+      if (maxDf == Long.MaxValue) chunked
+      else {
+        val hot = chunked.groupBy(col("fp"))
+          .agg(count(lit(1)).as("dfc")).where(col("dfc") > maxDf)
+          .select(col("fp"))
+        chunked.join(hot, Seq("fp"), "left_anti")
+      })
+    val sizes = cs.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cs.select(col("id").as("id_a"), col("fp"))
+      .join(cs.select(col("id").as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4).as("resemblance"))
+      .where(col("resemblance") >= threshold)
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995): sort
     * the corpus by a domain key — here (lang, source, first `prefixChars`
     * of the whitespace-normalized lowercase text) — slide a `window`-row

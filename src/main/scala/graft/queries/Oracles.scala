@@ -2150,6 +2150,43 @@ object Oracles {
          |WHERE jaccard >= $SnmThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // d22: Broder resemblance over t25's CDC chunking (the SAME boundary
+    // rules, keyed by doc instead of lang), then the chunk-overlap join
+    "d22_chunk_resemblance" -> {
+      val gh = hexVal15("md5(array_to_string(toks[j-2:j], ' '))")
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t
+         |  WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks,
+         |    list_append(CASE WHEN n >= 4
+         |      THEN [j FOR j IN range(3, n) IF $gh % $CdcModulus = 0]
+         |      ELSE [] END, n) AS ends
+         |  FROM t2),
+         |s AS (SELECT doc_id, toks, ends,
+         |    list_prepend(1, list_transform(ends[:len(ends)-1],
+         |      x -> x + 1)) AS starts
+         |  FROM e),
+         |c AS (SELECT doc_id,
+         |    md5(array_to_string(toks[z[1]:z[2]], ' ')) AS fp
+         |  FROM (SELECT doc_id, toks, unnest(list_zip(starts, ends)) AS z
+         |        FROM s)),
+         |cd AS (SELECT DISTINCT doc_id, fp FROM c),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM cd
+         |  GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS DOUBLE) AS inter
+         |  FROM cd a JOIN cd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |    round(inter / (sa.sz + sb.sz - inter), 4) AS resemblance
+         |  FROM p JOIN sz sa ON sa.doc_id = p.id_a
+         |    JOIN sz sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, resemblance FROM j
+         |WHERE resemblance >= $CdcResemblance
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // d20: the prefix-filter join's exact contract — GLOBAL shingle-set
     // Jaccard pairs above threshold. The oracle finds pairs through the
     // shingle-overlap join (any pair sharing ≥1 shingle, grouped to

@@ -2042,6 +2042,17 @@ object Queries {
       Seq("lang", "source"), SnmPrefixChars, SnmWindow, SnmThreshold)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D22: CDC-chunk resemblance pairs — storage-grain near-dup detection
+    * (Broder resemblance over t25's content-defined chunks): doc pairs
+    * sharing ≥ `CdcResemblance` of their distinct chunk fingerprints.
+    * Catches verbatim-passage reuse that survives local edits; the df cap
+    * is pinned open so the query stays the oracle's exact all-pairs
+    * contract (see [[Dedup.chunkResemblancePairs]]). */
+  def d22ChunkResemblance(s: SparkSession, d: String): DataFrame =
+    Dedup.chunkResemblancePairs(Tables.documents(s, d), "doc_id", "text",
+      CdcModulus, CdcResemblance)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D7: benchmark decontamination — corpus docs (doc_id % 29 ≠ 0) sharing
     * any 3-word shingle with the benchmark subset (doc_id % 29 = 0), with
     * the distinct-shingle overlap count. Hash equi-join on shingle md5 —
@@ -5361,6 +5372,7 @@ object Queries {
     "d15_incremental_dedup" -> d15IncrementalDedup _,
     "d20_prefix_filter_pairs" -> d20PrefixFilterPairs _,
     "d21_sorted_neighborhood" -> d21SortedNeighborhood _,
+    "d22_chunk_resemblance" -> d22ChunkResemblance _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,

@@ -269,6 +269,11 @@ object QuerySpec {
   // D12 sliding-window substring-dedup window length (tokens)
   val SubstrK = 10
 
+  // D22 CDC-chunk resemblance join: boundary modulus (t25's chunking) and
+  // the chunk-set Jaccard threshold
+  val CdcModulus = 8
+  val CdcResemblance = 0.5
+
   // D20 prefix-filtering exact similarity join: shingle width (words) and
   // the Jaccard threshold in exact ppm (integer ceil in the prefix-length
   // math — see Dedup.prefixFilterDupPairs)

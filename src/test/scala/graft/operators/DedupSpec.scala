@@ -53,6 +53,47 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.6667)))
   }
 
+  test("chunkResemblancePairs: identical docs score 1.0, local edits stay near-dup, strangers absent") {
+    val rnd = new scala.util.Random(20260817L)
+    val body = Seq.fill(120)(s"tk${rnd.nextInt(50)}").mkString(" ")
+    val edited = {
+      val t = body.split(" "); t(60) = "EDITED"; t.mkString(" ")
+    }
+    val stranger = Seq.fill(120)(s"zz${rnd.nextInt(50)}").mkString(" ")
+    val docs = Seq((1L, body), (2L, body), (3L, edited), (4L, stranger))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkResemblancePairs(docs, "doc_id", "text",
+        modulus = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0)
+    // a one-token edit redraws only the chunk it lands in (CDC locality)
+    assert(got.contains(1L -> 3L) && got((1L, 3L)) < 1.0 && got((1L, 3L)) > 0.3)
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("chunkResemblancePairs maxDf drops boilerplate-only pairs, keeps real ones") {
+    // every doc shares one boilerplate sentence; only docs 1/2 share real
+    // content. Pinned open, boilerplate alone links strangers at low
+    // resemblance; with maxDf=2 the shared-by-4 chunk leaves the index.
+    // long enough (~8-token expected chunks) that several chunks fall
+    // FULLY inside the boilerplate and are byte-shared by all four docs
+    val boiler = (1 to 80).map(i => s"b$i").mkString(" ")
+    val real = (1 to 60).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $real"), (2L, s"$boiler $real"),
+      (3L, s"$boiler " + (1 to 60).map(i => s"x$i").mkString(" ")),
+      (4L, s"$boiler " + (1 to 60).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairs(cap: Long) = Dedup.chunkResemblancePairs(docs, "doc_id",
+        "text", modulus = 8, threshold = 0.01, maxDf = cap)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val open = pairs(Long.MaxValue)
+    assert(open.contains(3L -> 4L), "boilerplate links strangers when open")
+    val capped = pairs(2L)
+    assert(capped.contains(1L -> 2L), "real duplication survives the cap")
+    assert(!capped.contains(3L -> 4L), "boilerplate-only pair dropped")
+  }
+
   test("sortedNeighborhoodPairs matches a flat-sort brute force (cross-bucket ranks included)") {
     val rnd = new scala.util.Random(20260816L)
     val w = 3
