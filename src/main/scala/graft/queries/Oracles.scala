@@ -2850,6 +2850,33 @@ object Oracles {
 
     "t33_classifier_loop" -> t33Sql,
 
+    // t35: competence-based curriculum — the engine's bucket-offset rank
+    // vs ONE flat row_number; integer unlock algebra identical
+    "t35_curriculum_schedule" ->
+      s"""WITH u AS (SELECT doc_id, unnest(${rawToks("lower(text)")}) AS tok
+         |  FROM documents),
+         |dt AS MATERIALIZED (SELECT doc_id, tok,
+         |    CAST(count(*) AS BIGINT) AS occ FROM u GROUP BY 1, 2),
+         |lm AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS cnt FROM dt
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+         |nv AS (SELECT tok, CAST(floor(
+         |    -ln(CAST(cnt AS DOUBLE) / (SELECT total FROM tot)) * 1000000)
+         |    AS BIGINT) AS nll_micro FROM lm),
+         |diff AS MATERIALIZED (SELECT doc_id,
+         |    CAST(sum(occ * nll_micro) AS BIGINT)
+         |      // CAST(sum(occ) AS BIGINT) AS nll_micro
+         |  FROM dt JOIN nv USING (tok) GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM diff),
+         |r AS (SELECT doc_id, nll_micro,
+         |    CAST(row_number() OVER (ORDER BY nll_micro, doc_id) AS BIGINT)
+         |      AS rank FROM diff)
+         |SELECT doc_id, nll_micro, rank,
+         |  ($CurrStages * rank * rank
+         |    + (SELECT n * n FROM nn) - 1) // (SELECT n * n FROM nn)
+         |    AS stage
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     // t34: DoReMi MW trajectory — every round replayed as generated
     // unrolled CTEs (the t14/t18/a18 pattern); all integer ppm/micro-nat
     // arithmetic on non-negative values, so `//` ≡ Spark's `div`/Scala `/`

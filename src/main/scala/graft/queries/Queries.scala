@@ -3209,6 +3209,53 @@ object Queries {
       .orderBy(col("iter"), col("lang"))
   }
 
+  /** T35: competence-based curriculum schedule (Bengio et al. 2009;
+    * Platanios et al. 2019 "Competence-based Curriculum Learning for
+    * NMT"): rank every doc by difficulty — mean token NLL under the
+    * corpus unigram LM in integer micro-nats (t17's proxy, t30's integer
+    * discipline) — and unlock it at the first training stage whose
+    * competence c(t) = sqrt(t/S) covers its rank: stage =
+    * ceil(S·(rank/N)²), exact via (S·rank² + N²−1) div N². The global
+    * difficulty rank uses d21's bucket-offset scheme on a NUMERIC key
+    * (micro-nat bands) — second instance of the distributed total-rank
+    * pattern, again pinned against a flat row_number oracle. Docs with no
+    * tokens have no difficulty and are excluded (both engines). */
+  def t35CurriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = Spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+      .persist() // feeds the LM build and the per-doc difficulty rollup
+    val lm = dt.groupBy(col("tok")).agg(sum(col("occ")).as("cnt"))
+    val tot = lm.agg(sum(col("cnt")).as("total"))
+    val nv = lm.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(-log(col("cnt").cast("double") / col("total")) * 1e6)
+          .cast("long").as("nll_micro"))
+    val diff = dt.join(nv, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(occ * nll_micro) div sum(occ)").as("nll_micro"))
+    val b = diff.withColumn("bucket", expr(s"nll_micro div $CurrBandMicro"))
+    val offsets = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val nTot = diff.agg(count(lit(1)).as("n"))
+    b.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rank", col("offset") + row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("nll_micro"), col("doc_id"))))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("nll_micro"), col("rank"),
+        expr(s"($CurrStages * rank * rank + n * n - 1) div (n * n)")
+          .as("stage"))
+      .orderBy(col("doc_id"))
+  }
+
   def t30DsirWeights(s: SparkSession, d: String): DataFrame =
     dsirScores(s, d)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
@@ -5398,6 +5445,7 @@ object Queries {
     "t17_lm_perplexity" -> t17LmPerplexity _,
     "t30_dsir_weights" -> t30DsirWeights _,
     "t34_doremi_mix" -> t34DoremiMix _,
+    "t35_curriculum_schedule" -> t35CurriculumSchedule _,
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,

@@ -155,6 +155,12 @@ object QuerySpec {
   val DoremiIters = 8
   val DoremiEtaPpm = 200000L
 
+  // T35 competence-based curriculum: number of stages, and the micro-nat
+  // band width that buckets the difficulty rank (distributed-rank bucket
+  // grain — any monotone function of the sort key works)
+  val CurrStages = 4L
+  val CurrBandMicro = 250000L
+
   // S20 recall-vs-nprobe sweep: evaluate IVF recall@TopK against the
   // brute-force truth at each of these probe settings, from ONE corpus
   // assignment pass (candidates carry the query-side probe rank).
