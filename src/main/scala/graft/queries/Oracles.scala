@@ -2850,6 +2850,36 @@ object Oracles {
 
     "t33_classifier_loop" -> t33Sql,
 
+    // t36: Kneser-Ney-style bigram LM — the probability stays a ratio of
+    // integers ((4c-3)B + 3*N1a*N1b over 4*c1*B), so the two ln's per
+    // bigram type see identical doubles in both engines
+    "t36_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks
+         |  FROM documents),
+         |bg0 AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |        FROM t WHERE len(toks) >= 2)),
+         |dt AS MATERIALIZED (SELECT doc_id, w1, w2,
+         |    CAST(count(*) AS BIGINT) AS occ FROM bg0 GROUP BY 1, 2, 3),
+         |bg AS MATERIALIZED (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c
+         |  FROM dt GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY 1),
+         |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg
+         |  GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bg),
+         |sc AS MATERIALIZED (SELECT w1, w2, CAST(floor(
+         |    (ln(CAST(4 * c1 * (SELECT b FROM bt) AS DOUBLE))
+         |     - ln(CAST((4 * c - $KnDiscountNum) * (SELECT b FROM bt)
+         |         + $KnDiscountNum * n1a * n1b AS DOUBLE))) * 1000000)
+         |    AS BIGINT) AS nll_micro
+         |  FROM bg JOIN ctx USING (w1) JOIN cont USING (w2))
+         |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(occ * nll_micro) AS BIGINT) AS score_micro,
+         |  CAST(sum(occ * nll_micro) AS BIGINT)
+         |    // CAST(sum(occ) AS BIGINT) AS avg_micro
+         |FROM dt JOIN sc USING (w1, w2) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // t35: competence-based curriculum — the engine's bucket-offset rank
     // vs ONE flat row_number; integer unlock algebra identical
     "t35_curriculum_schedule" ->

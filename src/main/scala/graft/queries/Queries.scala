@@ -3256,6 +3256,26 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** T36: interpolated bigram LM with absolute discounting (the
+    * Kneser-Ney construction — Kneser & Ney 1995; Chen & Goodman 1999) —
+    * t17's unigram perplexity upgraded to a real smoothed bigram model:
+    * P(w2|w1) = max(c−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B with D = 3/4.
+    * Cross-engine exactness: with D rational the probability is the
+    * integer ratio [(4c−3)·B + 3·N1a·N1b] / (4·c1·B), so the ONLY float
+    * work is two ln's of exact integers per DISTINCT corpus bigram,
+    * floored to micro-nats at the bigram-type level (t30's discipline);
+    * per-doc rollups are integer sums. P ≤ 1 holds because the other
+    * continuations of w1 contribute at least N1a−1 to c1, so scores are
+    * non-negative and `div` ≡ floor.
+    * Scale shape: (doc, bigram) and (bigram) aggregates, two type-grain
+    * context/continuation rollups, and type-grain scoring joins — every
+    * shuffle keys on uniform token hashes; nothing is ever vocab² (the
+    * model lives at OBSERVED-bigram grain, Heaps-bounded). */
+  def t36BigramLm(s: SparkSession, d: String): DataFrame =
+    graft.operators.BigramLm.docScores(Tables.documents(s, d), "doc_id",
+      "text", KnDiscountNum)
+      .orderBy(col("doc_id"))
+
   def t30DsirWeights(s: SparkSession, d: String): DataFrame =
     dsirScores(s, d)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
@@ -5446,6 +5466,7 @@ object Queries {
     "t30_dsir_weights" -> t30DsirWeights _,
     "t34_doremi_mix" -> t34DoremiMix _,
     "t35_curriculum_schedule" -> t35CurriculumSchedule _,
+    "t36_bigram_lm" -> t36BigramLm _,
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,

@@ -150,6 +150,11 @@ object QuerySpec {
   // kept when its summed score is positive (closer to the target).
   val DsirTargetLang = "en"
 
+  // T36 bigram LM: absolute discount D = KnDiscountNum/4 (0.75, the
+  // standard Kneser-Ney default); probabilities kept in RATIONAL form
+  // so the only float op is two ln's of exact integers per bigram type
+  val KnDiscountNum = 3L
+
   // T34 DoReMi mixture reweighting: MW iterations and learning rate in
   // ppm (query recurrence and generated oracle must agree)
   val DoremiIters = 8
