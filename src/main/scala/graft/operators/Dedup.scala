@@ -634,21 +634,25 @@ object Dedup {
     // shuffle_hash: both sides arrive hashed on sh anyway — a merge join
     // would add two corpus-shingle-grain sorts for nothing (dfreq builds,
     // exploded streams; AQE splits a residual hot-shingle partition)
-    val ranked = exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("dfc"), col("sh")))).as("ord"))
-    // persisted: the candidate self-join reads pref TWICE and the two
-    // sides project differently, so ReuseExchange cannot dedupe the
-    // (explode → join → sort-agg) subtree — without this it runs twice
-    val pref = cache(ranked
-      .withColumn("sz", size(col("ord")).cast("long"))
-      .withColumn("plen",
-        (col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
-          + lit(1L)).cast("int"))
-      .select(col("id"), col("sz"),
-        transform(slice(col("ord"), lit(1), col("plen")),
-          s => s.getField("sh")).as("pref")))
-    val inv = pref.select(col("id"), col("sz"), explode(col("pref")).as("sh"))
+    // rarest-first rank realized as ONE per-doc window over the joined
+    // (id, sh, dfc) rows — no collect_list/sort_array/slice/re-explode
+    // round-trip shuffling whole shingle arrays; sz rides the same window
+    // as a partition count. Partition key = doc id (uniform, per-doc row
+    // counts are doc-length-bounded — not a reducer-per-group hazard).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // persisted: the candidate self-join reads the inverted index TWICE
+    // and the two sides project differently, so ReuseExchange cannot
+    // dedupe the (explode → join → window) subtree — without this it
+    // runs twice
+    val inv = cache(
+      exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("dfc"), col("sh"))))
+        .withColumn("sz", count(lit(1)).over(w).cast("long"))
+        .where(col("rk") <=
+          col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+            + lit(1L))
+        .select(col("id"), col("sz"), col("sh")))
     val cand = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh"))
       .join(inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh")),
         Seq("sh"))
