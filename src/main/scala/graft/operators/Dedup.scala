@@ -671,6 +671,79 @@ object Dedup {
       .where(col("jaccard") >= t)
   }
 
+  /** Asymmetric CONTAINMENT self-join (the second of Broder 1997's two
+    * measures — [[prefixFilterDupPairs]] covers resemblance, this covers
+    * containment): every DIRECTED pair (a, b) where b's shingle set holds
+    * at least `thresholdPpm` of a's — C(a→b) = |S(a)∩S(b)| / |S(a)| ≥ t.
+    * The pairs resemblance is structurally blind to: a paragraph quoted
+    * inside a long article, an aggregation page subsuming a short post, a
+    * doc re-issued with a long appendix — |small| ≪ |big| caps Jaccard at
+    * |small|/|big| no matter how completely the small doc is swallowed,
+    * so no resemblance threshold can see the pair without drowning in
+    * false positives. Containment is the dedup measure for them, and at
+    * training-data scale "is this document already inside another one" is
+    * exactly the quote/boilerplate/aggregator question.
+    *
+    * The prefix filter goes ONE-SIDED, which is the whole trick: the
+    * denominator is |S(a)| alone, so only the CONTAINED side needs a
+    * prefix — order shingles rarest-first (global df ascending, hash
+    * tie-break, same total order as [[prefixFilterDupPairs]]), index each
+    * doc's first `sz − ceil(t·sz) + 1` shingles as probe keys, and join
+    * them against the FULL inverted index on the container side. Exact
+    * recall by pigeonhole: if b misses ALL of a's prefix, the overlap is
+    * ≤ sz_a − p_a = ceil(t·sz_a) − 1 < t·sz_a. The container side
+    * can't be prefix-pruned (its size doesn't enter the bound) — the
+    * candidate bill is Σ_sh df_prefix(sh)·df_full(sh), rarest-first
+    * keeping df_prefix small exactly where df_full is large. `maxDf`
+    * drops hotter-than-cap shingles from the FULL side map-side (a
+    * boilerplate shingle carries no containment evidence a rarer one
+    * doesn't); the registered query pins it open to stay the oracle's
+    * exact all-pairs contract. Size pruning: C ≥ t needs |S(b)| ≥ t·|S(a)|
+    * (overlap ≤ min of the sizes), applied before the candidate distinct.
+    * Thresholding compares the UNROUNDED ratio on both engine and oracle
+    * (integer inter / integer sz — bit-identical IEEE division), with the
+    * 4 dp rounding applied only to the emitted column. */
+  def containmentDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, thresholdPpm: Long,
+      maxDf: Long = Long.MaxValue,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    val sh = cache(Spread(df).select(col(idCol).as("id"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("shs"))
+      .where(size(col("shs")) > 0))
+    val exploded = sh.select(col("id"), explode(col("shs")).as("sh"))
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // one ranked inverted index serves both sides: the full index is the
+    // rk-unfiltered rows, the probe prefix a rk cut — persisted because
+    // the candidate join reads it twice with different filters
+    val inv = cache(
+      exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("dfc"), col("sh"))))
+        .withColumn("sz", count(lit(1)).over(w).cast("long"))
+        .select(col("id"), col("sz"), col("sh"), col("rk"), col("dfc")))
+    val probe = inv.where(col("rk") <=
+        col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+          + lit(1L))
+      .select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh"))
+    val full = (if (maxDf == Long.MaxValue) inv
+                else inv.where(col("dfc") <= maxDf))
+      .select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh"))
+    val cand = probe.join(full, Seq("sh"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_b") * lit(1000000L) >= col("sz_a") * lit(thresholdPpm))
+      .select(col("id_a"), col("id_b")).distinct()
+    val t = thresholdPpm.toDouble / 1e6
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+          size(col("shs_a")).cast("double")).as("c_raw"))
+      .where(col("c_raw") >= t)
+      .select(col("id_a"), col("id_b"), round(col("c_raw"), 4).as("containment"))
+  }
+
   /** CDC-chunk resemblance self-join (Broder 1997's resemblance computed
     * at content-defined-chunk grain — the storage-dedup similarity of
     * LBFS/Venti applied to documents): pairs whose DISTINCT chunk-

@@ -2213,6 +2213,31 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // d23: the containment join's exact contract — DIRECTED pairs with
+    // |S(a)∩S(b)| / |S(a)| ≥ t. Candidates come through the full
+    // shingle-overlap join (a SUPERSET of the engine's one-sided-prefix
+    // candidates), threshold compared on the unrounded ratio (integer /
+    // integer — bit-identical IEEE division on both engines), rounding
+    // applied only to the emitted column.
+    "d23_containment_pairs" -> {
+      val concat3 = (0 until PrefixJoinK)
+        .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tkc AS (SELECT doc_id, ${lowSeq("text")} AS tk FROM documents),
+         |shg AS (SELECT doc_id, list_distinct(
+         |    [md5($concat3) for i in range(1, len(tk) - ${PrefixJoinK - 2})])
+         |    AS shs
+         |  FROM tkc WHERE len(tk) >= $PrefixJoinK),
+         |e AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM shg),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS sza, CAST(count(*) AS DOUBLE) AS inter
+         |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT id_a, id_b, round(inter / sza, 4) AS containment FROM p
+         |WHERE inter / sza >= ${ContainPpm.toDouble / 1e6}
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // D9: transitive closure of the d2 pair graph — min reachable id per
     // node (= the Spark side's min-label-propagation fixpoint).
     "d9_dup_clusters" ->

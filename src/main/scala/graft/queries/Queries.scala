@@ -2053,6 +2053,20 @@ object Queries {
       CdcModulus, CdcResemblance)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** D23: asymmetric containment join (Broder 1997's second measure) —
+    * DIRECTED pairs where doc b's shingle set holds ≥ `ContainPpm` of doc
+    * a's. The quote/subsumption detector resemblance can't express: a
+    * short doc swallowed by a long one has Jaccard ≤ |short|/|long| but
+    * containment 1.0. One-sided prefix filter (exact recall — see
+    * [[Dedup.containmentDupPairs]]); the df cap is pinned open so the
+    * query stays the oracle's exact all-pairs contract, which probes
+    * candidates through the full shingle-overlap join — a single missed
+    * directed candidate hash-fails. */
+  def d23ContainmentPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentDupPairs(Tables.documents(s, d), "doc_id", "text",
+      PrefixJoinK, ContainPpm)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** D7: benchmark decontamination — corpus docs (doc_id % 29 ≠ 0) sharing
     * any 3-word shingle with the benchmark subset (doc_id % 29 = 0), with
     * the distinct-shingle overlap count. Hash equi-join on shingle md5 —
@@ -5440,6 +5454,7 @@ object Queries {
     "d20_prefix_filter_pairs" -> d20PrefixFilterPairs _,
     "d21_sorted_neighborhood" -> d21SortedNeighborhood _,
     "d22_chunk_resemblance" -> d22ChunkResemblance _,
+    "d23_containment_pairs" -> d23ContainmentPairs _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,

@@ -299,6 +299,12 @@ object QuerySpec {
   val SnmWindow = 3
   val SnmThreshold = 0.5
 
+  // D23 asymmetric containment join (Broder 1997): threshold on
+  // |S(a)∩S(b)| / |S(a)| in exact ppm (shares PrefixJoinK's shingle width;
+  // integer ceil in the one-sided prefix-length math — see
+  // Dedup.containmentDupPairs)
+  val ContainPpm = 800000L
+
   // P8 order-status enum
   val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
 }

@@ -53,6 +53,75 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0.6667)))
   }
 
+  test("containmentDupPairs has EXACT recall vs brute force on seeded corpora") {
+    val rnd = new scala.util.Random(20260901L)
+    val k = 3
+    for (trial <- 1 to 3) {
+      val phrases = Seq.fill(6)(Seq.fill(5)(s"p${rnd.nextInt(8)}").mkString(" "))
+      val docs = (1L to 30L).map { id =>
+        val base = Seq.fill(2 + rnd.nextInt(5))(phrases(rnd.nextInt(6)))
+        val noise = Seq.fill(rnd.nextInt(4))(s"n${rnd.nextInt(20)}")
+        id -> rnd.shuffle(base ++ noise).mkString(" ")
+      }
+      def shingles(text: String): Set[String] = {
+        val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        t.sliding(k).filter(_.length == k).map(_.mkString(" ")).toSet
+      }
+      val tPpm = 600000L
+      // DIRECTED pairs: denominator is side a alone
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty && sb.nonEmpty
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= tPpm.toDouble / 1e6
+      } yield (ia, ib, math.floor(c * 1e4 + 0.5) / 1e4)).toSet
+      val got = Dedup.containmentDupPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, tPpm)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"trial $trial")
+      assert(expected.nonEmpty, s"trial $trial produced no pairs — weak test")
+    }
+  }
+
+  test("containmentDupPairs sees the quote-inside-article pair resemblance misses") {
+    val rnd = new scala.util.Random(20260902L)
+    val quote = Seq.fill(12)(s"q${rnd.nextInt(30)}").mkString(" ")
+    val article = Seq.fill(80)(s"a${rnd.nextInt(200)}").mkString(" ") +
+      " " + quote + " " + Seq.fill(80)(s"z${rnd.nextInt(200)}").mkString(" ")
+    val docs = Seq((1L, quote), (2L, article),
+      (3L, Seq.fill(40)(s"s${rnd.nextInt(99)}").mkString(" "))).toDF("doc_id", "text")
+    val cont = Dedup.containmentDupPairs(docs, "doc_id", "text", 3, 800000L)
+      .as[(Long, Long, Double)].collect().toSet
+    // the quote's 10 shingles all appear in the article → C(1→2) = 1.0;
+    // the reverse direction and the stranger must be absent
+    assert(cont.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.999 })
+    assert(!cont.exists { case (a, b, _) => a == 2L && b == 1L })
+    assert(!cont.exists { case (a, b, _) => a == 3L || b == 3L })
+    // and the SYMMETRIC measure cannot see it at any useful threshold:
+    // J ≤ |quote| / |article| ≪ 0.5
+    val jac = Dedup.prefixFilterDupPairs(docs, "doc_id", "text", 3, 500000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists { case (a, b, _) => Set(a, b) == Set(1L, 2L) })
+  }
+
+  test("containmentDupPairs maxDf drops hot-shingle probes from the container index only") {
+    // boilerplate shingle shared by everything; cap at 3 removes it from
+    // the FULL side so pure-boilerplate containment disappears, while the
+    // genuinely-contained pair (rare shingles) survives
+    val bp = "the usual footer text"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $bp"),
+      (2L, s"u1 u2 u3 u4 u5 extra tail words $bp"),
+      (3L, s"v1 v2 $bp"),
+      (4L, s"w1 w2 $bp"),
+      (5L, s"x1 x2 $bp")).toDF("doc_id", "text")
+    val capped = Dedup.containmentDupPairs(docs, "doc_id", "text", 3,
+      500000L, maxDf = 3L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!capped.exists { case (a, b, _) => a == 3L && b == 4L })
+  }
+
   test("chunkResemblancePairs: identical docs score 1.0, local edits stay near-dup, strangers absent") {
     val rnd = new scala.util.Random(20260817L)
     val body = Seq.fill(120)(s"tk${rnd.nextInt(50)}").mkString(" ")
