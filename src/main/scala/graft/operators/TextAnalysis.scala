@@ -82,13 +82,20 @@ object TextAnalysis {
     * (null-propagating, unlike concat_ws) poisons the short tail where the
     * shifted copies run out, and the final filter drops it — leaving exactly
     * the n-k+1 shingles. */
-  def shingleHashes(text: Column, k: Int): Column = {
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingleSeq(text, k), s => md5(s)))
+
+  /** The raw (non-distinct, unhashed) lowercase `k`-word shingle SEQUENCE —
+    * the occurrence-grain twin of [[shingleHashes]] for consumers that need
+    * shingle frequencies, not set membership (t37's type census). Same
+    * shifted-zip construction (see the scaladoc above). */
+  def shingleSeq(text: Column, k: Int): Column = {
     val toks = transform(tokens(text), t => lower(t))
     val joined = (1 until k).foldLeft(toks) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j + 1), size(toks)),
         (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(transform(filter(joined, s => s.isNotNull), s => md5(s)))
+    filter(joined, s => s.isNotNull)
   }
 
   /** Min-shingle fingerprint: minimum md5 over all `k`-word shingles —

@@ -2875,6 +2875,49 @@ object Oracles {
 
     "t33_classifier_loop" -> t33Sql,
 
+    // t37: corpus-growth census — Heaps checkpoints via the
+    // first-occurrence election, Zipf over the deterministic top-N head,
+    // both OLS slopes in t30's integer micro-nat convention (per-row ln
+    // quantized to BIGINT, exact integer sums, one rounded double at the
+    // end). Window sums cast back to BIGINT (DuckDB sums BIGINT→HUGEINT).
+    "t37_vocab_growth" -> {
+      val ols = "round((count(*) * sum(x*y) - sum(x) * sum(y)) * 1.0 / " +
+        "(count(*) * sum(x*x) - sum(x) * sum(x)), 4)"
+      def lnM(e: String) =
+        s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+      val concatK = (0 until VocabK)
+        .map(j => if (j == 0) "t[i]" else s"t[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tc AS (SELECT doc_id, ${lowSeq("text")} AS t FROM documents),
+         |tk AS (SELECT doc_id % $VocabBuckets AS bucket, $concatK AS tok
+         |  FROM (SELECT doc_id, t, unnest(range(1,
+         |      len(t) - ${VocabK - 2})) AS i
+         |    FROM tc WHERE len(t) >= $VocabK)),
+         |ts AS (SELECT tok, min(bucket) AS first_b,
+         |    CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+         |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM tk GROUP BY 1),
+         |fb AS (SELECT first_b AS bucket, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM ts GROUP BY 1),
+         |cum AS (SELECT pb.bucket, pb.n_toks,
+         |    coalesce(fb.n_new, 0) AS n_new,
+         |    CAST(sum(pb.n_toks) OVER (ORDER BY pb.bucket) AS BIGINT)
+         |      AS cum_toks,
+         |    CAST(sum(coalesce(fb.n_new, 0)) OVER (ORDER BY pb.bucket)
+         |      AS BIGINT) AS cum_vocab
+         |  FROM pb LEFT JOIN fb USING (bucket)),
+         |head AS (SELECT ${lnM("row_number() OVER (ORDER BY freq DESC, tok)")}
+         |      AS x, ${lnM("freq")} AS y
+         |  FROM ts ORDER BY freq DESC, tok LIMIT $ZipfTopN),
+         |z AS (SELECT $ols AS zipf_slope FROM head),
+         |hc AS (SELECT ${lnM("cum_toks")} AS x, ${lnM("cum_vocab")} AS y
+         |  FROM cum),
+         |h AS (SELECT $ols AS heaps_beta FROM hc)
+         |SELECT bucket AS checkpoint, n_toks, n_new, cum_toks, cum_vocab,
+         |  zipf_slope, heaps_beta
+         |FROM cum, z, h ORDER BY checkpoint""".stripMargin
+    },
+
     // t36: Kneser-Ney-style bigram LM — the probability stays a ratio of
     // integers ((4c-3)B + 3*N1a*N1b over 4*c1*B), so the two ln's per
     // bigram type see identical doubles in both engines

@@ -3290,6 +3290,71 @@ object Queries {
       "text", KnDiscountNum)
       .orderBy(col("doc_id"))
 
+  /** T37: corpus-growth census — Heaps'-law vocabulary growth and the
+    * Zipf rank-frequency slope, the two statistics that size a tokenizer
+    * vocabulary and a dedup index BEFORE committing to a corpus (Heaps
+    * 1978; Zipf 1949): V(N) ≈ K·N^β says how vocab (and every
+    * distinct-token structure: BPE merge table, IDF table, minhash
+    * universe) grows as the corpus scales from the sample to 100 TB, and
+    * the Zipf slope says how head-heavy the token distribution is (how
+    * hot the hottest shuffle keys get). The census grain is the `VocabK`-
+    * word shingle TYPE — the universe the dedup/decontamination indexes
+    * (d3/d7/d20/d23) actually key on, and the grain where this corpus's
+    * vocabulary genuinely grows (its unigram vocab is closed).
+    *
+    * Shape: ONE type-grain shuffle (shingle → min(bucket), freq) serves both
+    * laws. Heaps checkpoints come from `VocabBuckets` deterministic
+    * doc_id-mod buckets: cumulative vocab at checkpoint i = tokens whose
+    * FIRST bucket ≤ i — a first-occurrence election, not a rolling
+    * distinct (the rolling-distinct formulation is a reducer-per-prefix
+    * quadratic; the election is one groupBy). Both regressions run over
+    * model-sized frames (10 checkpoints, `ZipfTopN` head tokens) with the
+    * t30 micro-nat convention — per-row ln quantized to integer 10⁻⁶ nats,
+    * sums exact integers (partial-agg order can't wiggle a double), the
+    * final OLS slope one double division rounded 4 dp. The unbounded
+    * windows ride the 10-row checkpoint frame and the TopN-limited head —
+    * bounded by construction. */
+  def t37VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def lnMicro(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1000000.0) + lit(0.5)).cast("long")
+    def slope(df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          4).as(as))
+    val tk = Tables.documents(s, d)
+      .select((col("doc_id") % VocabBuckets).as("bucket"),
+        explode(TextAnalysis.shingleSeq(col("text"), VocabK)).as("tok"))
+    val tokStats = tk.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("first_b"), count(lit(1)).as("freq"))
+    val perB = tk.groupBy(col("bucket")).agg(count(lit(1)).as("n_toks"))
+    val firstB = tokStats.select(col("first_b").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new"))
+    val wc = w.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perB.join(firstB, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(wc))
+      .withColumn("cum_vocab", sum(col("n_new")).over(wc))
+    val head = tokStats.orderBy(col("freq").desc, col("tok")).limit(ZipfTopN)
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("freq").desc, col("tok"))))
+    val zipf = slope(head.select(lnMicro(col("rk")).as("x"),
+      lnMicro(col("freq")).as("y")), "zipf_slope")
+    val heaps = slope(cum.select(lnMicro(col("cum_toks")).as("x"),
+      lnMicro(col("cum_vocab")).as("y")), "heaps_beta")
+    cum.crossJoin(broadcast(zipf)).crossJoin(broadcast(heaps))
+      .select(col("bucket").as("checkpoint"), col("n_toks"), col("n_new"),
+        col("cum_toks"), col("cum_vocab"), col("zipf_slope"),
+        col("heaps_beta"))
+      .orderBy(col("checkpoint"))
+  }
+
   def t30DsirWeights(s: SparkSession, d: String): DataFrame =
     dsirScores(s, d)
       .select(col("doc_id"), col("lang"), col("n_toks"), col("score_micro"),
@@ -5482,6 +5547,7 @@ object Queries {
     "t34_doremi_mix" -> t34DoremiMix _,
     "t35_curriculum_schedule" -> t35CurriculumSchedule _,
     "t36_bigram_lm" -> t36BigramLm _,
+    "t37_vocab_growth" -> t37VocabGrowth _,
     "t18_bpe_merges" -> t18BpeMerges _,
     "t19_bpe_fertility" -> t19BpeFertility _,
     "t20_line_dedup" -> t20LineDedup _,

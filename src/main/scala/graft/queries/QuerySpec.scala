@@ -305,6 +305,13 @@ object QuerySpec {
   // Dedup.containmentDupPairs)
   val ContainPpm = 800000L
 
+  // T37 corpus-growth census: Heaps checkpoints (doc_id-mod buckets), the
+  // Zipf head size the rank-frequency regression runs over, and the
+  // shingle width defining a vocabulary TYPE (the dedup-index grain)
+  val VocabBuckets = 10
+  val ZipfTopN = 100
+  val VocabK = 3
+
   // P8 order-status enum
   val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
 }
