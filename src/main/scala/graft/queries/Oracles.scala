@@ -1689,6 +1689,32 @@ object Oracles {
          |  USING (event_type)
          |GROUP BY 1 ORDER BY d.event_type""".stripMargin,
 
+    // a29: sketch overlap — exact pair counts hash-compared, the
+    // inclusion–exclusion estimate gated by the union-scaled tolerance
+    // (each of the three HLL estimates is ±~1.6% of a cardinality ≤ the
+    // union; 8% of the union is 1.7× the worst-case sum)
+    "a29_sketch_overlap" ->
+      s"""WITH ev AS (SELECT DISTINCT
+         |    (epoch_ms(ts) - $RangeStartMs) // ${24L * HourMs} AS seg,
+         |    user_id
+         |  FROM events WHERE event_type = 'purchase'
+         |    AND (epoch_ms(ts) - $RangeStartMs) // ${24L * HourMs}
+         |      < $OverlapDays),
+         |per AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ev GROUP BY 1),
+         |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter_exact
+         |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+         |    AND a.seg < b.seg
+         |  GROUP BY 1, 2)
+         |SELECT seg_a, seg_b, pa.n_exact AS n_a_exact,
+         |  pb.n_exact AS n_b_exact, n_inter_exact,
+         |  pa.n_exact + pb.n_exact - n_inter_exact AS n_union_exact,
+         |  true AS overlap_ok
+         |FROM p JOIN per pa ON pa.seg = p.seg_a
+         |  JOIN per pb ON pb.seg = p.seg_b
+         |ORDER BY seg_a, seg_b""".stripMargin,
+
     // pipe4: gate → dedup → pack → shard, recomputed declaratively; the
     // engine's export/readback must reproduce these stats exactly.
     // pipe5: the backfill-closure spine is deterministic, so the oracle is

@@ -4357,6 +4357,58 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  /** A29: sketch set-OVERLAP via inclusion–exclusion — the third leg of
+    * the sketch story (a9 estimates one set, a21 merges a partitioned
+    * set; this intersects two): |A∩B| ≈ est(A) + est(B) − est(A∪B), with
+    * the union estimated from the two sketches' merge (hll_union) — so
+    * "how many users do segments A and B share" is answered from the
+    * per-segment sketch tier a 100 TB pipeline already keeps, no row
+    * rescan and no user-grain pair join. Segments here are purchase-day
+    * cohorts (the repeat-buyer overlap matrix — day-grain user sets
+    * genuinely differ, unlike this corpus's event types, which every user
+    * touches). The error scales with the UNION
+    * (each of the three estimates is ±~1.6% of its own cardinality, all ≤
+    * |A∪B|), which is exactly why production keeps the EXACT pair join
+    * (one user-grain shuffle, here too) for the segments that matter and
+    * the sketch path for the n² dashboard grid. Contract columns: exact
+    * values hash-compared, the sketch estimate gated by a union-scaled
+    * tolerance flag (literal true in the oracle — a drifting sketch
+    * breaks the hash). */
+  def a29SketchOverlap(s: SparkSession, d: String): DataFrame = {
+    val dayMs = 24L * HourMs
+    val ev = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(((col("ts_ms") - lit(RangeStartMs)) / dayMs).cast("long")
+        .as("seg"), col("user_id"))
+      .where(col("seg") < OverlapDays)
+      .distinct()
+    val per = ev.groupBy(col("seg"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_exact"))
+    // |days| rows — the pair grid is model-sized and broadcasts
+    val inter = ev.select(col("seg").as("seg_a"), col("user_id"))
+      .join(ev.select(col("seg").as("seg_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val a = per.select(col("seg").as("seg_a"),
+      col("sk").as("sk_a"), col("n_exact").as("n_a_exact"))
+    val b = per.select(col("seg").as("seg_b"),
+      col("sk").as("sk_b"), col("n_exact").as("n_b_exact"))
+    inter.join(broadcast(a), Seq("seg_a")).join(broadcast(b), Seq("seg_b"))
+      .withColumn("n_union_exact",
+        col("n_a_exact") + col("n_b_exact") - col("n_inter_exact"))
+      .withColumn("est_inter",
+        hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .select(col("seg_a"), col("seg_b"), col("n_a_exact"),
+        col("n_b_exact"), col("n_inter_exact"), col("n_union_exact"),
+        (abs(col("est_inter") - col("n_inter_exact")).cast("double") <=
+          lit(0.08) * col("n_union_exact")).as("overlap_ok"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   /** T25: content-defined chunking (the LBFS/rsync rolling-hash move,
     * Muthitacharoen 2001): a chunk boundary falls AFTER token j wherever
     * the 3-gram ending at j hashes to 0 mod 8 — so chunk boundaries are
@@ -5563,6 +5615,7 @@ object Queries {
     "o9_compaction_plan" -> o9CompactionPlan _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
+    "a29_sketch_overlap" -> a29SketchOverlap _,
     "a22_retention_cohorts" -> a22RetentionCohorts _,
     "a23_window_funnel" -> a23WindowFunnel _,
     "a24_attribution" -> a24Attribution _,

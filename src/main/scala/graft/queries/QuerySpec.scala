@@ -312,6 +312,10 @@ object QuerySpec {
   val ZipfTopN = 100
   val VocabK = 3
 
+  // A29 sketch overlap: number of leading purchase-day cohorts in the
+  // pairwise overlap grid (d days → d(d-1)/2 pairs, model-sized)
+  val OverlapDays = 10
+
   // P8 order-status enum
   val StatusMap: Map[String, Int] = Map("O" -> 0, "F" -> 1, "P" -> 2)
 }
