@@ -3010,6 +3010,109 @@ object Oracles {
     // d7's shingle algebra at the %29 split): the Spark side answers
     // incrementally from yesterday's staged table + the snapshot delta,
     // so the hash match IS the incremental ≡ full proof.
+    // pipe13: the nightly-refresh spine, recomputed FULL-SCAN from v2 —
+    // delta classification, Gopher gate (t15's integer rules), benchmark
+    // decontamination, and minhash-band near-dup admission (delta vs
+    // corpus-v1, self-id excluded) all from first principles; hash
+    // equality against the engine's carry-forward plan is the
+    // incremental ≡ full proof for the COMPOSED pipeline.
+    "pipe13_nightly_refresh" -> {
+      val rows = MinhashK / MinhashBands
+      val sigs = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(toks, x -> md5('$i:' || x))) AS m$i")
+        .mkString(",\n  ")
+      val bandKeys = (0 until MinhashBands).map { b =>
+        val parts = (b * rows until (b + 1) * rows).map(i => s"m$i")
+          .mkString(" || ',' || ")
+        s"'$b|' || md5($parts)"
+      }.mkString(", ")
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+         |v2 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM v1 WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id + 10000000, lang, 'recrawl ' || text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |ct AS MATERIALIZED (SELECT doc_id, lang, text FROM v2
+         |  WHERE doc_id % 29 <> 0),
+         |c1 AS MATERIALIZED (SELECT doc_id, text FROM v1
+         |  WHERE doc_id % 29 <> 0),
+         |dd AS MATERIALIZED (SELECT ct.doc_id, ct.text FROM ct
+         |  LEFT JOIN c1 USING (doc_id)
+         |  WHERE c1.doc_id IS NULL OR c1.text <> ct.text),
+         |bt AS (SELECT ${lowSeq("text")} AS toks FROM v1
+         |  WHERE doc_id % 29 = 0),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM bt WHERE len(toks) >= 3),
+         |csh AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM (SELECT doc_id, ${lowSeq("text")} AS toks FROM ct)
+         |  WHERE len(toks) >= 3),
+         |cont AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+         |gp AS (SELECT doc_id,
+         |    CAST(len(${rawToks("text")}) AS BIGINT) AS n,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS chars,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+         |    CAST(len(list_filter(${rawToks("text")}, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(list_filter(${rawToks("text")}, x -> x IN ('the', 'a'))) AS BIGINT) AS stops
+         |  FROM ct),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END
+         |    * CASE WHEN 3 * n <= chars AND chars <= 10 * n THEN 1 ELSE 0 END
+         |    * CASE WHEN 10 * (hashes + dots) < n THEN 1 ELSE 0 END
+         |    * CASE WHEN 10 * alpha >= 8 * n THEN 1 ELSE 0 END
+         |    * CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS passes
+         |  FROM gp),
+         |c1t AS (SELECT doc_id, toks FROM
+         |  (SELECT doc_id, ${lowSet("text")} AS toks FROM c1)
+         |  WHERE len(toks) > 0),
+         |dtt AS (SELECT doc_id, toks FROM
+         |  (SELECT doc_id, ${lowSet("text")} AS toks FROM dd)
+         |  WHERE len(toks) > 0),
+         |allr AS (SELECT 'c' AS role, doc_id, toks FROM c1t
+         |  UNION ALL SELECT 'd', doc_id, toks FROM dtt),
+         |sig AS (SELECT role, doc_id,
+         |  $sigs
+         |FROM allr),
+         |bands AS (SELECT role, doc_id, unnest([$bandKeys]) AS band
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT bd.doc_id AS did, bc.doc_id AS cid
+         |  FROM bands bd JOIN bands bc ON bd.band = bc.band
+         |  WHERE bd.role = 'd' AND bc.role = 'c' AND bd.doc_id <> bc.doc_id),
+         |dup AS (SELECT DISTINCT did AS doc_id FROM cand
+         |  JOIN dtt td ON td.doc_id = did
+         |  JOIN c1t tc ON tc.doc_id = cid
+         |  WHERE CASE WHEN len(td.toks) + len(tc.toks)
+         |        - len(list_intersect(td.toks, tc.toks)) > 0
+         |      THEN CAST(len(list_intersect(td.toks, tc.toks)) AS DOUBLE)
+         |        / (len(td.toks) + len(tc.toks)
+         |           - len(list_intersect(td.toks, tc.toks)))
+         |      ELSE 1.0 END >= $MinhashThreshold),
+         |fl AS (SELECT ct.doc_id, ct.lang,
+         |    CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END AS carried,
+         |    g.passes,
+         |    CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam,
+         |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+         |  FROM ct
+         |  LEFT JOIN (SELECT doc_id FROM dd) dd USING (doc_id)
+         |  JOIN g USING (doc_id)
+         |  LEFT JOIN cont USING (doc_id)
+         |  LEFT JOIN dup USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(carried) AS BIGINT) AS n_carried,
+         |  CAST(sum(1 - carried) AS BIGINT) AS n_delta,
+         |  CAST(sum(1 - passes) AS BIGINT) AS n_gate_fail,
+         |  CAST(sum(contam) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN passes = 1 AND contam = 0 AND dup = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(sum(CASE WHEN passes = 1 AND contam = 0 AND dup = 0
+         |    THEN doc_id ELSE 0 END) AS BIGINT) AS sum_admitted_id
+         |FROM fl GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     "d19_incremental_decontam" ->
       s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
          |v2 AS (SELECT doc_id, lang,

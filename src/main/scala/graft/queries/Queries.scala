@@ -5109,6 +5109,94 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc Gopher gate verdicts (t15's integer rules rolled to one
+    * bit) — the staged-verdict grain pipe13 carries across snapshots. */
+  private def gateVerdicts(df: DataFrame): DataFrame = {
+    val (rW, rM, rS, rA, rSt) = gopherRules(col("text"))
+    df.select(col("doc_id"),
+      when(rW && rM && rS && rA && rSt, 1L).otherwise(0L).as("passes"))
+  }
+
+  /** PIPE13: the NIGHTLY-REFRESH spine — the whole curation pipeline run
+    * INCREMENTALLY across a corpus snapshot move (k7's deterministic
+    * v1→v2 pair), in one plan: (1) one hash-partitioned full-outer diff
+    * classifies every v2 doc carried vs delta; (2) the Gopher gate (t15)
+    * and the benchmark decontamination (d7, fixed eval set) run their
+    * per-doc-pure compute on ONLY the delta, carrying yesterday's staged
+    * verdict tables forward for carried docs by metadata-grain semi-join;
+    * (3) near-dup admission control runs the delta against yesterday's
+    * persisted MinHash index (d15's serve path — index touched by scan
+    * only, self-id matches excluded: a changed doc must not be "dup of"
+    * its own previous version); (4) one per-lang census of the admitted
+    * set. The DuckDB oracle recomputes the ENTIRE steady state full-scan
+    * from v2 — hash equality is the incremental ≡ full proof for the
+    * composed pipeline, not just each stage (d19 proved the decontam
+    * stage; this proves the spine). At 100 TB tonight's bill is
+    * O(delta) shingle/gate/minhash work + one corpus-grain diff join +
+    * metadata-grain semi-joins — the corpus is never re-tokenized. */
+  def pipe13NightlyRefresh(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = snapshotPair(s, d)
+    val bench = v1.where(col("doc_id") % 29 === 0)
+    val corp1 = v1.where(col("doc_id") % 29 =!= 0)
+    val corp2 = v2.where(col("doc_id") % 29 =!= 0)
+    // yesterday's artifacts over corpus-v1: gate verdicts, contamination
+    // table, minhash index — pure functions of v1, staged once per sf dir
+    val root = stagedDir("pipe13", d) { dir =>
+      gateVerdicts(corp1).write.mode("overwrite").parquet(s"$dir/gate")
+      Decontaminate.contaminatedDocs(corp1, bench, "doc_id", "text", k = 3)
+        .select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/contam")
+      Dedup.buildMinhashIndex(corp1, "doc_id", "text", s"$dir/index",
+        MinhashK, MinhashBands)
+    }
+    val diff = corp1.select(col("doc_id"), col("text").as("t1"))
+      .join(corp2.select(col("doc_id"), col("text").as("t2")),
+        Seq("doc_id"), "full_outer")
+    val carriedIds = diff
+      .where(col("t1").isNotNull && col("t2").isNotNull &&
+        col("t1") === col("t2"))
+      .select(col("doc_id"))
+    val delta = diff
+      .where(col("t2").isNotNull &&
+        (col("t1").isNull || col("t1") =!= col("t2")))
+      .select(col("doc_id"), col("t2").as("text"))
+    val gate = s.read.parquet(s"$root/gate")
+      .join(carriedIds, Seq("doc_id"), "left_semi")
+      .unionByName(gateVerdicts(delta))
+    val contamIds = s.read.parquet(s"$root/contam")
+      .join(carriedIds, Seq("doc_id"), "left_semi")
+      .unionByName(Decontaminate
+        .contaminatedDocs(delta, bench, "doc_id", "text", k = 3)
+        .select(col("doc_id")))
+    val dupIds = Dedup.dedupAgainstIndex(delta, "doc_id", "text",
+        s"$root/index", MinhashK, MinhashBands, MinhashThreshold)
+      .where(col("delta_id") =!= col("corpus_id"))
+      .select(col("delta_id").as("doc_id")).distinct()
+    val admitted = col("passes") === 1L && col("contam") === 0L &&
+      col("dup") === 0L
+    corp2.select(col("doc_id"), col("lang"))
+      .join(carriedIds.withColumn("carried", lit(1L)), Seq("doc_id"), "left")
+      .join(gate, Seq("doc_id"), "left")
+      .join(contamIds.withColumn("contam", lit(1L)), Seq("doc_id"), "left")
+      .join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("carried"), lit(0L)).as("carried"),
+        coalesce(col("passes"), lit(0L)).as("passes"),
+        coalesce(col("contam"), lit(0L)).as("contam"),
+        coalesce(col("dup"), lit(0L)).as("dup"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("carried")).as("n_carried"),
+        sum(lit(1L) - col("carried")).as("n_delta"),
+        sum(lit(1L) - col("passes")).as("n_gate_fail"),
+        sum(col("contam")).as("n_contaminated"),
+        sum(col("dup")).as("n_dup"),
+        sum(when(admitted, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(admitted, col("doc_id")).otherwise(0L))
+          .as("sum_admitted_id"))
+      .orderBy(col("lang"))
+  }
+
   def pipe10MixBudget(s: SparkSession, d: String): DataFrame = {
     // skinny selection frame (id, lang, toks, order key, bucket): this is
     // the staged artifact at 100 TB too — tokenize once, select twice
@@ -5638,6 +5726,7 @@ object Queries {
     "pipe10_mix_budget" -> pipe10MixBudget _,
     "pipe11_select_pack" -> pipe11SelectPack _,
     "pipe12_domain_gate" -> pipe12DomainGate _,
+    "pipe13_nightly_refresh" -> pipe13NightlyRefresh _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,
