@@ -1415,6 +1415,45 @@ object Oracles {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS nwin
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // w15: grid resample + interpolation. Means are integer floor-divs
+    // over micro-unit sums (non-negative — the div/floor seam is closed
+    // by domain); the interpolation expression is the same fixed IEEE
+    // tree over exact integer inputs on both engines.
+    "w15_interpolate" -> {
+      val gridHours = (RangeEndMs - RangeStartMs) / HourMs
+      s"""WITH obs AS (SELECT event_type,
+         |    (epoch_ms(ts) - $RangeStartMs) // $HourMs AS h,
+         |    CAST(count(*) AS BIGINT) AS n_obs,
+         |    CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+         |      // count(*) AS BIGINT) AS m
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (SELECT event_type, unnest(range(0, $gridHours)) AS h
+         |  FROM (SELECT DISTINCT event_type FROM events)),
+         |f AS (SELECT g.event_type, g.h, obs.n_obs, obs.m,
+         |    last_value(obs.m IGNORE NULLS) OVER wp AS pm,
+         |    last_value(CASE WHEN obs.m IS NOT NULL THEN g.h END
+         |      IGNORE NULLS) OVER wp AS ph,
+         |    first_value(obs.m IGNORE NULLS) OVER wn AS nm,
+         |    first_value(CASE WHEN obs.m IS NOT NULL THEN g.h END
+         |      IGNORE NULLS) OVER wn AS nh
+         |  FROM grid g LEFT JOIN obs USING (event_type, h)
+         |  WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY g.event_type ORDER BY g.h
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, h, coalesce(n_obs, 0) AS n_obs,
+         |  round((CASE WHEN m IS NOT NULL THEN CAST(m AS DOUBLE)
+         |    WHEN pm IS NOT NULL AND nm IS NOT NULL THEN
+         |      CAST(pm AS DOUBLE) + CAST(nm - pm AS DOUBLE)
+         |        * CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)
+         |    WHEN pm IS NOT NULL THEN CAST(pm AS DOUBLE)
+         |    ELSE CAST(nm AS DOUBLE) END) / 1000000.0, 6) AS value,
+         |  CASE WHEN m IS NOT NULL THEN 'obs'
+         |    WHEN pm IS NOT NULL AND nm IS NOT NULL THEN 'interp'
+         |    WHEN pm IS NOT NULL THEN 'ffill' ELSE 'bfill' END AS src
+         |FROM f ORDER BY event_type, h""".stripMargin
+    },
+
     "a5_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

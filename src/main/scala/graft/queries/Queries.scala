@@ -1016,6 +1016,65 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** W15: grid resample + linear interpolation — the time-series
+    * regularization every downstream model assumes someone did: irregular
+    * observations → per-series hourly means on the fixed range grid, with
+    * missing grid points filled by LINEAR interpolation between the
+    * bracketing observations (leading/trailing gaps carry the nearest
+    * observation, flagged bfill/ffill — no invented slope off the edge).
+    * Complements the gap ENGINE (w1-w4 plans what to re-fetch; this
+    * serves a dense series NOW from what's already on hand).
+    *
+    * Scale shape: one (series, hour) partial-agg shuffle, then every
+    * window rides the fixed 720-hour GRID per series (a25/a27's rule:
+    * grid-bounded frames, never data-cardinality ones); the grid explode
+    * is |series|×720. Numeric seams closed the sn1 way: per-event values
+    * quantize to micro-units BEFORE summing (longs — partial-agg order
+    * can't wiggle a double), the hourly mean is one integer floor-div on
+    * non-negative sums, and the interpolation is a single fixed-shape
+    * double expression over exact integer inputs — both engines evaluate
+    * the identical IEEE tree. */
+  def w15Interpolate(s: SparkSession, d: String): DataFrame = {
+    val gridHours = (RangeEndMs - RangeStartMs) / HourMs
+    val obs = Tables.events(s, d)
+      .select(col("event_type"),
+        ((col("ts_ms") - lit(RangeStartMs)) / HourMs).cast("long").as("h"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("v6"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n_obs"), expr("sum(v6) div count(1)").as("m"))
+    val grid = obs.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(gridHours - 1L))).as("h"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = grid.join(obs, Seq("event_type", "h"), "left")
+      .withColumn("pm", last(col("m"), ignoreNulls = true).over(wp))
+      .withColumn("ph", last(when(col("m").isNotNull, col("h")),
+        ignoreNulls = true).over(wp))
+      .withColumn("nm", first(col("m"), ignoreNulls = true).over(wn))
+      .withColumn("nh", first(when(col("m").isNotNull, col("h")),
+        ignoreNulls = true).over(wn))
+    val vMicro =
+      when(col("m").isNotNull, col("m").cast("double"))
+        .when(col("pm").isNotNull && col("nm").isNotNull,
+          col("pm").cast("double") +
+            (col("nm") - col("pm")).cast("double") *
+            (col("h") - col("ph")).cast("double") /
+            (col("nh") - col("ph")).cast("double"))
+        .when(col("pm").isNotNull, col("pm").cast("double"))
+        .otherwise(col("nm").cast("double"))
+    filled.select(col("event_type"), col("h"),
+      coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+      round(vMicro / lit(1000000.0), 6).as("value"),
+      when(col("m").isNotNull, "obs")
+        .when(col("pm").isNotNull && col("nm").isNotNull, "interp")
+        .when(col("pm").isNotNull, "ffill").otherwise("bfill").as("src"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** W8: offset + frame-edge window functions — lead, first/last value
     * over explicit frames, percent_rank (value-dependent, so deterministic
     * under ties like rank). Completes the window family beside LAG (w1),
@@ -5604,6 +5663,7 @@ object Queries {
     "w12_stream_join" -> w12StreamJoin _,
     "w13_scd2" -> w13Scd2 _,
     "w14_stateful_cursor" -> w14StatefulCursor _,
+    "w15_interpolate" -> w15Interpolate _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,
