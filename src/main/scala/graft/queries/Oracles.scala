@@ -4001,6 +4001,42 @@ object Oracles {
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 6) AS sim
          |FROM r WHERE rank <= $IvfTopK ORDER BY query_id, rank""".stripMargin,
 
+    // s21: filtered ANN — one ranked assignment CTE serves corpus (arn=1)
+    // and queries (arn <= probe); the pre-filtered ranking and the
+    // post-filter hit count are both replayed from the same candidate set
+    "s21_filtered_ann" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv, label
+         |  FROM embeddings),
+         |ca AS (SELECT nid, cv, label, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, label, cent_id AS cell FROM ca
+         |  WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, label AS q_label,
+         |    cent_id AS cell
+         |  FROM ca WHERE arn <= $S21Probe AND nid < $NumQueries),
+         |cand AS (SELECT query_id, nid AS neighbor_id, label, q_label,
+         |    ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |pre AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM cand WHERE label = q_label),
+         |postr AS (SELECT query_id, label, q_label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM cand),
+         |ph AS (SELECT query_id, CAST(count(*) AS BIGINT) AS post_hits
+         |  FROM postr WHERE rank <= $IvfTopK AND label = q_label
+         |  GROUP BY 1)
+         |SELECT pre.query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+         |  round(sim, 6) AS sim, coalesce(post_hits, 0) AS post_hits
+         |FROM pre LEFT JOIN ph ON ph.query_id = pre.query_id
+         |WHERE rank <= $IvfTopK ORDER BY pre.query_id, rank""".stripMargin,
+
     // S16: cell assignment replayed once for the corpus (arn = 1) and the
     // query side reuses the SAME ranked cross join with arn <= probe; the
     // pos/neg election mirrors the engine's per-(query, pair_type) window

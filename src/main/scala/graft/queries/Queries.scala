@@ -3901,6 +3901,52 @@ object Queries {
       .orderBy(col("nprobe"), col("query_id"))
   }
 
+  /** S21: FILTERED ANN — top-k restricted to a metadata predicate (here:
+    * same label as the query — "more like this, same category"), the
+    * production retrieval shape every vector store grows into. The filter
+    * is applied PRE-search: the label predicate restricts the corpus side
+    * BEFORE the cell join, which at 100 TB sits in the parquet scan right
+    * next to the DPP cell pruning (s15) — the index pays for matching
+    * rows in probed cells only. The contract also carries the
+    * POST-filter evidence per query: run the same probe unfiltered,
+    * label-filter the top-k AFTERWARDS (`post_hits` ≤ k) — the recall
+    * collapse that makes post-filtering the wrong default is IN the
+    * hash-compared output, not a code comment. Probes widen to
+    * `S21Probe` cells: a filter thins every cell, so the filtered search
+    * needs more cells for the same candidate mass — the knob production
+    * couples to filter selectivity. */
+  def s21FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val corp = Similarity.assignCells(emb, cents, "vec_id", "embedding",
+      "neighbor_id", "cv", 1, carry = Seq("label"))
+    val q = Similarity.assignCells(emb.where(col("vec_id") < NumQueries),
+      cents, "vec_id", "embedding", "query_id", "qv", S21Probe,
+      carry = Seq("label"))
+      .withColumnRenamed("label", "q_label")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val cand = corp.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("q_label"), col("sim"))
+      .localCheckpoint() // feeds both strategies; one cell join, not two
+    val pre = cand.where(col("label") === col("q_label"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= IvfTopK)
+    val post = cand
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= IvfTopK && col("label") === col("q_label"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("post_hits"))
+    pre.join(post, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"),
+        coalesce(col("post_hits"), lit(0L)).as("post_hits"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S14: ANN recall@k — the evaluation every approximate index ships
     * with: sign-LSH hits against the brute-force cosine ground truth, per
     * query (LSH is the engine's lossiest index — single-bucket candidates
@@ -5816,6 +5862,7 @@ object Queries {
     "s15_ivf_index" -> s15IvfIndexPersist _,
     "s19_index_merge" -> s19IndexMerge _,
     "s20_nprobe_sweep" -> s20NprobeSweep _,
+    "s21_filtered_ann" -> s21FilteredAnn _,
     "s16_hard_negatives" -> s16HardNegatives _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders

@@ -312,6 +312,10 @@ object QuerySpec {
   val ZipfTopN = 100
   val VocabK = 3
 
+  // S21 filtered ANN: probe width for the label-filtered search (filters
+  // thin cells, so the filtered path probes wider than s3's nprobe=1)
+  val S21Probe = 2
+
   // A29 sketch overlap: number of leading purchase-day cohorts in the
   // pairwise overlap grid (d days → d(d-1)/2 pairs, model-sized)
   val OverlapDays = 10
