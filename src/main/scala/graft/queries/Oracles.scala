@@ -1728,6 +1728,85 @@ object Oracles {
          |  USING (event_type)
          |GROUP BY 1 ORDER BY d.event_type""".stripMargin,
 
+    // a30: Markov removal-effect attribution — the journey/transition
+    // construction replayed with windows, then the SAME exact integer
+    // absorption recurrence unrolled as generated CTEs (a18's pattern):
+    // 5 chains (base + one per removed channel) × MarkovIters steps, CONV
+    // pinned at 1e6 each step, removed channel absent from the p table
+    // (coalesce 0) and never computed (src filter), out-degrees unchanged.
+    "a30_markov_attribution" -> {
+      def chain(tag: String, skip: Option[String]): String = {
+        val skipSrc = skip.map(c => s" AND e.src <> '$c'").getOrElse("")
+        val skipP = skip.map(c => s" AND p.state <> '$c'").getOrElse("")
+        val p0 = s"p_${tag}_0 AS (SELECT 'CONV' AS state, " +
+          "CAST(1000000 AS BIGINT) AS p)"
+        val steps = (1 to MarkovIters).map { k =>
+          s"""p_${tag}_$k AS (
+             |  SELECT e.src AS state,
+             |    CAST(sum(e.cnt * coalesce(p.p, 0)) // min(o.o) AS BIGINT)
+             |      AS p
+             |  FROM edges e JOIN outc o ON o.src = e.src
+             |  LEFT JOIN p_${tag}_${k - 1} p ON p.state = e.dst$skipP
+             |  WHERE e.src NOT IN ('CONV', 'NULL')$skipSrc
+             |  GROUP BY e.src
+             |  UNION ALL SELECT 'CONV', CAST(1000000 AS BIGINT))"""
+            .stripMargin
+        }
+        (p0 +: steps).mkString(",\n")
+      }
+      val chains = (("base", Option.empty[String]) +:
+        MarkovChannels.map(c => (c, Some(c))))
+        .map { case (t, sk) => chain(t, sk) }.mkString(",\n")
+      val remUnion = MarkovChannels.map { c =>
+        s"SELECT '$c' AS channel, p FROM p_${c}_$MarkovIters " +
+          "WHERE state = 'START'"
+      }.mkString("\n  UNION ALL ")
+      val chList = MarkovChannels.map(c => s"'$c'").mkString(", ")
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ms(ts), event_id) AS rn
+         |  FROM events),
+         |fp AS (SELECT user_id, min(rn) AS prn FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |st AS (SELECT ev.user_id, ev.rn, fp.prn,
+         |    CASE WHEN ev.event_type = 'purchase' THEN 'CONV'
+         |      ELSE ev.event_type END AS state
+         |  FROM ev LEFT JOIN fp USING (user_id)
+         |  WHERE fp.prn IS NULL OR ev.rn <= fp.prn),
+         |tr AS (SELECT coalesce(lag(state) OVER (PARTITION BY user_id
+         |      ORDER BY rn), 'START') AS src, state AS dst FROM st),
+         |tl AS (SELECT state AS src, 'NULL' AS dst FROM st s1
+         |  WHERE prn IS NULL AND rn = (SELECT max(rn) FROM st s2
+         |    WHERE s2.user_id = s1.user_id)),
+         |edges AS MATERIALIZED (SELECT src, dst,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT * FROM tr UNION ALL SELECT * FROM tl)
+         |  GROUP BY 1, 2),
+         |outc AS MATERIALIZED (SELECT src, CAST(sum(cnt) AS BIGINT) AS o
+         |  FROM edges GROUP BY 1),
+         |$chains,
+         |bse AS (SELECT p FROM p_base_$MarkovIters WHERE state = 'START'),
+         |rem AS ($remUnion),
+         |tch AS (SELECT dst AS channel, CAST(sum(cnt) AS BIGINT)
+         |    AS n_touches
+         |  FROM edges WHERE dst IN ($chList) GROUP BY 1),
+         |eff AS (SELECT rem.channel, tch.n_touches,
+         |    (SELECT p FROM bse) AS base_cv_ppm,
+         |    rem.p AS removed_cv_ppm,
+         |    CASE WHEN (SELECT p FROM bse) > 0
+         |      THEN CAST((((SELECT p FROM bse) - rem.p) * 1000000)
+         |        // (SELECT p FROM bse) AS BIGINT)
+         |      ELSE 0 END AS removal_effect_ppm
+         |  FROM rem JOIN tch USING (channel))
+         |SELECT channel, n_touches, base_cv_ppm, removed_cv_ppm,
+         |  removal_effect_ppm,
+         |  CASE WHEN (SELECT sum(removal_effect_ppm) FROM eff) > 0
+         |    THEN CAST((removal_effect_ppm * 1000000)
+         |      // (SELECT sum(removal_effect_ppm) FROM eff) AS BIGINT)
+         |    ELSE 0 END AS attribution_ppm
+         |FROM eff ORDER BY channel""".stripMargin
+    },
+
     // a29: sketch overlap — exact pair counts hash-compared, the
     // inclusion–exclusion estimate gated by the union-scaled tolerance
     // (each of the three HLL estimates is ±~1.6% of a cardinality ≤ the

@@ -755,6 +755,85 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** A30: Markov-chain attribution — removal effects (Anderl et al.
+    * 2014), the data-driven successor to a24's positional rules: model
+    * user journeys as a first-order Markov chain over touchpoint states
+    * (START → channels → CONV/NULL, journeys cut at the FIRST
+    * conversion), then credit each channel by how much the chain's
+    * absorption probability at CONV drops when that channel is removed
+    * (its transitions redirected to NULL, out-degrees unchanged — the
+    * standard removal-effect rule).
+    *
+    * Scale split, the a18/sketch playbook: the CORPUS work is one
+    * user-grain window pass (journey order + first-purchase cut + lag
+    * transitions) and one (src, dst) aggregate — uniform keys; what
+    * reaches the driver is the transition MATRIX, ≤ (|channels|+3)²
+    * cells, a model not row data. Absorption runs `MarkovIters` fixed
+    * steps of the exact integer recurrence p(s) ← Σ cnt(s,t)·p(t) div
+    * out(s) in micro units (floor at every step — both engines replay
+    * the identical integer sequence; the DuckDB twin unrolls the same
+    * recurrence as generated CTEs, a18's pattern, so a single rounding
+    * divergence anywhere in 5 chains × 12 steps hash-fails). Removal
+    * effects and the normalized attribution shares stay in integer ppm. */
+  def a30MarkovAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(wOrd))
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val j = ev.join(fp, Seq("user_id"), "left")
+      .where(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")))
+    val wRn = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val tr = j.select(
+      coalesce(lag(col("state"), 1).over(wRn), lit("START")).as("src"),
+      col("state").as("dst"))
+    val tail = j.where(col("prn").isNull)
+      .withColumn("mx", max(col("rn")).over(Window.partitionBy(col("user_id"))))
+      .where(col("rn") === col("mx"))
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val edges = tr.unionByName(tail)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outc = edges.groupBy(_._1).map { case (s0, es) =>
+      s0 -> es.map(_._3).sum }
+    val transientStates = edges.map(_._1).distinct
+      .filterNot(Set("CONV", "NULL")).toSeq
+    // exact integer absorption: p starts as {CONV: 1e6}, everything else
+    // 0; each step rebuilds the whole transient vector from the PREVIOUS
+    // one (no in-place update — the oracle's CTE unroll is step-grain)
+    def absorb(skip: Option[String]): Long = {
+      var p = Map("CONV" -> 1000000L).withDefaultValue(0L)
+      for (_ <- 1 to MarkovIters) {
+        val next = transientStates.filterNot(skip.contains).map { s0 =>
+          s0 -> edges.filter(_._1 == s0).map(e => e._3 * p(e._2)).sum /
+            outc(s0)
+        }.toMap
+        p = (next + ("CONV" -> 1000000L)).withDefaultValue(0L)
+      }
+      p("START")
+    }
+    val base = absorb(None)
+    val rows = MarkovChannels.map { c =>
+      val removed = absorb(Some(c))
+      val touches = edges.filter(_._2 == c).map(_._3).sum
+      val eff = if (base > 0) (base - removed) * 1000000L / base else 0L
+      (c, touches, base, removed, eff)
+    }
+    val effSum = rows.map(_._5).sum
+    rows.map { case (c, t, b, r, e) =>
+      (c, t, b, r, e, if (effSum > 0) e * 1000000L / effSum else 0L)
+    }.toDF("channel", "n_touches", "base_cv_ppm", "removed_cv_ppm",
+      "removal_effect_ppm", "attribution_ppm")
+      .orderBy(col("channel"))
+  }
+
   def a23WindowFunnel(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -5810,6 +5889,7 @@ object Queries {
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "a29_sketch_overlap" -> a29SketchOverlap _,
+    "a30_markov_attribution" -> a30MarkovAttribution _,
     "a22_retention_cohorts" -> a22RetentionCohorts _,
     "a23_window_funnel" -> a23WindowFunnel _,
     "a24_attribution" -> a24Attribution _,

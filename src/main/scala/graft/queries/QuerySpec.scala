@@ -312,6 +312,12 @@ object QuerySpec {
   val ZipfTopN = 100
   val VocabK = 3
 
+  // A30 Markov attribution: the channel states (event types that are not
+  // the conversion) and the fixed absorption-iteration count both engines
+  // unroll exactly
+  val MarkovChannels = Seq("click", "error", "signup", "view")
+  val MarkovIters = 12
+
   // S21 filtered ANN: probe width for the label-filtered search (filters
   // thin cells, so the filtered path probes wider than s3's nprobe=1)
   val S21Probe = 2
