@@ -2257,6 +2257,45 @@ object Oracles {
          |FROM b ORDER BY bucket""".stripMargin
     },
 
+    // o10: zone-map skip census — bucket assignment, zone maps, and the
+    // disjointness algebra replayed; the predicate grid as literal VALUES
+    "o10_skip_census" -> {
+      val z = (0 until ZBits).map { b =>
+        s"((((ux >> $b) & 1) << ${2 * b}) + (((vy >> $b) & 1) << ${2 * b + 1}))"
+      }.mkString(" + ")
+      val predVals = SkipPredicates.map { case (nm, ul, uh, vl, vh) =>
+        s"('$nm', CAST($ul AS BIGINT), CAST($uh AS BIGINT), " +
+          s"CAST($vl AS BIGINT), CAST($vh AS BIGINT))"
+      }.mkString(",\n    ")
+      s"""WITH e AS (SELECT event_id AS eid, user_id AS ux,
+         |    least(CAST(floor(value / 2) AS BIGINT), 255) AS vy
+         |  FROM events),
+         |sp AS (SELECT max(eid) + 1 AS span FROM e),
+         |nat AS (SELECT 'natural' AS layout,
+         |    (eid * $SkipFiles) // span AS bucket, ux, vy FROM e, sp),
+         |zo AS (SELECT 'zorder' AS layout, ($z) >> $ZShift AS bucket,
+         |    ux, vy FROM e),
+         |zones AS (SELECT layout, bucket, CAST(count(*) AS BIGINT) AS n,
+         |    min(ux) AS uxmin, max(ux) AS uxmax,
+         |    min(vy) AS vymin, max(vy) AS vymax
+         |  FROM (SELECT * FROM nat UNION ALL SELECT * FROM zo)
+         |  GROUP BY 1, 2),
+         |preds(predicate, ux_lo, ux_hi, vy_lo, vy_hi) AS (VALUES
+         |    $predVals),
+         |j AS (SELECT layout, predicate, n,
+         |    CASE WHEN uxmax < ux_lo OR uxmin > ux_hi
+         |      OR vymax < vy_lo OR vymin > vy_hi THEN 1 ELSE 0 END AS skip
+         |  FROM zones CROSS JOIN preds)
+         |SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(skip) AS BIGINT) AS n_skipped,
+         |  CAST(sum(CASE WHEN skip = 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS rows_skipped,
+         |  CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST((sum(CASE WHEN skip = 1 THEN n ELSE 0 END) * 1000000)
+         |    // sum(n) AS BIGINT) AS skip_ppm
+         |FROM j GROUP BY 1, 2 ORDER BY layout, predicate""".stripMargin
+    },
+
     "d1_exact_dedup" ->
       s"""SELECT md5(array_to_string(${lowSeq("text")}, ' ')) AS fp,
          |  min(doc_id) AS rep_id, count(*) AS dup_count

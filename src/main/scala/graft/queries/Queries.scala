@@ -2045,6 +2045,56 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** O10: zone-map SKIP census — the quantified case for o7's z-order:
+    * for each layout (natural ingestion-order files vs morton-bucketed
+    * files) and each canonical predicate, how many files' (min,max) zone
+    * maps prove the file irrelevant, and how many rows that skipping
+    * avoids. At 100 TB file skipping IS the scan budget — this is the
+    * planning query a layout decision should cite, not a rule of thumb.
+    * Natural layout zones on uncorrelated dimensions span the full domain
+    * (skip ≈ 0); z-order bounds both dimensions per file (the output
+    * shows the multi-dimensional selectivity surviving into I/O).
+    * Everything is metadata-grain after one bucket aggregate per layout:
+    * zones ≤ 2×files rows, the predicate grid broadcasts, census is
+    * (layout × predicate). Integer ppm, no float seams. */
+  def o10SkipCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, d).select(
+      col("event_id").cast("long").as("eid"),
+      col("user_id").cast("long").as("ux"),
+      least(floor(col("value") / 2).cast("long"), lit(255L)).as("vy"))
+    val span = base.agg((max(col("eid")) + lit(1L)).as("span"))
+    val nat = base.crossJoin(broadcast(span))
+      .select(lit("natural").as("layout"),
+        expr(s"(eid * $SkipFiles) div span").as("bucket"),
+        col("ux"), col("vy"))
+    val zo = base.select(lit("zorder").as("layout"),
+      shiftrightunsigned(Layout.morton(col("ux"), col("vy"), ZBits), ZShift)
+        .as("bucket"),
+      col("ux"), col("vy"))
+    val zones = nat.unionByName(zo)
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("uxmin"), max(col("ux")).as("uxmax"),
+        min(col("vy")).as("vymin"), max(col("vy")).as("vymax"))
+    val preds = SkipPredicates
+      .toDF("predicate", "ux_lo", "ux_hi", "vy_lo", "vy_hi")
+    zones.crossJoin(broadcast(preds))
+      .withColumn("skip",
+        (col("uxmax") < col("ux_lo") || col("uxmin") > col("ux_hi") ||
+          col("vymax") < col("vy_lo") || col("vymin") > col("vy_hi"))
+          .cast("long"))
+      .groupBy(col("layout"), col("predicate"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("skip")).as("n_skipped"),
+        sum(when(col("skip") === 1L, col("n")).otherwise(0L))
+          .as("rows_skipped"),
+        sum(col("n")).as("rows_total"))
+      .withColumn("skip_ppm",
+        expr("rows_skipped * 1000000 div rows_total"))
+      .orderBy(col("layout"), col("predicate"))
+  }
+
   // ---- Wide fact (market_snapshot, 70 columns) ---------------------------
 
   /** SN1: the wide-fact exercise — a per-(symbol, hour) aggregate touching
@@ -5886,6 +5936,7 @@ object Queries {
     "m6_shard_manifest" -> m6ShardManifest _,
     "o8_range_shards" -> o8RangeShards _,
     "o9_compaction_plan" -> o9CompactionPlan _,
+    "o10_skip_census" -> o10SkipCensus _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "a29_sketch_overlap" -> a29SketchOverlap _,

@@ -312,6 +312,16 @@ object QuerySpec {
   val ZipfTopN = 100
   val VocabK = 3
 
+  // O10 zone-map skip census: file count of the natural layout, and the
+  // canonical predicate grid (name, ux range, vy range) both layouts are
+  // scored against
+  val SkipFiles = 32
+  val SkipPredicates: Seq[(String, Long, Long, Long, Long)] = Seq(
+    ("p1_user_slice", 32L, 47L, 0L, 255L),
+    ("p2_value_band", 0L, 1L << 40, 100L, 115L),
+    ("p3_both_narrow", 32L, 47L, 100L, 115L),
+    ("p4_hot_corner", 0L, 7L, 0L, 7L))
+
   // A30 Markov attribution: the channel states (event types that are not
   // the conversion) and the fixed absorption-iteration count both engines
   // unroll exactly
