@@ -33,6 +33,10 @@ object BigramLm {
   def docScores(df: DataFrame, idCol: String, textCol: String,
       discountNum: Long,
       cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    // the P <= 1 / nll >= 0 proof in the scaladoc (and hence `div` == floor
+    // on both engines) only covers 0 < D <= 1, i.e. discountNum in (0, 4]
+    require(discountNum > 0 && discountNum <= 4,
+      s"docScores needs discountNum in (0, 4], got $discountNum")
     val n: Column = size(col("toks"))
     val dt = cache(Spread(df)
       .select(col(idCol).as("doc_id"),

@@ -828,6 +828,9 @@ object Dedup {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
       keyCols: Seq[String], prefixChars: Int, window: Int,
       threshold: Double): DataFrame = {
+    // window=1 would feed sequence(1, 0), which Spark evaluates as a
+    // DESCENDING [1, 0] — gap-0 self-pairs instead of no pairs
+    require(window >= 2, s"sortedNeighborhoodPairs needs window >= 2, got $window")
     val base = Spread(df).select((Seq(col(idCol).as("id"),
       substring(regexp_replace(lower(col(textCol)), "\\s+", " "),
         1, prefixChars).as("pfx"),

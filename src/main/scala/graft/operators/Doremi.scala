@@ -40,7 +40,16 @@ object Doremi {
       val alpha = w.map(_ * M / sw)
       val mixLoss = alpha.zip(ls).map { case (a, (_, l)) => a * l }.sum / M
       val excess = ls.map { case (_, l) => math.max(0L, l - mixLoss) }
-      val w2 = w.zip(excess).map { case (x, e) => x * (M + etaPpm * e / M) / M }
+      val w2 = w.zip(excess).map { case (x, e) =>
+        // weights grow multiplicatively; Scala Long wraps silently where
+        // the DuckDB oracle's BIGINT raises — fail loudly on this side too
+        require(e <= Long.MaxValue / math.max(etaPpm, 1L),
+          s"mwTrajectory: etaPpm*excess overflows (eta=$etaPpm, excess=$e)")
+        val f = M + etaPpm * e / M
+        require(x <= Long.MaxValue / math.max(f, M),
+          s"mwTrajectory: weight overflow (w=$x, factor=$f)")
+        x * f / M
+      }
       val rows = ls.indices.map { i =>
         (t, ls(i)._1, ls(i)._2, alpha(i), excess(i), w2(i))
       }

@@ -216,9 +216,9 @@ object Oracles {
     * `q(doc_id, quality)` — reused by t2's descendants (d13, t16). The
     * expression text is identical to t2's inline version so the doubles are
     * bit-identical across all three queries. */
-  private val qualityCtes: String = {
+  private def qualityCtes(scratch: String = "qs"): String = {
     val sw = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""qs AS (SELECT doc_id,
+    s"""$scratch AS (SELECT doc_id,
        |  CAST(len(${rawToks("text")}) AS DOUBLE) AS n,
        |  len(list_filter(${rawToks("text")}, x -> list_contains($sw, x))) AS hits,
        |  CAST(list_sum(list_transform(${rawToks("text")}, x -> length(x))) AS BIGINT) AS lsum
@@ -228,7 +228,7 @@ object Oracles {
        |    + (CASE WHEN n > 0 THEN hits / n ELSE 0.0 END) * 0.3
        |    + (CASE WHEN n > 0 AND lsum / n BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.3)
        |    * 10000.0 + 0.5) / 10000.0 AS quality
-       |FROM qs)""".stripMargin
+       |FROM $scratch)""".stripMargin
   }
 
   /** Shared raw-URL synthesis CTEs (UrlNormalize.syntheticUrl's string
@@ -1790,14 +1790,15 @@ object Oracles {
          |tch AS (SELECT dst AS channel, CAST(sum(cnt) AS BIGINT)
          |    AS n_touches
          |  FROM edges WHERE dst IN ($chList) GROUP BY 1),
-         |eff AS (SELECT rem.channel, tch.n_touches,
+         |eff AS (SELECT rem.channel,
+         |    COALESCE(tch.n_touches, 0) AS n_touches,
          |    (SELECT p FROM bse) AS base_cv_ppm,
          |    rem.p AS removed_cv_ppm,
          |    CASE WHEN (SELECT p FROM bse) > 0
          |      THEN CAST((((SELECT p FROM bse) - rem.p) * 1000000)
          |        // (SELECT p FROM bse) AS BIGINT)
          |      ELSE 0 END AS removal_effect_ppm
-         |  FROM rem JOIN tch USING (channel))
+         |  FROM rem LEFT JOIN tch USING (channel))
          |SELECT channel, n_touches, base_cv_ppm, removed_cv_ppm,
          |  removal_effect_ppm,
          |  CASE WHEN (SELECT sum(removal_effect_ppm) FROM eff) > 0
@@ -2465,7 +2466,7 @@ object Oracles {
          |  UNION
          |  SELECT rr.id AS id, e.et AS r FROM reach rr JOIN edges e ON rr.r = e.es),
          |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
-         |$qualityCtes,
+         |${qualityCtes()},
          |rk AS (SELECT cl.cluster_id, cl.doc_id, q.quality,
          |    row_number() OVER (PARTITION BY cl.cluster_id
          |      ORDER BY q.quality DESC, cl.doc_id) AS rk,
@@ -2828,7 +2829,7 @@ object Oracles {
 
     // T16: per-source quality rank, capped at DomainCap per source.
     "t16_domain_cap" ->
-      s"""WITH $qualityCtes,
+      s"""WITH ${qualityCtes()},
          |rk AS (SELECT d.doc_id, d.source, q.quality,
          |    row_number() OVER (PARTITION BY d.source
          |      ORDER BY q.quality DESC, d.doc_id) AS rk
@@ -2860,7 +2861,7 @@ object Oracles {
     "pipe12_domain_gate" ->
       s"""WITH $urlSynthCtes,
          |$urlCanonCtes,
-         |${qualityCtes.replace("qs", "qql")},
+         |${qualityCtes("qql")},
          |dq AS (SELECT cn.doc_id, cn.hst AS host,
          |    CAST(round(quality * 10000) AS BIGINT) AS q_e4
          |  FROM cn JOIN q ON cn.doc_id = q.doc_id),
