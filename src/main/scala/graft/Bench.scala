@@ -61,6 +61,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-work memory-STREAMING reference task (~0.3-0.5 s unloaded):
+    * strided sequential sums over a 512 MiB long array — bandwidth-bound,
+    * nearly allocation- and branch-free. Separates the two contention
+    * regimes the CPU canary cannot: a co-runner saturating memory
+    * bandwidth inflates on-CPU time of bandwidth-bound work (stalled
+    * loads still accrue cpu_sec) while the xorshift canary, which lives
+    * in registers, stays flat. Three-way decision rule for an outlier
+    * run: cpu flat + both canaries flat = host descheduling; cpu tracks
+    * wall + bw canary inflated = memory-bandwidth contention (NOT extra
+    * work); cpu tracks wall + both canaries flat = the query really did
+    * more work. The array is allocated once, untimed. */
+  private lazy val bwArray: Array[Long] = {
+    val a = new Array[Long](1 << 26) // 64M longs = 512 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  private def canaryBwSec(): Double = {
+    val a = bwArray
+    val t0 = System.nanoTime()
+    var acc = 0L; var pass = 0
+    while (pass < 4) {
+      var i = 0
+      while (i < a.length) { acc += a(i); i += 8 } // 64B stride: one load
+      pass += 1                                    // per cache line
+    }
+    blackhole = acc
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -128,7 +158,9 @@ object Bench {
     val loadPre = loadAvg()
     canarySec() // untimed: JIT-compile the canary loops themselves, so
                 // `pre` measures the host, not the canary's own C2 warm-up
+    canaryBwSec()
     val canaryPre = canarySec()
+    val canaryBwPre = canaryBwSec()
 
     val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
       "w11_stream_dedup", "w12_stream_join", "w14_stateful_cursor",
@@ -165,8 +197,24 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Run(sec, gcMillis() - gc0, rssMib(), processCpuSec() - cpu0, loadAvg())
     }
-    def totalRuns(heavy: Boolean, first: Double): Int = baseRuns.getOrElse(
-      if (heavy || (first >= 0 && first < 1.0)) 5 else 3)
+    // Adaptive steady-run count (round-11, the suite-wall lever): every
+    // query gets 2 steady runs; only if they disagree by >10% does it earn
+    // up to 2 more. Round 10's fixed rule (5 runs for heavy + sub-second
+    // queries) billed ~23.7 min for 205 queries — and the long window is
+    // itself the contention exposure that poisoned d20/d15's records.
+    // SPARK_GRAFT_RUNS still forces a fixed total count.
+    def steadyRuns(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Vector[Run] = baseRuns match {
+      case Some(n) => (2 to n).map(_ => timedRun(fn)).toVector
+      case None =>
+        var runs = Vector(timedRun(fn), timedRun(fn))
+        def settled: Boolean = {
+          val s = runs.map(_.sec)
+          s.forall(_ >= 0) && (s.max - s.min) <= 0.10 * math.max(s.min, 0.05)
+        }
+        while (runs.size < 4 && !settled) runs :+= timedRun(fn)
+        runs
+    }
 
     val runsByName = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[Run]]
@@ -176,11 +224,10 @@ object Bench {
       .partition { case (n, _) => streamingFirst(n) }
     streamQs.foreach { case (name, fn) =>
       val first = timedRun(fn)
-      val rest = (2 to totalRuns(heavy = false, first.sec))
-        .map(_ => timedRun(fn))
-      runsByName(name) = (first +: rest).toVector
+      runsByName(name) = first +: steadyRuns(fn)
     }
     val canaryMid = canarySec()
+    val canaryBwMid = canaryBwSec()
     // tier 2: every batch query's cold (discarded) run, alphabetical;
     // classifies the CURRENT heavy set from measurement, not a stale list
     batchQs.foreach { case (name, fn) => runsByName(name) = Vector(timedRun(fn)) }
@@ -191,11 +238,10 @@ object Bench {
     val (heavies, lights) = batchQs.partition { case (n, _) => heavyNames(n) }
     (lights ++ heavies).foreach { case (name, fn) =>
       val first = runsByName(name).head
-      val rest = (2 to totalRuns(heavyNames(name), first.sec))
-        .map(_ => timedRun(fn))
-      runsByName(name) = (first +: rest).toVector
+      runsByName(name) = first +: steadyRuns(fn)
     }
     val canaryPost = canarySec()
+    val canaryBwPost = canaryBwSec()
     val loadPost = loadAvg()
 
     val results: Seq[(String, Vector[Run])] = runsByName.toSeq
@@ -247,14 +293,17 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson =
       s"""{"pre":${fmt(canaryPre)},"mid":${fmt(canaryMid)},"post":${fmt(canaryPost)},"load_avg_pre":${fmt(loadPre)},"load_avg_post":${fmt(loadPost)}}"""
+    val canaryBwJson =
+      s"""{"pre":${fmt(canaryBwPre)},"mid":${fmt(canaryBwMid)},"post":${fmt(canaryBwPost)}}"""
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of remaining runs (heavy + sub-second queries: 5 runs, else 3); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary = fixed single-thread CPU+alloc reference work, its pre/mid/post drift measures host contention; per-run cpu_sec (JVM process CPU) and load_avg attribute an outlier run: cpu tracking wall = the query worked, cpu flat while wall grew = host stall",
+         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work",
          |"queries":$qs,
          |"tiers":$tiersJson,
          |"heavy_dynamic":$heavyJson,
          |"canary_sec":$canaryJson,
+         |"canary_bw_sec":$canaryBwJson,
          |"cold_first_run":$coldJson,
          |"runs":$runsJson,
          |"gc_ms":$gcJson,

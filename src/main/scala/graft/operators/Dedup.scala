@@ -640,28 +640,34 @@ object Dedup {
     // as a partition count. Partition key = doc id (uniform, per-doc row
     // counts are doc-length-bounded — not a reducer-per-group hazard).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    // persisted: the candidate self-join reads the inverted index TWICE
-    // and the two sides project differently, so ReuseExchange cannot
-    // dedupe the (explode → join → window) subtree — without this it
-    // runs twice
-    val inv = cache(
-      exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
-        .withColumn("rk", row_number().over(
-          w.orderBy(col("dfc"), col("sh"))))
-        .withColumn("sz", count(lit(1)).over(w).cast("long"))
-        .where(col("rk") <=
-          col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
-            + lit(1L))
-        .select(col("id"), col("sz"), col("sh")))
-    val cand = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh"))
-      .join(inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh")),
-        Seq("sh"))
-      .where(col("id_a") < col("id_b") &&
+    // The candidate self-join reads the index twice, UNPERSISTED — a
+    // deliberate round-11 adjudication outcome. The round-10 persist()
+    // made the reuse heap-SIZE-dependent (24g heap: +60% cpu_sec on
+    // identical code — the two consumer stages launch concurrently and
+    // can both compute a block before the cache lands, and large heaps
+    // keep enough live columnar cache to degrade locality; the driver's
+    // contended record read 4.5× the flat one). A bucketed
+    // collect_list/pair-lambda rewrite was also measured and rejected:
+    // heap-independent but 4× the wall — a hot prefix shingle's n²
+    // expansion lands in ONE task, where the self-join's identical
+    // candidate bill spreads across AQE-split partitions. Computing the
+    // (explode → join → window) subtree twice costs a bounded, PARALLEL
+    // ~40% extra cpu and removes the storage-layer mode entirely.
+    val inv = exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("dfc"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(w).cast("long"))
+      .where(col("rk") <=
+        col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+          + lit(1L))
+      .select(col("id"), col("sz"), col("sh"))
+    val cand = inv.alias("a").join(inv.alias("b"), Seq("sh"))
+      .where(col("a.id") < col("b.id") &&
         // length filter: J ≥ t forces min·1e6 ≥ max·tPpm — prunes before
         // the distinct so mismatched-size collisions never shuffle twice
-        least(col("sz_a"), col("sz_b")) * lit(1000000L) >=
-          greatest(col("sz_a"), col("sz_b")) * lit(thresholdPpm))
-      .select(col("id_a"), col("id_b")).distinct()
+        least(col("a.sz"), col("b.sz")) * lit(1000000L) >=
+          greatest(col("a.sz"), col("b.sz")) * lit(thresholdPpm))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val t = thresholdPpm.toDouble / 1e6
     cand
       .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
@@ -714,25 +720,28 @@ object Dedup {
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("dfc"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     // one ranked inverted index serves both sides: the full index is the
-    // rk-unfiltered rows, the probe prefix a rk cut — persisted because
-    // the candidate join reads it twice with different filters
-    val inv = cache(
-      exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
-        .withColumn("rk", row_number().over(
-          w.orderBy(col("dfc"), col("sh"))))
-        .withColumn("sz", count(lit(1)).over(w).cast("long"))
-        .select(col("id"), col("sz"), col("sh"), col("rk"), col("dfc")))
-    val probe = inv.where(col("rk") <=
-        col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+    // rk-unfiltered rows, the probe prefix a rk cut. UNPERSISTED — the
+    // round-10 persist() made the twice-read reuse heap-size-dependent
+    // (see [[prefixFilterDupPairs]], same adjudication). The side cuts
+    // are written post-join but Catalyst pushes each back down to its own
+    // side (they cannot cross the id-window, so the two join inputs stay
+    // distinct plans): each side keeps its own candidate bill and the
+    // (explode → join → window) subtree computes twice — bounded,
+    // parallel cpu instead of a storage-layer failure mode.
+    val inv = exploded.hint("shuffle_hash").join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("dfc"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(w).cast("long"))
+      .select(col("id"), col("sz"), col("sh"), col("rk"), col("dfc"))
+    val cand = inv.alias("a").join(inv.alias("b"), Seq("sh"))
+      .where(col("a.rk") <=
+        col("a.sz") - expr(s"($thresholdPpm * a.sz + 999999) div 1000000")
           + lit(1L))
-      .select(col("id").as("id_a"), col("sz").as("sz_a"), col("sh"))
-    val full = (if (maxDf == Long.MaxValue) inv
-                else inv.where(col("dfc") <= maxDf))
-      .select(col("id").as("id_b"), col("sz").as("sz_b"), col("sh"))
-    val cand = probe.join(full, Seq("sh"))
-      .where(col("id_a") =!= col("id_b") &&
-        col("sz_b") * lit(1000000L) >= col("sz_a") * lit(thresholdPpm))
-      .select(col("id_a"), col("id_b")).distinct()
+      .where(if (maxDf == Long.MaxValue) lit(true)
+             else col("b.dfc") <= maxDf)
+      .where(col("a.id") =!= col("b.id") &&
+        col("b.sz") * lit(1000000L) >= col("a.sz") * lit(thresholdPpm))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     val t = thresholdPpm.toDouble / 1e6
     cand
       .join(sh.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
