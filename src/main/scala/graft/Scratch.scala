@@ -1236,6 +1236,69 @@ object Scratch {
               f"($verdict; linear=${growth}%.0f, quadratic=${growth * growth}%.0f)")
           }
         }
+      case Some("d24census") =>
+        // Pre-dedup bucket census for the frozen (d10) vs adaptive (d24)
+        // quantizer at ×1/×16 replication — the evidence the round-10
+        // verdict asked for: per-bucket pair space BOUNDED as density
+        // grows. Prints, per scale and grain: bucket count, max and mean
+        // bucket size, and the total in-bucket pair space Σ C(n,2).
+        // Replication = scale12's embeddings shape (offset vec_ids,
+        // model rows replica-0 only, so the 8 base centroids stay fixed
+        // while density grows k×).
+        import org.apache.spark.sql.functions._
+        import graft.queries.QuerySpec._
+        val scales24 = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val emb24 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val vidSpan24 = emb24.agg(max(col("vec_id"))).head.getLong(0) + 1
+        for (k <- scales24) {
+          val corpus = (0 until k).map(i => emb24.withColumn("vec_id",
+            col("vec_id") + lit(i * vidSpan24))).reduce(_ unionByName _)
+          val cents = operators.Similarity.collectCentroids(
+            corpus.where(col("vec_id") < NumCentroids),
+            "vec_id", "embedding")
+          val assigned = operators.Similarity.assignCells(
+            corpus, cents, "vec_id", "embedding", "id", "v", 1).persist()
+          def census(buckets: org.apache.spark.sql.DataFrame,
+              grain: String): Unit = {
+            val r = buckets.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+              .agg(count(lit(1)).as("buckets"), max(col("n")).as("mx"),
+                avg(col("n")).as("mean"),
+                sum(expr("n * (n - 1) div 2")).as("pairs"))
+              .head
+            println(f"CENSUS x$k $grain%-8s buckets=${r.getLong(0)}%4d " +
+              f"max=${r.getLong(1)}%6d mean=${r.getDouble(2)}%8.1f " +
+              f"pairSpace=${r.getLong(3)}%12d")
+          }
+          census(assigned.select(col("cell").as("bkt")), "frozen")
+          // adaptive grain: replay adaptiveSemanticDedup's bucket logic
+          val caps = assigned.groupBy(col("cell"))
+            .agg(count(lit(1)).as("n_cell"))
+            .withColumn("subk", when(col("n_cell") > lit(SemCellCap),
+              expr("cast(floor(sqrt(cast(n_cell as double))) as bigint)"))
+              .otherwise(lit(1L)))
+          val hot = caps.where(col("subk") > 1)
+            .select(col("cell"), col("subk"))
+          val wC = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cell")).orderBy(col("id"))
+          val seeds = assigned.join(broadcast(hot), Seq("cell"))
+            .withColumn("srk", row_number().over(wC))
+            .where(col("srk") <= col("subk"))
+            .select(col("cell"), col("id").as("seed_id"), col("v").as("sv"))
+          val subHot = assigned.join(broadcast(seeds), Seq("cell"))
+            .withColumn("arn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+                .orderBy(operators.Similarity.cosine(col("v"), col("sv"))
+                  .desc, col("seed_id"))))
+            .where(col("arn") === 1)
+            .select(concat_ws("/", col("cell"), col("seed_id")).as("bkt"))
+          val cold = assigned.join(broadcast(seeds.select(col("cell"))
+              .distinct()), Seq("cell"), "left_anti")
+            .select(concat_ws("/", col("cell"), lit(-1L)).as("bkt"))
+          census(cold.unionByName(subHot), "adaptive")
+          assigned.unpersist()
+        }
+
       case Some("scale11") =>
         // SUSTAINED probe past 16x for the genuinely data-bound operators
         // (r8 verdict item #4): d14 (pair-space eval), d9 (uncapped pair

@@ -465,6 +465,87 @@ object Similarity {
       .join(dropped, Seq("cell", "id"), "left_anti")
   }
 
+  /** DENSITY-ADAPTIVE SemDeDup — [[semanticDedup]] with a growing
+    * quantizer (the scale12 caveat's fix: a FROZEN k-cell quantizer lets
+    * per-cell density — and the cluster-local pair space — grow
+    * quadratically with the corpus; this operator re-partitions hot cells
+    * so per-bucket density stays flat no matter how much data arrives).
+    *
+    * Mechanics: assign with the base centroids; census per-cell counts;
+    * any cell whose count exceeds the ABSOLUTE `cellCap` is split into
+    * `floor(sqrt(n_cell))` sub-buckets by a second-level quantizer whose
+    * seeds are the cell's smallest-id members — deterministic,
+    * data-derived, and oracle-replayable (no RNG, no k-means iterations
+    * at query time; the sub-seed count GROWS with density, which is the
+    * whole point). Members of split cells re-assign to their
+    * argmax-cosine seed (raw double ordering, seed-id tie-break — the
+    * same fixed IEEE tree both engines evaluate); untouched cells keep
+    * subcell = -1. Dedup then runs cluster-locally on (cell, subcell)
+    * exactly like SemDeDup.
+    *
+    * Why √n seeds: one split level trades assignment work against pair
+    * space — subk seeds cost n·subk assignment cosines and leave
+    * ≈ n²/subk in-bucket pairs; subk = √n minimizes the sum at ~2·n^1.5
+    * per cell, vs the frozen quantizer's n². (Recursing levels would
+    * reach n·polylog — the s19-merge/re-train path is the production
+    * answer; this operator is the query-time form that needs no new
+    * model.) The integer sqrt is exact in both engines: n_cell is
+    * integer-valued in double well below 2^52, IEEE sqrt of it is
+    * correctly rounded, floor matches. Seed vectors join by cell (a
+    * broadcast at test SFs, a uniform shuffle at scale); per-member
+    * work is its own cell's subk cosines, never a corpus crossJoin.
+    * Returns survivors as (id, cell, subcell). Note the semantics are a
+    * deliberate REFINEMENT of SemDeDup's: near-duplicates straddling a
+    * sub-bucket boundary are not compared (just as SemDeDup never
+    * compares across cells) — the recall trade that buys bounded compute,
+    * measured in the README probe table. */
+  def adaptiveSemanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Double])], threshold: Double,
+      cellCap: Long,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    val assigned = cache(
+      assignCells(df, cents, idCol, vecCol, "id", "v", 1)
+        .withColumn("nrm", norm(col("v"))))
+    val caps = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("subk",
+        when(col("n_cell") > lit(cellCap),
+          expr("cast(floor(sqrt(cast(n_cell as double))) as bigint)"))
+          .otherwise(lit(1L)))
+    val hot = caps.where(col("subk") > 1).select(col("cell"), col("subk"))
+    val wCell = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val seeds = assigned.join(broadcast(hot), Seq("cell"))
+      .withColumn("srk", row_number().over(wCell))
+      .where(col("srk") <= col("subk"))
+      .select(col("cell"), col("id").as("seed_id"), col("v").as("sv"))
+    val subHot = assigned.join(broadcast(seeds), Seq("cell"))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(cosine(col("v"), col("sv")).desc, col("seed_id"))))
+      .where(col("arn") === 1)
+      .select(col("cell"), col("seed_id").as("subcell"), col("id"),
+        col("v"), col("nrm"))
+    val allv = assigned
+      .join(broadcast(seeds.select(col("cell")).distinct()),
+        Seq("cell"), "left_anti")
+      .select(col("cell"), lit(-1L).as("subcell"), col("id"), col("v"),
+        col("nrm"))
+      .unionByName(subHot)
+    // alias self-join, UNPERSISTED (the d20/d23 round-11 adjudication:
+    // a persisted twice-read frame is heap-size-dependent; recomputing
+    // the broadcast-join/window subtree per side is bounded parallel cpu)
+    val dropped = allv.alias("a").join(allv.alias("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a.subcell") === col("b.subcell"))
+      .where(col("a.id") < col("b.id") &&
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          >= threshold)
+      .select(col("b.cell").as("cell"), col("b.subcell").as("subcell"),
+        col("b.id").as("id")).distinct()
+    allv.select(col("id"), col("cell"), col("subcell"))
+      .join(dropped, Seq("cell", "subcell", "id"), "left_anti")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     // quantizer model → driver; ascending id fixes the tie-break order.

@@ -4102,6 +4102,46 @@ object Oracles {
          |SELECT nid AS vec_id, cell FROM cass
          |WHERE nid NOT IN (SELECT idb FROM dr) ORDER BY vec_id""".stripMargin,
 
+    // d24: full from-scratch replay of the adaptive quantizer — census →
+    // integer cap → ceil-div sub-seed count → smallest-id seed election →
+    // raw-double argmax re-assignment (identical IEEE cosine tree,
+    // seed-id tie-break) → in-bucket dedup with the d10 round-6 cut
+    "d24_adaptive_semdedup" ->
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |caps AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+         |  FROM cass GROUP BY 1),
+         |hot AS (SELECT cell,
+         |    CAST(floor(sqrt(CAST(n_cell AS DOUBLE))) AS BIGINT) AS subk
+         |  FROM caps WHERE n_cell > $SemCellCap),
+         |sd AS (SELECT cell, nid AS seed_id, cv AS sv,
+         |    row_number() OVER (PARTITION BY cell ORDER BY nid) AS srk
+         |  FROM cass WHERE cell IN (SELECT cell FROM hot)),
+         |seeds AS (SELECT sd.cell, sd.seed_id, sd.sv FROM sd
+         |  JOIN hot ON sd.cell = hot.cell WHERE sd.srk <= hot.subk),
+         |sa AS (SELECT c.nid, c.cv, c.cell, s.seed_id,
+         |    row_number() OVER (PARTITION BY c.nid
+         |      ORDER BY ${cosChain("c.cv", "s.sv")} DESC, s.seed_id) AS srn
+         |  FROM cass c JOIN seeds s ON c.cell = s.cell),
+         |allv AS (
+         |  SELECT nid, cv, cell, CAST(-1 AS BIGINT) AS subcell FROM cass
+         |  WHERE cell NOT IN (SELECT cell FROM hot)
+         |  UNION ALL
+         |  SELECT nid, cv, cell, seed_id AS subcell FROM sa WHERE srn = 1),
+         |dr AS (SELECT DISTINCT b.nid AS idb
+         |  FROM allv a JOIN allv b
+         |    ON a.cell = b.cell AND a.subcell = b.subcell
+         |  WHERE a.nid < b.nid
+         |    AND round(${cosChain("a.cv", "b.cv")}, 6) >= $SemThreshold)
+         |SELECT nid AS vec_id, cell, subcell FROM allv
+         |WHERE nid NOT IN (SELECT idb FROM dr) ORDER BY vec_id""".stripMargin,
+
     "s3_ivf_ann" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
          |  FROM embeddings WHERE vec_id < $NumCentroids),

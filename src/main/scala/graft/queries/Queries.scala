@@ -3031,6 +3031,25 @@ object Queries {
       .orderBy(col("vec_id"))
   }
 
+  /** D24: density-ADAPTIVE semantic dedup — d10 with a growing quantizer
+    * (the round-10 scale12 caveat's fix). Cells whose census exceeds the
+    * absolute `SemCellCap` split into floor(sqrt(n_cell)) sub-buckets
+    * seeded by the cell's smallest-id members, so per-cell cost is
+    * ~n^1.5 at ANY corpus size while the frozen-quantizer d10 grows it
+    * as n². The DuckDB twin replays census → split decision → seed
+    * election → argmax re-assignment → in-bucket dedup from scratch, so
+    * a single mis-bucketed vector or a missed/spurious split
+    * hash-fails. */
+  def d24AdaptiveSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    Similarity.adaptiveSemanticDedup(emb, "vec_id", "embedding", cents,
+      SemThreshold, SemCellCap)
+      .select(col("id").as("vec_id"), col("cell"), col("subcell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** S12: product-quantization ANN — corpus encoded to PqM per-subspace
     * codes against the designated-row codebook, queries score candidates by
     * asymmetric distance (per-query table lookups, no per-pair vector
@@ -5895,6 +5914,7 @@ object Queries {
     "d21_sorted_neighborhood" -> d21SortedNeighborhood _,
     "d22_chunk_resemblance" -> d22ChunkResemblance _,
     "d23_containment_pairs" -> d23ContainmentPairs _,
+    "d24_adaptive_semdedup" -> d24AdaptiveSemanticDedup _,
     "pipe1_funnel" -> pipe1Funnel _,
     "pipe2_stream_funnel" -> pipe2StreamFunnel _,
     "pipe3_embed_funnel" -> pipe3EmbedFunnel _,

@@ -55,6 +55,12 @@ object QuerySpec {
   val NumCentroids = 8
   // D10 SemDeDup: within-cell cosine cut for semantic duplicates
   val SemThreshold = 0.4
+  // D24 density-adaptive SemDeDup: cells above this ABSOLUTE census split
+  // into floor(sqrt(n_cell)) sub-buckets (the one-level optimum: per-cell
+  // cost n·√n assignment + n^1.5 pair space, vs the frozen quantizer's
+  // n²). 64 exercises the split path at sf0.01 (cells 48-70) while
+  // leaving some cells unsplit there, covering both branches.
+  val SemCellCap = 64L
   // S12 product quantization: m subspaces of EmbeddingDim/m dims each
   val PqM = 8
   val IvfTopK = 5
