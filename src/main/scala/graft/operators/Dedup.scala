@@ -280,6 +280,117 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Batch-TAGGED MinHash index at SHINGLE grain — the streaming-admission
+    * variant of [[buildMinhashIndex]]: `bands/` = (band, id, batch_id) and
+    * `toks/` = (id, toks, batch_id), where `toks` is the distinct
+    * `shingleK`-word-shingle hash set (the unigram token-set grain is
+    * degenerate on closed-vocabulary corpora — every doc matches every
+    * doc; 3-gram shingle types discriminate). The `batch_id` tag (base
+    * build = -1, stream appends = the micro-batch id) exists for CRASH
+    * REPLAY: a probe filters out rows carrying its OWN batch id, so a
+    * batch re-run after a half-completed append sees exactly the index
+    * state of its first attempt (pipe2's passage-store discipline). */
+  def writeTaggedIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int, bands: Int, shingleK: Int, tag: Long,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val toks = Spread(df).select(col(idCol).as("id"),
+      graft.operators.TextAnalysis.shingleHashes(col(textCol), shingleK)
+        .as("toks"))
+      .where(size(col("toks")) > 0).persist()
+    bandCols(signatures(toks, k), k, bands)
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        col(s"b$b")): _*)).as("band"))
+      .select(col("band"), col("id"), lit(tag).as("batch_id"))
+      .write.mode(mode).parquet(s"$path/bands")
+    toks.select(col("id"), col("toks"), lit(tag).as("batch_id"))
+      .write.mode(mode).parquet(s"$path/toks")
+    toks.unpersist(false)
+  }
+
+  /** STREAMING NEAR-DUP ADMISSION — one micro-batch of the unified
+    * nightly/streaming dedup plane (pipe13's shape on the streaming
+    * plane): admit exactly the batch docs that near-duplicate NEITHER the
+    * tagged index (base corpus + every batch admitted before this one —
+    * the APPEND-BACK makes cross-batch dups visible) NOR a smaller-id
+    * doc in their own batch; then append the admitted docs' bands+toks
+    * to the index and their (doc_id, batch) rows to the sink.
+    *
+    * Determinism & replay: the in-batch rule is "a smaller-id batch-mate
+    * with jaccard ≥ t rejects you, regardless of that mate's own fate" —
+    * no admission chain recursion, so the batch outcome is a pure
+    * function of (batch, index-before-batch). Both persistent writes are
+    * append-only; the probe excludes rows tagged with its OWN batch id,
+    * and the sink is read through a distinct — so a crash anywhere
+    * between the two appends replays to the identical end state
+    * (spec-pinned by running the same batch twice).
+    *
+    * Scale shape: everything batch-sized broadcasts (bands, shingle
+    * sets); the index is touched by SCAN only (bands equi-join on the
+    * uniform band digest, toks fetch on candidate ids) — serving cost is
+    * O(batch), never a corpus re-hash, and the appended rows land in the
+    * same two tables every nightly/bulk consumer reads. */
+  def admitBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String, sinkPath: String, k: Int,
+      bands: Int, shingleK: Int, threshold: Double): Unit = {
+    val s = batch.sparkSession
+    val dToks = Spread(batch).select(col(idCol).as("id"),
+      graft.operators.TextAnalysis.shingleHashes(col(textCol), shingleK)
+        .as("toks"))
+      .where(size(col("toks")) > 0).persist()
+    val dBands = bandCols(signatures(dToks, k), k, bands)
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        col(s"b$b")): _*)).as("band")).persist()
+    // in-batch: band-collision candidates, exact shingle-set verify,
+    // smaller id wins (batch-sized frames — the persists are broadcast
+    // scale, not the d20 heap hazard)
+    val inbCand = dBands.alias("a").join(dBands.alias("b"), Seq("band"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val inbRejected = inbCand
+      .join(dToks.select(col("id").as("id_a"), col("toks").as("ta")),
+        Seq("id_a"))
+      .join(dToks.select(col("id").as("id_b"), col("toks").as("tb")),
+        Seq("id_b"))
+      .where(jaccard(col("ta"), col("tb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    // index probe, excluding this batch's own half-written rows
+    val idxMatched = s.read.parquet(s"$indexPath/bands")
+      .where(col("batch_id") =!= batchId)
+      .join(broadcast(dBands.withColumnRenamed("id", "delta_id")),
+        Seq("band"))
+      .select(col("id"), col("delta_id")).distinct()
+      .join(s.read.parquet(s"$indexPath/toks")
+        .where(col("batch_id") =!= batchId), Seq("id"))
+      .join(broadcast(dToks.select(col("id").as("delta_id"),
+        col("toks").as("dtoks"))), Seq("delta_id"))
+      .where(jaccard(col("toks"), col("dtoks")) >= threshold)
+      .select(col("delta_id").as("id")).distinct()
+    val admitted = batch.select(col(idCol).as("id"))
+      .join(inbRejected.unionByName(idxMatched).distinct(),
+        Seq("id"), "left_anti")
+      .persist()
+    // sink first, then index: a crash between the two replays as the
+    // same admitted set (probe is tag-filtered), and the sink's
+    // re-appended rows are exact duplicates removed at read time
+    admitted.select(col("id").as("doc_id"),
+        lit(batchId).cast("long").as("batch"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(sinkPath)
+    // coalesce(1): batch-sized appends — one file per batch per table, so
+    // later probes scan O(batches) files, not O(batches × partitions)
+    dBands.join(admitted, Seq("id"), "left_semi")
+      .select(col("band"), col("id"), lit(batchId).as("batch_id"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/bands")
+    dToks.join(admitted, Seq("id"), "left_semi")
+      .select(col("id"), col("toks"), lit(batchId).as("batch_id"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/toks")
+    admitted.unpersist()
+    dBands.unpersist()
+    dToks.unpersist(false)
+  }
+
   /** Brute-force n-gram (word unigram) Jaccard duplicate pairs within
     * blocking buckets — the exact baseline the LSH path approximates.
     * Blocking keys bound the quadratic blowup (pairs only form inside a

@@ -2503,6 +2503,72 @@ object Oracles {
 
     // D15: incremental dedup replay — same signature/band SQL as d3 over
     // the corpus/delta split; directed (delta, corpus) pairs, no a<b cut.
+    // w16: the streaming-admission chain replayed from scratch — three
+    // unrolled rounds of (band-collision candidates → shingle-set
+    // jaccard verify) against an index that GROWS by each round's
+    // admitted set, plus the in-batch smaller-id rule. A missed
+    // cross-batch rejection (one that only exists because round b's
+    // admit was appended back) breaks round b+1 here.
+    "w16_stream_admission" -> {
+      val sigs = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(shs, x -> md5('$i:' || x))) AS m$i")
+        .mkString(",\n  ")
+      val rows = MinhashK / MinhashBands
+      val bandKeys = (0 until MinhashBands).map { b =>
+        val parts = (b * rows until (b + 1) * rows).map(i => s"m$i")
+          .mkString(" || ',' || ")
+        s"'$b|' || md5($parts)"
+      }.mkString(", ")
+      val concat3 = (0 until W16ShingleK)
+        .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      def jac(a: String, b: String) = {
+        val inter = s"CAST(len(list_intersect($a.shs, $b.shs)) AS DOUBLE)"
+        s"""CASE WHEN CAST(len($a.shs) + len($b.shs) AS DOUBLE) - $inter > 0
+           |    THEN $inter / (CAST(len($a.shs) + len($b.shs) AS DOUBLE) - $inter)
+           |    ELSE 1.0 END""".stripMargin
+      }
+      val rounds = (0 until W16Batches).map { b =>
+        s"""cb$b AS (SELECT n.doc_id, n.band FROM bnd n
+           |  JOIN dd ON dd.doc_id = n.doc_id AND dd.b = $b),
+           |inbc$b AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+           |  FROM cb$b a JOIN cb$b c ON a.band = c.band
+           |    AND a.doc_id < c.doc_id),
+           |inb$b AS (SELECT DISTINCT ib AS doc_id FROM inbc$b
+           |  JOIN shg sa ON sa.doc_id = ia JOIN shg sb ON sb.doc_id = ib
+           |  WHERE ${jac("sa", "sb")} >= $MinhashThreshold),
+           |imc$b AS (SELECT DISTINCT d.doc_id AS ia, i.doc_id AS ib
+           |  FROM cb$b d JOIN bnd i ON d.band = i.band
+           |  JOIN idx$b x ON x.doc_id = i.doc_id),
+           |im$b AS (SELECT DISTINCT ia AS doc_id FROM imc$b
+           |  JOIN shg sa ON sa.doc_id = ia JOIN shg sb ON sb.doc_id = ib
+           |  WHERE ${jac("sa", "sb")} >= $MinhashThreshold),
+           |adm$b AS (SELECT doc_id FROM dd WHERE b = $b
+           |  AND doc_id NOT IN (SELECT doc_id FROM inb$b)
+           |  AND doc_id NOT IN (SELECT doc_id FROM im$b)),
+           |idx${b + 1} AS (SELECT doc_id FROM idx$b
+           |  UNION ALL SELECT doc_id FROM adm$b)""".stripMargin
+      }.mkString(",\n")
+      val admAll = (0 until W16Batches)
+        .map(b => s"SELECT doc_id FROM adm$b").mkString(" UNION ALL ")
+      s"""WITH tkc AS (SELECT doc_id, ${lowSeq("text")} AS tk FROM documents),
+         |shg AS (SELECT doc_id, list_distinct(
+         |    [md5($concat3) for i in range(1, len(tk) - ${W16ShingleK - 2})])
+         |    AS shs
+         |  FROM tkc WHERE len(tk) >= $W16ShingleK),
+         |sig AS (SELECT doc_id,
+         |  $sigs
+         |FROM shg),
+         |bnd AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sig),
+         |dd AS (SELECT doc_id, (doc_id // 2) % $W16Batches AS b
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |idx0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+         |$rounds
+         |SELECT dd.doc_id, CAST(dd.b AS BIGINT) AS batch
+         |FROM dd JOIN ($admAll) a ON a.doc_id = dd.doc_id
+         |ORDER BY dd.doc_id""".stripMargin
+    },
+
     "d15_incremental_dedup" -> {
       val rows = MinhashK / MinhashBands
       val sigs = (0 until MinhashK).map(i =>

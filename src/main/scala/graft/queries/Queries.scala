@@ -1419,6 +1419,81 @@ object Queries {
     * + Sort feeding both Window operators — a linear per-key scan, not the
     * textbook self-join; per-user state is one row of look-behind, so a
     * 1000-executor run streams each key group once. */
+  /** W16 (streaming semantics through the oracle, part 5): streaming
+    * NEAR-DUP ADMISSION — the build/serve dedup split (d15/pipe13) on the
+    * streaming plane with index APPEND-BACK. Even doc_ids build the
+    * batch-tagged shingle-MinHash base index (a staged artifact — the
+    * "yesterday" corpus); odd doc_ids stream in `W16Batches` ordered
+    * micro-batches (batch = (doc_id div 2) mod 3). Per batch
+    * ([[Dedup.admitBatch]]): reject docs near-duplicating the index
+    * (base + EVERYTHING ADMITTED BEFORE — the append-back surface) or a
+    * smaller-id batch-mate; append survivors' bands+toks back to the
+    * index. The DuckDB oracle unrolls all three admission rounds from
+    * scratch (signature → bands → candidates → shingle-set verify,
+    * chained through the admitted sets), so a single wrongly-admitted or
+    * wrongly-rejected doc in ANY round — including a missed cross-batch
+    * rejection that only exists because of append-back — hash-fails.
+    * Each bench run copies the staged base index into a scratch dir
+    * (appends must not leak across runs; at production the appends ARE
+    * the live index, the copy is bench idempotency only). */
+  def w16StreamAdmission(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val baseIdx = stagedDir("w16base", d) { root =>
+      Dedup.writeTaggedIndex(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$root/idx", MinhashK, MinhashBands,
+        W16ShingleK, tag = -1L, org.apache.spark.sql.SaveMode.Overwrite)
+    } + "/idx"
+    val root = scratchDir("w16q")
+    val idx = root.resolve("idx")
+    // bench-run isolation: copy the staged base, stream appends into the
+    // copy (java.nio walk — the index is file-copy cheap vs a re-hash)
+    locally {
+      val src = java.nio.file.Paths.get(baseIdx)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(src).iterator().asScala.toSeq
+        .sortBy(_.toString).foreach { p =>
+        val dst = idx.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    val lines = docs.where(col("doc_id") % 2 === 1)
+      .select((expr("doc_id div 2") % W16Batches).as("batch"),
+        concat_ws("\t", col("doc_id"), col("text")).as("value_line"))
+    // ONE job stages all batch files (partitionBy fans out batch=b dirs);
+    // each part file then moves into the flat drop dir with a pinned
+    // mtime — file-source ordering is (mtime, path), so discovery order
+    // == admission order regardless of write timing
+    locally {
+      val tmp = root.resolve("stage")
+      // repartition(1): hash-clustering by batch value cannot guarantee
+      // one file per dir; a single task writing all three dirs can (the
+      // staging frame is fixture-prep, delta-sized, not the operator)
+      lines.repartition(1).sortWithinPartitions(col("value_line"))
+        .write.mode("overwrite").partitionBy("batch").text(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      for (b <- 0 until W16Batches) {
+        val part = java.nio.file.Files.list(tmp.resolve(s"batch=$b"))
+          .iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        val f = drop.resolve(s"batch$b.txt")
+        java.nio.file.Files.move(part, f)
+        f.toFile.setLastModified(1700000000000L + b * 1000L)
+      }
+    }
+    val sink = root.resolve("sink").toString
+    graft.streaming.DocStream.admitNearDup(s, drop.toString,
+      root.resolve("ckpt").toString, idx.toString, sink,
+      MinhashK, MinhashBands, W16ShingleK, MinhashThreshold,
+      statePartitions = 8)
+      .awaitTermination()
+    s.read.parquet(sink).select(col("doc_id"), col("batch"))
+      .distinct().orderBy(col("doc_id"))
+  }
+
   def w13Scd2(s: SparkSession, d: String): DataFrame = {
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -5858,6 +5933,7 @@ object Queries {
     "w13_scd2" -> w13Scd2 _,
     "w14_stateful_cursor" -> w14StatefulCursor _,
     "w15_interpolate" -> w15Interpolate _,
+    "w16_stream_admission" -> w16StreamAdmission _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

@@ -37,6 +37,12 @@ object QuerySpec {
   val LshTuneCombos: Seq[(Int, Int)] =
     Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
   val MinhashThreshold = 0.6
+  // W16 streaming admission: shingle grain for the tagged index (unigram
+  // token sets are degenerate on this closed-vocab corpus — see memory
+  // note / d15's 218-matches-per-doc density), delta = odd doc_ids
+  // streamed in W16Batches ordered micro-batches, base = even doc_ids
+  val W16ShingleK = 3
+  val W16Batches = 3
   val JaccardThreshold = 0.8
   val ShingleK = 5
   val SimhashBits = 60

@@ -194,6 +194,41 @@ object DocStream {
     }
   }
 
+  /** W16 — streaming NEAR-DUP admission against a persisted, batch-tagged
+    * MinHash index ([[graft.operators.Dedup.admitBatch]] per micro-batch):
+    * the nightly build/serve dedup split (d15/pipe13) moved onto the
+    * streaming plane, with index APPEND-BACK so batch n+1 rejects
+    * near-dups of what batch n admitted. File-source micro-batches run
+    * strictly in order (foreachBatch serializes; `maxFilesPerTrigger`
+    * pins one drop file per batch), so admission is deterministic for
+    * in-order delivery. `Trigger.AvailableNow` drains the drop dir and
+    * stops — the bulk-catchup lifecycle; a production deployment runs the
+    * same query with a processing-time trigger. */
+  def admitNearDup(spark: SparkSession, dropDir: String,
+      checkpointDir: String, indexPath: String, sinkPath: String,
+      k: Int, bands: Int, shingleK: Int, threshold: Double,
+      maxFilesPerTrigger: Int = 1,
+      statePartitions: Int = 0): StreamingQuery = {
+    StreamConf.withStatePartitions(spark, statePartitions) {
+    val raw = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dropDir)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\t", 2).getItem(1).as("text"))
+    raw.writeStream
+      .queryName("doc-admission")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.admitBatch(batch, batchId, "doc_id", "text",
+          indexPath, sinkPath, k, bands, shingleK, threshold)
+        ()
+      }
+      .start()
+    }
+  }
+
   def ingest(spark: SparkSession, dropDir: String, checkpointDir: String,
       sinkPath: String, minTokens: Int,
       markers: Seq[(String, Seq[String])], stopwords: Seq[String],

@@ -76,4 +76,55 @@ class DocStreamSpec extends SparkSpec {
       .collect().sortBy(_._1).toList
     assert(r2 == List((1L, "en"), (5L, "de"))) // 4 deduped across batches
   }
+
+  test("w16 admission: index reject, in-batch reject, append-back reject, " +
+      "shingle-less admit") {
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("admit")
+    val drop = base.resolve("drop"); Files.createDirectories(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idx = base.resolve("idx").toString
+    val corpusText = "x1 x2 x3 x4 x5"
+    val freshText = "y1 y2 y3 y4 y5"
+    // exact dups only (jaccard 1.0 => identical signatures => every band
+    // collides): band collision is then guaranteed, keeping the spec
+    // hand-computable; near-dup recall is the LSH s-curve's business
+    graft.operators.Dedup.writeTaggedIndex(
+      Seq((100L, corpusText)).toDF("doc_id", "text"), "doc_id", "text",
+      idx, k = 16, bands = 4, shingleK = 3, tag = -1L, SaveMode.Overwrite)
+    // batch 0: doc 1 dups the index, doc 5 dups in-batch doc 3 (smaller
+    // id wins), doc 11 has <3 tokens (no shingles -> admitted)
+    Files.write(drop.resolve("b0.txt"), Seq(
+      s"1\t$corpusText", s"3\t$freshText", s"5\t$freshText",
+      "11\tw1 w2").mkString("\n").getBytes)
+    drop.resolve("b0.txt").toFile.setLastModified(1700000000000L)
+    // batch 1: doc 7 dups doc 3 — rejected ONLY via append-back; doc 9 fresh
+    Files.write(drop.resolve("b1.txt"), Seq(
+      s"7\t$freshText", "9\tz1 z2 z3 z4 z5").mkString("\n").getBytes)
+    drop.resolve("b1.txt").toFile.setLastModified(1700000001000L)
+    DocStream.admitNearDup(spark, drop.toString, ckpt, idx, sink,
+      k = 16, bands = 4, shingleK = 3, threshold = 0.6)
+      .awaitTermination(120000)
+    val got = spark.read.parquet(sink).distinct()
+      .select($"doc_id", $"batch").as[(Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got == List((3L, 0L), (9L, 1L), (11L, 0L)))
+
+    // crash-replay idempotency: the same batch applied twice (same
+    // batchId) ends in the same state — the probe excludes rows tagged
+    // with its own batch id and the sink dedupes at read time
+    val b2 = Seq((13L, "z1 z2 z3 z4 z5"), (15L, "v1 v2 v3 v4 v5"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.admitBatch(b2, 2L, "doc_id", "text", idx, sink,
+      k = 16, bands = 4, shingleK = 3, threshold = 0.6)
+    graft.operators.Dedup.admitBatch(b2, 2L, "doc_id", "text", idx, sink,
+      k = 16, bands = 4, shingleK = 3, threshold = 0.6)
+    val replayed = spark.read.parquet(sink).distinct()
+      .select($"doc_id", $"batch").as[(Long, Long)]
+      .collect().sortBy(_._1).toList
+    // 13 rejected (dups admitted doc 9 via the index), 15 admitted ONCE
+    assert(replayed ==
+      List((3L, 0L), (9L, 1L), (11L, 0L), (15L, 2L)))
+  }
 }
