@@ -3363,6 +3363,52 @@ object Oracles {
          |FROM cont JOIN ct USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // k10: both contamination censuses recomputed FULL-SCAN (v1 and v2),
+    // so hash equality proves the engine's staged-v1 + incremental-v2
+    // composition ≡ the from-scratch drift
+    "k10_contamination_drift" ->
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+         |v2 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+         |      AS text
+         |  FROM v1 WHERE doc_id % 10 <> 0
+         |  UNION ALL SELECT doc_id + 10000000, lang, 'recrawl ' || text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |bt AS (SELECT ${lowSeq("text")} AS toks FROM v1
+         |  WHERE doc_id % 29 = 0),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM bt WHERE len(toks) >= 3),
+         |ct1 AS MATERIALIZED (SELECT doc_id, lang, ${lowSeq("text")} AS toks
+         |  FROM v1 WHERE doc_id % 29 <> 0),
+         |ct2 AS MATERIALIZED (SELECT doc_id, lang, ${lowSeq("text")} AS toks
+         |  FROM v2 WHERE doc_id % 29 <> 0),
+         |csh1 AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM ct1 WHERE len(toks) >= 3),
+         |csh2 AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |  FROM ct2 WHERE len(toks) >= 3),
+         |cont1 AS (SELECT DISTINCT csh1.doc_id FROM csh1 JOIN bsh USING (sh)),
+         |cont2 AS (SELECT DISTINCT csh2.doc_id FROM csh2 JOIN bsh USING (sh)),
+         |cen1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n1
+         |  FROM cont1 JOIN ct1 USING (doc_id) GROUP BY 1),
+         |cen2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n2
+         |  FROM cont2 JOIN ct2 USING (doc_id) GROUP BY 1),
+         |tot1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS t1
+         |  FROM ct1 GROUP BY 1),
+         |tot2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS t2
+         |  FROM ct2 GROUP BY 1),
+         |f AS (SELECT lang,
+         |    COALESCE(n1, 0) AS n_contam_v1, COALESCE(n2, 0) AS n_contam_v2,
+         |    COALESCE(n1, 0) * 1000000 // COALESCE(t1, 1) AS share_v1_ppm,
+         |    COALESCE(n2, 0) * 1000000 // COALESCE(t2, 1) AS share_v2_ppm
+         |  FROM tot1 FULL JOIN tot2 USING (lang)
+         |    LEFT JOIN cen1 USING (lang) LEFT JOIN cen2 USING (lang))
+         |SELECT lang, n_contam_v1, n_contam_v2, share_v1_ppm, share_v2_ppm,
+         |  abs(share_v1_ppm - share_v2_ppm) AS drift_ppm
+         |FROM f ORDER BY lang""".stripMargin,
+
     // t15: each Gopher rule as an integer comparison (no division, so no
     // rounding seam between engines); symbols = '#' chars + '...' runs
     "t15_gopher_rules" ->

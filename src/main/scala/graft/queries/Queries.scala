@@ -5847,6 +5847,63 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** K10: CROSS-SNAPSHOT CONTAMINATION DRIFT — the round-10 verdict's
+    * item-6(b) composition: k7's snapshot diff drives d19's incremental
+    * decontamination AND a per-lang drift census in ONE plan. Yesterday's
+    * contamination table (corpus-v1, a staged artifact) provides the v1
+    * census with ZERO shingle work; tonight pays one hash-partitioned
+    * full-outer diff, shingle work on only the added/changed docs, and
+    * model-sized census joins. Output per lang: contaminated counts and
+    * integer-ppm contaminated SHARES for both snapshots plus the
+    * absolute drift — the eval-leakage trend line a nightly pipeline
+    * alerts on. The DuckDB twin recomputes BOTH censuses full-scan from
+    * v1 and v2, so hash equality proves the incremental v2 census ≡ the
+    * full recompute (d19's contract, extended to the drift algebra). */
+  def k10ContaminationDrift(s: SparkSession, d: String): DataFrame = {
+    val (v1, v2) = snapshotPair(s, d)
+    val bench = v1.where(col("doc_id") % 29 === 0)
+    val corp1 = v1.where(col("doc_id") % 29 =!= 0)
+    val corp2 = v2.where(col("doc_id") % 29 =!= 0)
+    val prevDir = stagedDir("k10prev", d) { root =>
+      Decontaminate.contaminatedDocs(corp1, bench, "doc_id", "text", k = 3)
+        .write.mode("overwrite").parquet(s"$root/prev")
+    } + "/prev"
+    val prev = s.read.parquet(prevDir)
+    val diff = corp1.select(col("doc_id"), col("text").as("t1"))
+      .join(corp2.select(col("doc_id"), col("text").as("t2")),
+        Seq("doc_id"), "full_outer")
+    val carriedIds = diff
+      .where(col("t1").isNotNull && col("t2").isNotNull &&
+        col("t1") === col("t2"))
+      .select(col("doc_id"))
+    val delta = diff
+      .where(col("t2").isNotNull &&
+        (col("t1").isNull || col("t1") =!= col("t2")))
+      .select(col("doc_id"), col("t2").as("text"))
+    val cont2 = prev.join(carriedIds, Seq("doc_id"), "left_semi")
+      .unionByName(
+        Decontaminate.contaminatedDocs(delta, bench, "doc_id", "text", k = 3))
+    def census(cont: DataFrame, corp: DataFrame, tag: String) =
+      cont.join(corp.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang")).agg(count(lit(1)).as(s"n_contam_$tag"))
+    def totals(corp: DataFrame, tag: String) =
+      corp.groupBy(col("lang")).agg(count(lit(1)).as(s"tot_$tag"))
+    totals(corp1, "v1").join(totals(corp2, "v2"), Seq("lang"), "full_outer")
+      .join(census(prev, corp1, "v1"), Seq("lang"), "left_outer")
+      .join(census(cont2, corp2, "v2"), Seq("lang"), "left_outer")
+      .select(col("lang"),
+        coalesce(col("n_contam_v1"), lit(0L)).as("n_contam_v1"),
+        coalesce(col("n_contam_v2"), lit(0L)).as("n_contam_v2"),
+        // non-negative integer division — the div/floor seam is safe here
+        expr("coalesce(n_contam_v1, 0) * 1000000 div coalesce(tot_v1, 1)")
+          .as("share_v1_ppm"),
+        expr("coalesce(n_contam_v2, 0) * 1000000 div coalesce(tot_v2, 1)")
+          .as("share_v2_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_v1_ppm") - col("share_v2_ppm")))
+      .orderBy(col("lang"))
+  }
+
   def k6JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val root = stagedDir("k6_jsonl", d) { dir =>
@@ -6068,6 +6125,7 @@ object Queries {
     "k7_snapshot_diff" -> k7SnapshotDiff _,
     "k8_vacuum_plan" -> k8VacuumPlan _,
     "k9_drift_census" -> k9DriftCensus _,
+    "k10_contamination_drift" -> k10ContaminationDrift _,
     "sn1_snapshot_hourly" -> sn1SnapshotHourly _,
     "sn2_book_shape" -> sn2BookShape _,
     "m1_multimodal_meta" -> m1MultimodalMeta _,
