@@ -1892,6 +1892,31 @@ object Oracles {
     // t25: CDC chunk census — cut after token j where the 3-gram ending
     // at j hashes ≡ 0 mod 8 (same portable 15-hex md5 value as the
     // engine); tail chunk always closes at n.
+    // t38: fixed-window chunk table — integer ceil chunk count, 1-based
+    // inclusive list slice, md5 over the space-joined window
+    "t38_window_chunks" -> {
+      val c = ChunkTokens
+      val st = ChunkTokens - ChunkOverlap
+      s"""WITH t AS (SELECT doc_id, ${lowSeq("text")} AS toks FROM documents),
+         |t2 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) > 0),
+         |cnum AS (SELECT doc_id, toks, n,
+         |    CASE WHEN n <= $c THEN 1
+         |         ELSE (n - $c + $st - 1) // $st + 1 END AS nch
+         |  FROM t2),
+         |e AS (SELECT doc_id, toks, n,
+         |    CAST(unnest(range(0, nch)) AS BIGINT) AS chunk_idx
+         |  FROM cnum)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * $st AS BIGINT) AS start_tok,
+         |  CAST(least($c, n - chunk_idx * $st) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(
+         |    toks[chunk_idx * $st + 1 :
+         |         chunk_idx * $st + least($c, n - chunk_idx * $st)], ' '))
+         |    AS chunk_fp
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     "t25_cdc_chunks" -> {
       val gh = hexVal15("md5(array_to_string(toks[j-2:j], ' '))")
       s"""WITH t AS (SELECT doc_id, lang, ${lowSeq("text")} AS toks
@@ -4253,6 +4278,71 @@ object Oracles {
          |    AND round(${cosChain("a.cv", "b.cv")}, 6) >= $SemThreshold)
          |SELECT nid AS vec_id, cell, subcell FROM allv
          |WHERE nid NOT IN (SELECT idb FROM dr) ORDER BY vec_id""".stripMargin,
+
+    // s22: both assignments recomputed from scratch — v1 argmax against
+    // the centroid rows, the v2 snapshot rebuilt through the exact
+    // perturbation algebra (element + 0.5·cyclic-right-neighbor, the
+    // same cast-to-double tree as Spark's zip_with), then the
+    // full-outer diff and the two cell censuses
+    "s22_index_staleness" -> {
+      val pert = s"[CAST(cv[i] AS DOUBLE) + 0.5 * CAST(cv[(i % $EmbeddingDim) + 1] AS DOUBLE) " +
+        s"for i in range(1, ${EmbeddingDim + 1})]"
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |ca1 AS (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |idx AS (SELECT vec_id AS id, cent_id AS cell_idx
+         |  FROM ca1 WHERE arn = 1),
+         |v2 AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 9 = 0 THEN $pert
+         |    ELSE list_transform(cv, x -> CAST(x AS DOUBLE)) END AS cv
+         |  FROM corp WHERE vec_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    list_transform(cv, x -> CAST(x AS DOUBLE))
+         |  FROM corp WHERE vec_id % 11 = 0),
+         |ca2 AS (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM v2 CROSS JOIN cent),
+         |cur AS (SELECT vec_id AS id, cent_id AS cell_cur
+         |  FROM ca2 WHERE arn = 1),
+         |f AS (SELECT COALESCE(idx.id, cur.id) AS id, cell_idx, cell_cur,
+         |    cell_cur IS NULL AS removed, cell_idx IS NULL AS added,
+         |    cell_idx IS NOT NULL AND cell_cur IS NOT NULL
+         |      AND cell_idx <> cell_cur AS moved
+         |  FROM idx FULL JOIN cur ON idx.id = cur.id),
+         |fs AS (SELECT cell_idx AS cell,
+         |    CAST(count(*) AS BIGINT) AS n_indexed,
+         |    CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_removed,
+         |    CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_moved_out
+         |  FROM f WHERE cell_idx IS NOT NULL GROUP BY 1),
+         |ts AS (SELECT cell_cur AS cell,
+         |    CAST(count(*) AS BIGINT) AS n_current,
+         |    CAST(sum(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_added,
+         |    CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_moved_in
+         |  FROM f WHERE cell_cur IS NOT NULL GROUP BY 1),
+         |g AS (SELECT cell,
+         |    COALESCE(n_indexed, 0) AS n_indexed,
+         |    COALESCE(n_current, 0) AS n_current,
+         |    COALESCE(n_removed, 0) AS n_removed,
+         |    COALESCE(n_added, 0) AS n_added,
+         |    COALESCE(n_moved_out, 0) AS n_moved_out,
+         |    COALESCE(n_moved_in, 0) AS n_moved_in
+         |  FROM fs FULL JOIN ts USING (cell))
+         |SELECT cell, n_indexed, n_current, n_removed, n_added,
+         |  n_moved_out, n_moved_in,
+         |  (n_removed + n_moved_out) * 1000000 // greatest(n_indexed, 1)
+         |    AS stale_ppm
+         |FROM g ORDER BY cell""".stripMargin
+    },
 
     "s3_ivf_ann" ->
       s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec

@@ -1476,11 +1476,18 @@ object Queries {
         .write.mode("overwrite").partitionBy("batch").text(tmp.toString)
       import scala.jdk.CollectionConverters._
       for (b <- 0 until W16Batches) {
-        val part = java.nio.file.Files.list(tmp.resolve(s"batch=$b"))
-          .iterator().asScala
-          .find(_.getFileName.toString.startsWith("part-")).get
+        val bDir = tmp.resolve(s"batch=$b")
+        val part = if (java.nio.file.Files.isDirectory(bDir))
+          java.nio.file.Files.list(bDir).iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+        else None
         val f = drop.resolve(s"batch$b.txt")
-        java.nio.file.Files.move(part, f)
+        part match {
+          case Some(p) => java.nio.file.Files.move(p, f)
+          // an empty batch writes no dir; an empty drop file keeps the
+          // batch-id ↔ file-order correspondence intact
+          case None => java.nio.file.Files.createFile(f)
+        }
         f.toFile.setLastModified(1700000000000L + b * 1000L)
       }
     }
@@ -3990,6 +3997,88 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic embedding-store snapshot pair (k7's idea on the vector
+    * plane): v2 = v1 with %13 ids REMOVED, %9 ids PERTURBED (each element
+    * mixed with its cyclic right neighbor, `x_i + 0.5·x_{i%d+1}` — a
+    * direction change, since pure scaling is cosine-invariant), and %11
+    * ids duplicated as ADDED vectors under offset ids. All branches cast
+    * to double so the union is type-stable; the same fixed IEEE algebra
+    * replays in the oracle. */
+  private def embSnapshotPair(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val v1 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val shifted = concat(
+      slice(col("embedding"), 2, EmbeddingDim - 1),
+      slice(col("embedding"), 1, 1))
+    val perturbed = zip_with(col("embedding"), shifted,
+      (a, b) => a + lit(0.5) * b)
+    val v2 = v1.where(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 9 === 0, perturbed).otherwise(dbl)
+          .as("embedding"))
+      .unionByName(v1.where(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          dbl.as("embedding")))
+    (v1, v2)
+  }
+
+  /** S22: ANN index STALENESS census — the ops question every persisted
+    * vector index (s15/s19) eventually answers: the corpus moved v1 → v2
+    * under a FROZEN quantizer, so per cell, how much of the posting list
+    * is stale (rows removed or moved away) and how much of the current
+    * corpus is missing (rows added or moved in)? One full-outer diff of
+    * (indexed assignment — a staged metadata read, no vector math) vs
+    * (current assignment — one map-side argmax pass over v2), then two
+    * model-sized censuses; stale_ppm = (removed + moved_out)·1e6 div
+    * n_indexed is the per-cell reindex-pressure number a nightly job
+    * alerts on (s19's merge path is the repair; this is the detector).
+    * The oracle recomputes BOTH assignments and the perturbation algebra
+    * from scratch, so a single mis-assigned or mis-classified vector
+    * hash-fails. */
+  def s22IndexStaleness(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val idxDir = stagedDir("s22idx", d) { root =>
+      Similarity.assignCells(emb, cents, "vec_id", "embedding", "id", "v", 1)
+        .select(col("id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$root/idx")
+    } + "/idx"
+    val (_, v2) = embSnapshotPair(s, d)
+    val cur = Similarity.assignCells(v2, cents, "vec_id", "embedding",
+      "id", "v", 1).select(col("id"), col("cell").as("cell_cur"))
+    val idx = s.read.parquet(idxDir)
+      .withColumnRenamed("cell", "cell_idx")
+    val flags = idx.join(cur, Seq("id"), "full_outer")
+      .select(col("id"), col("cell_idx"), col("cell_cur"),
+        col("cell_cur").isNull.as("removed"),
+        col("cell_idx").isNull.as("added"),
+        (col("cell_idx").isNotNull && col("cell_cur").isNotNull &&
+          col("cell_idx") =!= col("cell_cur")).as("moved"))
+    val fromSide = flags.where(col("cell_idx").isNotNull)
+      .groupBy(col("cell_idx").as("cell"))
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved_out"))
+    val toSide = flags.where(col("cell_cur").isNotNull)
+      .groupBy(col("cell_cur").as("cell"))
+      .agg(count(lit(1)).as("n_current"),
+        sum(when(col("added"), 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved_in"))
+    fromSide.join(toSide, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("n_current"), lit(0L)).as("n_current"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+      .withColumn("stale_ppm",
+        expr("(n_removed + n_moved_out) * 1000000 div greatest(n_indexed, 1)"))
+      .orderBy(col("cell"))
+  }
+
   /** S16: contrastive pair mining (SimCSE/DPR-style) — for each query
     * vector, the top-2 most-similar SAME-label neighbors (positives) and
     * the top-3 most-similar DIFFERENT-label neighbors (hard negatives)
@@ -4764,6 +4853,43 @@ object Queries {
         sum(col("c.len")).as("total_len"),
         max(col("c.len")).as("max_len"))
       .orderBy(col("lang"))
+  }
+
+  /** T38: sliding-WINDOW chunker with overlap + provenance — the
+    * RAG/context-window chunking standard (fixed `ChunkTokens`-token
+    * windows at stride C−O), complementing t25's content-DEFINED chunks:
+    * fixed windows give a uniform retrieval grain and stable token
+    * budgets; the (start_tok, n_tokens) provenance maps any chunk back
+    * into its document; the md5 fingerprint is the join key every
+    * downstream dedup/embedding table uses. Chunk count is the exact
+    * integer ceil `(n−C+S−1) div S + 1` (never a float — the d20 ceil
+    * lesson), the tail chunk keeps its short length, and a doc at or
+    * under C tokens is exactly one chunk. Pure map-side: one explode
+    * over a per-doc start sequence, zero shuffles (the orderBy is
+    * presentation) — at 100 TB this fuses into the scan. */
+  def t38WindowChunks(s: SparkSession, d: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")), t => lower(t))
+          .as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nch",
+        when(col("n") <= ChunkTokens, lit(1L))
+          .otherwise(
+            expr(s"(n - $ChunkTokens + $stride - 1) div $stride + 1")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nch") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
+      .withColumn("n_tokens",
+        least(lit(ChunkTokens.toLong), col("n") - col("start_tok")))
+      .withColumn("chunk_fp", md5(concat_ws(" ",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("n_tokens").cast("int")))))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"), col("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   /** T26: HTML → clean-text extraction (jusText/trafilatura line rules; see
@@ -6102,6 +6228,7 @@ object Queries {
     "a27_session_metrics" -> a27SessionMetrics _,
     "a28_ltv_cohorts" -> a28LtvCohorts _,
     "t25_cdc_chunks" -> t25CdcChunks _,
+    "t38_window_chunks" -> t38WindowChunks _,
     "t26_html_extract" -> t26HtmlExtract _,
     "t27_url_dedup" -> t27UrlDedup _,
     "t28_hybrid_rrf" -> t28HybridRrf _,
@@ -6148,6 +6275,7 @@ object Queries {
     "s19_index_merge" -> s19IndexMerge _,
     "s20_nprobe_sweep" -> s20NprobeSweep _,
     "s21_filtered_ann" -> s21FilteredAnn _,
+    "s22_index_staleness" -> s22IndexStaleness _,
     "s16_hard_negatives" -> s16HardNegatives _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders

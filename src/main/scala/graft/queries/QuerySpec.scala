@@ -295,6 +295,11 @@ object QuerySpec {
   // D22 CDC-chunk resemblance join: boundary modulus (t25's chunking) and
   // the chunk-set Jaccard threshold
   val CdcModulus = 8
+  // T38 sliding-window chunking: C-token windows, O-token overlap
+  // (stride C−O) — the fixed-grain RAG/context-window complement to
+  // t25's content-defined chunks
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
   val CdcResemblance = 0.5
 
   // D20 prefix-filtering exact similarity join: shingle width (words) and
