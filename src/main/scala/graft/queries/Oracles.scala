@@ -3388,6 +3388,40 @@ object Oracles {
          |FROM cont JOIN ct USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // o11: exact percentiles over integer per-key counts via the
+    // histogram walk (both engines compare 100·cum >= p·n on exact
+    // integers); HUGEINT window sums cast back to BIGINT
+    "o11_hotkey_census" ->
+      s"""WITH cnts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |hist AS (SELECT c, CAST(count(*) AS BIGINT) AS nk
+         |  FROM cnts GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS tot, CAST(max(c) AS BIGINT) AS mx
+         |  FROM cnts),
+         |wk AS (SELECT c, CAST(sum(nk) OVER (ORDER BY c) AS BIGINT) AS cum
+         |  FROM hist),
+         |st AS (SELECT
+         |  (SELECT min(c) FROM wk CROSS JOIN agg
+         |     WHERE cum * 100 >= 50 * n) AS p50,
+         |  (SELECT min(c) FROM wk CROSS JOIN agg
+         |     WHERE cum * 100 >= 90 * n) AS p90,
+         |  (SELECT min(c) FROM wk CROSS JOIN agg
+         |     WHERE cum * 100 >= 99 * n) AS p99,
+         |  (SELECT mx FROM agg) AS mxv,
+         |  (SELECT n FROM agg) AS nv,
+         |  (SELECT tot * 1000000 // n FROM agg) AS meanv,
+         |  (SELECT mx * 1000000 // greatest(tot // n, 1) FROM agg) AS skewv)
+         |SELECT stat, value FROM (
+         |  SELECT 'p50_count' AS stat, p50 AS value FROM st
+         |  UNION ALL SELECT 'p90_count', p90 FROM st
+         |  UNION ALL SELECT 'p99_count', p99 FROM st
+         |  UNION ALL SELECT 'max_count', mxv FROM st
+         |  UNION ALL SELECT 'n_keys', nv FROM st
+         |  UNION ALL SELECT 'mean_count_micro', meanv FROM st
+         |  UNION ALL SELECT 'skew_ppm', skewv FROM st)
+         |ORDER BY stat""".stripMargin,
+
     // k10: both contamination censuses recomputed FULL-SCAN (v1 and v2),
     // so hash equality proves the engine's staged-v1 + incremental-v2
     // composition ≡ the from-scratch drift

@@ -5354,6 +5354,48 @@ object Queries {
     * seconds, and each (dir, bin) row becomes one compaction task (k4's
     * rename-aside swap executes them). Census per (lang, bin): files in,
     * rows, and the bin's first file key. */
+  /** O11: HOT-KEY SKEW census — the detector in front of j9's salted-join
+    * repair: before shuffling a 100 TB fact table on a key, measure the
+    * key-count distribution and decide whether AQE's skew split suffices
+    * or the build side must replicate. One count census per key, then a
+    * count-grain histogram walk: exact percentiles over integer per-key
+    * counts (smallest count whose running key total reaches
+    * ceil(p·n/100) — the a25 grid trick, so both engines walk identical
+    * integers), max, integer-micro mean, and skew_ppm = max·1e6 div
+    * mean_micro·1e6... expressed as max·1e6 div (sum div n) — all
+    * non-negative integer division. Output is one (stat, value) row per
+    * statistic — model-sized; the only corpus-grain work is the single
+    * groupBy(key) census every skew decision needs anyway. */
+  def o11HotkeyCensus(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("c"))
+    // histogram walk over DISTINCT count values — bounded by the count
+    // range, not key cardinality, so the unpartitioned window is
+    // model-sized (the a25 percentile discipline)
+    val walked = hist.withColumn("cum", sum(col("nk")).over(w))
+      .crossJoin(broadcast(counts.agg(
+        count(lit(1)).as("n"), sum(col("c")).as("tot"),
+        max(col("c")).as("mx"))))
+    def pct(p: Int): Column =
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("n"), col("c")))
+    walked.agg(
+        pct(50).as("p50"), pct(90).as("p90"), pct(99).as("p99"),
+        first(col("mx")).as("mx"), first(col("n")).as("n"),
+        first(col("tot")).as("tot"))
+      .select(explode(map(
+        lit("p50_count"), col("p50"),
+        lit("p90_count"), col("p90"),
+        lit("p99_count"), col("p99"),
+        lit("max_count"), col("mx"),
+        lit("n_keys"), col("n"),
+        lit("mean_count_micro"), expr("tot * 1000000 div n"),
+        lit("skew_ppm"), expr("mx * 1000000 div greatest(tot div n, 1)")))
+        .as(Seq("stat", "value")))
+      .orderBy(col("stat"))
+  }
+
   def o9CompactionPlan(s: SparkSession, d: String): DataFrame = {
     val root = stagedDir("o9_frag", d) { dir =>
       val docs = Tables.documents(s, d)
@@ -6216,6 +6258,7 @@ object Queries {
     "o8_range_shards" -> o8RangeShards _,
     "o9_compaction_plan" -> o9CompactionPlan _,
     "o10_skip_census" -> o10SkipCensus _,
+    "o11_hotkey_census" -> o11HotkeyCensus _,
     "a20_mad_outliers" -> a20MadOutliers _,
     "a21_sketch_union" -> a21SketchUnion _,
     "a29_sketch_overlap" -> a29SketchOverlap _,
