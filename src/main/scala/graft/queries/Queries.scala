@@ -1501,6 +1501,37 @@ object Queries {
       .distinct().orderBy(col("doc_id"))
   }
 
+  /** W17: OHLCV candle ROLLUP — the interval-upsample the reference
+    * never computes because its exchanges serve every interval over HTTP
+    * (`_base_.py` fetches 1m/1h/1d separately); engine-side, 1h candles
+    * from the finest grain are one aggregation, which at 100 TB replaces
+    * a second network corpus with a groupBy. Open/close are elected by
+    * `min/max(struct(ts, event_id, value))` — the (ts, event_id) total
+    * order rides INSIDE the aggregate, so the plan is a pure two-phase
+    * hash agg with map-side partials and NO window sort (w13 pays one
+    * sort for lag semantics; a candle doesn't need it). Volume sums in
+    * integer micro-units (the cross-engine rule: never order-dependent
+    * double addition); high/low/open/close are SELECTIONS of stored
+    * doubles, exact on both engines. */
+  def w17OhlcvCandles(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("series"), col("event_id"),
+        col("ts_ms"), col("value"))
+      .withColumn("hour_ms", expr(s"(ts_ms div $HourMs) * $HourMs"))
+    ev.groupBy(col("series"), col("hour_ms"))
+      .agg(
+        min(struct(col("ts_ms"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts_ms"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)"))
+          .as("volume_micro"),
+        count(lit(1)).as("n_trades"))
+      .orderBy(col("series"), col("hour_ms"))
+  }
+
   def w13Scd2(s: SparkSession, d: String): DataFrame = {
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -6159,6 +6190,7 @@ object Queries {
     "w14_stateful_cursor" -> w14StatefulCursor _,
     "w15_interpolate" -> w15Interpolate _,
     "w16_stream_admission" -> w16StreamAdmission _,
+    "w17_ohlcv_candles" -> w17OhlcvCandles _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

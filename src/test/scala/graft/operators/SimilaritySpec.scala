@@ -294,6 +294,29 @@ class SimilaritySpec extends SparkSpec {
     // cos(10,12) ≈ 0.72 < 0.99: same cell, not similar enough → kept
   }
 
+  test("adaptiveSemanticDedup splits a hot cell by sqrt(n) smallest-id " +
+      "seeds and dedups per sub-bucket") {
+    val cents = Array(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    // cell 0 gets 4 members (> cap 3 → subk = floor(sqrt(4)) = 2, seeds
+    // 10 and 11); cell 1 gets 2 (unsplit, subcell -1)
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.435f)),
+      (12L, Seq(0.999f, 0.01f)),  // seed-10 bucket, cos(10,12) ≈ 1 → drop
+      (13L, Seq(0.95f, 0.3f)),    // seed-11 bucket, cos(11,13) ≈ 0.990 → kept
+      (20L, Seq(0.0f, 1.0f)),
+      (21L, Seq(0.01f, 0.9999f))  // unsplit cell dup of 20 → drop
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.adaptiveSemanticDedup(corpus, "vec_id",
+      "embedding", cents, threshold = 0.995, cellCap = 3)
+      .select("id", "cell", "subcell").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(10L, 11L, 13L, 20L))
+    assert(out(10L) == ((0L, 10L)) && out(11L) == ((0L, 11L)))
+    assert(out(13L) == ((0L, 11L))) // same bucket as 11, under threshold
+    assert(out(20L) == ((1L, -1L))) // cold cell keeps subcell = -1
+  }
+
   test("lshTopK returns bucket-mates ranked by cosine") {
     val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding",
       k = 3, nBits = 2, dim = 3)
