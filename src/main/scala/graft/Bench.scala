@@ -71,15 +71,14 @@ object Bench {
     * run: cpu flat + both canaries flat = host descheduling; cpu tracks
     * wall + bw canary inflated = memory-bandwidth contention (NOT extra
     * work); cpu tracks wall + both canaries flat = the query really did
-    * more work. The array is allocated once, untimed. */
-  private lazy val bwArray: Array[Long] = {
-    val a = new Array[Long](1 << 26) // 64M longs = 512 MiB
-    var i = 0
-    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
-    a
-  }
+    * more work. The array is allocated PER CALL (untimed) and released:
+    * a retained 512 MiB reference would shift the heap regime every
+    * query is measured in — exactly the mode the round-11 d20
+    * adjudication showed moves cpu_sec by up to 60%. */
   private def canaryBwSec(): Double = {
-    val a = bwArray
+    val a = new Array[Long](1 << 26) // 64M longs = 512 MiB, transient
+    var ii = 0
+    while (ii < a.length) { a(ii) = ii.toLong * 0x9E3779B97F4A7C15L; ii += 1 }
     val t0 = System.nanoTime()
     var acc = 0L; var pass = 0
     while (pass < 4) {

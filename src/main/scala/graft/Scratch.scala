@@ -1271,31 +1271,11 @@ object Scratch {
               f"pairSpace=${r.getLong(3)}%12d")
           }
           census(assigned.select(col("cell").as("bkt")), "frozen")
-          // adaptive grain: replay adaptiveSemanticDedup's bucket logic
-          val caps = assigned.groupBy(col("cell"))
-            .agg(count(lit(1)).as("n_cell"))
-            .withColumn("subk", when(col("n_cell") > lit(SemCellCap),
-              expr("cast(floor(sqrt(cast(n_cell as double))) as bigint)"))
-              .otherwise(lit(1L)))
-          val hot = caps.where(col("subk") > 1)
-            .select(col("cell"), col("subk"))
-          val wC = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("cell")).orderBy(col("id"))
-          val seeds = assigned.join(broadcast(hot), Seq("cell"))
-            .withColumn("srk", row_number().over(wC))
-            .where(col("srk") <= col("subk"))
-            .select(col("cell"), col("id").as("seed_id"), col("v").as("sv"))
-          val subHot = assigned.join(broadcast(seeds), Seq("cell"))
-            .withColumn("arn", row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-                .orderBy(operators.Similarity.cosine(col("v"), col("sv"))
-                  .desc, col("seed_id"))))
-            .where(col("arn") === 1)
-            .select(concat_ws("/", col("cell"), col("seed_id")).as("bkt"))
-          val cold = assigned.join(broadcast(seeds.select(col("cell"))
-              .distinct()), Seq("cell"), "left_anti")
-            .select(concat_ws("/", col("cell"), lit(-1L)).as("bkt"))
-          census(cold.unionByName(subHot), "adaptive")
+          // adaptive grain: the OPERATOR's own bucket assignment (shared
+          // helper — the census measures what d24 actually runs)
+          census(operators.Similarity.adaptiveBuckets(assigned, SemCellCap)
+            .select(concat_ws("/", col("cell"), col("subcell")).as("bkt")),
+            "adaptive")
           assigned.unpersist()
         }
 

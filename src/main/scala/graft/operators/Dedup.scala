@@ -331,7 +331,14 @@ object Dedup {
     * same two tables every nightly/bulk consumer reads. */
   def admitBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexPath: String, sinkPath: String, k: Int,
-      bands: Int, shingleK: Int, threshold: Double): Unit = {
+      bands: Int, shingleK: Int, threshold: Double,
+      epoch: Long = 0L): Unit = {
+    // tag = epoch·1e6 + batchId: micro-batch ids restart at 0 whenever a
+    // checkpoint is recreated, so a long-lived index fed by successive
+    // lifecycles MUST namespace tags per lifecycle (`epoch` — e.g. the
+    // deployment day number) or a new lifecycle's replay filter would
+    // silently exclude a previous lifecycle's same-numbered batches.
+    val tag = epoch * 1000000L + batchId
     val s = batch.sparkSession
     val dToks = Spread(batch).select(col(idCol).as("id"),
       graft.operators.TextAnalysis.shingleHashes(col(textCol), shingleK)
@@ -355,12 +362,12 @@ object Dedup {
       .select(col("id_b").as("id")).distinct()
     // index probe, excluding this batch's own half-written rows
     val idxMatched = s.read.parquet(s"$indexPath/bands")
-      .where(col("batch_id") =!= batchId)
+      .where(col("batch_id") =!= tag)
       .join(broadcast(dBands.withColumnRenamed("id", "delta_id")),
         Seq("band"))
       .select(col("id"), col("delta_id")).distinct()
       .join(s.read.parquet(s"$indexPath/toks")
-        .where(col("batch_id") =!= batchId), Seq("id"))
+        .where(col("batch_id") =!= tag), Seq("id"))
       .join(broadcast(dToks.select(col("id").as("delta_id"),
         col("toks").as("dtoks"))), Seq("delta_id"))
       .where(jaccard(col("toks"), col("dtoks")) >= threshold)
@@ -379,11 +386,11 @@ object Dedup {
     // coalesce(1): batch-sized appends — one file per batch per table, so
     // later probes scan O(batches) files, not O(batches × partitions)
     dBands.join(admitted, Seq("id"), "left_semi")
-      .select(col("band"), col("id"), lit(batchId).as("batch_id"))
+      .select(col("band"), col("id"), lit(tag).as("batch_id"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexPath/bands")
     dToks.join(admitted, Seq("id"), "left_semi")
-      .select(col("id"), col("toks"), lit(batchId).as("batch_id"))
+      .select(col("id"), col("toks"), lit(tag).as("batch_id"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexPath/toks")
     admitted.unpersist()

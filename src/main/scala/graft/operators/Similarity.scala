@@ -499,13 +499,18 @@ object Similarity {
     * sub-bucket boundary are not compared (just as SemDeDup never
     * compares across cells) — the recall trade that buys bounded compute,
     * measured in the README probe table. */
-  def adaptiveSemanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[(Long, Array[Double])], threshold: Double,
-      cellCap: Long,
-      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
-    val assigned = cache(
-      assignCells(df, cents, idCol, vecCol, "id", "v", 1)
-        .withColumn("nrm", norm(col("v"))))
+  /** The (cell → subcell) bucket assignment of [[adaptiveSemanticDedup]],
+    * factored out so the `Scratch d24census` probe measures the
+    * operator's ACTUAL bucketing (a drifted inline copy would keep
+    * printing bounded-pair-space numbers for a rule the operator no
+    * longer runs). Preserves every input column and appends `subcell`
+    * (-1 for unsplit cells). `cellCap >= 3` makes the code's
+    * `subk > 1` hot test coincide with the documented `n_cell > cellCap`
+    * split contract: any n > 3 has floor(√n) >= 2, while cellCap <= 2
+    * would let a 2-3 row cell satisfy the contract but not the test. */
+  def adaptiveBuckets(assigned: DataFrame, cellCap: Long): DataFrame = {
+    require(cellCap >= 3,
+      s"adaptiveBuckets needs cellCap >= 3, got $cellCap")
     val caps = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_cell"))
       .withColumn("subk",
@@ -518,19 +523,28 @@ object Similarity {
       .withColumn("srk", row_number().over(wCell))
       .where(col("srk") <= col("subk"))
       .select(col("cell"), col("id").as("seed_id"), col("v").as("sv"))
+    val others = assigned.columns.filterNot(_ == "cell").map(col)
     val subHot = assigned.join(broadcast(seeds), Seq("cell"))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(cosine(col("v"), col("sv")).desc, col("seed_id"))))
       .where(col("arn") === 1)
-      .select(col("cell"), col("seed_id").as("subcell"), col("id"),
-        col("v"), col("nrm"))
-    val allv = assigned
+      .select((col("cell") +: col("seed_id").as("subcell") +: others): _*)
+    assigned
       .join(broadcast(seeds.select(col("cell")).distinct()),
         Seq("cell"), "left_anti")
-      .select(col("cell"), lit(-1L).as("subcell"), col("id"), col("v"),
-        col("nrm"))
+      .select((col("cell") +: lit(-1L).as("subcell") +: others): _*)
       .unionByName(subHot)
+  }
+
+  def adaptiveSemanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Array[Double])], threshold: Double,
+      cellCap: Long,
+      cache: DataFrame => DataFrame = _.persist()): DataFrame = {
+    val assigned = cache(
+      assignCells(df, cents, idCol, vecCol, "id", "v", 1)
+        .withColumn("nrm", norm(col("v"))))
+    val allv = adaptiveBuckets(assigned, cellCap)
     // alias self-join, UNPERSISTED (the d20/d23 round-11 adjudication:
     // a persisted twice-read frame is heap-size-dependent; recomputing
     // the broadcast-join/window subtree per side is bounded parallel cpu)

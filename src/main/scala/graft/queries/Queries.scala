@@ -68,7 +68,8 @@ object Queries {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      val walk = java.nio.file.Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
       all.reverseIterator.foreach { q =>
         try java.nio.file.Files.deleteIfExists(q)
         catch { case _: Throwable => () }
@@ -1450,8 +1451,10 @@ object Queries {
     locally {
       val src = java.nio.file.Paths.get(baseIdx)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(src).iterator().asScala.toSeq
-        .sortBy(_.toString).foreach { p =>
+      val walk = java.nio.file.Files.walk(src)
+      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
+        finally walk.close()
+      paths.foreach { p =>
         val dst = idx.resolve(src.relativize(p).toString)
         if (java.nio.file.Files.isDirectory(p))
           java.nio.file.Files.createDirectories(dst)
@@ -1477,10 +1480,12 @@ object Queries {
       import scala.jdk.CollectionConverters._
       for (b <- 0 until W16Batches) {
         val bDir = tmp.resolve(s"batch=$b")
-        val part = if (java.nio.file.Files.isDirectory(bDir))
-          java.nio.file.Files.list(bDir).iterator().asScala
+        val part = if (java.nio.file.Files.isDirectory(bDir)) {
+          val ls = java.nio.file.Files.list(bDir)
+          try ls.iterator().asScala
             .find(_.getFileName.toString.startsWith("part-"))
-        else None
+          finally ls.close()
+        } else None
         val f = drop.resolve(s"batch$b.txt")
         part match {
           case Some(p) => java.nio.file.Files.move(p, f)

@@ -208,7 +208,8 @@ object DocStream {
       checkpointDir: String, indexPath: String, sinkPath: String,
       k: Int, bands: Int, shingleK: Int, threshold: Double,
       maxFilesPerTrigger: Int = 1,
-      statePartitions: Int = 0): StreamingQuery = {
+      statePartitions: Int = 0,
+      epoch: Long = 0L): StreamingQuery = {
     StreamConf.withStatePartitions(spark, statePartitions) {
     val raw = spark.readStream.format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -222,7 +223,7 @@ object DocStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup.admitBatch(batch, batchId, "doc_id", "text",
-          indexPath, sinkPath, k, bands, shingleK, threshold)
+          indexPath, sinkPath, k, bands, shingleK, threshold, epoch)
         ()
       }
       .start()
