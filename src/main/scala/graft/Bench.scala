@@ -196,34 +196,75 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Run(sec, gcMillis() - gc0, rssMib(), processCpuSec() - cpu0, loadAvg())
     }
-    // Adaptive steady-run count (round-11, the suite-wall lever): every
-    // query gets 2 steady runs; only if they disagree by >10% does it earn
-    // up to 2 more. Round 10's fixed rule (5 runs for heavy + sub-second
-    // queries) billed ~23.7 min for 205 queries — and the long window is
-    // itself the contention exposure that poisoned d20/d15's records.
-    // SPARK_GRAFT_RUNS still forces a fixed total count.
-    def steadyRuns(fn: (SparkSession, String) =>
+    // Round-12 (verdict item 1): contention verdicts must be attributable
+    // PER HEAVY RUN, not per suite endpoint. The round-11 driver refresh
+    // showed why: heavies run last, so a co-runner arriving in minute 18
+    // of a 20-minute suite lands exactly on d15/d20 while the pre/mid
+    // canaries — sampled 15+ minutes earlier — still read flat, and the
+    // three-way rule misclassifies late contention as "the query did more
+    // work". Fix: sample the CPU+bandwidth canary pair immediately BEFORE
+    // each heavy query's (and each streaming lifecycle's) steady-run
+    // block and store it per query (`canary_per_heavy`). Cost ~1.5 s ×
+    // ~30 heavies on a flat host — the price of a record that carries its
+    // own per-heavy verdict.
+    val canaryPerHeavy = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    // Round-12 (verdict item 2): contention-aware escalation. A >10%
+    // steady-run disagreement is exactly what host contention produces, so
+    // the round-11 rule ("escalate to 4 runs while >10% apart") made a
+    // contended suite run MORE iterations of the heaviest queries at the
+    // worst time (driver refresh: 29:23 wall, 4-run ladders on every
+    // disputed heavy). Now a disagreement first consults an immediate
+    // canary sample: if either canary reads >1.3× its pre-suite flat
+    // baseline, the disagreement is recorded with the canary verdict and
+    // escalation is SKIPPED — two more contended runs add exposure, not
+    // information. Verdicts land in the record's `escalation` field.
+    val escalation = scala.collection.mutable.LinkedHashMap
+      .empty[String, String]
+    def contendedNow(): Option[(Double, Double)] = {
+      val c = canarySec(); val b = canaryBwSec()
+      if (c > 1.3 * canaryPre || b > 1.3 * canaryBwPre) Some((c, b)) else None
+    }
+    def steadyRuns(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Vector[Run] = baseRuns match {
       case Some(n) => (2 to n).map(_ => timedRun(fn)).toVector
       case None =>
         var runs = Vector(timedRun(fn), timedRun(fn))
-        def settled: Boolean = {
+        def spread: Double = {
           val s = runs.map(_.sec)
-          s.forall(_ >= 0) && (s.max - s.min) <= 0.10 * math.max(s.min, 0.05)
+          if (s.exists(_ < 0)) 0.0
+          else (s.max - s.min) / math.max(s.min, 0.05)
         }
-        while (runs.size < 4 && !settled) runs :+= timedRun(fn)
+        var gated = false
+        while (runs.size < 4 && spread > 0.10 && !gated) {
+          contendedNow() match {
+            case Some((c, b)) =>
+              gated = true
+              escalation(name) = f"contended-skip: spread=${spread * 100}%.0f%% " +
+                f"canary_cpu=$c%.3f (pre $canaryPre%.3f) canary_bw=$b%.3f " +
+                f"(pre $canaryBwPre%.3f) — disagreement attributed to host, " +
+                "escalation skipped"
+            case None =>
+              runs :+= timedRun(fn)
+              if (runs.size == 4 || spread <= 0.10)
+                escalation(name) = f"escalated: ${runs.size} steady runs, " +
+                  f"host flat at check, final spread=${spread * 100}%.0f%%"
+          }
+        }
         runs
     }
 
     val runsByName = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[Run]]
 
-    // tier 1: streaming lifecycles, complete (cold + steady), first
+    // tier 1: streaming lifecycles, complete (cold + steady), first —
+    // each preceded by its own canary pair (they are heavies by cost)
     val (streamQs, batchQs) = selected.toSeq.sortBy(_._1)
       .partition { case (n, _) => streamingFirst(n) }
     streamQs.foreach { case (name, fn) =>
+      canaryPerHeavy(name) = (canarySec(), canaryBwSec())
       val first = timedRun(fn)
-      runsByName(name) = first +: steadyRuns(fn)
+      runsByName(name) = first +: steadyRuns(name, fn)
     }
     val canaryMid = canarySec()
     val canaryBwMid = canaryBwSec()
@@ -233,11 +274,14 @@ object Bench {
     val heavyNames = batchQs.collect {
       case (n, _) if runsByName(n).head.sec >= heavyCutoff => n
     }.toSet
-    // tier 3: steady runs — light queries first, heavies LAST
+    // tier 3: steady runs — light queries first, heavies LAST, each heavy
+    // preceded by its own canary pair so a late co-runner is attributed
+    // to the minute it arrived
     val (heavies, lights) = batchQs.partition { case (n, _) => heavyNames(n) }
     (lights ++ heavies).foreach { case (name, fn) =>
+      if (heavyNames(name)) canaryPerHeavy(name) = (canarySec(), canaryBwSec())
       val first = runsByName(name).head
-      runsByName(name) = first +: steadyRuns(fn)
+      runsByName(name) = first +: steadyRuns(name, fn)
     }
     val canaryPost = canarySec()
     val canaryBwPost = canaryBwSec()
@@ -294,15 +338,23 @@ object Bench {
       s"""{"pre":${fmt(canaryPre)},"mid":${fmt(canaryMid)},"post":${fmt(canaryPost)},"load_avg_pre":${fmt(loadPre)},"load_avg_post":${fmt(loadPost)}}"""
     val canaryBwJson =
       s"""{"pre":${fmt(canaryBwPre)},"mid":${fmt(canaryBwMid)},"post":${fmt(canaryBwPost)}}"""
+    val canaryPerHeavyJson = canaryPerHeavy.map { case (k, (c, b)) =>
+      "\"" + k + "\":{\"cpu\":" + fmt(c) + ",\"bw\":" + fmt(b) + "}"
+    }.mkString("{", ",", "}")
+    val escalationJson = escalation.map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\""
+    }.mkString("{", ",", "}")
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work",
+         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement consults an immediate canary before escalating — if either canary reads >1.3x its pre-suite baseline the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information)",
          |"queries":$qs,
          |"tiers":$tiersJson,
          |"heavy_dynamic":$heavyJson,
          |"canary_sec":$canaryJson,
          |"canary_bw_sec":$canaryBwJson,
+         |"canary_per_heavy":$canaryPerHeavyJson,
+         |"escalation":$escalationJson,
          |"cold_first_run":$coldJson,
          |"runs":$runsJson,
          |"gc_ms":$gcJson,
