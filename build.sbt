@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A ~210-query bench suite generates thousands of whole-stage-codegen
+  // classes; the JDK17 default ReservedCodeCacheSize (240m) saturates
+  // mid-suite and late-tier queries (alphabetically s*/t* lights) run
+  // partially interpreted — measured +10-55% on t32/t17/s5 with zero code
+  // change (round-12 drift adjudication). 512m keeps C2 active end-to-end.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )
