@@ -338,6 +338,12 @@ object Dedup {
     // lifecycles MUST namespace tags per lifecycle (`epoch` — e.g. the
     // deployment day number) or a new lifecycle's replay filter would
     // silently exclude a previous lifecycle's same-numbered batches.
+    // Enforced, not just documented: batch 1e6 of epoch e would equal
+    // batch 0 of epoch e+1 and silently re-admit duplicates.
+    require(epoch >= 0 && batchId >= 0 && batchId < 1000000L,
+      s"admitBatch tag namespacing requires 0 <= batchId < 1e6 and " +
+        s"epoch >= 0 (got epoch=$epoch, batchId=$batchId); roll the epoch " +
+        "before a lifecycle reaches 1e6 micro-batches")
     val tag = epoch * 1000000L + batchId
     val s = batch.sparkSession
     val dToks = Spread(batch).select(col(idCol).as("id"),

@@ -523,8 +523,19 @@ object Similarity {
       .withColumn("srk", row_number().over(wCell))
       .where(col("srk") <= col("subk"))
       .select(col("cell"), col("id").as("seed_id"), col("v").as("sv"))
+    // The seed set is Σ floor(√n_cell) vectors — it GROWS with the corpus,
+    // so a forced broadcast would eventually OOM the driver at scale. Gate
+    // the hint on the measured seed count (one tiny aggregate over the
+    // cell-sized `caps` frame, cheap when the caller persists `assigned`):
+    // ≤64k seeds broadcasts as at test SFs; beyond that the hint is
+    // dropped and the assignment join shuffles on `cell`, which is uniform
+    // by construction (cells past cellCap are exactly the ones split).
+    val nSeeds = caps.where(col("subk") > 1)
+      .agg(coalesce(sum(col("subk")), lit(0L)))
+      .head().getLong(0)
+    val seedsSide = if (nSeeds <= 65536L) broadcast(seeds) else seeds
     val others = assigned.columns.filterNot(_ == "cell").map(col)
-    val subHot = assigned.join(broadcast(seeds), Seq("cell"))
+    val subHot = assigned.join(seedsSide, Seq("cell"))
       .withColumn("arn", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(cosine(col("v"), col("sv")).desc, col("seed_id"))))

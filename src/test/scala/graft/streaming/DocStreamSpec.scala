@@ -127,4 +127,40 @@ class DocStreamSpec extends SparkSpec {
     assert(replayed ==
       List((3L, 0L), (9L, 1L), (11L, 0L), (15L, 2L)))
   }
+
+  test("w16 admission: an EMPTY middle drop file keeps its own micro-batch " +
+      "id, so later batch ids stay aligned with file order") {
+    // w16's fixture prep (Queries.scala) writes an empty drop file when a
+    // batch has no rows, relying on the file source still allocating that
+    // file its own micro-batch id; if the source ever skipped empty files,
+    // every later batch id would shift relative to the oracle's
+    // (doc_id div 2) % 3 mapping and the hash comparison would fail
+    // confusingly far from the cause. Pin the contract here.
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("admitempty")
+    val drop = base.resolve("drop"); Files.createDirectories(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idx = base.resolve("idx").toString
+    graft.operators.Dedup.writeTaggedIndex(
+      Seq((100L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text"), "doc_id",
+      "text", idx, k = 16, bands = 4, shingleK = 3, tag = -1L,
+      SaveMode.Overwrite)
+    Files.write(drop.resolve("b0.txt"),
+      "1\ta1 a2 a3 a4 a5".getBytes)
+    drop.resolve("b0.txt").toFile.setLastModified(1700000000000L)
+    Files.createFile(drop.resolve("b1.txt")) // the empty middle batch
+    drop.resolve("b1.txt").toFile.setLastModified(1700000001000L)
+    Files.write(drop.resolve("b2.txt"),
+      "5\tc1 c2 c3 c4 c5".getBytes)
+    drop.resolve("b2.txt").toFile.setLastModified(1700000002000L)
+    DocStream.admitNearDup(spark, drop.toString, ckpt, idx, sink,
+      k = 16, bands = 4, shingleK = 3, threshold = 0.6)
+      .awaitTermination(120000)
+    val got = spark.read.parquet(sink).distinct()
+      .select($"doc_id", $"batch").as[(Long, Long)]
+      .collect().sortBy(_._1).toList
+    // doc 5 must carry batch id 2, NOT 1: the empty file consumed id 1
+    assert(got == List((1L, 0L), (5L, 2L)))
+  }
 }
