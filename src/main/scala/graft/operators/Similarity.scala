@@ -241,6 +241,37 @@ object Similarity {
         col("probe_rank") +: carry.map(col): _*)
   }
 
+  /** Max cosine(v, c) over a centroid model, as ONE scalar expression —
+    * the [[assignCellsRanked]] dots machinery with a max instead of an
+    * argmax. This is the DELTA-SCORING term of incremental index
+    * maintenance (pipe14): a standing row provably keeps its indexed cell
+    * iff max-sim-over-CHANGED-centroids < its stored assignment sim, so
+    * carried rows score |changed| centroids instead of all k. The
+    * arithmetic is the exact assignCells tree (same per-centroid
+    * left-fold dot, same driver-side folded norms), so comparisons
+    * against an assignCells-derived sim are bit-safe cross-engine.
+    * Zero-norm sims take the -Infinity branch exactly as in
+    * assignCellsRanked. Callers must guard `cents.nonEmpty`. */
+  def maxSim(cents: Array[(Long, Array[Double])], v: Column): Column = {
+    require(cents.nonEmpty, "maxSim needs a non-empty centroid model")
+    val centNorms = typedlit(cents.map { case (_, c) =>
+      math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+    }.toSeq)
+    val centsT = typedlit(cents.map(_._2).transpose.map(_.toSeq).toSeq)
+    val dots = aggregate(
+      zip_with(v, centsT, (x, row) => transform(row, c => x.cast("double") * c)),
+      array_repeat(lit(0.0), cents.length),
+      (acc, arr) => zip_with(acc, arr, (a, dv) => a + dv))
+    val vnorm = sqrt(aggregate(
+      transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    array_max(zip_with(dots, centNorms, (dt, cn) => {
+      val denom = vnorm * cn
+      when(denom > 0, nanvl(dt / denom, lit(Double.NegativeInfinity)))
+        .otherwise(lit(Double.NegativeInfinity))
+    }))
+  }
+
   /** Collect a centroid DataFrame to the driver-side model (k rows — a
     * hyperparameter, not data-scale), ascending id for tie-break order. */
   def collectCentroids(centroids: DataFrame, idCol: String,

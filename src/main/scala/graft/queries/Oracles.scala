@@ -3288,6 +3288,127 @@ object Oracles {
     // corpus-v1, self-id excluded) all from first principles; hash
     // equality against the engine's carry-forward plan is the
     // incremental ≡ full proof for the COMPOSED pipeline.
+    // pipe14: the oracle builds the FINAL index as a FULL REBUILD (every
+    // v2 row argmax'd over the updated quantizer Q'), while the engine
+    // maintains it incrementally (carried rows keep their indexed cell by
+    // delta scoring) — so the per-cell census hash equality PROVES
+    // incremental ≡ full rebuild. The carried census replays the engine's
+    // keep rule (s1 vs max-over-retrained) with the identical IEEE chains.
+    "pipe14_index_lifecycle" -> {
+      val pert = s"[CAST(cv[i] AS DOUBLE) + 0.5 * CAST(cv[(i % $EmbeddingDim) + 1] AS DOUBLE) " +
+        s"for i in range(1, ${EmbeddingDim + 1})]"
+      val meanList = (0 until EmbeddingDim).map(i =>
+        s"CAST(sum(CAST(cv[${i + 1}] AS DECIMAL(27,9))) AS DOUBLE) / count(*)")
+        .mkString("[", ", ", "]")
+      s"""WITH cent AS (SELECT CAST(vec_id AS BIGINT) AS cent_id,
+         |    embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |ca1 AS (SELECT vec_id, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |idx AS (SELECT vec_id AS id, cent_id AS cell FROM ca1 WHERE arn = 1),
+         |v2 AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 9 = 0 THEN $pert
+         |    ELSE list_transform(cv, x -> CAST(x AS DOUBLE)) END AS cv
+         |  FROM corp WHERE vec_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 10000000,
+         |    list_transform(cv, x -> CAST(x AS DOUBLE))
+         |  FROM corp WHERE vec_id % 11 = 0),
+         |ca2 AS (SELECT vec_id, cv, cent_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM v2 CROSS JOIN cent),
+         |cur AS (SELECT vec_id AS id, cv, cent_id AS cell_cur
+         |  FROM ca2 WHERE arn = 1),
+         |dr AS (SELECT cell, stale_ppm,
+         |    CASE WHEN stale_ppm > $Pipe14StalePpm THEN 1 ELSE 0 END
+         |      AS drifted
+         |  FROM (SELECT i.cell,
+         |      (CAST(sum(CASE WHEN c.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |       + CAST(sum(CASE WHEN c.id IS NOT NULL AND c.cell_cur <> i.cell
+         |           THEN 1 ELSE 0 END) AS BIGINT))
+         |      * 1000000 // greatest(CAST(count(*) AS BIGINT), 1)
+         |        AS stale_ppm
+         |    FROM idx i LEFT JOIN cur c ON c.id = i.id GROUP BY i.cell)),
+         |ret AS (SELECT cell_cur AS cell, $meanList AS cvec
+         |  FROM cur JOIN dr ON dr.cell = cur.cell_cur
+         |  WHERE dr.drifted = 1 GROUP BY cell_cur),
+         |qp AS (SELECT c.cent_id AS cell,
+         |    COALESCE(r.cvec, list_transform(c.cvec, x -> CAST(x AS DOUBLE)))
+         |      AS cvec
+         |  FROM cent c LEFT JOIN ret r ON r.cell = c.cent_id),
+         |u AS (SELECT vec_id AS id, cv FROM v2
+         |  WHERE vec_id % 9 <> 0 AND vec_id < 10000000),
+         |s1t AS (SELECT u.id, i.cell, ${cosChain("u.cv", "ct.cvec")} AS s1
+         |  FROM u JOIN idx i ON i.id = u.id
+         |  JOIN cent ct ON ct.cent_id = i.cell),
+         |mn AS (SELECT u.id, max(${cosChain("u.cv", "ret.cvec")}) AS max_new
+         |  FROM u CROSS JOIN ret GROUP BY u.id),
+         |kept AS (SELECT s1t.id, s1t.cell
+         |  FROM s1t JOIN dr ON dr.cell = s1t.cell
+         |  LEFT JOIN mn ON mn.id = s1t.id
+         |  WHERE dr.drifted = 0
+         |    AND COALESCE(mn.max_new, CAST('-infinity' AS DOUBLE)) < s1t.s1),
+         |caf AS (SELECT v2.vec_id AS id, qp.cell,
+         |    row_number() OVER (PARTITION BY v2.vec_id
+         |      ORDER BY ${cosChain("v2.cv", "qp.cvec")} DESC, qp.cell) AS arn
+         |  FROM v2 CROSS JOIN qp),
+         |fin AS (SELECT id, cell FROM caf WHERE arn = 1),
+         |censf AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(id) AS BIGINT) AS id_sum,
+         |    CAST(min(id) AS BIGINT) AS id_min,
+         |    CAST(max(id) AS BIGINT) AS id_max
+         |  FROM fin GROUP BY cell),
+         |censc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_carried
+         |  FROM kept GROUP BY cell),
+         |q2 AS (SELECT vec_id AS query_id, cv AS qv FROM v2
+         |  WHERE vec_id < $NumQueries),
+         |qa AS (SELECT q2.query_id, q2.qv, qp.cell,
+         |    row_number() OVER (PARTITION BY q2.query_id
+         |      ORDER BY ${cosChain("q2.qv", "qp.cvec")} DESC, qp.cell) AS arn
+         |  FROM q2 CROSS JOIN qp),
+         |qprob AS (SELECT query_id, qv, cell FROM qa
+         |  WHERE arn <= $Pipe14Probe),
+         |fv AS (SELECT fin.id, fin.cell, v2.cv FROM fin
+         |  JOIN v2 ON v2.vec_id = fin.id),
+         |candt AS (SELECT qprob.query_id, fv.id AS neighbor_id,
+         |    ${cosChain("qprob.qv", "fv.cv")} AS sim
+         |  FROM fv JOIN qprob USING (cell) WHERE fv.id <> qprob.query_id),
+         |test AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM candt)
+         |  WHERE rank <= $IvfTopK),
+         |ts AS (SELECT q2.query_id, v2.vec_id AS neighbor_id,
+         |    ${cosChain("q2.qv", "v2.cv")} AS sim
+         |  FROM v2 CROSS JOIN q2 WHERE v2.vec_id <> q2.query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM ts)
+         |  WHERE rank <= $IvfTopK),
+         |rec AS (SELECT CAST(
+         |    sum(CASE WHEN te.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      * 1000000 // CAST(count(*) AS BIGINT) AS BIGINT) AS recall_ppm
+         |  FROM truth t LEFT JOIN test te
+         |    ON te.query_id = t.query_id AND te.neighbor_id = t.neighbor_id)
+         |SELECT cell, dr.stale_ppm, CAST(dr.drifted AS BIGINT) AS drifted,
+         |  COALESCE(censf.n_total, 0) AS n_total,
+         |  COALESCE(censc.n_carried, 0) AS n_carried,
+         |  COALESCE(censf.n_total, 0) - COALESCE(censc.n_carried, 0)
+         |    AS n_reassigned,
+         |  COALESCE(censf.id_sum, 0) AS id_sum,
+         |  COALESCE(censf.id_min, -1) AS id_min,
+         |  COALESCE(censf.id_max, -1) AS id_max,
+         |  rec.recall_ppm
+         |FROM dr FULL JOIN censf USING (cell)
+         |LEFT JOIN censc USING (cell) CROSS JOIN rec
+         |ORDER BY cell""".stripMargin
+    },
+
     "pipe13_nightly_refresh" -> {
       val rows = MinhashK / MinhashBands
       val sigs = (0 until MinhashK).map(i =>

@@ -4115,6 +4115,165 @@ object Queries {
       .orderBy(col("cell"))
   }
 
+  /** PIPE14: the ANN index MAINTENANCE LIFECYCLE as one spine — the
+    * nightly loop a production 100 TB vector store runs, composing four
+    * oracle-green parts: s22's staleness census (detect) → a threshold
+    * decision on stale_ppm (decide) → s11's Lloyd update restricted to
+    * the drifted cells (re-train) + s19's frozen-quantizer carry for the
+    * rest (merge) → s14's recall check against brute force (verify).
+    *
+    * The corpus moved v1 → v2 under a quantizer Q trained on v1 and a
+    * persisted index of v1. Cells whose stale_ppm exceeds
+    * [[graft.queries.QuerySpec.Pipe14StalePpm]] get their centroid
+    * re-trained as ONE Lloyd step over their CURRENT members (the
+    * mini-batch k-means update; [[Similarity.kmeans]] with the drifted
+    * centroids as init — a member's nearest cell among the drifted
+    * subset is its full-Q cell, since that cell beat ALL cells, so the
+    * 1-iter run computes exactly the per-drifted-cell dec9 means).
+    * Non-drifted centroids stay frozen, giving the updated quantizer Q'.
+    *
+    * The index is then maintained INCREMENTALLY by delta scoring: a
+    * standing row whose vector didn't change keeps its indexed cell iff
+    * (a) its cell wasn't re-trained and (b) the max cosine over the
+    * |changed| re-trained centroids ([[Similarity.maxSim]]) is < its
+    * stored assignment sim — under the (sim desc, cell asc) argmax
+    * order this is PROVABLY the full-rebuild assignment: every other
+    * frozen centroid was already beaten at s1 with larger-id ties, and
+    * ties against a changed centroid conservatively re-score. Everything
+    * else (perturbed, added, drifted-cell, contested rows) takes the
+    * full k-way argmax under Q'. The DuckDB twin builds the final index
+    * as a FULL REBUILD (every v2 row argmax'd over Q'), so the per-cell
+    * census hash equality (counts + id sums + id min/max) PROVES
+    * incremental ≡ full rebuild, not merely that two engines ran the
+    * same shortcut. The recall check serves the maintained index at
+    * probe=[[QuerySpec.Pipe14Probe]] against the v2 brute-force truth.
+    *
+    * Scale shape: detect is a metadata (id-grain) join + cell-grain
+    * census; decide is a model-sized collect; re-train touches only
+    * drifted members; carried rows pay ONE cosine + |changed| delta
+    * scores map-side (vs k for a rebuild); only the changed/contested
+    * minority pays the full argmax; serve is the s15 cell-join. The
+    * id-grain index⋈corpus join is the one shuffle — bucket both by id
+    * at 100 TB and it goes Exchange-free. If |changed| approaches k the
+    * delta scoring degenerates to a rebuild — the stale_ppm threshold is
+    * exactly the knob that bounds |changed|. */
+  def pipe14IndexLifecycle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    // the persisted v1 index under Q — (id, cell) metadata, s22's layout
+    val idxDir = stagedDir("pipe14idx", d) { root =>
+      Similarity.assignCells(emb, cents, "vec_id", "embedding", "id", "v", 1)
+        .select(col("id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$root/idx")
+    } + "/idx"
+    val (_, v2) = embSnapshotPair(s, d)
+    val staged = s.read.parquet(idxDir)
+
+    // DETECT: per-cell staleness of the persisted index vs the current
+    // corpus assignment under the FROZEN quantizer (s22's algebra).
+    // `cur` feeds two sequential driver actions (census collect, re-train
+    // rollup) — batch-persist, released before the serving plan is built.
+    val cur = Similarity.assignCells(v2, cents, "vec_id", "embedding",
+      "id", "v", 1).persist()
+    val driftRows = staged
+      .join(cur.select(col("id"), col("cell").as("cell_cur")), Seq("id"),
+        "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(when(col("cell_cur").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("cell_cur").isNotNull && col("cell_cur") =!= col("cell"),
+          1L).otherwise(0L)).as("n_moved_out"))
+      .withColumn("stale_ppm",
+        expr("(n_removed + n_moved_out) * 1000000 div greatest(n_indexed, 1)"))
+      .select(col("cell"), col("stale_ppm"),
+        (col("stale_ppm") > Pipe14StalePpm).cast("long").as("drifted"))
+      .collect() // DECIDE: cell-count-sized (a hyperparameter, not data)
+    val driftedCells = driftRows.filter(_.getLong(2) == 1L)
+      .map(_.getLong(0)).toSet
+    // RE-TRAIN: one Lloyd update over the drifted cells' current members
+    val driftedInit = cents.filter { case (id, _) => driftedCells(id) }
+    val retArr =
+      if (driftedInit.isEmpty) Array.empty[(Long, Array[Double])]
+      else Similarity.kmeans(
+        cur.where(col("cell").isin(driftedCells.toSeq: _*)),
+        "id", "v", driftedInit, maxIters = 1, dim = EmbeddingDim)
+    cur.unpersist()
+    val retMap = retArr.toMap
+    val qp = cents.map { case (id, v0) => (id, retMap.getOrElse(id, v0)) }
+
+    // MERGE/REPAIR: carried rows keep their indexed cell by delta
+    // scoring; changed/drifted/contested rows take the full argmax on Q'
+    val unchanged = v2
+      .where(col("vec_id") % 9 =!= 0 && col("vec_id") < 10000000L)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val centDf = broadcast(cents.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "cvec"))
+    val maxNew =
+      if (retArr.isEmpty) lit(Double.NegativeInfinity)
+      else Similarity.maxSim(retArr, col("v"))
+    val flagged = unchanged.join(staged, Seq("id"))
+      .join(centDf, Seq("cell"))
+      .withColumn("s1", Similarity.cosine(col("v"), col("cvec")))
+      .withColumn("max_new", maxNew)
+    val keepCond = !col("cell").isin(driftedCells.toSeq: _*) &&
+      col("max_new") < col("s1")
+    val kept = flagged.where(keepCond)
+      .select(col("id"), col("v"), col("cell"), lit(true).as("carried"))
+    val changed = v2
+      .where(col("vec_id") % 9 === 0 || col("vec_id") >= 10000000L)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val toReassign = changed
+      .unionByName(flagged.where(!keepCond).select(col("id"), col("v")))
+    val reassigned = Similarity
+      .assignCells(toReassign, qp, "id", "v", "id", "v", 1)
+      .select(col("id"), col("v"), col("cell"), lit(false).as("carried"))
+    // one materialization, two consumers (census + serve) — the s18 rule
+    val finalIdx = kept.unionByName(reassigned).localCheckpoint()
+
+    // VERIFY: recall@k of the maintained index vs the v2 brute truth
+    val queries = v2.where(col("vec_id") < NumQueries)
+    val qAss = Similarity.assignCellsRanked(queries, qp, "vec_id",
+      "embedding", "query_id", "qv", Pipe14Probe)
+    val cand = finalIdx.join(broadcast(qAss), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("v")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    val test = cand.withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        lit(1L).as("hit"))
+    val truth = Similarity.cosineTopK(v2, queries, "vec_id", "embedding",
+      IvfTopK).select(col("query_id"), col("neighbor_id"))
+    val recallRow = truth.join(test, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("tot"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(expr("hits * 1000000 div tot").as("recall_ppm"))
+
+    val census = finalIdx.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("carried"), 1L).otherwise(0L)).as("n_carried"),
+        sum(when(!col("carried"), 1L).otherwise(0L)).as("n_reassigned"),
+        sum(col("id")).as("id_sum"),
+        min(col("id")).as("id_min"),
+        max(col("id")).as("id_max"))
+    val driftDf = driftRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("cell", "stale_ppm", "drifted")
+    driftDf.join(census, Seq("cell"), "full_outer")
+      .select(col("cell"), col("stale_ppm"), col("drifted"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_carried"), lit(0L)).as("n_carried"),
+        coalesce(col("n_reassigned"), lit(0L)).as("n_reassigned"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+        coalesce(col("id_min"), lit(-1L)).as("id_min"),
+        coalesce(col("id_max"), lit(-1L)).as("id_max"))
+      .crossJoin(broadcast(recallRow)) // 1-row aggregate
+      .orderBy(col("cell"))
+  }
+
   /** S16: contrastive pair mining (SimCSE/DPR-style) — for each query
     * vector, the top-2 most-similar SAME-label neighbors (positives) and
     * the top-3 most-similar DIFFERENT-label neighbors (hard negatives)
@@ -6324,6 +6483,7 @@ object Queries {
     "pipe11_select_pack" -> pipe11SelectPack _,
     "pipe12_domain_gate" -> pipe12DomainGate _,
     "pipe13_nightly_refresh" -> pipe13NightlyRefresh _,
+    "pipe14_index_lifecycle" -> pipe14IndexLifecycle _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,

@@ -70,6 +70,14 @@ object QuerySpec {
   // S12 product quantization: m subspaces of EmbeddingDim/m dims each
   val PqM = 8
   val IvfTopK = 5
+  // PIPE14 index lifecycle: a cell whose staleness census exceeds this
+  // threshold takes the re-train path; 115000 ppm splits the 8 cells into
+  // BOTH branches at sf0.001 (4/4), sf0.01 (5/3) and sf0.1 (4/4), so the
+  // merge path, the re-train path and the carried/contested row classes
+  // are all exercised at every tested SF
+  val Pipe14StalePpm = 115000L
+  // serving probe for pipe14's post-maintenance recall check
+  val Pipe14Probe = 2
   // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
   val MrlPrefixDim = 16
   val MrlShortlist = 20

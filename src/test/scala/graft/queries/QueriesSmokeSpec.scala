@@ -1215,4 +1215,32 @@ class QueriesSmokeSpec extends SparkSpec {
     val heldout = splits.count(!_._2)
     assert(rows.length == heldout, s"${rows.length} sources != $heldout")
   }
+
+  test("pipe14 lifecycle: totals conserve, drifted cells fully reassigned, " +
+      "recall pinned") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.pipe14IndexLifecycle(spark, sfDir).collect()
+    assert(out.length == 8)
+    // the maintained index covers exactly the v2 corpus:
+    // |v2| = |v1| - removals(%13) + additions(%11)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n1 = emb.count()
+    val nRem = emb.where(col("vec_id") % 13 === 0).count()
+    val nAdd = emb.where(col("vec_id") % 11 === 0).count()
+    assert(out.map(_.getAs[Long]("n_total")).sum == n1 - nRem + nAdd)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_total") ==
+        r.getAs[Long]("n_carried") + r.getAs[Long]("n_reassigned"))
+      // a re-trained (drifted) cell's centroid changed, so NOTHING may be
+      // carried into it on stored metadata
+      if (r.getAs[Long]("drifted") == 1L)
+        assert(r.getAs[Long]("n_carried") == 0L)
+    }
+    // the 115000-ppm threshold must exercise BOTH branches at sf0.001
+    assert(out.count(_.getAs[Long]("drifted") == 1L) == 4)
+    assert(out.count(r => r.getAs[Long]("drifted") == 0L &&
+      r.getAs[Long]("n_carried") > 0L) == 4)
+    // probe=2 recall vs the brute-force v2 truth — deterministic fixture
+    assert(out.forall(_.getAs[Long]("recall_ppm") == 942857L))
+  }
 }
