@@ -1356,6 +1356,29 @@ object Oracles {
          |  CAST(count(*) AS BIGINT) AS n_trades
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // w18: the oracle computes day candles DIRECTLY from raw ticks; the
+    // engine cascades 1m -> 1h -> 1d — hash equality proves the candle
+    // merge associative (cascade == direct).
+    "w18_candle_cascade" ->
+      s"""WITH e AS (SELECT event_type AS series, event_id,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, value FROM events),
+         |h AS (SELECT series, event_id, ts_ms, value,
+         |    ts_ms // $DayMs * $DayMs AS day_ms FROM e),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY series, day_ms
+         |      ORDER BY ts_ms, event_id) AS rna,
+         |    row_number() OVER (PARTITION BY series, day_ms
+         |      ORDER BY ts_ms DESC, event_id DESC) AS rnd
+         |  FROM h)
+         |SELECT series, CAST(day_ms AS BIGINT) AS day_ms,
+         |  max(CASE WHEN rna = 1 THEN value END) AS open,
+         |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+         |  max(value) AS high, min(value) AS low,
+         |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS volume_micro,
+         |  CAST(count(*) AS BIGINT) AS n_trades
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "w13_scd2" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |    epoch_ns(ts) // 1000000 AS ts_ms, event_type FROM events),

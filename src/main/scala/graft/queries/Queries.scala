@@ -1537,6 +1537,77 @@ object Queries {
       .orderBy(col("series"), col("hour_ms"))
   }
 
+  /** W18: multi-interval candle CASCADE — 1m candles from the raw ticks,
+    * 1h candles from the 1m CANDLES, 1d candles from the 1h CANDLES,
+    * matching the reference's three `kline_{1m,1h,1d}` tables
+    * (`_base_.py:311` + `constants.py:16-19`), which it populates by
+    * fetching each interval separately over HTTP. Engine-side the coarser
+    * grains DERIVE from the finer: OHLCV is a mergeable aggregate once
+    * each candle carries its first/last tick keys (f_ts, f_eid, l_ts,
+    * l_eid) — coarse open = open of the child with the smallest
+    * (f_ts, f_eid), coarse close = close of the child with the largest
+    * (l_ts, l_eid), elected via `min/max(struct(...))` exactly like w17,
+    * so every level stays a pure two-phase hash agg with map-side
+    * partials and ZERO window sorts (the same mergeability trick as the
+    * a21 sketch rollup, applied to candles). At 100 TB this is the whole
+    * point: the day query reads the 1m candle STORE — three orders of
+    * magnitude smaller than the tick corpus — and never re-scans raw.
+    * The output is the 1d grain; the DuckDB twin computes day candles
+    * DIRECTLY from the raw events, so hash equality PROVES the cascade
+    * associative (cascade ≡ direct), not merely that two engines ran the
+    * same rollup chain. */
+  def w18CandleCascade(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type").as("series"), col("event_id"),
+        col("ts_ms"), col("value"))
+    // level 0: 1m candles from raw ticks, carrying the first/last keys
+    val m1 = ev
+      .withColumn("bucket_ms", expr(s"(ts_ms div $MinuteMs) * $MinuteMs"))
+      .groupBy(col("series"), col("bucket_ms"))
+      .agg(
+        min(struct(col("ts_ms"), col("event_id"))).as("fk"),
+        max(struct(col("ts_ms"), col("event_id"))).as("lk"),
+        min(struct(col("ts_ms"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts_ms"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)"))
+          .as("volume_micro"),
+        count(lit(1)).as("n_trades"))
+      .select(col("series"), col("bucket_ms"),
+        col("fk.ts_ms").as("f_ts"), col("fk.event_id").as("f_eid"),
+        col("lk.ts_ms").as("l_ts"), col("lk.event_id").as("l_eid"),
+        col("open"), col("close"), col("high"), col("low"),
+        col("volume_micro"), col("n_trades"))
+    // candle MERGE: one grain up, reading only the finer candles
+    def up(fine: DataFrame, unitMs: Long): DataFrame = fine
+      .withColumn("parent_ms", expr(s"(bucket_ms div $unitMs) * $unitMs"))
+      .groupBy(col("series"), col("parent_ms"))
+      .agg(
+        min(struct(col("f_ts"), col("f_eid"))).as("fk"),
+        max(struct(col("l_ts"), col("l_eid"))).as("lk"),
+        min(struct(col("f_ts"), col("f_eid"), col("open")))
+          .getField("open").as("open"),
+        max(struct(col("l_ts"), col("l_eid"), col("close")))
+          .getField("close").as("close"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        sum(col("volume_micro")).as("volume_micro"),
+        sum(col("n_trades")).as("n_trades"))
+      .select(col("series"), col("parent_ms").as("bucket_ms"),
+        col("fk.f_ts").as("f_ts"), col("fk.f_eid").as("f_eid"),
+        col("lk.l_ts").as("l_ts"), col("lk.l_eid").as("l_eid"),
+        col("open"), col("close"), col("high"), col("low"),
+        col("volume_micro"), col("n_trades"))
+    val d1 = up(up(m1, HourMs), DayMs)
+    d1.select(col("series"), col("bucket_ms").as("day_ms"),
+      col("open"), col("close"), col("high"), col("low"),
+      col("volume_micro"), col("n_trades"))
+      .orderBy(col("series"), col("day_ms"))
+  }
+
   def w13Scd2(s: SparkSession, d: String): DataFrame = {
     val byTs = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms"), col("event_id"))
@@ -6355,6 +6426,7 @@ object Queries {
     "w15_interpolate" -> w15Interpolate _,
     "w16_stream_admission" -> w16StreamAdmission _,
     "w17_ohlcv_candles" -> w17OhlcvCandles _,
+    "w18_candle_cascade" -> w18CandleCascade _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

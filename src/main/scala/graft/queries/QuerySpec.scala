@@ -9,6 +9,9 @@ object QuerySpec {
   val RangeStartMs = 1704067200000L
   val RangeEndMs = 1706659200000L
   val HourMs = 3600000L
+  // W18 candle cascade grains (1m -> 1h -> 1d)
+  val MinuteMs = 60000L
+  val DayMs = 86400000L
   val FiveMinMs = 300000L
   // last hour-grid point inside the range (inclusive end for calendars)
   val LastHourMs: Long = RangeEndMs - HourMs

@@ -1243,4 +1243,38 @@ class QueriesSmokeSpec extends SparkSpec {
     // probe=2 recall vs the brute-force v2 truth — deterministic fixture
     assert(out.forall(_.getAs[Long]("recall_ppm") == 942857L))
   }
+
+  test("w18 candle cascade: open/close elected by (ts, event_id) across " +
+      "grain boundaries — hand-computed fixture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w18fix").toString
+    val H = 3600000L
+    // one series, one day; ticks deliberately OUT of event-id order and
+    // straddling the minute/hour grains:
+    //   hour 0, minute 0: (ts=1000, eid=7, v=10), (ts=1000, eid=3, v=20)
+    //     -> same-ts tie: eid 3 opens the minute (v=20), eid 7 closes it
+    //   hour 0, minute 5: (ts=300000, eid=1, v=30)
+    //   hour 2, minute 0: (ts=2h+1, eid=9, v=5)
+    // day open = v of (ts=1000, eid=3) = 20; day close = v of 2h tick = 5
+    val rows = Seq(
+      (7L, 1000L * 1000000L, 1L, "trade", 10.0),
+      (3L, 1000L * 1000000L, 2L, "trade", 20.0),
+      (1L, 300000L * 1000000L, 3L, "trade", 30.0),
+      (9L, (2 * H + 1) * 1000000L, 4L, "trade", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", map(lit("k"), lit("v")))
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.w18CandleCascade(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("series") == "trade")
+    assert(r.getAs[Long]("day_ms") == 0L)
+    assert(r.getAs[Double]("open") == 20.0)  // eid tiebreak at equal ts
+    assert(r.getAs[Double]("close") == 5.0)  // last hour's close wins
+    assert(r.getAs[Double]("high") == 30.0)
+    assert(r.getAs[Double]("low") == 5.0)
+    assert(r.getAs[Long]("volume_micro") == 65000000L)
+    assert(r.getAs[Long]("n_trades") == 4L)
+  }
 }
