@@ -2216,6 +2216,32 @@ object Oracles {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    // j13: the oracle runs the PLAIN unsalted join + the census algebra —
+    // hash equality proves the adaptive salting semantically invisible
+    "j13_adaptive_salt" ->
+      s"""WITH e AS (SELECT CASE WHEN user_id % 10 = 0 THEN 0
+         |    ELSE user_id END AS account_id, value FROM events),
+         |c AS (SELECT account_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cnt) AS BIGINT) AS tot, max(cnt) AS mx FROM c),
+         |hot AS (SELECT account_id,
+         |    least(greatest((cnt * n) // tot, 2), $J13SaltCap) AS f
+         |  FROM c, st WHERE cnt * $J13HotDen * n > $J13HotNum * tot),
+         |cen AS (SELECT
+         |    (SELECT mx * 1000000 // greatest(tot // n, 1) FROM st)
+         |      AS skew_ppm,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM hot) AS n_hot_keys,
+         |    (SELECT COALESCE(CAST(max(f) AS BIGINT), 1) FROM hot)
+         |      AS max_factor)
+         |SELECT cu.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS value_micro,
+         |  cen.skew_ppm, cen.n_hot_keys, cen.max_factor
+         |FROM e JOIN customer cu ON cu.c_custkey = e.account_id
+         |CROSS JOIN cen
+         |GROUP BY 1, 4, 5, 6 ORDER BY 1""".stripMargin,
+
     "j9_salted_join" ->
       s"""SELECT n_name, count(*) AS n_customers, ${dsum("c_acctbal")} AS total_acctbal
          |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -1831,6 +1831,44 @@ object Queries {
         dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy(col("n_name"))
 
+  /** J13: ADAPTIVE salted join — o11's skew census DRIVING the salt
+    * factor of j9's repair, in one plan ([[Skew.adaptiveSaltedJoin]]).
+    * The probe is events under SENTINEL-KEY collapse (unresolved sessions
+    * land on account 0: `account_id = 0 when user_id % 10 == 0` — the
+    * null/default-key skew every production join eventually meets), the
+    * build is the customer dimension. The in-plan census finds the hot
+    * keys and sizes each one's salt to its measured skew multiple —
+    * factor 2 at sf0.001, 13 at sf0.01, 32 (capped) at sf0.1, so the
+    * adaptation is visible across SFs — while cold keys join unsalted
+    * and the build side replicates only Σ factors extra rows. The DuckDB
+    * twin runs the PLAIN unsalted join (plus the census algebra for the
+    * stats columns), so hash equality proves the repair semantically
+    * invisible: exactly j9's transparency claim, now with the detector
+    * choosing the dose. At 100 TB this replaces the hand-tuned `factor=`
+    * constant with a number measured from the data — the difference
+    * between a plan that survives a new hot key and one that doesn't. */
+  def j13AdaptiveSalt(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.events(s, d).select(
+      when(col("user_id") % 10 === 0, lit(0L)).otherwise(col("user_id"))
+        .as("account_id"),
+      col("event_id"), col("value"))
+    val build = Tables.customer(s, d)
+      .select(col("c_custkey").as("account_id"), col("c_mktsegment"))
+    val (joined, hot, stats) = Skew.adaptiveSaltedJoin(probe, build,
+      Seq("account_id"), "event_id", J13HotNum, J13HotDen, J13SaltCap)
+    val agg = joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)"))
+          .as("value_micro"))
+    val censusRow = stats
+      .select(expr("_mx * 1000000 div greatest(_tot div _n, 1)")
+        .as("skew_ppm"))
+      .crossJoin(hot.agg(count(lit(1)).as("n_hot_keys"),
+        coalesce(max(col("_factor")), lit(1L)).as("max_factor")))
+    agg.crossJoin(broadcast(censusRow)) // 1-row census aggregate
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** J10: the bucketed co-located fact⋈fact join EXERCISED as a query —
     * customer and orders (re)written bucketed+sorted by custkey via
     * [[graft.sinks.Bucketing.writeBucketed]], then joined. With both sides
@@ -6440,6 +6478,7 @@ object Queries {
     "j7_scalar_lookup" -> j7ScalarLookup _,
     "j8_semi_join" -> j8SemiJoin _,
     "j9_salted_join" -> j9SaltedJoin _,
+    "j13_adaptive_salt" -> j13AdaptiveSalt _,
     "j10_bucketed" -> j10Bucketed _,
     "k4_compaction" -> k4Compaction _,
     "j4_funding_lookup" -> j4FundingLookup _,

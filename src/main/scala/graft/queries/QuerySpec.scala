@@ -81,6 +81,13 @@ object QuerySpec {
   val Pipe14StalePpm = 115000L
   // serving probe for pipe14's post-maintenance recall check
   val Pipe14Probe = 2
+  // J13 adaptive salted join: hot iff count > (HotNum/HotDen)·mean — 3/2
+  // marks exactly the sentinel key hot at sf0.001/0.01/0.1 (measured
+  // factors 2/13/32: the salt genuinely adapts to SF); cap bounds the
+  // build-side replication of a pathological key
+  val J13HotNum = 3L
+  val J13HotDen = 2L
+  val J13SaltCap = 32
   // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
   val MrlPrefixDim = 16
   val MrlShortlist = 20

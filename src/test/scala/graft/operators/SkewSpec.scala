@@ -54,4 +54,46 @@ class SkewSpec extends SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
+
+  test("adaptiveSaltedJoin: census marks exactly the hot key, sizes its " +
+      "factor, and the join stays semantically invisible") {
+    // probe: key a ×8, b ×2 → mean 5; hot iff cnt·2·2 > 3·10 ⇔ cnt > 7.5
+    // ⇒ only a is hot, factor = least(greatest(8·2 div 10, 2), 32) = 2
+    val probe = ((1 to 8).map(i => ("a", i.toLong)) ++
+      Seq(("b", 9L), ("b", 10L))).toDF("k", "uid")
+    val build = Seq(("a", "A"), ("b", "B"), ("c", "C")).toDF("k", "tag")
+    val (joined, hot, stats) = Skew.adaptiveSaltedJoin(probe, build,
+      Seq("k"), "uid", hotNum = 3L, hotDen = 2L, cap = 32)
+    val hotRows = hot.as[(String, Long)].collect().toList
+    assert(hotRows == List(("a", 2L)))
+    val st = stats.collect().head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == (2L, 10L, 8L))
+    val plain = probe.join(build, Seq("k"))
+      .select($"k", $"uid", $"tag").as[(String, Long, String)]
+      .collect().toSet
+    val got = joined.select($"k", $"uid", $"tag")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == plain)
+    assert(got.size == 10)
+    // the repair is real: the physical join key carries the salt
+    assert(joined.queryExecution.executedPlan.toString.contains("_salt"))
+  }
+
+  test("adaptiveSaltedJoin: duplicate rows of a hot key spread across " +
+      "salts via the unique column") {
+    val probe = (1 to 100).map(i => ("hot", i.toLong)).toDF("k", "uid")
+    val build = Seq(("hot", "H")).toDF("k", "tag")
+    // hot iff cnt·1·1 > 0·tot — always; factor = least(greatest(100·1
+    // div 100, 2), 8) = 2... force a bigger spread with a 1-key census:
+    // cnt=100, n=1, tot=100 → (100·1) div 100 = 1 → clamped to 2
+    val (joined, hot, _) = Skew.adaptiveSaltedJoin(probe, build,
+      Seq("k"), "uid", hotNum = 1L, hotDen = 2L, cap = 8)
+    assert(hot.count() == 1)
+    assert(joined.count() == 100)
+    // pmod(xxhash64(uid), 2) must land on BOTH salts for 100 distinct uids
+    val salts = probe
+      .withColumn("s", pmod(xxhash64($"uid"), lit(2L))).select("s")
+      .distinct().count()
+    assert(salts == 2)
+  }
 }
