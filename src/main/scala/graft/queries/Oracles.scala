@@ -1379,6 +1379,29 @@ object Oracles {
          |  CAST(count(*) AS BIGINT) AS n_trades
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // w19: streaming ingest ≡ batch rollup — the oracle is w17's 1h SQL
+    // verbatim (hour candles straight from raw events); the engine's
+    // store of per-batch partials must merge to the identical answer
+    "w19_stream_candles" ->
+      s"""WITH e AS (SELECT event_type AS series, event_id,
+         |    epoch_ns(ts) // 1000000 AS ts_ms, value FROM events),
+         |h AS (SELECT series, event_id, ts_ms, value,
+         |    ts_ms // $HourMs * $HourMs AS hour_ms FROM e),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY series, hour_ms
+         |      ORDER BY ts_ms, event_id) AS rna,
+         |    row_number() OVER (PARTITION BY series, hour_ms
+         |      ORDER BY ts_ms DESC, event_id DESC) AS rnd
+         |  FROM h)
+         |SELECT series, CAST(hour_ms AS BIGINT) AS hour_ms,
+         |  max(CASE WHEN rna = 1 THEN value END) AS open,
+         |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+         |  max(value) AS high, min(value) AS low,
+         |  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS volume_micro,
+         |  CAST(count(*) AS BIGINT) AS n_trades
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "w13_scd2" ->
       s"""WITH e AS (SELECT user_id, event_id,
          |    epoch_ns(ts) // 1000000 AS ts_ms, event_type FROM events),

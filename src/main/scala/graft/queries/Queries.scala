@@ -1557,55 +1557,70 @@ object Queries {
     * associative (cascade ≡ direct), not merely that two engines ran the
     * same rollup chain. */
   def w18CandleCascade(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Candles
     val ev = Tables.events(s, d)
       .select(col("event_type").as("series"), col("event_id"),
         col("ts_ms"), col("value"))
-    // level 0: 1m candles from raw ticks, carrying the first/last keys
-    val m1 = ev
-      .withColumn("bucket_ms", expr(s"(ts_ms div $MinuteMs) * $MinuteMs"))
-      .groupBy(col("series"), col("bucket_ms"))
-      .agg(
-        min(struct(col("ts_ms"), col("event_id"))).as("fk"),
-        max(struct(col("ts_ms"), col("event_id"))).as("lk"),
-        min(struct(col("ts_ms"), col("event_id"), col("value")))
-          .getField("value").as("open"),
-        max(struct(col("ts_ms"), col("event_id"), col("value")))
-          .getField("value").as("close"),
-        max(col("value")).as("high"),
-        min(col("value")).as("low"),
-        sum(expr("cast(floor(value * 1000000 + 0.5) as bigint)"))
-          .as("volume_micro"),
-        count(lit(1)).as("n_trades"))
-      .select(col("series"), col("bucket_ms"),
-        col("fk.ts_ms").as("f_ts"), col("fk.event_id").as("f_eid"),
-        col("lk.ts_ms").as("l_ts"), col("lk.event_id").as("l_eid"),
-        col("open"), col("close"), col("high"), col("low"),
-        col("volume_micro"), col("n_trades"))
-    // candle MERGE: one grain up, reading only the finer candles
-    def up(fine: DataFrame, unitMs: Long): DataFrame = fine
-      .withColumn("parent_ms", expr(s"(bucket_ms div $unitMs) * $unitMs"))
-      .groupBy(col("series"), col("parent_ms"))
-      .agg(
-        min(struct(col("f_ts"), col("f_eid"))).as("fk"),
-        max(struct(col("l_ts"), col("l_eid"))).as("lk"),
-        min(struct(col("f_ts"), col("f_eid"), col("open")))
-          .getField("open").as("open"),
-        max(struct(col("l_ts"), col("l_eid"), col("close")))
-          .getField("close").as("close"),
-        max(col("high")).as("high"),
-        min(col("low")).as("low"),
-        sum(col("volume_micro")).as("volume_micro"),
-        sum(col("n_trades")).as("n_trades"))
-      .select(col("series"), col("parent_ms").as("bucket_ms"),
-        col("fk.f_ts").as("f_ts"), col("fk.f_eid").as("f_eid"),
-        col("lk.l_ts").as("l_ts"), col("lk.l_eid").as("l_eid"),
-        col("open"), col("close"), col("high"), col("low"),
-        col("volume_micro"), col("n_trades"))
-    val d1 = up(up(m1, HourMs), DayMs)
+    val d1 = Candles.merge(Candles.merge(
+      Candles.partials(ev, MinuteMs), HourMs), DayMs)
     d1.select(col("series"), col("bucket_ms").as("day_ms"),
       col("open"), col("close"), col("high"), col("low"),
       col("volume_micro"), col("n_trades"))
       .orderBy(col("series"), col("day_ms"))
+  }
+
+  /** W19: STREAMING candle maintenance — w17/w18's mergeable-candle
+    * algebra ([[graft.operators.Candles]]) on the streaming plane: ticks
+    * arrive in [[QuerySpec.W19Batches]] ordered micro-batches (sliced by
+    * `event_id % batches`, so the SAME (series, minute) bucket receives
+    * ticks from DIFFERENT batches and the cross-batch merge is genuinely
+    * exercised); each batch rolls up to 1m PARTIAL candles that land in
+    * the store under the batch's OWN partition (overwrite = crash-replay
+    * idempotent with no tags and no read-modify-write — the partials are
+    * a pure function of the batch); the serving read merges partials at
+    * identity grain and cascades to 1h. The oracle is w17's batch SQL
+    * VERBATIM (1h candles straight from the raw events), so hash equality
+    * proves streaming ingest ≡ batch rollup — the candle analogue of
+    * pipe2's stream/batch parity. At 100 TB each micro-batch writes only
+    * its own candle-grain partition and a nightly k4-style compaction
+    * bounds partials-per-bucket; the raw ticks are read exactly once. */
+  def w19StreamCandles(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Candles
+    val root = scratchDir("w19")
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    val ticks = Tables.events(s, d)
+      .select(col("event_id"), col("ts_ms"),
+        col("event_type").as("series"), col("value"))
+      .withColumn("batch", (col("event_id") % W19Batches).cast("int"))
+    // stage ONE parquet drop file per micro-batch with pinned mtimes —
+    // the w16 fixture contract (file source orders by (mtime, path))
+    locally {
+      val tmp = root.resolve("stage")
+      ticks.repartition(1)
+        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      for (b <- 0 until W19Batches) {
+        val bDir = tmp.resolve(s"batch=$b")
+        val ls = java.nio.file.Files.list(bDir)
+        val part = try ls.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        finally ls.close()
+        val f = drop.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(part, f)
+        f.toFile.setLastModified(1700000000000L + b * 1000L)
+      }
+    }
+    val store = root.resolve("store").toString
+    graft.streaming.CandleStream.mergeCandles(s, drop.toString,
+      root.resolve("ckpt").toString, store, MinuteMs, statePartitions = 8)
+      .awaitTermination()
+    val partials = s.read.parquet(store).drop("batch")
+    Candles.merge(Candles.merge(partials, MinuteMs), HourMs)
+      .select(col("series"), col("bucket_ms").as("hour_ms"),
+        col("open"), col("close"), col("high"), col("low"),
+        col("volume_micro"), col("n_trades"))
+      .orderBy(col("series"), col("hour_ms"))
   }
 
   def w13Scd2(s: SparkSession, d: String): DataFrame = {
@@ -6465,6 +6480,7 @@ object Queries {
     "w16_stream_admission" -> w16StreamAdmission _,
     "w17_ohlcv_candles" -> w17OhlcvCandles _,
     "w18_candle_cascade" -> w18CandleCascade _,
+    "w19_stream_candles" -> w19StreamCandles _,
     "w5_rolling_stats" -> w5RollingStats _,
     "w6_session_windows" -> w6SessionWindows _,
     "w1_gap_scan" -> w1GapScan _,

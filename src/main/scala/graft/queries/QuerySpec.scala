@@ -12,6 +12,9 @@ object QuerySpec {
   // W18 candle cascade grains (1m -> 1h -> 1d)
   val MinuteMs = 60000L
   val DayMs = 86400000L
+  // W19 streaming candle maintenance: ordered micro-batches sliced by
+  // event_id % batches, so every minute bucket merges across batches
+  val W19Batches = 3
   val FiveMinMs = 300000L
   // last hour-grid point inside the range (inclusive end for calendars)
   val LastHourMs: Long = RangeEndMs - HourMs
