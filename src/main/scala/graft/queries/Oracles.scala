@@ -4648,6 +4648,58 @@ object Oracles {
          |FROM pre LEFT JOIN ph ON ph.query_id = pre.query_id
          |WHERE rank <= $IvfTopK ORDER BY pre.query_id, rank""".stripMargin,
 
+    // s23: MRR/nDCG of the probed IVF serve vs brute truth; the nDCG rank
+    // weights are the SAME Scala-computed integer literals the engine
+    // uses (QuerySpec.NdcgWeightsMicro) — the metric is pure integer
+    // arithmetic on both engines
+    "s23_rank_metrics" -> {
+      val wCase = NdcgWeightsMicro.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN ${w}" }
+        .mkString("CASE rank ", " ", " ELSE 0 END")
+      val idcg = NdcgWeightsMicro.sum
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |ca AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |cass AS (SELECT nid, cv, cent_id AS cell FROM ca WHERE arn = 1),
+         |qass AS (SELECT nid AS query_id, cv AS qv, cent_id AS cell
+         |  FROM ca WHERE arn <= $S16Probe AND nid < $NumQueries),
+         |cand AS (SELECT query_id, nid AS neighbor_id,
+         |    ${cosChain("qv", "cv")} AS sim
+         |  FROM cass JOIN qass USING (cell) WHERE nid <> query_id),
+         |test AS (SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+         |  WHERE rank <= $IvfTopK),
+         |ts AS (SELECT q.query_id, c.nid AS neighbor_id,
+         |    ${cosChain("qv", "cv")} AS sim
+         |  FROM corp c CROSS JOIN
+         |    (SELECT nid AS query_id, cv AS qv FROM corp
+         |     WHERE nid < $NumQueries) q
+         |  WHERE c.nid <> q.query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM ts)
+         |  WHERE rank <= $IvfTopK),
+         |j AS (SELECT te.query_id, te.rank,
+         |    tr.neighbor_id IS NOT NULL AS rel
+         |  FROM test te LEFT JOIN truth tr
+         |    ON tr.query_id = te.query_id
+         |    AND tr.neighbor_id = te.neighbor_id)
+         |SELECT query_id,
+         |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(COALESCE(max(CASE WHEN rel THEN 1000000 // rank END), 0)
+         |    AS BIGINT) AS mrr_micro,
+         |  CAST(sum(CASE WHEN rel THEN $wCase ELSE 0 END)
+         |    * 1000000 // $idcg AS BIGINT) AS ndcg_ppm
+         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+    },
+
     // S16: cell assignment replayed once for the corpus (arn = 1) and the
     // query side reuses the SAME ranked cross join with arn <= probe; the
     // pos/neg election mirrors the engine's per-(query, pair_type) window

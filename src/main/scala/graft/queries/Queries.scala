@@ -4407,6 +4407,58 @@ object Queries {
     * corpus×queries crossJoin; the pair election is one window per
     * (query, pair_type). The op that turns a labeled 100 TB embedding
     * store into an embedding-model training set. */
+  /** S23: RANK-QUALITY census — MRR and nDCG@k of the served IVF ranking
+    * against the brute-force truth. s14 reports set RECALL; ranking
+    * quality (did the relevant hits come FIRST?) is what a RAG deployment
+    * actually tunes, and the standard report is MRR + nDCG. Relevance is
+    * binary truth membership, so DCG = Σ rel_r·w_r with the rank weights
+    * w_r = floor(1e6/log2(r+1)+0.5) precomputed ONCE in Scala
+    * ([[QuerySpec.NdcgWeightsMicro]]) and injected as INTEGER literals
+    * into both engines — the whole metric is exact integer arithmetic at
+    * query time, no cross-engine log/float seam (the a18 PrScale
+    * discipline applied to IR metrics). MRR likewise: 1e6 div the first
+    * relevant rank. Candidates come from the s3 cell equi-join (probe=2,
+    * so near-boundary queries see cross-cell hits) — never a corpus
+    * crossJoin; truth is the documented query-batch-sized brute baseline.
+    * idcg = Σ w_r (truth always serves k rows at these corpus sizes);
+    * ndcg_ppm = dcg·1e6 div idcg. */
+  def s23RankMetrics(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < NumQueries)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val c = Similarity.assignCells(emb, cents, "vec_id", "embedding",
+      "neighbor_id", "cv", 1)
+    val q = Similarity.assignCellsRanked(queries, cents, "vec_id",
+      "embedding", "query_id", "qv", S16Probe)
+    val cand = c.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("qv"), col("cv")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val test = cand.withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= IvfTopK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+      IvfTopK).select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("rel"))
+    val wArr = typedlit(NdcgWeightsMicro)
+    val idcg = NdcgWeightsMicro.sum
+    test.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("rel"), lit(0L))).as("hits"),
+        coalesce(max(when(col("rel").isNotNull,
+          expr("1000000 div rank"))), lit(0L)).as("mrr_micro"),
+        sum(when(col("rel").isNotNull,
+          element_at(wArr, col("rank").cast("int"))).otherwise(lit(0L)))
+          .as("dcg"))
+      .select(col("query_id"), col("hits"), col("mrr_micro"),
+        expr(s"dcg * 1000000 div ${idcg}L").as("ndcg_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   def s16HardNegatives(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.contrastivePairs(emb, emb.where(col("vec_id") < NumQueries),
@@ -6643,6 +6695,7 @@ object Queries {
     "s20_nprobe_sweep" -> s20NprobeSweep _,
     "s21_filtered_ann" -> s21FilteredAnn _,
     "s22_index_staleness" -> s22IndexStaleness _,
+    "s23_rank_metrics" -> s23RankMetrics _,
     "s16_hard_negatives" -> s16HardNegatives _)
 
   /** S2: the full 21-pair symbol-catalog normalizer surface. Renders

@@ -91,6 +91,13 @@ object QuerySpec {
   val J13HotNum = 3L
   val J13HotDen = 2L
   val J13SaltCap = 32
+  // S23 rank-quality metrics: integer nDCG rank weights, computed ONCE
+  // here and injected as literals into BOTH the Spark plan and the DuckDB
+  // SQL — micro-scaled floor(1e6 / log2(rank+1) + 0.5), so the metric is
+  // pure integer arithmetic on both engines (no cross-engine log/float
+  // seam at query time)
+  val NdcgWeightsMicro: Seq[Long] = (1 to IvfTopK).map(r =>
+    math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
   // S8 matryoshka-style two-stage ANN: prefix dims + shortlist size
   val MrlPrefixDim = 16
   val MrlShortlist = 20
