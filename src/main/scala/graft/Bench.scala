@@ -235,9 +235,17 @@ object Bench {
           if (s.exists(_ < 0)) 0.0
           else (s.max - s.min) / math.max(s.min, 0.05)
         }
+        // The canary consult costs ~1.7 s, so it gates only queries slow
+        // enough that contention attribution is meaningful (>= 1 s): in
+        // the r11 flat record 164/208 queries escalated and 128 of them
+        // were SUB-second — noise-floor disagreement, not contention;
+        // paying a canary pair per light-query escalation would add
+        // minutes of wall for no attribution value.
+        def worthGating: Boolean = runs.map(_.sec).min >= 1.0
         var gated = false
         while (runs.size < 4 && spread > 0.10 && !gated) {
-          contendedNow() match {
+          val contended = if (worthGating) contendedNow() else None
+          contended match {
             case Some((c, b)) =>
               gated = true
               escalation(name) = f"contended-skip: spread=${spread * 100}%.0f%% " +
@@ -246,7 +254,7 @@ object Bench {
                 "escalation skipped"
             case None =>
               runs :+= timedRun(fn)
-              if (runs.size == 4 || spread <= 0.10)
+              if (worthGating && (runs.size == 4 || spread <= 0.10))
                 escalation(name) = f"escalated: ${runs.size} steady runs, " +
                   f"host flat at check, final spread=${spread * 100}%.0f%%"
           }
@@ -347,7 +355,7 @@ object Bench {
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement consults an immediate canary before escalating — if either canary reads >1.3x its pre-suite baseline the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information)",
+         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement on a >=1s query consults an immediate canary before escalating — if either canary reads >1.3x its pre-suite baseline the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information); sub-second disagreements are noise-floor, not contention, and escalate without the canary toll",
          |"queries":$qs,
          |"tiers":$tiersJson,
          |"heavy_dynamic":$heavyJson,
