@@ -209,6 +209,21 @@ object Bench {
     // own per-heavy verdict.
     val canaryPerHeavy = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double)]
+    // Rolling MINIMUM of every canary sample in the suite: the flattest
+    // observed sample is the closest available estimate of the host's
+    // true unloaded band. Gating against the PRE sample alone fails when
+    // the suite STARTS contended (seen in this round's first closing
+    // attempt: bw pre 0.295 = 1.3x the flat band, so genuinely contended
+    // mid-suite samples read as "flat" against it); gating against the
+    // running min self-corrects as soon as any flat window occurs.
+    var minCpuCanary = canaryPre
+    var minBwCanary = canaryBwPre
+    def sampleCanaries(): (Double, Double) = {
+      val c = canarySec(); val b = canaryBwSec()
+      if (c < minCpuCanary) minCpuCanary = c
+      if (b < minBwCanary) minBwCanary = b
+      (c, b)
+    }
     // Round-12 (verdict item 2): contention-aware escalation. A >10%
     // steady-run disagreement is exactly what host contention produces, so
     // the round-11 rule ("escalate to 4 runs while >10% apart") made a
@@ -222,8 +237,9 @@ object Bench {
     val escalation = scala.collection.mutable.LinkedHashMap
       .empty[String, String]
     def contendedNow(): Option[(Double, Double)] = {
-      val c = canarySec(); val b = canaryBwSec()
-      if (c > 1.3 * canaryPre || b > 1.3 * canaryBwPre) Some((c, b)) else None
+      val (c, b) = sampleCanaries()
+      if (c > 1.3 * minCpuCanary || b > 1.3 * minBwCanary) Some((c, b))
+      else None
     }
     def steadyRuns(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Vector[Run] = baseRuns match {
@@ -249,9 +265,9 @@ object Bench {
             case Some((c, b)) =>
               gated = true
               escalation(name) = f"contended-skip: spread=${spread * 100}%.0f%% " +
-                f"canary_cpu=$c%.3f (pre $canaryPre%.3f) canary_bw=$b%.3f " +
-                f"(pre $canaryBwPre%.3f) — disagreement attributed to host, " +
-                "escalation skipped"
+                f"canary_cpu=$c%.3f (suite min $minCpuCanary%.3f) " +
+                f"canary_bw=$b%.3f (suite min $minBwCanary%.3f) — " +
+                "disagreement attributed to host, escalation skipped"
             case None =>
               runs :+= timedRun(fn)
               if (worthGating && (runs.size == 4 || spread <= 0.10))
@@ -270,12 +286,11 @@ object Bench {
     val (streamQs, batchQs) = selected.toSeq.sortBy(_._1)
       .partition { case (n, _) => streamingFirst(n) }
     streamQs.foreach { case (name, fn) =>
-      canaryPerHeavy(name) = (canarySec(), canaryBwSec())
+      canaryPerHeavy(name) = sampleCanaries()
       val first = timedRun(fn)
       runsByName(name) = first +: steadyRuns(name, fn)
     }
-    val canaryMid = canarySec()
-    val canaryBwMid = canaryBwSec()
+    val (canaryMid, canaryBwMid) = sampleCanaries()
     // tier 2: every batch query's cold (discarded) run, alphabetical;
     // classifies the CURRENT heavy set from measurement, not a stale list
     batchQs.foreach { case (name, fn) => runsByName(name) = Vector(timedRun(fn)) }
@@ -287,12 +302,11 @@ object Bench {
     // to the minute it arrived
     val (heavies, lights) = batchQs.partition { case (n, _) => heavyNames(n) }
     (lights ++ heavies).foreach { case (name, fn) =>
-      if (heavyNames(name)) canaryPerHeavy(name) = (canarySec(), canaryBwSec())
+      if (heavyNames(name)) canaryPerHeavy(name) = sampleCanaries()
       val first = runsByName(name).head
       runsByName(name) = first +: steadyRuns(name, fn)
     }
-    val canaryPost = canarySec()
-    val canaryBwPost = canaryBwSec()
+    val (canaryPost, canaryBwPost) = sampleCanaries()
     val loadPost = loadAvg()
 
     val results: Seq[(String, Vector[Run])] = runsByName.toSeq
@@ -343,12 +357,27 @@ object Bench {
     val heavyJson = heavyNames.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson =
-      s"""{"pre":${fmt(canaryPre)},"mid":${fmt(canaryMid)},"post":${fmt(canaryPost)},"load_avg_pre":${fmt(loadPre)},"load_avg_post":${fmt(loadPost)}}"""
+      s"""{"pre":${fmt(canaryPre)},"mid":${fmt(canaryMid)},"post":${fmt(canaryPost)},"suite_min":${fmt(minCpuCanary)},"load_avg_pre":${fmt(loadPre)},"load_avg_post":${fmt(loadPost)}}"""
     val canaryBwJson =
-      s"""{"pre":${fmt(canaryBwPre)},"mid":${fmt(canaryBwMid)},"post":${fmt(canaryBwPost)}}"""
+      s"""{"pre":${fmt(canaryBwPre)},"mid":${fmt(canaryBwMid)},"post":${fmt(canaryBwPost)},"suite_min":${fmt(minBwCanary)}}"""
     val canaryPerHeavyJson = canaryPerHeavy.map { case (k, (c, b)) =>
       "\"" + k + "\":{\"cpu\":" + fmt(c) + ",\"bw\":" + fmt(b) + "}"
     }.mkString("{", ",", "}")
+    // Top-level verdict so the record is SELF-describing (no reader
+    // should need to cross-reference the flat band): a sample is
+    // contended when >1.3x the suite minimum of its own canary.
+    val heavyContended = canaryPerHeavy.count { case (_, (c, b)) =>
+      c > 1.3 * minCpuCanary || b > 1.3 * minBwCanary }
+    val endpointContended = Seq(canaryPre, canaryMid, canaryPost)
+      .count(_ > 1.3 * minCpuCanary) +
+      Seq(canaryBwPre, canaryBwMid, canaryBwPost)
+        .count(_ > 1.3 * minBwCanary)
+    val verdict =
+      if (heavyContended == 0 && endpointContended == 0) "flat"
+      else if (heavyContended <= canaryPerHeavy.size / 8) "mostly-flat"
+      else "contended"
+    val contentionJson =
+      s"""{"verdict":"$verdict","n_heavy_contended":$heavyContended,"n_heavy_sampled":${canaryPerHeavy.size},"n_endpoint_contended":$endpointContended,"rule":"sample > 1.3x suite-min canary"}"""
     val escalationJson = escalation.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
@@ -361,6 +390,7 @@ object Bench {
          |"heavy_dynamic":$heavyJson,
          |"canary_sec":$canaryJson,
          |"canary_bw_sec":$canaryBwJson,
+         |"contention":$contentionJson,
          |"canary_per_heavy":$canaryPerHeavyJson,
          |"escalation":$escalationJson,
          |"cold_first_run":$coldJson,
