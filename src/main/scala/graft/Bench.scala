@@ -230,10 +230,10 @@ object Bench {
     // contended suite run MORE iterations of the heaviest queries at the
     // worst time (driver refresh: 29:23 wall, 4-run ladders on every
     // disputed heavy). Now a disagreement first consults an immediate
-    // canary sample: if either canary reads >1.3× its pre-suite flat
-    // baseline, the disagreement is recorded with the canary verdict and
-    // escalation is SKIPPED — two more contended runs add exposure, not
-    // information. Verdicts land in the record's `escalation` field.
+    // canary sample: if either canary reads >1.3× the rolling
+    // suite-minimum canary, the disagreement is recorded with the canary
+    // verdict and escalation is SKIPPED — two more contended runs add
+    // exposure, not information. Verdicts land in `escalation`.
     val escalation = scala.collection.mutable.LinkedHashMap
       .empty[String, String]
     def contendedNow(): Option[(Double, Double)] = {
@@ -246,6 +246,18 @@ object Bench {
       case Some(n) => (2 to n).map(_ => timedRun(fn)).toVector
       case None =>
         var runs = Vector(timedRun(fn), timedRun(fn))
+        // Transient-failure retry (r12 ADVICE): a failed run (sec = -1)
+        // is dropped and re-run ONCE instead of settling the block with a
+        // zero spread — a second failure keeps the -1 so the record (and
+        // the -1 median) still shows a genuinely broken query.
+        if (runs.exists(_.sec < 0)) {
+          val (bad, ok) = runs.partition(_.sec < 0)
+          val redo = bad.map(_ => timedRun(fn))
+          runs = ok ++ redo
+          escalation(name) = s"retried ${bad.size} failed steady run(s): " +
+            (if (redo.exists(_.sec < 0)) "retry failed too, -1 recorded"
+             else "retry succeeded")
+        }
         def spread: Double = {
           val s = runs.map(_.sec)
           if (s.exists(_ < 0)) 0.0
@@ -363,9 +375,44 @@ object Bench {
     val canaryPerHeavyJson = canaryPerHeavy.map { case (k, (c, b)) =>
       "\"" + k + "\":{\"cpu\":" + fmt(c) + ",\"bw\":" + fmt(b) + "}"
     }.mkString("{", ",", "}")
+    // Round-13 (r12 verdict item 2): the three-way rule, MECHANIZED per
+    // steady run from data already in the record. A run is host-suspect
+    // when its wall exceeds the query's best steady wall by >=30% AND
+    // >=0.5 s absolute (sub-second jitter is noise-floor, not contention)
+    // while the JVM's own cpu_sec grew by less than HALF the wall growth:
+    // same work, the host withheld the CPU (descheduling / stall). This
+    // names a burst landing INSIDE a steady block — invisible to the
+    // pre-block canary (the r12 committed record's d15: 7.80 s under a
+    // flat pre-block canary vs 4.97 s flat-isolated). cpu tracking wall
+    // is NOT flagged: that is either real work or bandwidth contention,
+    // and the latter is already attributed by canary_per_heavy's bw term.
+    val hostSuspect = scala.collection.mutable.LinkedHashMap
+      .empty[String, String]
+    results.foreach { case (k, v) =>
+      val steady = (if (v.size > 1) v.tail else v).filter(_.sec >= 0)
+      if (steady.size >= 2) {
+        val best = steady.minBy(_.sec)
+        val flagged = steady.zipWithIndex.filter { case (r, _) =>
+          val wallRatio = r.sec / math.max(best.sec, 1e-9)
+          val cpuFlat = best.cpuSec > 0 &&
+            r.cpuSec / best.cpuSec < 1.0 + 0.5 * (wallRatio - 1.0)
+          (r ne best) && wallRatio >= 1.3 && r.sec - best.sec >= 0.5 &&
+            cpuFlat
+        }
+        if (flagged.nonEmpty) hostSuspect(k) = flagged.map { case (r, i) =>
+          f"steady run $i: wall ${r.sec / best.sec}%.2fx best " +
+            f"(${r.sec}%.2fs vs ${best.sec}%.2fs) while cpu " +
+            f"${r.cpuSec / math.max(best.cpuSec, 1e-9)}%.2fx — host stall"
+        }.mkString("; ")
+      }
+    }
+    val hostSuspectJson = hostSuspect.map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\""
+    }.mkString("{", ",", "}")
     // Top-level verdict so the record is SELF-describing (no reader
     // should need to cross-reference the flat band): a sample is
-    // contended when >1.3x the suite minimum of its own canary.
+    // contended when >1.3x the suite minimum of its own canary, and a
+    // steady run is host-suspect under the per-run rule above.
     val heavyContended = canaryPerHeavy.count { case (_, (c, b)) =>
       c > 1.3 * minCpuCanary || b > 1.3 * minBwCanary }
     val endpointContended = Seq(canaryPre, canaryMid, canaryPost)
@@ -373,24 +420,27 @@ object Bench {
       Seq(canaryBwPre, canaryBwMid, canaryBwPost)
         .count(_ > 1.3 * minBwCanary)
     val verdict =
-      if (heavyContended == 0 && endpointContended == 0) "flat"
-      else if (heavyContended <= canaryPerHeavy.size / 8) "mostly-flat"
+      if (heavyContended == 0 && endpointContended == 0 &&
+          hostSuspect.isEmpty) "flat"
+      else if (heavyContended <= canaryPerHeavy.size / 8 &&
+          hostSuspect.size <= results.size / 16) "mostly-flat"
       else "contended"
     val contentionJson =
-      s"""{"verdict":"$verdict","n_heavy_contended":$heavyContended,"n_heavy_sampled":${canaryPerHeavy.size},"n_endpoint_contended":$endpointContended,"rule":"sample > 1.3x suite-min canary"}"""
+      s"""{"verdict":"$verdict","n_heavy_contended":$heavyContended,"n_heavy_sampled":${canaryPerHeavy.size},"n_endpoint_contended":$endpointContended,"n_host_suspect":${hostSuspect.size},"rule":"canary sample > 1.3x suite-min canary; per steady run: wall >= 1.3x best (and >= 0.5s over) while cpu_sec grew < half the wall growth => host_suspect"}"""
     val escalationJson = escalation.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement on a >=1s query consults an immediate canary before escalating — if either canary reads >1.3x its pre-suite baseline the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information); sub-second disagreements are noise-floor, not contention, and escalate without the canary toll",
+         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement on a >=1s query consults an immediate canary before escalating — if either canary reads >1.3x the rolling suite-minimum canary the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information); sub-second disagreements are noise-floor, not contention, and escalate without the canary toll; round-13: the three-way rule is mechanized PER STEADY RUN in `host_suspect` — a run whose wall is >=1.3x the query's best steady wall (and >=0.5s over it) while its cpu_sec grew by less than half the wall growth is flagged as a host stall (a mid-block burst the pre-block canary cannot see), and the flags fold into the `contention` verdict; a failed steady run (sec=-1) is retried once before it can settle a block",
          |"queries":$qs,
          |"tiers":$tiersJson,
          |"heavy_dynamic":$heavyJson,
          |"canary_sec":$canaryJson,
          |"canary_bw_sec":$canaryBwJson,
          |"contention":$contentionJson,
+         |"host_suspect":$hostSuspectJson,
          |"canary_per_heavy":$canaryPerHeavyJson,
          |"escalation":$escalationJson,
          |"cold_first_run":$coldJson,

@@ -249,9 +249,13 @@ object Similarity {
     * carried rows score |changed| centroids instead of all k. The
     * arithmetic is the exact assignCells tree (same per-centroid
     * left-fold dot, same driver-side folded norms), so comparisons
-    * against an assignCells-derived sim are bit-safe cross-engine.
-    * Zero-norm sims take the -Infinity branch exactly as in
-    * assignCellsRanked. Callers must guard `cents.nonEmpty`. */
+    * against an assignCells-derived sim are bit-safe cross-engine FOR
+    * FINITE vector components. Zero-norm sims take the -Infinity branch
+    * exactly as in assignCellsRanked; a NaN dot (NaN/Inf components)
+    * maps to -Infinity here but to the BEST slot in assignCellsRanked
+    * (its neg_sim NaN sorts first) — the equivalence claim is
+    * finite-input only (r12 ADVICE). Callers must guard
+    * `cents.nonEmpty`. */
   def maxSim(cents: Array[(Long, Array[Double])], v: Column): Column = {
     require(cents.nonEmpty, "maxSim needs a non-empty centroid model")
     val centNorms = typedlit(cents.map { case (_, c) =>

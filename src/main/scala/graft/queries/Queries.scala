@@ -1602,9 +1602,17 @@ object Queries {
       import scala.jdk.CollectionConverters._
       for (b <- 0 until W19Batches) {
         val bDir = tmp.resolve(s"batch=$b")
+        // fail loud if a batch residue class is empty (tiny/custom
+        // fixture): partitionBy writes no dir for an absent class and a
+        // bare .get would throw far from the cause (r12 ADVICE)
+        require(java.nio.file.Files.isDirectory(bDir),
+          s"w19 fixture: no events with event_id % $W19Batches == $b — " +
+            s"batch dir $bDir absent; use a corpus covering every residue")
         val ls = java.nio.file.Files.list(bDir)
         val part = try ls.iterator().asScala
-          .find(_.getFileName.toString.startsWith("part-")).get
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(sys.error(
+            s"w19 fixture: batch dir $bDir has no part- file"))
         finally ls.close()
         val f = drop.resolve(s"batch$b.parquet")
         java.nio.file.Files.move(part, f)
