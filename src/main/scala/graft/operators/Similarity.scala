@@ -286,6 +286,110 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
+  /** Build (or rebuild) the persisted, batch-tagged IVF vector index that
+    * [[admitVecBatch]] serves and appends to: `path/vecs` = (id, v, nrm,
+    * cell, batch_id) with `cell` the rank-1 [[assignCells]] assignment and
+    * `nrm` the precomputed fold-norm (a pure function of `v`, stored so
+    * serving never recomputes it per probe). The `batch_id` tag carries
+    * the same crash-replay contract as
+    * [[graft.operators.Dedup.writeTaggedIndex]]: base builds write tag=-1,
+    * stream appends write the micro-batch tag, and a probing batch filters
+    * out rows carrying its OWN tag so a replay after a half-completed
+    * append sees the index state of its first attempt. */
+  def writeVecIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, cents: Array[(Long, Array[Double])], tag: Long,
+      mode: org.apache.spark.sql.SaveMode): Unit =
+    assignCells(df, cents, idCol, vecCol, "id", "v", 1)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
+        lit(tag).as("batch_id"))
+      .write.mode(mode).parquet(s"$path/vecs")
+
+  /** STREAMING ANN ADMISSION — one micro-batch of the online semantic-dedup
+    * plane (the [[graft.operators.Dedup.admitBatch]] discipline on
+    * embeddings): admit exactly the batch vectors that near-duplicate
+    * NEITHER the tagged IVF index (base corpus + every batch admitted
+    * before this one — the APPEND-BACK makes cross-batch dups visible) NOR
+    * a smaller-id vector in their own batch; then append the admitted
+    * vectors (with their rank-1 cell) to the index and their
+    * (vec_id, batch) rows to the sink.
+    *
+    * Near-dup rule (the SemDeDup cut, probed): a delta vector probes its
+    * `nprobe` nearest cells ([[assignCellsRanked]]) and is rejected when
+    * any candidate whose STORED (rank-1) cell lies in a probed cell has
+    * round(cosine, 6) >= `threshold`. Smaller-id batch-mates are treated
+    * exactly as if already indexed (their rank-1 cell is the candidate
+    * surface, regardless of their own fate — no admission-chain recursion),
+    * so the batch outcome is a pure function of (batch, index-before-batch)
+    * and the DuckDB oracle can unroll the rounds from scratch.
+    *
+    * Determinism & replay: both persistent writes are append-only; the
+    * probe excludes rows tagged with its OWN batch id and the sink is read
+    * through a distinct — a crash anywhere between the two appends replays
+    * to the identical end state (spec-pinned by running a batch twice).
+    *
+    * Scale shape: everything batch-sized broadcasts (probe rows carry the
+    * vector + precomputed norm); the index is touched by SCAN only — a
+    * cell equi-join against the probed cells, NEVER a brute corpus pass —
+    * so serving cost is O(batch × corpus/cells × nprobe), and the appended
+    * rows land in the same `vecs` table every nightly consumer (d10/s19/
+    * pipe14) reads. At 100 TB the index is additionally partitioned by
+    * `cell` on disk so the probe prunes to the probed cells' files. */
+  def admitVecBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, indexPath: String, sinkPath: String,
+      cents: Array[(Long, Array[Double])], nprobe: Int, threshold: Double,
+      epoch: Long = 0L): Unit = {
+    // tag = epoch·1e6 + batchId — the admitBatch namespacing contract
+    // (micro-batch ids restart at 0 per checkpoint lifecycle)
+    require(epoch >= 0 && batchId >= 0 && batchId < 1000000L,
+      s"admitVecBatch tag namespacing requires 0 <= batchId < 1e6 and " +
+        s"epoch >= 0 (got epoch=$epoch, batchId=$batchId)")
+    val tag = epoch * 1000000L + batchId
+    val s = batch.sparkSession
+    // nprobe probe rows per delta vector + the precomputed fold-norm
+    // (batch-sized — the persist is broadcast scale, not a heap hazard)
+    val probes = assignCellsRanked(batch, cents, idCol, vecCol, "id", "v",
+        nprobe)
+      .withColumn("nrm", norm(col("v"))).persist()
+    val storage = probes.where(col("probe_rank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+    // in-batch: a smaller-id mate whose stored cell is probed, verified at
+    // the d10 round-6 cosine cut
+    val inbRejected = storage.alias("a").join(probes.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(round(dot(col("a.v"), col("b.v"))
+        / (col("a.nrm") * col("b.nrm")), 6) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    // index probe: cell equi-join, delta side broadcast, own-tag rows
+    // excluded (crash replay)
+    val idxMatched = s.read.parquet(s"$indexPath/vecs")
+      .where(col("batch_id") =!= tag)
+      .join(broadcast(probes.select(col("id").as("delta_id"),
+        col("v").as("dv"), col("nrm").as("dnrm"), col("cell"))), Seq("cell"))
+      .where(round(dot(col("v"), col("dv"))
+        / (col("nrm") * col("dnrm")), 6) >= threshold)
+      .select(col("delta_id").as("id")).distinct()
+    val admitted = batch.select(col(idCol).as("id"))
+      .join(inbRejected.unionByName(idxMatched).distinct(),
+        Seq("id"), "left_anti")
+      .persist()
+    // sink first, then index: a crash between the two replays as the same
+    // admitted set (probe is tag-filtered); sink re-appends are exact
+    // duplicates removed at read time. coalesce(1): batch-sized appends —
+    // one file per batch, so later probes scan O(batches) files.
+    admitted.select(col("id").as("vec_id"),
+        lit(batchId).cast("long").as("batch"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(sinkPath)
+    storage.join(admitted, Seq("id"), "left_semi")
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
+        lit(tag).as("batch_id"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/vecs")
+    admitted.unpersist()
+    probes.unpersist()
+  }
+
   /** Full Lloyd's k-means over the cosine quantizer: each iteration is a
     * map-side [[assignCells]] pass (zero shuffle before the rollup) + one
     * per-cell mean rollup + a k-row collect to refresh the driver-side

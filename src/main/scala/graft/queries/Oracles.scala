@@ -2689,6 +2689,50 @@ object Oracles {
          |ORDER BY dd.doc_id""".stripMargin
     },
 
+    // w20: all three vector-admission rounds unrolled from scratch — the
+    // probe assignment (arn <= W20Probe over the same cosine/tie order as
+    // d10), stored rank-1 cells, in-batch smaller-id rejection, index
+    // probe chained through the admitted sets (append-back), all verified
+    // at the round-6 cosine cut
+    "w20_vector_admission" -> {
+      val rounds = (0 until W20Batches).map { b =>
+        s"""inb$b AS (SELECT DISTINCT p.nid FROM pb p
+           |  JOIN dd db ON db.nid = p.nid AND db.b = $b
+           |  JOIN st a ON a.cell = p.cell
+           |  JOIN dd da ON da.nid = a.nid AND da.b = $b
+           |  WHERE a.nid < p.nid
+           |    AND round(${cosChain("a.cv", "p.cv")}, 6) >= $SemThreshold),
+           |im$b AS (SELECT DISTINCT p.nid FROM pb p
+           |  JOIN dd db ON db.nid = p.nid AND db.b = $b
+           |  JOIN idx$b i ON i.cell = p.cell
+           |  WHERE round(${cosChain("i.cv", "p.cv")}, 6) >= $SemThreshold),
+           |adm$b AS (SELECT nid FROM dd WHERE b = $b
+           |  AND nid NOT IN (SELECT nid FROM inb$b)
+           |  AND nid NOT IN (SELECT nid FROM im$b)),
+           |idx${b + 1} AS (SELECT nid, cell, cv FROM idx$b
+           |  UNION ALL SELECT s.nid, s.cell, s.cv FROM st s
+           |  JOIN adm$b a ON a.nid = s.nid)""".stripMargin
+      }.mkString(",\n")
+      val admAll = (0 until W20Batches)
+        .map(b => s"SELECT nid, $b AS b FROM adm$b").mkString(" UNION ALL ")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |pr AS (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |pb AS (SELECT nid, cv, cent_id AS cell FROM pr
+         |  WHERE arn <= $W20Probe),
+         |st AS (SELECT nid, cv, cent_id AS cell FROM pr WHERE arn = 1),
+         |dd AS (SELECT vec_id AS nid, (vec_id // 2) % $W20Batches AS b
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |idx0 AS (SELECT nid, cell, cv FROM st WHERE nid % 2 = 0),
+         |$rounds
+         |SELECT a.nid AS vec_id, CAST(a.b AS BIGINT) AS batch
+         |FROM ($admAll) a ORDER BY vec_id""".stripMargin
+    },
+
     "d15_incremental_dedup" -> {
       val rows = MinhashK / MinhashBands
       val sigs = (0 until MinhashK).map(i =>
@@ -4006,6 +4050,81 @@ object Oracles {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM c WHERE cumb < target
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // pipe15: the whole epoch spine recomputed from scratch — the shared
+    // curationCtes funnel, d7's 3-shingle decontamination over the
+    // survivors' CLEAN text (mod-29 split), pipe10's naive single-window
+    // mix selection (provably equal to the engine's two-phase bucket
+    // split), pipe8's integer packing algebra per lang, and the m6
+    // manifest algebra per shard — one mis-gated / mis-deduped /
+    // wrongly-decontaminated / mis-selected / mis-sharded doc hash-fails
+    "pipe15_epoch_spine" -> {
+      val vals = MixWeightsPpm
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      s"""WITH $curationCtes,
+         |ct AS (SELECT doc_id, ${lowSeq("clean")} AS ctoks FROM cl),
+         |shd AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(ctoks[i:i+2], ' '))
+         |     for i in range(1, len(ctoks) - 1)])) AS sh
+         |  FROM ct WHERE len(ctoks) >= 3),
+         |bench AS (SELECT DISTINCT sh FROM shd WHERE doc_id % 29 = 0),
+         |corpids AS (SELECT doc_id FROM s3
+         |  WHERE final_ok AND doc_id % 29 <> 0),
+         |contam AS (SELECT DISTINCT d.doc_id FROM shd d
+         |  JOIN corpids c ON c.doc_id = d.doc_id
+         |  JOIN bench b ON b.sh = d.sh),
+         |fl AS (SELECT s3.*, final_ok AND doc_id % 29 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam) AS decon_ok
+         |  FROM s3),
+         |wts(lang, w_ppm) AS (VALUES $vals),
+         |mt AS (SELECT doc_id, lang, words AS toks,
+         |    ${md5Hash15("'mix:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM fl WHERE decon_ok AND words > 0),
+         |tot AS (SELECT sum(toks) AS total FROM mt),
+         |tgt AS (SELECT lang,
+         |    (((CAST((SELECT total FROM tot) AS BIGINT) * $MixFracPpm)
+         |      // 1000000) * w_ppm) // 1000000 AS target
+         |  FROM wts),
+         |mc AS (SELECT mt.*, tgt.target,
+         |    coalesce(sum(toks) OVER (PARTITION BY mt.lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumb
+         |  FROM mt JOIN tgt USING (lang)),
+         |kp AS (SELECT doc_id, lang, toks,
+         |    ${md5Hash15("'mshard:' || CAST(doc_id AS VARCHAR)")} AS sh2,
+         |    target
+         |  FROM mc WHERE cumb < target),
+         |rows_out AS (
+         |SELECT 'funnel' AS section, lang || '|0_raw' AS k,
+         |  CAST(count(*) AS BIGINT) AS cnt, CAST(sum(words) AS BIGINT)
+         |    AS toks, CAST(0 AS BIGINT) AS aux FROM fl GROUP BY lang
+         |UNION ALL SELECT 'funnel', lang || '|1_clean',
+         |  CAST(count(*) AS BIGINT), CAST(sum(words) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM fl WHERE clean_ok GROUP BY lang
+         |UNION ALL SELECT 'funnel', lang || '|2_url',
+         |  CAST(count(*) AS BIGINT), CAST(sum(words) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM fl WHERE url_ok GROUP BY lang
+         |UNION ALL SELECT 'funnel', lang || '|3_uniq',
+         |  CAST(count(*) AS BIGINT), CAST(sum(words) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM fl WHERE final_ok GROUP BY lang
+         |UNION ALL SELECT 'funnel', lang || '|4_decon',
+         |  CAST(count(*) AS BIGINT), CAST(sum(words) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM fl WHERE decon_ok GROUP BY lang
+         |UNION ALL SELECT 'funnel', lang || '|5_mix',
+         |  CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT),
+         |  CAST(max(target) AS BIGINT) FROM kp GROUP BY lang
+         |UNION ALL SELECT 'pack', lang,
+         |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx AS BIGINT),
+         |  CAST((sum(toks) + ${PackCtx - 1}) // $PackCtx * $PackCtx
+         |    - sum(toks) AS BIGINT),
+         |  CAST(0 AS BIGINT) FROM kp GROUP BY lang
+         |UNION ALL SELECT 'shard', CAST(sh2 % $PackShards AS VARCHAR),
+         |  CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT),
+         |  CAST(sum(sh2 % 1000000007) AS BIGINT) FROM kp
+         |  GROUP BY sh2 % $PackShards)
+         |SELECT * FROM rows_out ORDER BY section, k""".stripMargin
     },
 
     // pipe9: the WARC mechanics are the ENGINE's burden (pipe7's

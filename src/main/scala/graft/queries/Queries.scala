@@ -1506,6 +1506,100 @@ object Queries {
       .distinct().orderBy(col("doc_id"))
   }
 
+  /** W20 (streaming semantics through the oracle, part 7): streaming ANN
+    * NEAR-DUP ADMISSION — w16's admission contract moved onto the VECTOR
+    * plane: the online form of d10/d5 that a production embedding-ingest
+    * pipeline runs continuously against its serving IVF index. Even
+    * vec_ids build the batch-tagged base index (the "yesterday" corpus,
+    * cell-assigned under the frozen NumCentroids quantizer); odd vec_ids
+    * stream in `W20Batches` ordered micro-batches (batch = (vec_id div 2)
+    * mod W20Batches) as parquet drop files (bit-lossless float round
+    * trip). Per batch ([[Similarity.admitVecBatch]]): probe the W20Probe
+    * nearest cells, reject vectors with a cosine >= SemThreshold candidate
+    * in the index (base + EVERYTHING ADMITTED BEFORE — the append-back
+    * surface) or a smaller-id batch-mate whose stored cell is probed;
+    * append survivors' (v, nrm, cell) rows back to the index. The DuckDB
+    * oracle unrolls all three admission rounds from scratch (probe
+    * assignment → candidate cells → round-6 cosine verify, chained
+    * through the admitted sets), so a single wrongly-admitted or
+    * wrongly-rejected vector in ANY round — including a missed
+    * cross-batch rejection that only exists because of append-back —
+    * hash-fails. Each bench run copies the staged base index into a
+    * scratch dir (appends must not leak across runs). */
+  def w20VectorAdmission(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val baseIdx = stagedDir("w20base", d) { root =>
+      Similarity.writeVecIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", s"$root/idx", cents, tag = -1L,
+        org.apache.spark.sql.SaveMode.Overwrite)
+    } + "/idx"
+    val root = scratchDir("w20q")
+    val idx = root.resolve("idx")
+    // bench-run isolation: copy the staged base, stream appends into the
+    // copy (java.nio walk — the w16 discipline)
+    locally {
+      val src = java.nio.file.Paths.get(baseIdx)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(src)
+      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
+        finally walk.close()
+      paths.foreach { p =>
+        val dst = idx.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    // ONE job stages all batch files (partitionBy fans out batch=b dirs);
+    // each part file then moves into the flat drop dir with a pinned
+    // mtime — file-source ordering is (mtime, path), so discovery order
+    // == admission order regardless of write timing
+    locally {
+      val tmp = root.resolve("stage")
+      Tables.embeddings(s, d).where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"),
+          (expr("vec_id div 2") % W20Batches).as("batch"))
+        .repartition(1).sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      for (b <- 0 until W20Batches) {
+        val bDir = tmp.resolve(s"batch=$b")
+        // fail loud on an empty residue class (the w19 staging rule): a
+        // missing drop file would silently shift every later batch id
+        require(java.nio.file.Files.isDirectory(bDir),
+          s"w20 staging: vec_id residue class for batch $b is empty " +
+            s"under $d — the drop-file <-> batch-id correspondence breaks")
+        val ls = java.nio.file.Files.list(bDir)
+        val part = try ls.iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          finally ls.close()
+        require(part.isDefined,
+          s"w20 staging: no part file in $bDir")
+        val f = drop.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(part.get, f)
+        f.toFile.setLastModified(1700000000000L + b * 1000L)
+      }
+    }
+    val sink = root.resolve("sink").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    graft.streaming.VecStream.admitNearDup(s, drop.toString,
+      root.resolve("ckpt").toString, idx.toString, sink, cents,
+      W20Probe, SemThreshold, schema)
+      .awaitTermination()
+    s.read.parquet(sink).select(col("vec_id"), col("batch"))
+      .distinct().orderBy(col("vec_id"))
+  }
+
   /** W17: OHLCV candle ROLLUP — the interval-upsample the reference
     * never computes because its exchanges serve every interval over HTTP
     * (`_base_.py` fetches 1m/1h/1d separately); engine-side, 1h candles
@@ -5528,7 +5622,12 @@ object Queries {
     * surviving token mass. Scale shape: two hash-window shuffles on
     * high-cardinality uniform keys (canon URL, content fp) + one final
     * tiny groupBy — the extraction and gates are map-side. */
-  def pipe6WebCuration(s: SparkSession, d: String): DataFrame = {
+  /** The shared curation funnel frame (the engine-side twin of the
+    * oracle's `curationCtes` — one implementation so pipe6 and pipe15 can
+    * never drift): page synth → extraction → Gopher gate → URL-canonical
+    * keep election → content-fingerprint keep election, ending in
+    * (doc_id, lang, clean, clean_ok, canon_url, fp, url_ok, final_ok). */
+  private def curationGated(s: SparkSession, d: String): DataFrame = {
     val paged = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.tokens(col("text")).as("toks"))
@@ -5550,12 +5649,15 @@ object Queries {
       .withColumn("fp", md5(col("clean")))
     val wUrl = Window.partitionBy(col("canon_url"))
     val wFp = Window.partitionBy(col("fp"))
-    val gated = staged
+    staged
       .withColumn("url_ok", col("clean_ok") && col("doc_id") ===
         min(when(col("clean_ok"), col("doc_id"))).over(wUrl))
       .withColumn("final_ok", col("url_ok") && col("doc_id") ===
         min(when(col("url_ok"), col("doc_id"))).over(wFp))
-    gated.groupBy(col("lang")).agg(
+  }
+
+  def pipe6WebCuration(s: SparkSession, d: String): DataFrame = {
+    curationGated(s, d).groupBy(col("lang")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("clean_ok"), 1L).otherwise(0L)).as("n_clean"),
       sum(when(col("url_ok"), 1L).otherwise(0L)).as("n_url_unique"),
@@ -6192,6 +6294,104 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** PIPE15: the PRETRAINING-EPOCH SPINE — the full corpus-to-shards
+    * composition a training-data team ships, end to end in one plan:
+    * curation ([[curationGated]] — pipe6's page-synth → extraction →
+    * Gopher gate → URL-dedup → content-dedup elections) → benchmark
+    * DECONTAMINATION over the survivors' CLEAN text (d7's 3-shingle
+    * overlap rule at the mod-29 split, via
+    * [[Decontaminate.contaminatedDocs]]) → domain MIX to the global token
+    * budget ([[mixSelectOn]] — pipe10's two-phase bucketed selection) →
+    * sequence-PACKING arithmetic (pipe8's integer window algebra, per
+    * lang) → the m6-style SHARD MANIFEST (portable-hash shard assignment
+    * + order-independent content digest) over the final kept set.
+    *
+    * Output is a long-format census — (section, k, cnt, toks, aux):
+    * `funnel` rows carry per-(lang, stage) doc counts and clean-token
+    * sums for every stage 0_raw → 5_mix (aux = the lang's token target on
+    * the 5_mix rows); `pack` rows carry per-lang context windows + padding;
+    * `shard` rows carry per-shard docs, tokens, and the digest. The DuckDB
+    * twin recomputes the whole funnel from scratch (the shared
+    * curationCtes text + d7's shingle SQL + pipe10's single-window
+    * selection + the manifest algebra), so one doc mis-gated, mis-deduped,
+    * wrongly decontaminated, mis-selected, or mis-sharded ANYWHERE in the
+    * spine hash-fails.
+    *
+    * Scale shape: the curated doc-grain frame is persisted ONCE and every
+    * stage flag rides it (pipe1's flag idiom); decontamination meets the
+    * benchmark set in one uniform shingle-hash equi-join (benchmark side
+    * broadcasts under AQE); the mix selection shuffles only (lang, bucket)
+    * sums plus the per-lang boundary bucket; packing needs per-lang sums
+    * only (no per-doc cumsum anywhere); the manifest digest aggregates
+    * map-side (order-independent integer sum). No stage re-reads the raw
+    * corpus — at 100 TB the spine is one pass over the documents plus
+    * model/census-grain shuffles, which is exactly the production shape. */
+  def pipe15EpochSpine(s: SparkSession, d: String): DataFrame = {
+    val words = size(TextAnalysis.tokens(col("clean"))).cast("long")
+    val gated = curationGated(s, d)
+      .withColumn("words", words)
+      .persist() // one doc-grain frame carries every stage flag
+    // DECONTAMINATE: benchmark = the mod-29 class's CLEAN text (gate-
+    // independent — an eval set exists regardless of curation verdicts);
+    // corpus = the curation survivors outside it
+    val bench = gated.where(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), col("clean"))
+    val corp = gated.where(col("final_ok") && col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"), col("clean"))
+    val decontamOk = corp.select(col("doc_id"))
+      .join(Decontaminate.contaminatedDocs(corp, bench, "doc_id", "clean",
+          k = 3).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val flags = gated
+      .join(decontamOk.withColumn("decon_ok", lit(true)), Seq("doc_id"),
+        "left")
+      .withColumn("decon_ok", coalesce(col("decon_ok"), lit(false)))
+      .persist()
+    // MIX: pipe10's budgeted selection over the decontaminated survivors
+    val kept = mixSelectOn(s, flags.where(col("decon_ok"))
+        .select(col("doc_id"), col("lang"), col("words").as("toks")))
+      .persist()
+    def stageRows(stage: String, cond: Column): DataFrame =
+      flags.where(cond).groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("words")).as("toks"))
+        .select(lit("funnel").as("section"),
+          concat(col("lang"), lit("|" + stage)).as("k"),
+          col("cnt"), col("toks"), lit(0L).as("aux"))
+    val funnel = stageRows("0_raw", lit(true))
+      .unionByName(stageRows("1_clean", col("clean_ok")))
+      .unionByName(stageRows("2_url", col("url_ok")))
+      .unionByName(stageRows("3_uniq", col("final_ok")))
+      .unionByName(stageRows("4_decon", col("decon_ok")))
+    val mixRows = kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("toks"),
+        max(col("target")).as("aux"))
+      .select(lit("funnel").as("section"),
+        concat(col("lang"), lit("|5_mix")).as("k"),
+        col("cnt"), col("toks"), col("aux"))
+    // PACK: per-lang integer window algebra (windows = ceil(toks/ctx)) —
+    // per-lang sums only, never a per-doc cumsum
+    val packRows = kept.groupBy(col("lang"))
+      .agg(sum(col("toks")).as("mt"))
+      .select(lit("pack").as("section"), col("lang").as("k"),
+        expr(s"(mt + ${PackCtx - 1}) div $PackCtx").as("cnt"),
+        expr(s"(mt + ${PackCtx - 1}) div $PackCtx * $PackCtx - mt")
+          .as("toks"),
+        lit(0L).as("aux"))
+    // MANIFEST: m6's shard assignment + order-independent digest over the
+    // final kept docs
+    val h = conv(substring(md5(concat(lit("mshard:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val shardRows = kept.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(PackShards)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("toks"),
+        sum(col("h") % 1000000007L).as("aux"))
+      .select(lit("shard").as("section"), col("shard").cast("string").as("k"),
+        col("cnt"), col("toks"), col("aux"))
+    funnel.unionByName(mixRows).unionByName(packRows).unionByName(shardRows)
+      .orderBy(col("section"), col("k"))
+  }
+
   /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006),
     * integer-exact: for integer weight w, the A-ES key u^(1/w) has exactly
     * the distribution of the MAX of w iid uniforms, so the key is computed
@@ -6538,6 +6738,7 @@ object Queries {
     "w14_stateful_cursor" -> w14StatefulCursor _,
     "w15_interpolate" -> w15Interpolate _,
     "w16_stream_admission" -> w16StreamAdmission _,
+    "w20_vector_admission" -> w20VectorAdmission _,
     "w17_ohlcv_candles" -> w17OhlcvCandles _,
     "w18_candle_cascade" -> w18CandleCascade _,
     "w19_stream_candles" -> w19StreamCandles _,
@@ -6671,6 +6872,7 @@ object Queries {
     "pipe12_domain_gate" -> pipe12DomainGate _,
     "pipe13_nightly_refresh" -> pipe13NightlyRefresh _,
     "pipe14_index_lifecycle" -> pipe14IndexLifecycle _,
+    "pipe15_epoch_spine" -> pipe15EpochSpine _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,

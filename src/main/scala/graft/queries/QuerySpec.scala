@@ -73,6 +73,15 @@ object QuerySpec {
   // n²). 64 exercises the split path at sf0.01 (cells 48-70) while
   // leaving some cells unsplit there, covering both branches.
   val SemCellCap = 64L
+  // W20 streaming ANN admission (w16's pattern on the vector plane): odd
+  // vec_ids stream in W20Batches ordered micro-batches (batch =
+  // (vec_id div 2) % W20Batches); the base index is the even vec_ids under
+  // the frozen NumCentroids quantizer. A delta vector probes its W20Probe
+  // nearest cells and is rejected when any index member or smaller-id
+  // batch-mate whose STORED (rank-1) cell falls in a probed cell has
+  // round(cosine, 6) >= SemThreshold.
+  val W20Batches = 3
+  val W20Probe = 2
   // S12 product quantization: m subspaces of EmbeddingDim/m dims each
   val PqM = 8
   val IvfTopK = 5

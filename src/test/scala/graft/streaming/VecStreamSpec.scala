@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType,
+  StructField, StructType}
+
+import graft.SparkSpec
+import graft.operators.Similarity
+
+/** W20 streaming ANN admission — hand-computed 2-D geometry so every
+  * cosine and every probe ranking is verifiable on paper. Centroids:
+  * c0=(1,0), c1=(0,1), c2=(-1,0); nprobe=2 of 3 cells; threshold 0.9. */
+class VecStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cents: Array[(Long, Array[Double])] = Array(
+    0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0), 2L -> Array(-1.0, 0.0))
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def stageVecFile(rows: Seq[(Long, Array[Float])], drop: Path,
+      b: Int): Unit = {
+    val tmp = Files.createTempDirectory(s"vecstage$b")
+    rows.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(tmp)
+    val part = try ls.iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    val f = drop.resolve(s"b$b.parquet")
+    Files.move(part, f)
+    f.toFile.setLastModified(1700000000000L + b * 1000L)
+  }
+
+  test("w20 admission: index reject, in-batch reject (smaller id wins), " +
+      "append-back reject, cross-cell admit") {
+    val base = Files.createTempDirectory("vecadmit")
+    val drop = base.resolve("drop"); Files.createDirectories(drop)
+    val sink = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val idx = base.resolve("idx").toString
+    // base index: 100=(1,0.05) lands in cell 0 (cos ~0.9988)
+    Similarity.writeVecIndex(
+      Seq(100L -> Array(1.0f, 0.05f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, cents, tag = -1L, SaveMode.Overwrite)
+    // batch 0: 1 dups index member 100 (cos ~0.99995, cell 0 probed);
+    // 3=(0.1,1) fresh in cell 1; 5=(0.12,1) dups batch-mate 3
+    // (cos ~0.99985 — smaller id wins); 7=(-1,0.05) fresh in cell 2
+    // (its probes {2,1} see 3, but cos ~-0.05 clears it)
+    stageVecFile(Seq(
+      1L -> Array(1.0f, 0.06f), 3L -> Array(0.1f, 1.0f),
+      5L -> Array(0.12f, 1.0f), 7L -> Array(-1.0f, 0.05f)), drop, 0)
+    // batch 1: 9 dups ADMITTED 3 (append-back reject — 3 is in no base
+    // index); 11 dups ADMITTED 7; 13=(0.7,-0.7) probes {0,1}, and its
+    // cell-0 candidate 100 scores cos ~0.671 < 0.9 — admitted
+    stageVecFile(Seq(
+      9L -> Array(0.1f, 1.01f), 11L -> Array(-1.0f, 0.06f),
+      13L -> Array(0.7f, -0.7f)), drop, 1)
+    VecStream.admitNearDup(spark, drop.toString, ckpt, idx, sink, cents,
+      nprobe = 2, threshold = 0.9, schema)
+      .awaitTermination(120000)
+    val got = spark.read.parquet(sink).distinct()
+      .select($"vec_id", $"batch").as[(Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(got == List((3L, 0L), (7L, 0L), (13L, 1L)))
+
+    // crash-replay idempotency: the same batch applied twice (same
+    // batchId) ends in the same state — the index probe excludes rows
+    // tagged with its own batch id, the sink dedupes at read time.
+    // 17 dups admitted 3 (rejected); 19=(-0.6,-0.8) probes {2,0} and
+    // clears both cells' members (7: cos ~0.559; 13: cos ~0.141; 100:
+    // negative) — admitted exactly once
+    val b2 = Seq(17L -> Array(0.1f, 1.02f), 19L -> Array(-0.6f, -0.8f))
+      .toDF("vec_id", "embedding")
+    Similarity.admitVecBatch(b2, 2L, "vec_id", "embedding", idx, sink,
+      cents, nprobe = 2, threshold = 0.9)
+    Similarity.admitVecBatch(b2, 2L, "vec_id", "embedding", idx, sink,
+      cents, nprobe = 2, threshold = 0.9)
+    val replayed = spark.read.parquet(sink).distinct()
+      .select($"vec_id", $"batch").as[(Long, Long)]
+      .collect().sortBy(_._1).toList
+    assert(replayed ==
+      List((3L, 0L), (7L, 0L), (13L, 1L), (19L, 2L)))
+    // the index carries exactly the base + every admitted vector, each
+    // under its batch tag (the replayed append may duplicate ROWS of its
+    // own tag — harmless: probes read ids through distinct)
+    val idxState = spark.read.parquet(s"$idx/vecs")
+      .select($"id", $"batch_id").distinct()
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(idxState == List((3L, 0L), (7L, 0L), (13L, 1L), (19L, 2L),
+      (100L, -1L)))
+  }
+
+  test("w20 admission: tag namespacing is enforced (batchId < 1e6)") {
+    val base = Files.createTempDirectory("vecadmitns")
+    val b = Seq(1L -> Array(1.0f, 0.0f)).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.admitVecBatch(b, 1000000L, "vec_id", "embedding",
+        base.resolve("idx").toString, base.resolve("sink").toString,
+        cents, nprobe = 1, threshold = 0.9)
+    }
+  }
+}
