@@ -1566,6 +1566,61 @@ object Scratch {
           println(f"SCALE ${q}_b$b x${scales.max}/x${scales.min} = ${r}%6.2f  " +
             f"($verdict; linear=${growth}%.0f)")
         }
+      case Some("j13x") =>
+        // Binding-clamp skew probe (r12 verdict item 7): j13's measured
+        // factors (2/13/32 across SFs) only REACH the 32 cap at sf0.1 —
+        // this probe drives a far hotter sentinel (user_id % 3 == 0 →
+        // account 0, ~33% of the probe, skew multiple >> cap) at ×1/×16
+        // event replication, so the clamp provably binds, and documents
+        // the POST-REPAIR balance: rows per (hot key, salt) cell vs the
+        // unsalted single-task max. Replication offsets event_id/user_id
+        // per replica (scale12's shape) — account 0 stays THE hot key, so
+        // its absolute count grows 16× while the cap stays 32.
+        import org.apache.spark.sql.functions._
+        val scalesJ = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,16")
+          .split(",").map(_.trim.toInt).toSeq
+        val evJ = spark.read.parquet(s"$sfDir/events.parquet")
+        val eSpanJ = evJ.agg(max(col("event_id"))).head.getLong(0) + 1
+        val uSpanJ = evJ.agg(max(col("user_id"))).head.getLong(0) + 1
+        val buildJ = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("account_id"), col("c_mktsegment"))
+        for (k <- scalesJ) {
+          val evK = (0 until k).map(i => evJ.select(
+            (col("event_id") + lit(i * eSpanJ)).as("event_id"),
+            (col("user_id") + lit(i * uSpanJ)).as("user_id"),
+            col("value"))).reduce(_ unionByName _)
+          val probeJ = evK.select(
+            when(col("user_id") % 3 === 0, lit(0L))
+              .otherwise(col("user_id")).as("account_id"),
+            col("event_id"), col("value"))
+          val (joinedJ, hotJ, statsJ) = operators.Skew.adaptiveSaltedJoin(
+            probeJ, buildJ, Seq("account_id"), "event_id",
+            queries.QuerySpec.J13HotNum, queries.QuerySpec.J13HotDen,
+            queries.QuerySpec.J13SaltCap)
+          time(s"j13x_join_x$k")(joinedJ.count())
+          val st = statsJ.head
+          val (nK, tot, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
+          println(f"j13x_x$k census: n_keys=$nK tot=$tot max_key=$mx " +
+            f"skew_multiple=${mx.toDouble * nK / tot}%.1f " +
+            f"(cap=${queries.QuerySpec.J13SaltCap})")
+          // post-repair balance: per-(hot key, salt) cell census — the
+          // unsalted plan puts max_key rows in ONE task; after salting the
+          // hot key's largest cell is its residual per-task max
+          val cells = probeJ
+            .join(broadcast(hotJ), Seq("account_id"))
+            .groupBy(col("account_id"),
+              pmod(xxhash64(col("event_id")), col("_factor")).as("_s"))
+            .agg(count(lit(1)).as("n"))
+          val bal = cells.groupBy(col("account_id"))
+            .agg(max(col("n")).as("cell_max"), avg(col("n")).as("cell_mean"),
+              count(lit(1)).as("n_cells"))
+            .orderBy(col("cell_max").desc)
+          bal.collect().take(5).foreach { r =>
+            println(f"j13x_x$k hot key=${r.getLong(0)} cells=${r.getLong(3)} " +
+              f"cell_max=${r.getLong(1)} cell_mean=${r.getDouble(2)}%.0f " +
+              f"balance=${r.getLong(1) / r.getDouble(2)}%.3fx")
+          }
+        }
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")
