@@ -1621,6 +1621,54 @@ object Scratch {
               f"balance=${r.getLong(1) / r.getDouble(2)}%.3fx")
           }
         }
+      case Some("pipe15x") =>
+        // stage-by-stage pipe15 profile: curation cache fill, decon,
+        // flag join, mix selection, then the full spine twice
+        import org.apache.spark.sql.functions._
+        val gated15 = queries.Queries.curationGated(spark, sfDir)
+          .withColumn("words",
+            size(operators.TextAnalysis.tokens(col("clean"))).cast("long"))
+          .persist()
+        time("gated_fill")(gated15.count())
+        time("gated_cached")(gated15.count())
+        val bench15 = gated15.where(col("doc_id") % 29 === 0)
+          .select(col("doc_id"), col("clean"))
+        val corp15 = gated15.where(col("final_ok") && col("doc_id") % 29 =!= 0)
+          .select(col("doc_id"), col("clean"))
+        val contam15 = operators.Decontaminate
+          .contaminatedDocs(corp15, bench15, "doc_id", "clean",
+            queries.QuerySpec.Pipe15DeconK)
+          .select(col("doc_id"))
+        time("decon")(contam15.count())
+        val deconOk15 = corp15.select(col("doc_id"))
+          .join(contam15, Seq("doc_id"), "left_anti")
+        val flags15 = gated15
+          .join(deconOk15.withColumn("decon_ok", lit(true)), Seq("doc_id"),
+            "left")
+          .withColumn("decon_ok", coalesce(col("decon_ok"), lit(false)))
+          .persist()
+        time("flags_fill")(flags15.count())
+        val kept15 = queries.Queries.mixSelectOn(spark,
+          flags15.where(col("decon_ok"))
+            .select(col("doc_id"), col("lang"), col("words").as("toks")))
+          .persist()
+        time("kept_fill")(kept15.count())
+        spark.sharedState.cacheManager.clearCache()
+        val gatedW = queries.Queries.curationGated(spark, sfDir)
+          .withColumn("words",
+            size(operators.TextAnalysis.tokens(col("clean"))).cast("long"))
+          .persist()
+        time("gated_refill_warm")(gatedW.count())
+        val gatedNoCache = queries.Queries.curationGated(spark, sfDir)
+          .withColumn("words",
+            size(operators.TextAnalysis.tokens(col("clean"))).cast("long"))
+        time("gated_nocache_warm")(gatedNoCache.count())
+        spark.sharedState.cacheManager.clearCache()
+        time("full_first")(
+          queries.Queries.pipe15EpochSpine(spark, sfDir).count())
+        spark.sharedState.cacheManager.clearCache()
+        time("full_second")(
+          queries.Queries.pipe15EpochSpine(spark, sfDir).count())
       case Some("rest") =>
         import spark.implicits._
         val dir = java.nio.file.Files.createTempDirectory("restdemo")

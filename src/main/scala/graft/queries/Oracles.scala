@@ -4053,7 +4053,8 @@ object Oracles {
     },
 
     // pipe15: the whole epoch spine recomputed from scratch — the shared
-    // curationCtes funnel, d7's 3-shingle decontamination over the
+    // curationCtes funnel, d7's shingle decontamination (8-gram gating
+    // grain, Pipe15DeconK) over the
     // survivors' CLEAN text (mod-29 split), pipe10's naive single-window
     // mix selection (provably equal to the engine's two-phase bucket
     // split), pipe8's integer packing algebra per lang, and the m6
@@ -4065,9 +4066,9 @@ object Oracles {
       s"""WITH $curationCtes,
          |ct AS (SELECT doc_id, ${lowSeq("clean")} AS ctoks FROM cl),
          |shd AS (SELECT doc_id, unnest(list_distinct(
-         |    [md5(array_to_string(ctoks[i:i+2], ' '))
-         |     for i in range(1, len(ctoks) - 1)])) AS sh
-         |  FROM ct WHERE len(ctoks) >= 3),
+         |    [md5(array_to_string(ctoks[i:i+${Pipe15DeconK - 1}], ' '))
+         |     for i in range(1, len(ctoks) - ${Pipe15DeconK - 2})])) AS sh
+         |  FROM ct WHERE len(ctoks) >= $Pipe15DeconK),
          |bench AS (SELECT DISTINCT sh FROM shd WHERE doc_id % 29 = 0),
          |corpids AS (SELECT doc_id FROM s3
          |  WHERE final_ok AND doc_id % 29 <> 0),

@@ -5627,7 +5627,7 @@ object Queries {
     * never drift): page synth → extraction → Gopher gate → URL-canonical
     * keep election → content-fingerprint keep election, ending in
     * (doc_id, lang, clean, clean_ok, canon_url, fp, url_ok, final_ok). */
-  private def curationGated(s: SparkSession, d: String): DataFrame = {
+  private[graft] def curationGated(s: SparkSession, d: String): DataFrame = {
     val paged = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.tokens(col("text")).as("toks"))
@@ -6193,7 +6193,7 @@ object Queries {
     * frame — returns the KEPT rows plus their lang `target`. See
     * [[pipe10MixBudget]] for the scale argument; [[pipe11SelectPack]]
     * runs the same selection over its DSIR+dedup survivor set. */
-  private def mixSelectOn(s: SparkSession, docsToks: DataFrame): DataFrame = {
+  private[graft] def mixSelectOn(s: SparkSession, docsToks: DataFrame): DataFrame = {
     import s.implicits._
     val h = conv(substring(md5(concat(lit("mix:"),
       col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
@@ -6298,9 +6298,9 @@ object Queries {
     * composition a training-data team ships, end to end in one plan:
     * curation ([[curationGated]] — pipe6's page-synth → extraction →
     * Gopher gate → URL-dedup → content-dedup elections) → benchmark
-    * DECONTAMINATION over the survivors' CLEAN text (d7's 3-shingle
-    * overlap rule at the mod-29 split, via
-    * [[Decontaminate.contaminatedDocs]]) → domain MIX to the global token
+    * DECONTAMINATION over the survivors' CLEAN text (d7's overlap rule at
+    * the mod-29 split via [[Decontaminate.contaminatedDocs]], at the
+    * 8-gram GATING grain `Pipe15DeconK` — see the constant's rationale) → domain MIX to the global token
     * budget ([[mixSelectOn]] — pipe10's two-phase bucketed selection) →
     * sequence-PACKING arithmetic (pipe8's integer window algebra, per
     * lang) → the m6-style SHARD MANIFEST (portable-hash shard assignment
@@ -6328,21 +6328,36 @@ object Queries {
     * model/census-grain shuffles, which is exactly the production shape. */
   def pipe15EpochSpine(s: SparkSession, d: String): DataFrame = {
     val words = size(TextAnalysis.tokens(col("clean"))).cast("long")
+    // UNPERSISTED by design (the d20 adjudication's discipline): the
+    // curation chain is bounded parallel CPU (~0.2 s warm at sf0.1) and
+    // its three consumers (decon's two sides + the slim flag frame)
+    // re-derive it cheaper than ONE columnar cache fill of the clean-text
+    // column costs (measured 1.6 s warm — big strings defeat the cache's
+    // codegen fusion); at 100 TB the same choice holds per the d20
+    // precedent, or the curated frame becomes a staged parquet artifact
+    // (pipe13's move), never an executor-memory cache of corpus text
     val gated = curationGated(s, d)
       .withColumn("words", words)
-      .persist() // one doc-grain frame carries every stage flag
     // DECONTAMINATE: benchmark = the mod-29 class's CLEAN text (gate-
     // independent — an eval set exists regardless of curation verdicts);
-    // corpus = the curation survivors outside it
+    // corpus = the curation survivors outside it. 8-gram overlap
+    // (Pipe15DeconK — the Llama/GPT span-contamination grain; d7's
+    // 3-gram CENSUS grain saturates on this closed-vocab corpus and
+    // would empty the funnel at sf0.1)
     val bench = gated.where(col("doc_id") % 29 === 0)
       .select(col("doc_id"), col("clean"))
     val corp = gated.where(col("final_ok") && col("doc_id") % 29 =!= 0)
       .select(col("doc_id"), col("clean"))
     val decontamOk = corp.select(col("doc_id"))
       .join(Decontaminate.contaminatedDocs(corp, bench, "doc_id", "clean",
-          k = 3).select(col("doc_id")),
+          k = Pipe15DeconK).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+    // one SLIM doc-grain frame carries every stage flag (clean text
+    // deliberately dropped — the census never reads it, and a cached
+    // text column would just slow every census scan)
     val flags = gated
+      .select(col("doc_id"), col("lang"), col("words"), col("clean_ok"),
+        col("url_ok"), col("final_ok"))
       .join(decontamOk.withColumn("decon_ok", lit(true)), Seq("doc_id"),
         "left")
       .withColumn("decon_ok", coalesce(col("decon_ok"), lit(false)))
@@ -6351,32 +6366,42 @@ object Queries {
     val kept = mixSelectOn(s, flags.where(col("decon_ok"))
         .select(col("doc_id"), col("lang"), col("words").as("toks")))
       .persist()
-    def stageRows(stage: String, cond: Column): DataFrame =
-      flags.where(cond).groupBy(col("lang"))
-        .agg(count(lit(1)).as("cnt"), sum(col("words")).as("toks"))
-        .select(lit("funnel").as("section"),
-          concat(col("lang"), lit("|" + stage)).as("k"),
-          col("cnt"), col("toks"), lit(0L).as("aux"))
-    val funnel = stageRows("0_raw", lit(true))
-      .unionByName(stageRows("1_clean", col("clean_ok")))
-      .unionByName(stageRows("2_url", col("url_ok")))
-      .unionByName(stageRows("3_uniq", col("final_ok")))
-      .unionByName(stageRows("4_decon", col("decon_ok")))
-    val mixRows = kept.groupBy(col("lang"))
-      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("toks"),
-        max(col("target")).as("aux"))
+    // FUNNEL census: all five stages in ONE conditional-sum aggregate
+    // (a groupBy per stage = 5 cache scans + 5 shuffles for identical
+    // output), exploded to the long format; cnt > 0 reproduces the
+    // per-stage groupBy's only-populated-groups semantics exactly
+    val stages = Seq(
+      ("0_raw", lit(true)), ("1_clean", col("clean_ok")),
+      ("2_url", col("url_ok")), ("3_uniq", col("final_ok")),
+      ("4_decon", col("decon_ok")))
+    val aggs = stages.flatMap { case (st, c) => Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"c_$st"),
+      sum(when(c, col("words")).otherwise(0L)).as(s"t_$st")) }
+    val langCensus = flags.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+    val funnel = langCensus
+      .select(col("lang"), explode(array(stages.map { case (st, _) =>
+        struct(lit(st).as("st"), col(s"c_$st").as("cnt"),
+          col(s"t_$st").as("toks"))
+      }: _*)).as("e"))
+      .where(col("e.cnt") > 0)
       .select(lit("funnel").as("section"),
-        concat(col("lang"), lit("|5_mix")).as("k"),
-        col("cnt"), col("toks"), col("aux"))
-    // PACK: per-lang integer window algebra (windows = ceil(toks/ctx)) —
-    // per-lang sums only, never a per-doc cumsum
-    val packRows = kept.groupBy(col("lang"))
-      .agg(sum(col("toks")).as("mt"))
-      .select(lit("pack").as("section"), col("lang").as("k"),
-        expr(s"(mt + ${PackCtx - 1}) div $PackCtx").as("cnt"),
-        expr(s"(mt + ${PackCtx - 1}) div $PackCtx * $PackCtx - mt")
-          .as("toks"),
+        concat(col("lang"), lit("|"), col("e.st")).as("k"),
+        col("e.cnt").as("cnt"), col("e.toks").as("toks"),
         lit(0L).as("aux"))
+    // MIX census + PACK arithmetic off ONE aggregate (windows =
+    // ceil(toks/ctx) — per-lang sums only, never a per-doc cumsum)
+    val win = expr(s"(mt + ${PackCtx - 1}) div $PackCtx")
+    val mixPack = kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("mt"),
+        max(col("target")).as("tg"))
+      .select(explode(array(
+        struct(lit("funnel").as("section"),
+          concat(col("lang"), lit("|5_mix")).as("k"),
+          col("cnt"), col("mt").as("toks"), col("tg").as("aux")),
+        struct(lit("pack").as("section"), col("lang").as("k"),
+          win.as("cnt"), (win * PackCtx - col("mt")).as("toks"),
+          lit(0L).as("aux")))).as("e"))
+      .select(col("e.*"))
     // MANIFEST: m6's shard assignment + order-independent digest over the
     // final kept docs
     val h = conv(substring(md5(concat(lit("mshard:"),
@@ -6388,7 +6413,7 @@ object Queries {
         sum(col("h") % 1000000007L).as("aux"))
       .select(lit("shard").as("section"), col("shard").cast("string").as("k"),
         col("cnt"), col("toks"), col("aux"))
-    funnel.unionByName(mixRows).unionByName(packRows).unionByName(shardRows)
+    funnel.unionByName(mixPack).unionByName(shardRows)
       .orderBy(col("section"), col("k"))
   }
 

@@ -73,6 +73,15 @@ object QuerySpec {
   // n²). 64 exercises the split path at sf0.01 (cells 48-70) while
   // leaving some cells unsplit there, covering both branches.
   val SemCellCap = 64L
+  // PIPE15 epoch-spine decontamination shingle width: 8-gram overlap (the
+  // Llama/GPT-style span-contamination grain), NOT d7's 3-gram census
+  // grain — on this closed-vocabulary synthetic corpus 3-gram overlap
+  // saturates with SF (measured: 366/482 corpus docs contaminated at
+  // sf0.01, 4818/4827 at sf0.1 — the funnel's late stages would run
+  // empty), while 8-grams mark ~1% at every tested SF, the realistic
+  // production rate. d7/d11 keep k=3: they CENSUS overlap; pipe15 GATES
+  // on it.
+  val Pipe15DeconK = 8
   // W20 streaming ANN admission (w16's pattern on the vector plane): odd
   // vec_ids stream in W20Batches ordered micro-batches (batch =
   // (vec_id div 2) % W20Batches); the base index is the even vec_ids under
