@@ -96,6 +96,108 @@ class VecStreamSpec extends SparkSpec {
       (100L, -1L)))
   }
 
+  test("w20 admission agrees with an independent plain-Scala replay on " +
+      "48 seeded clustered vectors (3 batches, append-back chained)") {
+    // Independent oracle: the same admission contract implemented as
+    // driver-side loops with the SAME left-to-right IEEE folds the plan
+    // uses (zip_with/aggregate fold ≡ a while loop in element order), so
+    // any drift in the Spark plan's probe ranking, candidate surface,
+    // round-6 cut, or append-back chaining shows as a set difference.
+    val dim = 6
+    val rnd = new java.util.Random(7)
+    val bases = Array(
+      Array(1.0, 0.8, 0.1, 0.0, 0.2, 0.1),
+      Array(0.0, 0.1, 0.9, 1.0, 0.1, 0.0),
+      Array(0.2, 0.0, 0.1, 0.1, 0.9, 1.0))
+    val vecs: Seq[(Long, Array[Float])] = (0L until 48L).map { id =>
+      // every 5th vector gets 10x the noise — likely unique, so both
+      // admit and reject outcomes occur in every batch
+      val noise = if (id % 5 == 0) 0.5 else 0.05
+      val b = bases((id % 3).toInt)
+      id -> Array.tabulate(dim)(i =>
+        (b(i) + noise * rnd.nextGaussian()).toFloat)
+    }
+    val cents3: Array[(Long, Array[Double])] =
+      bases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    val nprobe = 2
+    val thr = 0.995
+
+    // ---- plain-Scala reference ----
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def normF(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def normD(a: Array[Double]): Double =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x * x))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rankedCells(v: Array[Float]): Seq[Long] =
+      cents3.map { case (cid, c) =>
+        (-(dotFD(v, c) / (normF(v) * normD(c))), cid)
+      }.sortBy(identity).map(_._2).toSeq
+    def probesOf(v: Array[Float]): Set[Long] =
+      rankedCells(v).take(nprobe).toSet
+    def cellOf(v: Array[Float]): Long = rankedCells(v).head
+    def near(a: Array[Float], b: Array[Float]): Boolean =
+      round6(dotFF(a, b) / (normF(a) * normF(b))) >= thr
+
+    val byId = vecs.toMap
+    var index: Vector[(Long, Array[Float], Long)] = vecs
+      .collect { case (id, v) if id % 2 == 0 => (id, v, cellOf(v)) }
+      .toVector
+    val expected = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    for (b <- 0 until 3) {
+      val members = vecs.collect {
+        case (id, _) if id % 2 == 1 && (id / 2) % 3 == b => id }
+      val admitted = members.filterNot { id =>
+        val v = byId(id); val pr = probesOf(v)
+        val inb = members.exists(a => a < id &&
+          pr(cellOf(byId(a))) && near(byId(a), v))
+        val idx = index.exists { case (_, iv, ic) => pr(ic) && near(iv, v) }
+        inb || idx
+      }
+      expected ++= admitted.map(id => (id, b.toLong))
+      index ++= admitted.map(id => (id, byId(id), cellOf(byId(id))))
+    }
+
+    // ---- engine run (direct batch calls — VecStream wrapper covered
+    // by the hand-computed test above) ----
+    val base = Files.createTempDirectory("vecadmitx")
+    val idx = base.resolve("idx").toString
+    val sink = base.resolve("sink").toString
+    Similarity.writeVecIndex(
+      vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, cents3, tag = -1L, SaveMode.Overwrite)
+    for (b <- 0 until 3) {
+      val batch = vecs.collect {
+        case (id, v) if id % 2 == 1 && (id / 2) % 3 == b => (id, v) }
+        .toDF("vec_id", "embedding")
+      Similarity.admitVecBatch(batch, b.toLong, "vec_id", "embedding",
+        idx, sink, cents3, nprobe, thr)
+    }
+    val got = spark.read.parquet(sink).distinct()
+      .select($"vec_id", $"batch").as[(Long, Long)].collect().toList
+
+    val exp = expected.toList
+    assert(got.toSet == exp.toSet,
+      s"engine ${got.sorted} vs reference ${exp.sorted}")
+    // the fixture must exercise BOTH outcomes, or the agreement is vacuous
+    val allOdd = vecs.count(_._1 % 2 == 1)
+    assert(exp.nonEmpty && exp.size < allOdd,
+      s"degenerate fixture: ${exp.size} of $allOdd admitted")
+  }
+
   test("w20 admission: tag namespacing is enforced (batchId < 1e6)") {
     val base = Files.createTempDirectory("vecadmitns")
     val b = Seq(1L -> Array(1.0f, 0.0f)).toDF("vec_id", "embedding")
