@@ -158,8 +158,27 @@ object Bench {
     canarySec() // untimed: JIT-compile the canary loops themselves, so
                 // `pre` measures the host, not the canary's own C2 warm-up
     canaryBwSec()
-    val canaryPre = canarySec()
-    val canaryBwPre = canaryBwSec()
+    // Round-14 (r13 verdict item 3): pre-suite SELF-NOISE CALIBRATION.
+    // The flat-host canary spread measured in r13 reached 1.29x of its
+    // own minimum — inside the 1.3x-of-suite-min rule's [1.3, 1.4) band —
+    // so threshold-edge samples were the bench grading its own jitter.
+    // Fix: read each canary N times on the idle harness before the suite,
+    // record min/median/max, and grade a sample hot only above
+    // max(1.3 * rolling suite-min, calibrated self-noise ceiling). The
+    // ceiling is the calibration MAX clamped to 1.5x the calibration MIN:
+    // the clamp keeps a co-runner landing inside the calibration block
+    // from relaxing the rule past the plausible self-noise band (the
+    // clamp firing is itself visible in the record: max > ceil).
+    val calibN = 7
+    val cpuCalib = Vector.fill(calibN)(canarySec())
+    val bwCalib = Vector.fill(calibN)(canaryBwSec())
+    def calibCeil(v: Vector[Double]): Double = math.min(v.max, 1.5 * v.min)
+    val cpuSelfNoiseCeil = calibCeil(cpuCalib)
+    val bwSelfNoiseCeil = calibCeil(bwCalib)
+    // endpoint "pre" = best calibration read: the closest available
+    // estimate of the unloaded band at suite start
+    val canaryPre = cpuCalib.min
+    val canaryBwPre = bwCalib.min
 
     val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
       "w11_stream_dedup", "w12_stream_join", "w14_stateful_cursor",
@@ -208,8 +227,11 @@ object Bench {
     // block and store it per query (`canary_per_heavy`). Cost ~1.5 s ×
     // ~30 heavies on a flat host — the price of a record that carries its
     // own per-heavy verdict.
+    // (cpu_min, bw_min, cpu_raw_first, bw_raw_first) — the raw first read
+    // is recorded alongside the re-sample minimum (r13 ADVICE) so a short
+    // burst that also overlaps the adjacent steady block stays auditable.
     val canaryPerHeavy = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Double)]
+      .empty[String, (Double, Double, Double, Double)]
     // Rolling MINIMUM of every canary sample in the suite: the flattest
     // observed sample is the closest available estimate of the host's
     // true unloaded band. Gating against the PRE sample alone fails when
@@ -219,6 +241,15 @@ object Bench {
     // running min self-corrects as soon as any flat window occurs.
     var minCpuCanary = canaryPre
     var minBwCanary = canaryBwPre
+    // The hot test, in one place: above BOTH the 1.3x-of-rolling-min rule
+    // AND the calibrated self-noise ceiling (absolute seconds). The
+    // ceiling term is what keeps a threshold-edge sample (1.3-1.4x of a
+    // lucky minimum, still inside the measured self-noise band) from
+    // grading a flat host mostly-flat.
+    def cpuHot(c: Double): Boolean =
+      c > math.max(1.3 * minCpuCanary, cpuSelfNoiseCeil)
+    def bwHot(b: Double): Boolean =
+      b > math.max(1.3 * minBwCanary, bwSelfNoiseCeil)
     // Round-13: a HOT canary read is re-sampled (≤2×) and the MINIMUM of
     // the reads is recorded. Rationale: the canary is fixed work, so only
     // interference can inflate it — and the per-heavy sample runs right
@@ -231,18 +262,18 @@ object Bench {
     // attempt: 17/42 cpu samples hot, every bw twin flat, host_suspect
     // empty, every heavy wall at or under the judge's isolated anchors —
     // all 17 were self-noise).
-    def sampleCanaries(): (Double, Double) = {
-      var c = canarySec(); var b = canaryBwSec()
+    def sampleCanaries(): (Double, Double, Double, Double) = {
+      val cRaw = canarySec(); val bRaw = canaryBwSec()
+      var c = cRaw; var b = bRaw
       var retries = 0
-      while (retries < 2 &&
-          (c > 1.3 * minCpuCanary || b > 1.3 * minBwCanary)) {
+      while (retries < 2 && (cpuHot(c) || bwHot(b))) {
         val c2 = canarySec(); val b2 = canaryBwSec()
         c = math.min(c, c2); b = math.min(b, b2)
         retries += 1
       }
       if (c < minCpuCanary) minCpuCanary = c
       if (b < minBwCanary) minBwCanary = b
-      (c, b)
+      (c, b, cRaw, bRaw)
     }
     // Round-12 (verdict item 2): contention-aware escalation. A >10%
     // steady-run disagreement is exactly what host contention produces, so
@@ -257,9 +288,8 @@ object Bench {
     val escalation = scala.collection.mutable.LinkedHashMap
       .empty[String, String]
     def contendedNow(): Option[(Double, Double)] = {
-      val (c, b) = sampleCanaries()
-      if (c > 1.3 * minCpuCanary || b > 1.3 * minBwCanary) Some((c, b))
-      else None
+      val (c, b, _, _) = sampleCanaries()
+      if (cpuHot(c) || bwHot(b)) Some((c, b)) else None
     }
     def steadyRuns(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Vector[Run] = baseRuns match {
@@ -322,7 +352,7 @@ object Bench {
       val first = timedRun(fn)
       runsByName(name) = first +: steadyRuns(name, fn)
     }
-    val (canaryMid, canaryBwMid) = sampleCanaries()
+    val (canaryMid, canaryBwMid, _, _) = sampleCanaries()
     // tier 2: every batch query's cold (discarded) run, alphabetical;
     // classifies the CURRENT heavy set from measurement, not a stale list
     batchQs.foreach { case (name, fn) => runsByName(name) = Vector(timedRun(fn)) }
@@ -338,7 +368,7 @@ object Bench {
       val first = runsByName(name).head
       runsByName(name) = first +: steadyRuns(name, fn)
     }
-    val (canaryPost, canaryBwPost) = sampleCanaries()
+    val (canaryPost, canaryBwPost, _, _) = sampleCanaries()
     val loadPost = loadAvg()
 
     val results: Seq[(String, Vector[Run])] = runsByName.toSeq
@@ -392,9 +422,16 @@ object Bench {
       s"""{"pre":${fmt(canaryPre)},"mid":${fmt(canaryMid)},"post":${fmt(canaryPost)},"suite_min":${fmt(minCpuCanary)},"load_avg_pre":${fmt(loadPre)},"load_avg_post":${fmt(loadPost)}}"""
     val canaryBwJson =
       s"""{"pre":${fmt(canaryBwPre)},"mid":${fmt(canaryBwMid)},"post":${fmt(canaryBwPost)},"suite_min":${fmt(minBwCanary)}}"""
-    val canaryPerHeavyJson = canaryPerHeavy.map { case (k, (c, b)) =>
-      "\"" + k + "\":{\"cpu\":" + fmt(c) + ",\"bw\":" + fmt(b) + "}"
+    val canaryPerHeavyJson = canaryPerHeavy.map { case (k, (c, b, cr, br)) =>
+      "\"" + k + "\":{\"cpu\":" + fmt(c) + ",\"bw\":" + fmt(b) +
+        ",\"cpu_raw\":" + fmt(cr) + ",\"bw_raw\":" + fmt(br) + "}"
     }.mkString("{", ",", "}")
+    def calibJson(v: Vector[Double], ceil: Double): String = {
+      val s = v.sorted
+      s"""{"n":${v.size},"min":${fmt(s.head)},"median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"ceil":${fmt(ceil)}}"""
+    }
+    val calibrationJson =
+      s"""{"cpu":${calibJson(cpuCalib, cpuSelfNoiseCeil)},"bw":${calibJson(bwCalib, bwSelfNoiseCeil)},"rule":"a canary sample is hot only above max(1.3x rolling suite-min, ceil); ceil = min(calibration max, 1.5x calibration min)"}"""
     // Round-13 (r12 verdict item 2): the three-way rule, MECHANIZED per
     // steady run from data already in the record. A run is host-suspect
     // when its wall exceeds the query's best steady wall by >=30% AND
@@ -433,12 +470,11 @@ object Bench {
     // should need to cross-reference the flat band): a sample is
     // contended when >1.3x the suite minimum of its own canary, and a
     // steady run is host-suspect under the per-run rule above.
-    val heavyContended = canaryPerHeavy.count { case (_, (c, b)) =>
-      c > 1.3 * minCpuCanary || b > 1.3 * minBwCanary }
+    val heavyContended = canaryPerHeavy.count { case (_, (c, b, _, _)) =>
+      cpuHot(c) || bwHot(b) }
     val endpointContended = Seq(canaryPre, canaryMid, canaryPost)
-      .count(_ > 1.3 * minCpuCanary) +
-      Seq(canaryBwPre, canaryBwMid, canaryBwPost)
-        .count(_ > 1.3 * minBwCanary)
+      .count(cpuHot) +
+      Seq(canaryBwPre, canaryBwMid, canaryBwPost).count(bwHot)
     val verdict =
       if (heavyContended == 0 && endpointContended == 0 &&
           hostSuspect.isEmpty) "flat"
@@ -446,19 +482,20 @@ object Bench {
           hostSuspect.size <= results.size / 16) "mostly-flat"
       else "contended"
     val contentionJson =
-      s"""{"verdict":"$verdict","n_heavy_contended":$heavyContended,"n_heavy_sampled":${canaryPerHeavy.size},"n_endpoint_contended":$endpointContended,"n_host_suspect":${hostSuspect.size},"rule":"canary sample > 1.3x suite-min canary; per steady run: wall >= 1.3x best (and >= 0.5s over) while cpu_sec grew < half the wall growth => host_suspect"}"""
+      s"""{"verdict":"$verdict","n_heavy_contended":$heavyContended,"n_heavy_sampled":${canaryPerHeavy.size},"n_endpoint_contended":$endpointContended,"n_host_suspect":${hostSuspect.size},"rule":"canary sample hot above max(1.3x suite-min, calibrated self-noise ceil); per steady run: wall >= 1.3x best (and >= 0.5s over) while cpu_sec grew < half the wall growth => host_suspect"}"""
     val escalationJson = escalation.map { case (k, v) =>
       "\"" + k + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val full =
       s"""{
          |"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,
-         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement on a >=1s query consults an immediate canary before escalating — if either canary reads >1.3x the rolling suite-minimum canary the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information); sub-second disagreements are noise-floor, not contention, and escalate without the canary toll; round-13: the three-way rule is mechanized PER STEADY RUN in `host_suspect` — a run whose wall is >=1.3x the query's best steady wall (and >=0.5s over it) while its cpu_sec grew by less than half the wall growth is flagged as a host stall (a mid-block burst the pre-block canary cannot see), and the flags fold into the `contention` verdict; a failed steady run (sec=-1) is retried once before it can settle a block; a HOT canary read is re-sampled (up to 2x) and the minimum recorded — fixed work is only inflated by interference, the bench's own transients (inter-run GC pause, code-cache sweep, cleaner churn) die within a read while genuine co-tenancy persists across all three",
+         |"method":"per query: first run discarded as compile/JIT cost; median of the steady runs — 2 per query, escalated up to 4 only while they disagree by >10% (adaptive, replaces the fixed 5-run tiers: the suite wall itself was the contention exposure); streaming lifecycles ordered first; batch cold runs classify heavies dynamically (cold >= ${heavyCutoff}s) which take their steady runs last; retained listener/status-store state capped + bus drained + terminated streams reset + cache cleared + GC between runs; canary_sec = fixed single-thread CPU+alloc reference work (register-resident), canary_bw_sec = fixed 2 GiB sequential memory-streaming pass — together with per-run cpu_sec/load_avg they attribute an outlier THREE ways: cpu flat + both canaries flat = host descheduling; cpu tracks wall + bw canary inflated = memory-bandwidth contention, not extra work; cpu tracks wall + canaries flat = the query really did more work; round-12: the canary pair ALSO samples immediately before each heavy/streaming query's steady block (canary_per_heavy) so late-arriving contention is attributed to the minute it lands, and a >10% steady-run disagreement on a >=1s query consults an immediate canary before escalating — if either canary reads >1.3x the rolling suite-minimum canary the disagreement is recorded in `escalation` and the extra runs are skipped (contended runs add exposure, not information); sub-second disagreements are noise-floor, not contention, and escalate without the canary toll; round-13: the three-way rule is mechanized PER STEADY RUN in `host_suspect` — a run whose wall is >=1.3x the query's best steady wall (and >=0.5s over it) while its cpu_sec grew by less than half the wall growth is flagged as a host stall (a mid-block burst the pre-block canary cannot see), and the flags fold into the `contention` verdict; a failed steady run (sec=-1) is retried once before it can settle a block; a HOT canary read is re-sampled (up to 2x) and the minimum recorded — fixed work is only inflated by interference, the bench's own transients (inter-run GC pause, code-cache sweep, cleaner churn) die within a read while genuine co-tenancy persists across all three; round-14: the hot threshold is CALIBRATED from measured self-noise — a pre-suite block of ${calibN} reads per canary on the idle harness records min/median/max, and a sample grades hot only above max(1.3x rolling suite-min, calibration ceiling) where the ceiling is the calibration max clamped to 1.5x the calibration min (the flat-host self-noise spread reaches 1.29x of min, so the bare 1.3x rule's [1.3, 1.4) band graded its own jitter as contention; the clamp keeps a co-runner inside the calibration block from relaxing the rule); the raw first canary read is recorded next to the re-sample minimum in canary_per_heavy for auditability",
          |"queries":$qs,
          |"tiers":$tiersJson,
          |"heavy_dynamic":$heavyJson,
          |"canary_sec":$canaryJson,
          |"canary_bw_sec":$canaryBwJson,
+         |"canary_calibration":$calibrationJson,
          |"contention":$contentionJson,
          |"host_suspect":$hostSuspectJson,
          |"canary_per_heavy":$canaryPerHeavyJson,
@@ -474,6 +511,17 @@ object Bench {
       full.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"could not write $fullPath: $e") }
+    // Round-14 (r13 verdict item 6): the compact driver-contract line is
+    // ALSO written to a small file. The driver's stdout tail-capture has
+    // truncated the head of the line three rounds running (`parsed: null`
+    // in BENCH_r{11,12,13}.json), killing its per-query cross-check; a
+    // file the driver (or judge) can read whole sidesteps the capture.
+    val compactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT",
+      "/root/repo/BENCH_compact.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(compactPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"could not write $compactPath: $e") }
     spark.stop()
   }
 }
