@@ -280,16 +280,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Bucket count for the tagged index's on-disk partitioning. A constant
+    * (not data-scale): partition directories stay enumerable, and the
+    * driver-side pruning in-lists in [[admitBatch]] are bounded by it. */
+  val IndexBuckets = 32L
+
   /** Batch-TAGGED MinHash index at SHINGLE grain — the streaming-admission
-    * variant of [[buildMinhashIndex]]: `bands/` = (band, id, batch_id) and
-    * `toks/` = (id, toks, batch_id), where `toks` is the distinct
+    * variant of [[buildMinhashIndex]]: `bands/` = (band, id, batch_id)
+    * BUCKET-PARTITIONED on disk by `bucket = pmod(xxhash64(band), B)` and
+    * `toks/` = (id, toks, batch_id) bucket-partitioned by
+    * `pmod(xxhash64(id), B)`, where `toks` is the distinct
     * `shingleK`-word-shingle hash set (the unigram token-set grain is
     * degenerate on closed-vocabulary corpora — every doc matches every
-    * doc; 3-gram shingle types discriminate). The `batch_id` tag (base
-    * build = -1, stream appends = the micro-batch id) exists for CRASH
-    * REPLAY: a probe filters out rows carrying its OWN batch id, so a
-    * batch re-run after a half-completed append sees exactly the index
-    * state of its first attempt (pipe2's passage-store discipline). */
+    * doc; 3-gram shingle types discriminate). The bucket partitioning is
+    * the 100 TB serving contract (r13 verdict item 2): a probing batch
+    * touches only the band-buckets its own bands hash into and the
+    * id-buckets its candidates live in, so [[admitBatch]]'s index reads
+    * partition-prune to those directories — probe I/O is
+    * O(index × touched/B), never a full index scan. The bucket column is
+    * DERIVED (xxhash64 at write time = xxhash64 at probe time — same
+    * engine function both sides; a rebuild re-derives it), so no reader
+    * needs it beyond pruning. The `batch_id` tag (base build = -1, stream
+    * appends = the micro-batch id) exists for CRASH REPLAY: a probe
+    * filters out rows carrying its OWN batch id, so a batch re-run after
+    * a half-completed append sees exactly the index state of its first
+    * attempt (pipe2's passage-store discipline). */
   def writeTaggedIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, k: Int, bands: Int, shingleK: Int, tag: Long,
       mode: org.apache.spark.sql.SaveMode): Unit = {
@@ -297,14 +312,38 @@ object Dedup {
       graft.operators.TextAnalysis.shingleHashes(col(textCol), shingleK)
         .as("toks"))
       .where(size(col("toks")) > 0).persist()
+    // repartition by the partition key before each write: one shuffle at
+    // build time collapses tasks × buckets small files to ~one file per
+    // bucket dir (the writeVecIndex discipline)
     bandCols(signatures(toks, k), k, bands)
       .select(col("id"), explode(array((0 until bands).map(b =>
         col(s"b$b")): _*)).as("band"))
-      .select(col("band"), col("id"), lit(tag).as("batch_id"))
-      .write.mode(mode).parquet(s"$path/bands")
-    toks.select(col("id"), col("toks"), lit(tag).as("batch_id"))
-      .write.mode(mode).parquet(s"$path/toks")
+      .select(col("band"), col("id"), lit(tag).as("batch_id"),
+        pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+    toks.select(col("id"), col("toks"), lit(tag).as("batch_id"),
+        pmod(xxhash64(col("id")), lit(IndexBuckets)).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/toks")
     toks.unpersist(false)
+  }
+
+  /** Pruned read of one bucket-partitioned tagged-index table: scans only
+    * the `buckets` partition directories, excludes rows tagged `tag`, and
+    * drops the derived bucket column. The in-list literal type is adapted
+    * to the directory-inferred partition type so the filter sits directly
+    * on the partition attribute (the pruning contract — see
+    * [[graft.operators.Similarity.readVecIndexPruned]]). */
+  private[graft] def readBucketPruned(s: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Seq[Long], tag: Long): DataFrame = {
+    val raw = s.read.parquet(path)
+    val vals: Seq[Any] = raw.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
+      case _ => buckets
+    }
+    raw.where(col("bucket").isin(vals: _*) && col("batch_id") =!= tag)
+      .drop("bucket")
   }
 
   /** STREAMING NEAR-DUP ADMISSION — one micro-batch of the unified
@@ -325,10 +364,13 @@ object Dedup {
     * (spec-pinned by running the same batch twice).
     *
     * Scale shape: everything batch-sized broadcasts (bands, shingle
-    * sets); the index is touched by SCAN only (bands equi-join on the
-    * uniform band digest, toks fetch on candidate ids) — serving cost is
-    * O(batch), never a corpus re-hash, and the appended rows land in the
-    * same two tables every nightly/bulk consumer reads. */
+    * sets); the index is touched by PARTITION-PRUNED SCAN only (bands
+    * equi-join on the uniform band digest, pruned to the delta's own
+    * band-buckets; toks fetch on candidate ids, pruned to the candidates'
+    * id-buckets) — serving cost is O(batch) compute and O(index ×
+    * touched-buckets/B) bytes read, never a corpus re-hash or a full
+    * index scan, and the appended rows land in the same two tables every
+    * nightly/bulk consumer reads. */
   def admitBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexPath: String, sinkPath: String, k: Int,
       bands: Int, shingleK: Int, threshold: Double,
@@ -366,14 +408,27 @@ object Dedup {
         Seq("id_b"))
       .where(jaccard(col("ta"), col("tb")) >= threshold)
       .select(col("id_b").as("id")).distinct()
-    // index probe, excluding this batch's own half-written rows
-    val idxMatched = s.read.parquet(s"$indexPath/bands")
-      .where(col("batch_id") =!= tag)
+    // index probe, excluding this batch's own half-written rows. Both
+    // index reads PARTITION-PRUNE: the bands scan to the delta's own
+    // band-buckets, the toks scan to the candidates' id-buckets — each
+    // driver in-list is bounded by IndexBuckets (a constant), never by
+    // data (the r13 verdict-item-2 layout; `Scratch w16prune` measures
+    // probe wall ~flat as the index grows ×16)
+    val dBandBuckets = dBands
+      .select(pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // candidate ids persist batch-scale: they feed the O(B)-row bucket
+    // collect AND the verify join below
+    val candIds = readBucketPruned(s, s"$indexPath/bands", dBandBuckets, tag)
       .join(broadcast(dBands.withColumnRenamed("id", "delta_id")),
         Seq("band"))
-      .select(col("id"), col("delta_id")).distinct()
-      .join(s.read.parquet(s"$indexPath/toks")
-        .where(col("batch_id") =!= tag), Seq("id"))
+      .select(col("id"), col("delta_id")).distinct().persist()
+    val candBuckets = candIds
+      .select(pmod(xxhash64(col("id")), lit(IndexBuckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val idxMatched = candIds
+      .join(readBucketPruned(s, s"$indexPath/toks", candBuckets, tag),
+        Seq("id"))
       .join(broadcast(dToks.select(col("id").as("delta_id"),
         col("toks").as("dtoks"))), Seq("delta_id"))
       .where(jaccard(col("toks"), col("dtoks")) >= threshold)
@@ -389,17 +444,21 @@ object Dedup {
         lit(batchId).cast("long").as("batch"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(sinkPath)
-    // coalesce(1): batch-sized appends — one file per batch per table, so
-    // later probes scan O(batches) files, not O(batches × partitions)
+    // coalesce(1) + partitionBy: ONE task writes at most one file per
+    // touched bucket dir per batch, so pruned probes read O(batches)
+    // files per probed bucket, not O(batches × partitions)
     dBands.join(admitted, Seq("id"), "left_semi")
-      .select(col("band"), col("id"), lit(tag).as("batch_id"))
+      .select(col("band"), col("id"), lit(tag).as("batch_id"),
+        pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexPath/bands")
+      .partitionBy("bucket").parquet(s"$indexPath/bands")
     dToks.join(admitted, Seq("id"), "left_semi")
-      .select(col("id"), col("toks"), lit(tag).as("batch_id"))
+      .select(col("id"), col("toks"), lit(tag).as("batch_id"),
+        pmod(xxhash64(col("id")), lit(IndexBuckets)).as("bucket"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexPath/toks")
+      .partitionBy("bucket").parquet(s"$indexPath/toks")
     admitted.unpersist()
+    candIds.unpersist()
     dBands.unpersist()
     dToks.unpersist(false)
   }

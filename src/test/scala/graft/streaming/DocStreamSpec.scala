@@ -128,6 +128,46 @@ class DocStreamSpec extends SparkSpec {
       List((3L, 0L), (9L, 1L), (11L, 0L), (15L, 2L)))
   }
 
+  test("w16 tagged index is BUCKET-PARTITIONED: pruned reads carry a " +
+      "bucket partition filter and touch only the probed bucket dirs") {
+    import org.apache.spark.sql.SaveMode
+    val base = Files.createTempDirectory("bandprune")
+    val idx = base.resolve("idx").toString
+    // enough distinct docs that several band-buckets are populated
+    val docs = (0L until 24L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    graft.operators.Dedup.writeTaggedIndex(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      idx, k = 16, bands = 4, shingleK = 3, tag = -1L, SaveMode.Overwrite)
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(java.nio.file.Paths.get(idx).resolve("bands"))
+    val bucketDirs = try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("bucket=")).toList finally ls.close()
+    assert(bucketDirs.size >= 3, s"fixture too small: $bucketDirs")
+    val probed = bucketDirs.take(2)
+      .map(_.stripPrefix("bucket=").toLong).sorted
+    val pruned = graft.operators.Dedup.readBucketPruned(spark,
+      s"$idx/bands", probed, tag = 9L)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(pruned.queryExecution.executedPlan).head
+    assert(scan.partitionFilters
+        .exists(_.references.exists(_.name == "bucket")),
+      s"no bucket partition filter on the bands scan: " +
+        s"${scan.partitionFilters}")
+    import org.apache.spark.sql.functions.input_file_name
+    val files = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty &&
+      files.forall(f => probed.exists(b => f.contains(s"/bucket=$b/"))),
+      s"unpruned files read: ${files.mkString(", ")}")
+  }
+
   test("w16 admission: an EMPTY middle drop file keeps its own micro-batch " +
       "id, so later batch ids stay aligned with file order") {
     // w16's fixture prep (Queries.scala) writes an empty drop file when a

@@ -198,6 +198,50 @@ class VecStreamSpec extends SparkSpec {
       s"degenerate fixture: ${exp.size} of $allOdd admitted")
   }
 
+  test("w20 index probe is PARTITION-PRUNED: the scan carries a cell " +
+      "partition filter and reads only the probed cell= dirs") {
+    val base = Files.createTempDirectory("vecprune")
+    val idx = base.resolve("idx").toString
+    // three vectors per cell, all three cells populated on disk
+    val rows = Seq(
+      100L -> Array(1.0f, 0.01f), 101L -> Array(1.0f, -0.02f),
+      102L -> Array(0.9f, 0.1f),
+      110L -> Array(0.01f, 1.0f), 111L -> Array(-0.02f, 1.0f),
+      112L -> Array(0.1f, 0.9f),
+      120L -> Array(-1.0f, 0.01f), 121L -> Array(-1.0f, -0.02f),
+      122L -> Array(-0.9f, 0.1f))
+    Similarity.writeVecIndex(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, cents, tag = -1L, SaveMode.Overwrite)
+    // the unprobed cell's directory really exists — pruning is not vacuous
+    assert(Files.isDirectory(
+      java.nio.file.Paths.get(idx).resolve("vecs").resolve("cell=1")))
+    val pruned = Similarity.readVecIndexPruned(spark, idx, Seq(0L, 2L),
+      tag = 5L)
+    // plan pin: the file scan carries a PARTITION filter on cell (the
+    // P16 PushedFilters discipline applied to the index path)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(pruned.queryExecution.executedPlan).head
+    assert(scan.partitionFilters
+        .exists(_.references.exists(_.name == "cell")),
+      s"no cell partition filter on the index scan: " +
+        s"${scan.partitionFilters}")
+    // behavior pin: every file actually read lies under a probed cell dir
+    import org.apache.spark.sql.functions.input_file_name
+    val files = pruned.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("/cell=0/") || f.contains("/cell=2/")),
+      s"unpruned files read: ${files.mkString(", ")}")
+    val ids = pruned.select($"id").as[Long].collect().sorted.toList
+    assert(ids == List(100L, 101L, 102L, 120L, 121L, 122L))
+  }
+
   test("w20 admission: tag namespacing is enforced (batchId < 1e6)") {
     val base = Files.createTempDirectory("vecadmitns")
     val b = Seq(1L -> Array(1.0f, 0.0f)).toDF("vec_id", "embedding")
