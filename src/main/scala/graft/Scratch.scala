@@ -1845,6 +1845,121 @@ object Scratch {
           df.agg(sum(total)).collect().length.toLong)
         time("m3_eval_second")(
           df.agg(sum(total)).collect().length.toLong)
+      case Some("w20prune") =>
+        // r13 verdict item 2 probe: with the vec index CELL-PARTITIONED on
+        // disk, a fixed 32-vector batch's probe must read only the probed
+        // cells' files and its wall must scale with the BATCH, not the
+        // index — grow the index ×16 and report files probed/total + the
+        // admit wall at each size
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.SaveMode
+        val emb = Tables.embeddings(spark, sfDir)
+        val k = 64
+        val cents = operators.Similarity.collectCentroids(
+          emb.where(col("vec_id") < k), "vec_id", "embedding")
+        val batch = emb
+          .where(col("vec_id") % 2 === 1 && col("vec_id") < 64)
+          .select(col("vec_id"), col("embedding")).persist()
+        println(s"batch rows: ${batch.count()}")
+        for (mult <- Seq(1, 16)) {
+          val root = java.nio.file.Files.createTempDirectory(s"w20prune$mult")
+          val idx = root.resolve("idx").toString
+          val sink = root.resolve("sink").toString
+          val corpus = (0 until mult).map(i =>
+            emb.where(col("vec_id") % 2 === 0)
+              .select((col("vec_id") + lit(i.toLong * 10000000L))
+                .as("vec_id"), col("embedding")))
+            .reduce(_ unionByName _)
+          operators.Similarity.writeVecIndex(corpus, "vec_id", "embedding",
+            idx, cents, -1L, SaveMode.Overwrite)
+          val vecs = spark.read.parquet(s"$idx/vecs")
+          val total = vecs.select(input_file_name()).distinct().count()
+          val probedCells = operators.Similarity.assignCellsRanked(batch,
+              cents, "vec_id", "embedding", "id", "v", 2)
+            .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+          val probed = operators.Similarity.readVecIndexPruned(spark, idx,
+              probedCells, 0L)
+            .select(input_file_name()).distinct().count()
+          println(s"x$mult: index_rows=${vecs.count()} " +
+            s"cells_probed=${probedCells.size}/$k " +
+            s"files_probed=$probed/$total")
+          time(s"w20_admit_x$mult") {
+            operators.Similarity.admitVecBatch(batch, 0L, "vec_id",
+              "embedding", idx, sink, cents, nprobe = 2, threshold = 0.4)
+            spark.read.parquet(sink).count()
+          }
+          time(s"w20_admit2_x$mult") {
+            operators.Similarity.admitVecBatch(batch, 1L, "vec_id",
+              "embedding", idx, sink, cents, nprobe = 2, threshold = 0.4)
+            spark.read.parquet(sink).count()
+          }
+        }
+        batch.unpersist()
+      case Some("w16prune") =>
+        // the text-plane twin of w20prune: bands read prunes to the
+        // delta's band-buckets, toks read to the candidates' id-buckets
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.SaveMode
+        val docs = Tables.documents(spark, sfDir)
+        val batch = docs
+          .where(col("doc_id") % 2 === 1 && col("doc_id") < 64)
+          .select(col("doc_id"), col("text")).persist()
+        println(s"batch rows: ${batch.count()}")
+        for (mult <- Seq(1, 16)) {
+          val root = java.nio.file.Files.createTempDirectory(s"w16prune$mult")
+          val idx = root.resolve("idx").toString
+          val sink = root.resolve("sink").toString
+          val corpus = (0 until mult).map(i =>
+            docs.where(col("doc_id") % 2 === 0)
+              .select((col("doc_id") + lit(i.toLong * 10000000L))
+                .as("doc_id"), col("text")))
+            .reduce(_ unionByName _)
+          operators.Dedup.writeTaggedIndex(corpus, "doc_id", "text", idx,
+            queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands,
+            queries.QuerySpec.W16ShingleK, -1L, SaveMode.Overwrite)
+          val bands = spark.read.parquet(s"$idx/bands")
+          println(s"x$mult: band_rows=${bands.count()} files_total=" +
+            bands.select(input_file_name()).distinct().count())
+          time(s"w16_admit_x$mult") {
+            operators.Dedup.admitBatch(batch, 0L, "doc_id", "text", idx,
+              sink, queries.QuerySpec.MinhashK,
+              queries.QuerySpec.MinhashBands,
+              queries.QuerySpec.W16ShingleK,
+              queries.QuerySpec.MinhashThreshold)
+            spark.read.parquet(sink).count()
+          }
+          time(s"w16_admit2_x$mult") {
+            operators.Dedup.admitBatch(batch, 1L, "doc_id", "text", idx,
+              sink, queries.QuerySpec.MinhashK,
+              queries.QuerySpec.MinhashBands,
+              queries.QuerySpec.W16ShingleK,
+              queries.QuerySpec.MinhashThreshold)
+            spark.read.parquet(sink).count()
+          }
+        }
+        batch.unpersist()
+      case Some("sanity") =>
+        // the r13-pipe15 degeneracy census (round-14 gate): assert every
+        // funnel-shaped query is stage-level non-trivial at THIS sf dir —
+        // run at both sf0.01 and sf0.1 each round; the oracle gate is
+        // blind to semantically-empty pipelines by construction
+        val bad = queries.Sanity.run(spark, sfDir, args.drop(1).toSet)
+        if (bad > 0) { spark.stop(); sys.exit(1) }
+      case Some("sanity3g") =>
+        // detector SELF-TEST: re-introduce the known-degenerate 3-gram
+        // pipe15 decon grain and require the census to flag it (r13's
+        // incident is scale-dependent — run this at sf0.1, where the
+        // 3-gram grain saturates; SanitySpec covers the same path in-suite)
+        val vs = queries.Sanity.pipe15CheckAt(spark, sfDir, deconK = 3)
+        if (vs.isEmpty) {
+          println("SANITY3G FAIL: detector did NOT flag the 3-gram spine " +
+            s"at $sfDir (expected violations)")
+          spark.stop(); sys.exit(1)
+        } else {
+          println(s"SANITY3G OK: 3-gram spine flagged with " +
+            s"${vs.size} violation(s):")
+          vs.foreach(v => println(s"  $v"))
+        }
       case Some(q) =>
         val fn = SparkEntry.queries(q)
         time(s"${q}_first")(fn(spark, sfDir).count())

@@ -1907,7 +1907,9 @@ object Oracles {
     // engine's export/readback must reproduce these stats exactly.
     // pipe5: the backfill-closure spine is deterministic, so the oracle is
     // its closed form — seeded = the events table's distinct (type, hour)
-    // grid cells; fetched = the 720-hour grid complement; closure means
+    // grid cells MINUS the withheld hour-index % 5 == 0 residue (kept out
+    // of the seed so the backfill has in-range work at every sf — the r14
+    // sanity fix); fetched = the 720-hour grid complement; closure means
     // the full grid is present, the watermark sits on the last grid hour,
     // and the re-scan finds zero gaps. The SPARK side earns these numbers
     // by actually driving seed → gap scan → fetch plan → fixture fetch →
@@ -1915,7 +1917,8 @@ object Oracles {
     "pipe5_backfill_closure" -> {
       val gridHours = (RangeEndMs - RangeStartMs) / HourMs
       s"""WITH h AS (SELECT event_type AS symbol,
-         |    count(DISTINCT epoch_ms(ts) // $HourMs) AS n_seeded
+         |    count(DISTINCT CASE WHEN (epoch_ms(ts) // $HourMs) % 5 <> 0
+         |      THEN epoch_ms(ts) // $HourMs END) AS n_seeded
          |  FROM events GROUP BY 1)
          |SELECT symbol, n_seeded,
          |  $gridHours - n_seeded AS n_fetched,
@@ -3552,12 +3555,14 @@ object Oracles {
          |bt AS (SELECT ${lowSeq("text")} AS toks FROM v1
          |  WHERE doc_id % 29 = 0),
          |bsh AS (SELECT DISTINCT unnest(list_distinct(
-         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
-         |  FROM bt WHERE len(toks) >= 3),
+         |    [md5(array_to_string(toks[i:i+${Pipe15DeconK - 1}], ' '))
+         |     for i in range(1, len(toks) - ${Pipe15DeconK - 2})])) AS sh
+         |  FROM bt WHERE len(toks) >= $Pipe15DeconK),
          |csh AS (SELECT doc_id, unnest(list_distinct(
-         |    [md5(array_to_string(toks[i:i+2], ' ')) for i in range(1, len(toks) - 1)])) AS sh
+         |    [md5(array_to_string(toks[i:i+${Pipe15DeconK - 1}], ' '))
+         |     for i in range(1, len(toks) - ${Pipe15DeconK - 2})])) AS sh
          |  FROM (SELECT doc_id, ${lowSeq("text")} AS toks FROM ct)
-         |  WHERE len(toks) >= 3),
+         |  WHERE len(toks) >= $Pipe15DeconK),
          |cont AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
          |gp AS (SELECT doc_id,
          |    CAST(len(${rawToks("text")}) AS BIGINT) AS n,

@@ -50,7 +50,12 @@ object Queries {
     val dst = drop.resolve(f"b$b%04d.txt")
     java.nio.file.Files.move(part, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    // the pinned mtime IS the batch order (file source orders by (mtime,
+    // path)) — a silently-failed pin would let near-identical staging
+    // mtimes scramble the batch↔file correspondence, so fail loud here
+    // (r13 ADVICE), matching the adjacent fail-loud staging requires
+    require(dst.toFile.setLastModified(1700000000000L + b * 60000L),
+      s"could not pin mtime on staged batch file $dst")
     ()
   }
 
@@ -1493,7 +1498,11 @@ object Queries {
           // batch-id ↔ file-order correspondence intact
           case None => java.nio.file.Files.createFile(f)
         }
-        f.toFile.setLastModified(1700000000000L + b * 1000L)
+        // batch order rides the pinned mtime — fail loud if the pin fails
+        // (r13 ADVICE: a silent fallback to near-identical staging mtimes
+        // can scramble the batch↔file correspondence)
+        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
+          s"could not pin mtime on drop file $f")
       }
     }
     val sink = root.resolve("sink").toString
@@ -1582,7 +1591,11 @@ object Queries {
           s"w20 staging: no part file in $bDir")
         val f = drop.resolve(s"batch$b.parquet")
         java.nio.file.Files.move(part.get, f)
-        f.toFile.setLastModified(1700000000000L + b * 1000L)
+        // batch order rides the pinned mtime — fail loud if the pin fails
+        // (r13 ADVICE: a silent fallback to near-identical staging mtimes
+        // can scramble the batch↔file correspondence)
+        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
+          s"could not pin mtime on drop file $f")
       }
     }
     val sink = root.resolve("sink").toString
@@ -1710,7 +1723,11 @@ object Queries {
         finally ls.close()
         val f = drop.resolve(s"batch$b.parquet")
         java.nio.file.Files.move(part, f)
-        f.toFile.setLastModified(1700000000000L + b * 1000L)
+        // batch order rides the pinned mtime — fail loud if the pin fails
+        // (r13 ADVICE: a silent fallback to near-identical staging mtimes
+        // can scramble the batch↔file correspondence)
+        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
+          s"could not pin mtime on drop file $f")
       }
     }
     val store = root.resolve("store").toString
@@ -5141,6 +5158,13 @@ object Queries {
       .select(col("event_type").as("symbol"),
         (expr(s"ts_ms div $hourMs") * hourMs).as("h"))
       .distinct()
+      // WITHHOLD every 5th present hour from the seed (hour-index % 5 == 0)
+      // so the backfill always has in-range work at EVERY sf: at sf0.1 the
+      // events grid is saturated and an all-present-hours seed left the
+      // closure a measured no-op (n_fetched = 0 — the r14 sanity census
+      // caught it; the oracle, computing the same closed form, stayed
+      // green). The withheld hours re-fetch through the full spine.
+      .where(expr(s"(h div $hourMs) % 5") =!= 0)
     // seed bodies: the present hours rendered as binance-shaped kline JSON
     // (same fixture shape the endpoint serves — the seed IS an earlier
     // partial sync)
@@ -6118,9 +6142,16 @@ object Queries {
     val corp2 = v2.where(col("doc_id") % 29 =!= 0)
     // yesterday's artifacts over corpus-v1: gate verdicts, contamination
     // table, minhash index — pure functions of v1, staged once per sf dir
+    // decon at the 8-gram GATING grain (Pipe15DeconK), NOT d7's 3-gram
+    // CENSUS grain: the round-14 sanity census caught this query admitting
+    // 0/4717 docs at sf0.1 — the r13 pipe15 incident's sibling (3-gram
+    // overlap saturates on this closed-vocab corpus with SF, so the
+    // "contaminated" class swallowed the whole corpus while the oracle,
+    // computing the same saturation, stayed green)
     val root = stagedDir("pipe13", d) { dir =>
       gateVerdicts(corp1).write.mode("overwrite").parquet(s"$dir/gate")
-      Decontaminate.contaminatedDocs(corp1, bench, "doc_id", "text", k = 3)
+      Decontaminate.contaminatedDocs(corp1, bench, "doc_id", "text",
+          k = Pipe15DeconK)
         .select(col("doc_id"))
         .write.mode("overwrite").parquet(s"$dir/contam")
       Dedup.buildMinhashIndex(corp1, "doc_id", "text", s"$dir/index",
@@ -6143,7 +6174,7 @@ object Queries {
     val contamIds = s.read.parquet(s"$root/contam")
       .join(carriedIds, Seq("doc_id"), "left_semi")
       .unionByName(Decontaminate
-        .contaminatedDocs(delta, bench, "doc_id", "text", k = 3)
+        .contaminatedDocs(delta, bench, "doc_id", "text", k = Pipe15DeconK)
         .select(col("doc_id")))
     val dupIds = Dedup.dedupAgainstIndex(delta, "doc_id", "text",
         s"$root/index", MinhashK, MinhashBands, MinhashThreshold)
@@ -6326,7 +6357,18 @@ object Queries {
     * map-side (order-independent integer sum). No stage re-reads the raw
     * corpus — at 100 TB the spine is one pass over the documents plus
     * model/census-grain shuffles, which is exactly the production shape. */
-  def pipe15EpochSpine(s: SparkSession, d: String): DataFrame = {
+  def pipe15EpochSpine(s: SparkSession, d: String): DataFrame =
+    pipe15EpochSpineAt(s, d, Pipe15DeconK)
+
+  /** [[pipe15EpochSpine]] with the decontamination shingle grain exposed —
+    * the production query always runs at [[QuerySpec.Pipe15DeconK]]; the
+    * parameter exists so [[Sanity]]'s degeneracy detector can be
+    * REGRESSION-TESTED against the known-degenerate 3-gram variant (the
+    * r13 incident: 3-gram overlap saturates on this closed-vocab corpus
+    * at sf0.1, empties the funnel's late stages, and the DuckDB oracle
+    * still hash-matches — both engines agree on the empty funnel). */
+  private[graft] def pipe15EpochSpineAt(s: SparkSession, d: String,
+      deconK: Int): DataFrame = {
     val words = size(TextAnalysis.tokens(col("clean"))).cast("long")
     // UNPERSISTED by design (the d20 adjudication's discipline): the
     // curation chain is bounded parallel CPU (~0.2 s warm at sf0.1) and
@@ -6350,7 +6392,7 @@ object Queries {
       .select(col("doc_id"), col("clean"))
     val decontamOk = corp.select(col("doc_id"))
       .join(Decontaminate.contaminatedDocs(corp, bench, "doc_id", "clean",
-          k = Pipe15DeconK).select(col("doc_id")),
+          k = deconK).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     // one SLIM doc-grain frame carries every stage flag (clean text
     // deliberately dropped — the census never reads it, and a cached

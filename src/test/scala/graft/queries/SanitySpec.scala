@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The degeneracy detector ([[Sanity]]) regression-tested — the r14
+  * verdict-item-1 "test the detector" clause: a detector that never fires
+  * is indistinguishable from no detector. The full 3-gram incident needs
+  * sf0.1 to reproduce (3-gram retention is a plausible 24% at sf0.01 and
+  * only saturates at sf0.1) — that end-to-end path is `Scratch sanity3g`,
+  * run per round; in-suite we pin (a) the healthy spine passes, (b) a
+  * degenerate GRAIN is flagged end-to-end at spec scale (1-gram saturates
+  * at ANY sf), and (c) each violation class fires on synthetic rows. */
+class SanitySpec extends SparkSpec {
+
+  test("healthy pipe15 (8-gram) passes the degeneracy check at sf0.001") {
+    val vs = Sanity.pipe15CheckAt(spark, "/root/testdata/sf0.001",
+      QuerySpec.Pipe15DeconK)
+    assert(vs.isEmpty, vs.mkString("; "))
+  }
+
+  test("a degenerate decon grain is flagged END-TO-END (1-gram saturates " +
+      "at sf0.001 exactly like 3-gram does at sf0.1)") {
+    val vs = Sanity.pipe15CheckAt(spark, "/root/testdata/sf0.001",
+      deconK = 1)
+    assert(vs.nonEmpty, "1-gram spine not flagged")
+    assert(vs.exists(_.contains("decon retention")) ||
+      vs.exists(_.contains("emptied at stage 4_decon")),
+      s"wrong violation class: $vs")
+  }
+
+  test("each violation class fires on synthetic funnel rows") {
+    def funnel(lang: String, st: String, c: Long, t: Long) =
+      ("funnel", s"$lang|$st", c, t, 0L)
+    val healthyShape = Seq(
+      funnel("en", "0_raw", 100, 5000), funnel("en", "1_clean", 90, 4500),
+      funnel("en", "2_url", 80, 4000), funnel("en", "3_uniq", 70, 3500),
+      funnel("en", "4_decon", 60, 3000), funnel("en", "5_mix", 30, 1500),
+      ("pack", "en", 3L, 36L, 0L)) ++
+      (0L until QuerySpec.PackShards).map(i =>
+        ("shard", i.toString, 4L, 180L, 7L))
+    assert(Sanity.pipe15Violations(healthyShape).isEmpty)
+    // (1) an emptied stage: the 4_decon row VANISHES for a lang
+    val emptied = healthyShape.filterNot(_._2 == "en|4_decon")
+    assert(Sanity.pipe15Violations(emptied)
+      .exists(_.contains("emptied at stage 4_decon")))
+    // (2) near-zero decon retention (the r13 signature with rows intact)
+    val starved = healthyShape.map {
+      case ("funnel", "en|4_decon", _, _, a) => ("funnel", "en|4_decon", 1L, 50L, a)
+      case r => r
+    }
+    assert(Sanity.pipe15Violations(starved)
+      .exists(_.contains("decon retention")))
+    // (3) an empty shard manifest
+    val noShards = healthyShape.filterNot(_._1 == "shard")
+    assert(Sanity.pipe15Violations(noShards)
+      .exists(_.contains("shard manifest degenerate")))
+    // (4) a dead mix stage
+    val noMix = healthyShape.filterNot(_._2 == "en|5_mix")
+    assert(Sanity.pipe15Violations(noMix)
+      .exists(_.contains("mix stage kept nothing")))
+  }
+}
