@@ -1938,6 +1938,149 @@ object Scratch {
           }
         }
         batch.unpersist()
+      case Some("pipe16x") =>
+        // stage-by-stage cost of ONE pipe16 micro-batch at this sf dir
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.SaveMode
+        val docs = Tables.documents(spark, sfDir)
+        val root = java.nio.file.Files.createTempDirectory("p16x")
+        val idx = root.resolve("idx").toString
+        val bench = root.resolve("bench").toString
+        val base = queries.Queries.curationCleaned(
+          docs.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), col("lang"), col("source"), col("text")))
+          .persist()
+        time("stage_index") {
+          operators.Dedup.writeTaggedIndex(base.where(col("clean_ok")),
+            "doc_id", "clean", idx, queries.QuerySpec.MinhashK,
+            queries.QuerySpec.MinhashBands, queries.QuerySpec.W16ShingleK,
+            -1L, SaveMode.Overwrite); 0L
+        }
+        time("stage_bench") {
+          base.where(col("doc_id") % 29 === 0)
+            .select(explode(operators.TextAnalysis.shingleHashes(
+              col("clean"), queries.QuerySpec.Pipe15DeconK)).as("sh"))
+            .distinct().coalesce(1).write.parquet(bench); 0L
+        }
+        val b0raw = docs.where(col("doc_id") % 2 === 1 &&
+          expr("doc_id div 2") % queries.QuerySpec.Pipe16Batches === 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        var cur: org.apache.spark.sql.DataFrame = null
+        time("curation")({
+          cur = queries.Queries.curationCleaned(b0raw).persist()
+          cur.count() })
+        var deconOk: org.apache.spark.sql.DataFrame = null
+        time("decon")({
+          val cont = operators.Decontaminate.contaminatedAgainstSet(
+            cur.where(col("clean_ok")), spark.read.parquet(bench),
+            "doc_id", "clean", queries.QuerySpec.Pipe15DeconK)
+            .select(col("doc_id"))
+          deconOk = cur.where(col("clean_ok"))
+            .join(cont, Seq("doc_id"), "left_anti").persist()
+          deconOk.count() })
+        time("admit") {
+          operators.Dedup.admitBatch(
+            deconOk.select(col("doc_id"), col("clean")), 0L, "doc_id",
+            "clean", idx, root.resolve("sink").toString,
+            queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands,
+            queries.QuerySpec.W16ShingleK,
+            queries.QuerySpec.MinhashThreshold)
+          spark.read.parquet(root.resolve("sink").toString).count()
+        }
+        locally {
+          val jobs = scala.collection.mutable.Buffer.empty[(Int, Long)]
+          val starts = scala.collection.mutable.Map.empty[Int, Long]
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              starts(j.jobId) = j.time
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+              jobs += ((j.jobId, j.time - starts.getOrElse(j.jobId, j.time)))
+          }
+          spark.sparkContext.addSparkListener(listener)
+          time("full_ingest") {
+            operators.EpochSpine.ingestBatch(cur, 1L, bench, idx,
+              root.resolve("sink").toString,
+              root.resolve("census").toString, Seq(("en", 100000L)),
+              queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands,
+              queries.QuerySpec.W16ShingleK,
+              queries.QuerySpec.MinhashThreshold,
+              queries.QuerySpec.Pipe15DeconK, queries.QuerySpec.PackShards)
+            0L
+          }
+          try {
+            val bus = spark.sparkContext.getClass
+              .getMethod("listenerBus").invoke(spark.sparkContext)
+            bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+          } catch { case _: Throwable => Thread.sleep(500) }
+          spark.sparkContext.removeSparkListener(listener)
+          val tot = jobs.map(_._2).sum
+          println(s"JOBS n=${jobs.size} wall_in_jobs=${tot}ms " +
+            jobs.map { case (i, m) => s"j$i=${m}ms" }.mkString(" "))
+        }
+        // admitBatch's internal phases, re-run standalone (batch id 2)
+        locally {
+          import operators.Dedup
+          val k = queries.QuerySpec.MinhashK
+          val bands = queries.QuerySpec.MinhashBands
+          val shingleK = queries.QuerySpec.W16ShingleK
+          val threshold = queries.QuerySpec.MinhashThreshold
+          val indexPath = idx; val tag = 2L
+          val s = spark
+          val batch2 = deconOk.select(col("doc_id"), col("clean"))
+          var dToks: org.apache.spark.sql.DataFrame = null
+          var dBands: org.apache.spark.sql.DataFrame = null
+          time("a_toks_bands")({
+            dToks = operators.Spread(batch2).select(col("doc_id").as("id"),
+              operators.TextAnalysis.shingleHashes(col("clean"), shingleK)
+                .as("toks"))
+              .where(size(col("toks")) > 0).persist()
+            dBands = Dedup.bandCols(Dedup.signatures(dToks, k), k, bands)
+              .select(col("id"), explode(array((0 until bands).map(b =>
+                col(s"b$b")): _*)).as("band")).persist()
+            dBands.count() })
+          var bk1: Seq[Long] = null
+          time("b_bucket_collect1")({
+            bk1 = dBands.select(pmod(xxhash64(col("band")),
+              lit(Dedup.IndexBuckets)).as("bucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq.sorted
+            bk1.size.toLong })
+          var candIds: org.apache.spark.sql.DataFrame = null
+          time("c_cand")({
+            candIds = Dedup.readBucketPruned(s, s"$indexPath/bands", bk1,
+              tag)
+              .join(broadcast(dBands.withColumnRenamed("id", "delta_id")),
+                Seq("band"))
+              .select(col("id"), col("delta_id")).distinct().persist()
+            candIds.count() })
+          var bk2: Seq[Long] = null
+          time("d_bucket_collect2")({
+            bk2 = candIds.select(pmod(xxhash64(col("id")),
+              lit(Dedup.IndexBuckets)).as("bucket"))
+              .distinct().collect().map(_.getLong(0)).toSeq.sorted
+            bk2.size.toLong })
+          time("e_verify")({
+            candIds
+              .join(Dedup.readBucketPruned(s, s"$indexPath/toks", bk2, tag),
+                Seq("id"))
+              .join(broadcast(dToks.select(col("id").as("delta_id"),
+                col("toks").as("dtoks"))), Seq("delta_id"))
+              .where(Dedup.jaccard(col("toks"), col("dtoks")) >= threshold)
+              .select(col("delta_id").as("id")).distinct().count() })
+          time("f_band_append")({
+            dBands.select(col("band"), col("id"), lit(tag).as("batch_id"),
+              pmod(xxhash64(col("band")), lit(Dedup.IndexBuckets))
+                .as("bucket"))
+              .coalesce(1).write.mode(SaveMode.Append)
+              .partitionBy("bucket").parquet(s"$indexPath/bands"); 0L })
+          time("g_toks_append")({
+            dToks.select(col("id"), col("toks"), lit(tag).as("batch_id"),
+              pmod(xxhash64(col("id")), lit(Dedup.IndexBuckets))
+                .as("bucket"))
+              .coalesce(1).write.mode(SaveMode.Append)
+              .partitionBy("bucket").parquet(s"$indexPath/toks"); 0L })
+        }
       case Some("sanity") =>
         // the r13-pipe15 degeneracy census (round-14 gate): assert every
         // funnel-shaped query is stage-level non-trivial at THIS sf dir —

@@ -202,7 +202,7 @@ object Dedup {
   /** Per-doc MinHash signature columns m0..m{k-1} at vocab grain (the d3
     * lesson: hash each DISTINCT token once — Heaps' law — not once per
     * (doc, token, hash-index)). Input: (id, toks). */
-  private def signatures(toks: DataFrame, k: Int): DataFrame = {
+  private[graft] def signatures(toks: DataFrame, k: Int): DataFrame = {
     val exploded = toks.select(col("id"), explode(col("toks")).as("tok"))
     val vocab = exploded.select(col("tok")).distinct()
       .select(col("tok") +: (0 until k).map(i =>
@@ -213,7 +213,7 @@ object Dedup {
   }
 
   /** Band keys b0..b{bands-1} from signature columns. */
-  private def bandCols(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandCols(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     sig.select((col("id") +: (0 until bands).map { b =>
       concat(lit(s"$b|"), md5(concat_ws(",",
@@ -282,8 +282,13 @@ object Dedup {
 
   /** Bucket count for the tagged index's on-disk partitioning. A constant
     * (not data-scale): partition directories stay enumerable, and the
-    * driver-side pruning in-lists in [[admitBatch]] are bounded by it. */
-  val IndexBuckets = 32L
+    * driver-side pruning in-lists in [[admitBatch]] are bounded by it.
+    * A DEPLOY-TIME knob: every micro-batch append pays one file per
+    * touched bucket per table (measured ~30 ms/file of commit overhead on
+    * the fixture host), so the fixture default stays small; a 100 TB
+    * deployment raises it (256+) for finer probe pruning and amortizes
+    * the commit cost over real batch volume. */
+  val IndexBuckets = 8L
 
   /** Batch-TAGGED MinHash index at SHINGLE grain — the streaming-admission
     * variant of [[buildMinhashIndex]]: `bands/` = (band, id, batch_id)
@@ -374,7 +379,7 @@ object Dedup {
   def admitBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexPath: String, sinkPath: String, k: Int,
       bands: Int, shingleK: Int, threshold: Double,
-      epoch: Long = 0L): Unit = {
+      epoch: Long = 0L): DataFrame = {
     // tag = epoch·1e6 + batchId: micro-batch ids restart at 0 whenever a
     // checkpoint is recreated, so a long-lived index fed by successive
     // lifecycles MUST namespace tags per lifecycle (`epoch` — e.g. the
@@ -387,55 +392,71 @@ object Dedup {
         s"epoch >= 0 (got epoch=$epoch, batchId=$batchId); roll the epoch " +
         "before a lifecycle reaches 1e6 micro-batches")
     val tag = epoch * 1000000L + batchId
+    val debug = sys.env.contains("SPARK_GRAFT_P16_DEBUG")
+    var tPrev = System.nanoTime()
+    def mark(what: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"ADMITDEBUG batch=$batchId $what%-14s ${(now - tPrev) / 1e9}%6.2f s")
+      tPrev = now
+    }
     val s = batch.sparkSession
+    // localCheckpoint, not persist: the 16-hash signature/band trees are
+    // the widest expression trees in the engine, and every downstream
+    // action (two collects, the candidate join, the sink/index appends)
+    // would re-ANALYZE them per action — measured ~1-2 s/batch of pure
+    // driver time; truncating the lineage makes each downstream plan a
+    // leaf scan (the mixSelectOn/s18 plan-duplication lesson)
     val dToks = Spread(batch).select(col(idCol).as("id"),
       graft.operators.TextAnalysis.shingleHashes(col(textCol), shingleK)
         .as("toks"))
-      .where(size(col("toks")) > 0).persist()
+      .where(size(col("toks")) > 0).localCheckpoint()
     val dBands = bandCols(signatures(dToks, k), k, bands)
       .select(col("id"), explode(array((0 until bands).map(b =>
-        col(s"b$b")): _*)).as("band")).persist()
-    // in-batch: band-collision candidates, exact shingle-set verify,
-    // smaller id wins (batch-sized frames — the persists are broadcast
-    // scale, not the d20 heap hazard)
-    val inbCand = dBands.alias("a").join(dBands.alias("b"), Seq("band"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val inbRejected = inbCand
-      .join(dToks.select(col("id").as("id_a"), col("toks").as("ta")),
-        Seq("id_a"))
-      .join(dToks.select(col("id").as("id_b"), col("toks").as("tb")),
-        Seq("id_b"))
-      .where(jaccard(col("ta"), col("tb")) >= threshold)
-      .select(col("id_b").as("id")).distinct()
-    // index probe, excluding this batch's own half-written rows. Both
-    // index reads PARTITION-PRUNE: the bands scan to the delta's own
-    // band-buckets, the toks scan to the candidates' id-buckets — each
-    // driver in-list is bounded by IndexBuckets (a constant), never by
-    // data (the r13 verdict-item-2 layout; `Scratch w16prune` measures
-    // probe wall ~flat as the index grows ×16)
+        col(s"b$b")): _*)).as("band")).localCheckpoint()
+    // ONE fused candidate surface for BOTH rejection sources (the r14 job
+    // squeeze: the in-batch chain and the index probe were separate 2-3
+    // job subtrees; a streaming micro-batch pays per-job overhead, so they
+    // now share one plan with an `inb` flag — identical semantics: an
+    // index row rejects unconditionally, a batch-mate only when its id is
+    // smaller, both at the same exact shingle-set verify).
+    // The index reads PARTITION-PRUNE (the r13 verdict-item-2 layout): the
+    // bands scan to the delta's own band-buckets, the toks scan to the
+    // candidates' id-buckets — each driver in-list is bounded by
+    // IndexBuckets (a constant), never by data (`Scratch w16prune`
+    // measures probe wall ~flat as the index grows ×16). The first
+    // collect doubles as dBands' persist fill; candidates persist
+    // batch-collision scale and feed the second O(B) collect + the verify.
     val dBandBuckets = dBands
       .select(pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    // candidate ids persist batch-scale: they feed the O(B)-row bucket
-    // collect AND the verify join below
-    val candIds = readBucketPruned(s, s"$indexPath/bands", dBandBuckets, tag)
+    mark("collect1")
+    val candAll = readBucketPruned(s, s"$indexPath/bands", dBandBuckets,
+        tag)
+      .select(col("id"), col("band"), lit(false).as("inb"))
+      .unionByName(dBands.select(col("id"), col("band"),
+        lit(true).as("inb")))
       .join(broadcast(dBands.withColumnRenamed("id", "delta_id")),
         Seq("band"))
+      .where(!col("inb") || col("id") < col("delta_id"))
       .select(col("id"), col("delta_id")).distinct().persist()
-    val candBuckets = candIds
+    mark("candAll_plan")
+    val candBuckets = candAll
       .select(pmod(xxhash64(col("id")), lit(IndexBuckets)).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val idxMatched = candIds
-      .join(readBucketPruned(s, s"$indexPath/toks", candBuckets, tag),
-        Seq("id"))
+    mark("collect2")
+    // candidate toks: the pruned index fetch for corpus candidates plus
+    // the in-memory batch sets for batch-mate candidates
+    val toksAll = readBucketPruned(s, s"$indexPath/toks", candBuckets, tag)
+      .select(col("id"), col("toks"))
+      .unionByName(dToks.select(col("id"), col("toks")))
+    val rejected = candAll
+      .join(toksAll, Seq("id"))
       .join(broadcast(dToks.select(col("id").as("delta_id"),
         col("toks").as("dtoks"))), Seq("delta_id"))
       .where(jaccard(col("toks"), col("dtoks")) >= threshold)
       .select(col("delta_id").as("id")).distinct()
     val admitted = batch.select(col(idCol).as("id"))
-      .join(inbRejected.unionByName(idxMatched).distinct(),
-        Seq("id"), "left_anti")
+      .join(rejected, Seq("id"), "left_anti")
       .persist()
     // sink first, then index: a crash between the two replays as the
     // same admitted set (probe is tag-filtered), and the sink's
@@ -444,6 +465,7 @@ object Dedup {
         lit(batchId).cast("long").as("batch"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(sinkPath)
+    mark("sink")
     // coalesce(1) + partitionBy: ONE task writes at most one file per
     // touched bucket dir per batch, so pruned probes read O(batches)
     // files per probed bucket, not O(batches × partitions)
@@ -452,15 +474,18 @@ object Dedup {
         pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(s"$indexPath/bands")
+    mark("band_append")
     dToks.join(admitted, Seq("id"), "left_semi")
       .select(col("id"), col("toks"), lit(tag).as("batch_id"),
         pmod(xxhash64(col("id")), lit(IndexBuckets)).as("bucket"))
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("bucket").parquet(s"$indexPath/toks")
-    admitted.unpersist()
-    candIds.unpersist()
-    dBands.unpersist()
-    dToks.unpersist(false)
+    mark("toks_append")
+    candAll.unpersist()
+    // the admitted-id frame, STILL PERSISTED (filled by the writes above):
+    // composing callers (pipe16's mix ledger) read it instead of
+    // re-listing the sink; callers must unpersist it when done
+    admitted
   }
 
   /** Brute-force n-gram (word unigram) Jaccard duplicate pairs within

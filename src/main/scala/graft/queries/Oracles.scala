@@ -281,7 +281,12 @@ object Oracles {
     * survivor set); one text so the two can never drift. MATERIALIZED
     * pins the html chain to one evaluation (the bpeWith lesson: DuckDB
     * inlines CTEs per reference). */
-  private val curationCtes: String =
+  /** The STATELESS prefix of [[curationCtes]] — page synth → extraction →
+    * Gopher gate, ending in `ok(doc_id, lang, words, fp, clean_ok)` with
+    * the clean text visible in `cl`. Shared by the election-suffix form
+    * below and by pipe16, whose streaming plane curates per micro-batch
+    * with exactly this chain (the one-implementation rule, oracle side). */
+  private val curationTextCtes: String =
     s"""t AS (SELECT doc_id, lang, source, ${rawToks("text")} AS toks
        |  FROM documents),
        |pg AS MATERIALIZED (SELECT doc_id, lang,
@@ -329,7 +334,10 @@ object Oracles {
        |      AND 10 * (hashes + dots) < n
        |      AND 10 * alpha >= 8 * n
        |      AND stops >= 2) AS clean_ok
-       |  FROM g),
+       |  FROM g)""".stripMargin
+
+  private val curationCtes: String =
+    s"""$curationTextCtes,
        |$urlSynthCtes,
        |$urlCanonCtes,
        |s1 AS (SELECT ok.*, sch || '://' || hst || pth || qq AS canon
@@ -4130,6 +4138,167 @@ object Oracles {
          |  CAST(count(*) AS BIGINT), CAST(sum(toks) AS BIGINT),
          |  CAST(sum(sh2 % 1000000007) AS BIGINT) FROM kp
          |  GROUP BY sh2 % $PackShards)
+         |SELECT * FROM rows_out ORDER BY section, k""".stripMargin
+    },
+
+    // pipe16: the STREAMING epoch spine unrolled from scratch — the
+    // w16/w20 proof shape chained through TWO state planes at once: the
+    // admission index (append-back across batches) AND the mix ledger
+    // (running per-lang token usage vs the base-derived target). Curation
+    // is the shared curationTextCtes text; decon is pipe15's 8-gram SQL
+    // against the base's mod-29 class; admission is w16's sig/band/verify
+    // SQL over CLEAN text; the mix window repeats the engine's
+    // doc_id-order crossing rule per batch with the used-state folded
+    // forward. One doc wrong anywhere in any round hash-fails.
+    "pipe16_stream_epoch" -> {
+      val sigs = (0 until MinhashK).map(i =>
+        s"list_min(list_transform(shs, x -> md5('$i:' || x))) AS m$i")
+        .mkString(",\n  ")
+      val rows = MinhashK / MinhashBands
+      val bandKeys = (0 until MinhashBands).map { b =>
+        val parts = (b * rows until (b + 1) * rows).map(i => s"m$i")
+          .mkString(" || ',' || ")
+        s"'$b|' || md5($parts)"
+      }.mkString(", ")
+      val concat3 = (0 until W16ShingleK)
+        .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+        .mkString(" || ' ' || ")
+      def jac(a: String, b: String) = {
+        val inter = s"CAST(len(list_intersect($a.shs, $b.shs)) AS DOUBLE)"
+        s"""CASE WHEN CAST(len($a.shs) + len($b.shs) AS DOUBLE) - $inter > 0
+           |    THEN $inter / (CAST(len($a.shs) + len($b.shs) AS DOUBLE) - $inter)
+           |    ELSE 1.0 END""".stripMargin
+      }
+      val vals = MixWeightsPpm
+        .map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+      val rounds = (0 until Pipe16Batches).map { b =>
+        s"""cb$b AS (SELECT n.doc_id, n.band FROM bnd n
+           |  JOIN dec ON dec.doc_id = n.doc_id AND dec.b = $b),
+           |inbc$b AS (SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib
+           |  FROM cb$b a JOIN cb$b c ON a.band = c.band
+           |    AND a.doc_id < c.doc_id),
+           |inb$b AS (SELECT DISTINCT ib AS doc_id FROM inbc$b
+           |  JOIN shg sa ON sa.doc_id = ia JOIN shg sb ON sb.doc_id = ib
+           |  WHERE ${jac("sa", "sb")} >= $MinhashThreshold),
+           |imc$b AS (SELECT DISTINCT d.doc_id AS ia, i.doc_id AS ib
+           |  FROM cb$b d JOIN bnd i ON d.band = i.band
+           |  JOIN idx$b x ON x.doc_id = i.doc_id),
+           |im$b AS (SELECT DISTINCT ia AS doc_id FROM imc$b
+           |  JOIN shg sa ON sa.doc_id = ia JOIN shg sb ON sb.doc_id = ib
+           |  WHERE ${jac("sa", "sb")} >= $MinhashThreshold),
+           |adm$b AS MATERIALIZED (SELECT doc_id FROM dec WHERE b = $b
+           |  AND doc_id NOT IN (SELECT doc_id FROM inb$b)
+           |  AND doc_id NOT IN (SELECT doc_id FROM im$b)),
+           |idx${b + 1} AS MATERIALIZED (SELECT doc_id FROM idx$b
+           |  UNION ALL SELECT doc_id FROM adm$b),
+           |mx$b AS (SELECT d.doc_id, d.lang, d.words,
+           |    coalesce(sum(d.words) OVER (PARTITION BY d.lang
+           |      ORDER BY d.doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cumb
+           |  FROM adm$b a JOIN dec d ON d.doc_id = a.doc_id),
+           |mix$b AS MATERIALIZED (SELECT m.doc_id, m.lang, m.words
+           |  FROM mx$b m
+           |  JOIN tgt ON tgt.lang = m.lang
+           |  JOIN used$b u ON u.lang = m.lang
+           |  WHERE u.used + m.cumb < tgt.target),
+           |used${b + 1} AS MATERIALIZED (SELECT u.lang,
+           |    u.used + COALESCE(g.tk, 0) AS used
+           |  FROM used$b u LEFT JOIN (SELECT lang,
+           |      CAST(sum(words) AS BIGINT) AS tk
+           |    FROM mix$b GROUP BY lang) g USING (lang))""".stripMargin
+      }.mkString(",\n")
+      val admAll = (0 until Pipe16Batches)
+        .map(b => s"SELECT doc_id FROM adm$b").mkString(" UNION ALL ")
+      val mixAll = (0 until Pipe16Batches)
+        .map(b => s"SELECT doc_id, lang, words FROM mix$b")
+        .mkString(" UNION ALL ")
+      def funnelArm(stage: String, cond: String) =
+        s"""UNION ALL SELECT 'funnel',
+           |  'b' || CAST(b AS VARCHAR) || '|' || lang || '|$stage',
+           |  CAST(count(*) AS BIGINT), CAST(sum(words) AS BIGINT),
+           |  CAST(0 AS BIGINT) FROM fl WHERE $cond GROUP BY b, lang""".stripMargin
+      s"""WITH $curationTextCtes,
+         |cw AS MATERIALIZED (SELECT ok.doc_id, ok.lang, ok.words,
+         |    ok.clean_ok, cl.clean
+         |  FROM ok JOIN cl ON cl.doc_id = ok.doc_id),
+         |dd AS (SELECT doc_id, (doc_id // 2) % $Pipe16Batches AS b
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |bmeta AS (SELECT CAST(sum(words) AS BIGINT) AS bt FROM cw
+         |  WHERE doc_id % 2 = 0 AND clean_ok),
+         |wts(lang, w_ppm) AS (VALUES $vals),
+         |tgt AS (SELECT lang,
+         |    ((((SELECT bt FROM bmeta) * $MixFracPpm) // 1000000) * w_ppm)
+         |      // 1000000 AS target
+         |  FROM wts),
+         |used0 AS (SELECT lang, CAST(0 AS BIGINT) AS used FROM wts),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(ctoks[i:i+${Pipe15DeconK - 1}], ' '))
+         |     for i in range(1, len(ctoks) - ${Pipe15DeconK - 2})])) AS sh
+         |  FROM (SELECT ${lowSeq("clean")} AS ctoks FROM cw
+         |    WHERE doc_id % 2 = 0 AND doc_id % 29 = 0)
+         |  WHERE len(ctoks) >= $Pipe15DeconK),
+         |csh AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(ctoks[i:i+${Pipe15DeconK - 1}], ' '))
+         |     for i in range(1, len(ctoks) - ${Pipe15DeconK - 2})])) AS sh
+         |  FROM (SELECT cw.doc_id, ${lowSeq("clean")} AS ctoks FROM cw
+         |    JOIN dd ON dd.doc_id = cw.doc_id WHERE cw.clean_ok)
+         |  WHERE len(ctoks) >= $Pipe15DeconK),
+         |cont AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+         |dec AS MATERIALIZED (SELECT cw.doc_id, cw.lang, cw.words, dd.b
+         |  FROM cw JOIN dd ON dd.doc_id = cw.doc_id
+         |  WHERE cw.clean_ok
+         |    AND cw.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |shg AS MATERIALIZED (SELECT doc_id, list_distinct(
+         |    [md5($concat3) for i in range(1, len(tk) - ${W16ShingleK - 2})])
+         |    AS shs
+         |  FROM (SELECT doc_id, ${lowSeq("clean")} AS tk FROM cw)
+         |  WHERE len(tk) >= $W16ShingleK),
+         |sig AS (SELECT doc_id,
+         |  $sigs
+         |FROM shg),
+         |bnd AS MATERIALIZED (SELECT doc_id, unnest([$bandKeys]) AS band
+         |  FROM sig),
+         |idx0 AS (SELECT doc_id FROM cw
+         |  WHERE doc_id % 2 = 0 AND clean_ok),
+         |$rounds,
+         |admall AS MATERIALIZED (SELECT DISTINCT doc_id FROM ($admAll)),
+         |mixall AS MATERIALIZED (SELECT doc_id, lang, words
+         |  FROM ($mixAll)),
+         |fl AS MATERIALIZED (SELECT dd.b, cw.lang, cw.words,
+         |    CASE WHEN cw.clean_ok THEN 1 ELSE 0 END AS s1,
+         |    CASE WHEN dc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s2,
+         |    CASE WHEN am.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s3,
+         |    CASE WHEN mx.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s4
+         |  FROM dd JOIN cw ON cw.doc_id = dd.doc_id
+         |  LEFT JOIN (SELECT doc_id FROM dec) dc ON dc.doc_id = dd.doc_id
+         |  LEFT JOIN admall am ON am.doc_id = dd.doc_id
+         |  LEFT JOIN (SELECT doc_id FROM mixall) mx
+         |    ON mx.doc_id = dd.doc_id),
+         |rows_out AS (
+         |SELECT 'funnel' AS section,
+         |  'b' || CAST(b AS VARCHAR) || '|' || lang || '|0_arrived' AS k,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(words) AS BIGINT) AS toks, CAST(0 AS BIGINT) AS aux
+         |FROM fl GROUP BY b, lang
+         |${funnelArm("1_clean", "s1 = 1")}
+         |${funnelArm("2_decon", "s2 = 1")}
+         |${funnelArm("3_admit", "s3 = 1")}
+         |${funnelArm("4_mix", "s4 = 1")}
+         |UNION ALL SELECT 'ledger', tgt.lang,
+         |  CAST(COALESCE(g.cnt, 0) AS BIGINT),
+         |  CAST(COALESCE(g.toks, 0) AS BIGINT),
+         |  CAST(tgt.target AS BIGINT)
+         |FROM tgt LEFT JOIN (SELECT lang, count(*) AS cnt,
+         |    sum(words) AS toks FROM mixall GROUP BY lang) g
+         |  USING (lang)
+         |UNION ALL SELECT 'shard', CAST(h % $PackShards AS VARCHAR),
+         |  CAST(count(*) AS BIGINT), CAST(sum(words) AS BIGINT),
+         |  CAST(sum(h % 1000000007) AS BIGINT)
+         |FROM (SELECT words,
+         |    ${md5Hash15("'p16shard:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM mixall)
+         |  GROUP BY h % $PackShards)
          |SELECT * FROM rows_out ORDER BY section, k""".stripMargin
     },
 

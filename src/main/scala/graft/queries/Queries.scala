@@ -5650,9 +5650,16 @@ object Queries {
     * oracle's `curationCtes` — one implementation so pipe6 and pipe15 can
     * never drift): page synth → extraction → Gopher gate → URL-canonical
     * keep election → content-fingerprint keep election, ending in
-    * (doc_id, lang, clean, clean_ok, canon_url, fp, url_ok, final_ok). */
-  private[graft] def curationGated(s: SparkSession, d: String): DataFrame = {
-    val paged = Tables.documents(s, d)
+    * (doc_id, lang, clean, clean_ok, words, canon_url, fp, url_ok,
+    * final_ok). */
+  /** The STATELESS prefix of [[curationGated]] — map-side curation of any
+    * (doc_id, lang, source, text) frame: page synth → extraction → Gopher
+    * gate, out as (doc_id, lang, clean, clean_ok, words). Factored out so
+    * the streaming epoch spine (pipe16) curates its micro-batches with
+    * EXACTLY the batch plan's chain (the curationGated one-implementation
+    * rule extended to the streaming plane). */
+  private[graft] def curationCleaned(docs: DataFrame): DataFrame = {
+    val paged = docs
       .select(col("doc_id"), col("lang"), col("source"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
@@ -5665,9 +5672,16 @@ object Queries {
         HtmlExtract.cleanText(HtmlExtract.blockFeatures(col("blocks")))
           .as("clean"))
     val (rWords, rMeanLen, rSymbol, rAlpha, rStop) = gopherRules(col("clean"))
-    val staged = clean
+    clean
       .withColumn("clean_ok",
         rWords && rMeanLen && rSymbol && rAlpha && rStop)
+      .withColumn("words",
+        size(TextAnalysis.tokens(col("clean"))).cast("long"))
+  }
+
+  private[graft] def curationGated(s: SparkSession, d: String): DataFrame = {
+    val staged = curationCleaned(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")))
       .withColumn("canon_url",
         UrlNormalize.canonical(UrlNormalize.syntheticUrl(col("doc_id"))))
       .withColumn("fp", md5(col("clean")))
@@ -6369,7 +6383,6 @@ object Queries {
     * still hash-matches — both engines agree on the empty funnel). */
   private[graft] def pipe15EpochSpineAt(s: SparkSession, d: String,
       deconK: Int): DataFrame = {
-    val words = size(TextAnalysis.tokens(col("clean"))).cast("long")
     // UNPERSISTED by design (the d20 adjudication's discipline): the
     // curation chain is bounded parallel CPU (~0.2 s warm at sf0.1) and
     // its three consumers (decon's two sides + the slim flag frame)
@@ -6378,8 +6391,7 @@ object Queries {
     // codegen fusion); at 100 TB the same choice holds per the d20
     // precedent, or the curated frame becomes a staged parquet artifact
     // (pipe13's move), never an executor-memory cache of corpus text
-    val gated = curationGated(s, d)
-      .withColumn("words", words)
+    val gated = curationGated(s, d) // carries `words` (clean token count)
     // DECONTAMINATE: benchmark = the mod-29 class's CLEAN text (gate-
     // independent — an eval set exists regardless of curation verdicts);
     // corpus = the curation survivors outside it. 8-gram overlap
@@ -6456,6 +6468,151 @@ object Queries {
       .select(lit("shard").as("section"), col("shard").cast("string").as("k"),
         col("cnt"), col("toks"), col("aux"))
     funnel.unionByName(mixPack).unionByName(shardRows)
+      .orderBy(col("section"), col("k"))
+  }
+
+  /** PIPE16: the STREAMING-PLANE epoch spine — pipe15's composition run
+    * incrementally, the production form (a crawl never arrives as one
+    * batch). Yesterday's state stages once per (sf dir): the curated base
+    * corpus's batch-tagged MinHash index (even doc_ids, clean_ok docs'
+    * clean text), the benchmark 8-gram shingle set (the base's mod-29
+    * class, gate-independent — an eval set exists regardless of curation
+    * verdicts), and the base clean-token total that fixes the epoch's
+    * per-lang budgets (base × MixFracPpm split by MixWeightsPpm, integer
+    * algebra both engines repeat; budgeting today's epoch from
+    * yesterday's supply is the causally-sound form, and both sides scale
+    * with SF so the budget BINDS mid-stream at every tested scale — the
+    * r14 sanity discipline designed in, not checked in later). Odd
+    * doc_ids stream in `Pipe16Batches` ordered micro-batches; each flows
+    * curation ([[curationCleaned]] — the same chain as pipe6/pipe15) →
+    * decontamination vs the staged set → w16 admission (append-back
+    * index) → the incremental mix ledger (running per-lang token sums vs
+    * target; crossing doc included, then the lang closes) → manifest +
+    * funnel deltas ([[graft.operators.EpochSpine.ingestBatch]] — tagged
+    * append-only stores, crash-replay idempotent).
+    *
+    * Output: long-format census — per-(batch, lang, stage) funnel rows,
+    * per-lang ledger rows (aux = the token target), per-shard manifest
+    * rollup (aux = the order-independent digest). The DuckDB twin unrolls
+    * every batch from scratch (the w16/w20 proof shape, chained through
+    * BOTH the admission index and the ledger state), so one doc
+    * mis-curated, wrongly decontaminated, mis-admitted in any round
+    * (including via append-back), mixed against a stale ledger, or
+    * mis-sharded hash-fails. */
+  def pipe16StreamEpoch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staged = stagedDir("pipe16base", d) { root =>
+      val base = curationCleaned(Tables.documents(s, d)
+        .where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")))
+        .persist()
+      Dedup.writeTaggedIndex(base.where(col("clean_ok")), "doc_id",
+        "clean", s"$root/idx", MinhashK, MinhashBands, W16ShingleK,
+        tag = -1L, org.apache.spark.sql.SaveMode.Overwrite)
+      base.where(col("doc_id") % 29 === 0)
+        .select(explode(TextAnalysis.shingleHashes(col("clean"),
+          Pipe15DeconK)).as("sh"))
+        .distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/bench")
+      base.where(col("clean_ok"))
+        .agg(sum(col("words")).as("base_toks"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      base.unpersist()
+    }
+    val baseToks = s.read.parquet(s"$staged/meta").head.getLong(0)
+    val budget = baseToks * MixFracPpm / 1000000L
+    val targets = MixWeightsPpm.map { case (l, w) =>
+      (l, budget * w / 1000000L) }
+    val root = scratchDir("pipe16q")
+    val idx = root.resolve("idx")
+    // bench-run isolation: copy the staged base index, stream appends
+    // into the copy (the w16 discipline)
+    locally {
+      val src = java.nio.file.Paths.get(s"$staged/idx")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(src)
+      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
+        finally walk.close()
+      paths.foreach { p =>
+        val dst = idx.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+    val drop = root.resolve("drop")
+    java.nio.file.Files.createDirectories(drop)
+    // ONE job stages all batch files with pinned mtimes (the w20 contract:
+    // file-source order is (mtime, path) ⇒ discovery order == batch order)
+    locally {
+      val tmp = root.resolve("stage")
+      Tables.documents(s, d).where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          (expr("doc_id div 2") % Pipe16Batches).as("batch"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      for (b <- 0 until Pipe16Batches) {
+        val bDir = tmp.resolve(s"batch=$b")
+        require(java.nio.file.Files.isDirectory(bDir),
+          s"pipe16 staging: doc_id residue class for batch $b is empty " +
+            s"under $d — the drop-file <-> batch-id correspondence breaks")
+        val ls = java.nio.file.Files.list(bDir)
+        val part = try ls.iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          finally ls.close()
+        require(part.isDefined, s"pipe16 staging: no part file in $bDir")
+        val f = drop.resolve(s"batch$b.parquet")
+        java.nio.file.Files.move(part.get, f)
+        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
+          s"could not pin mtime on drop file $f")
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val census = root.resolve("census").toString
+    graft.streaming.EpochStream.runEpoch(s, drop.toString,
+      root.resolve("ckpt").toString, b => curationCleaned(b),
+      s"$staged/bench", idx.toString, root.resolve("sink").toString,
+      census, targets, MinhashK, MinhashBands, W16ShingleK,
+      MinhashThreshold, Pipe15DeconK, PackShards, schema,
+      statePartitions = 8)
+      .awaitTermination()
+    // output assembly from the ONE census store, read through distinct()
+    // (the replay contract: a replayed batch's re-appends are byte-equal
+    // rows); the store is census-grain tiny, so its three section
+    // consumers just re-read it — no persist to leak
+    val st = s.read.parquet(census).distinct()
+    val fun = st.where(col("section") === "funnel" && col("cnt") > 0)
+      .select(lit("funnel").as("section"),
+        concat(lit("b"), col("batch"), lit("|"), col("lang"), lit("|"),
+          col("stage")).as("k"),
+        col("cnt"), col("toks"), lit(0L).as("aux"))
+    val led = targets.toDF("lang", "target").join(
+        st.where(col("section") === "ledger")
+          .groupBy(col("lang"))
+          .agg(sum(col("cnt")).as("cnt"), sum(col("toks")).as("toks")),
+        Seq("lang"), "left")
+      .select(lit("ledger").as("section"), col("lang").as("k"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        col("target").as("aux"))
+    val man = st.where(col("section") === "shard")
+      .groupBy(col("shard"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("toks")).as("toks"),
+        sum(col("aux")).as("aux"))
+      .select(lit("shard").as("section"),
+        col("shard").cast("string").as("k"), col("cnt"), col("toks"),
+        col("aux"))
+    fun.unionByName(led).unionByName(man)
       .orderBy(col("section"), col("k"))
   }
 
@@ -6940,6 +7097,7 @@ object Queries {
     "pipe13_nightly_refresh" -> pipe13NightlyRefresh _,
     "pipe14_index_lifecycle" -> pipe14IndexLifecycle _,
     "pipe15_epoch_spine" -> pipe15EpochSpine _,
+    "pipe16_stream_epoch" -> pipe16StreamEpoch _,
     "t29_fix_encoding" -> t29FixEncoding _,
     "t24_grouped_split" -> t24GroupedSplit _,
     "a19_profile" -> a19Profile _,

@@ -248,6 +248,16 @@ object QuerySpec {
     "en" -> 500000L, "de" -> 125000L, "es" -> 125000L,
     "fr" -> 125000L, "zh" -> 125000L)
   val MixBucketShift = 52
+  // PIPE16 streaming epoch spine: odd doc_ids stream in this many ordered
+  // micro-batches (batch = (doc_id div 2) % Pipe16Batches — the w16
+  // slicing); the base corpus (even doc_ids, curated) is yesterday's
+  // staged state, and the epoch's per-lang token budget derives from the
+  // BASE corpus token total (budget = base × MixFracPpm, split by
+  // MixWeightsPpm — causally sound: today's epoch is budgeted from
+  // yesterday's supply, and both sides scale with SF so the budget binds
+  // mid-stream at every tested scale instead of saturating or never
+  // engaging)
+  val Pipe16Batches = 3
 
   // K8 retention vacuum: day age measured from the fixed corpus end
   // (RangeEndMs — deterministic "now"); the last RetentionKeepDays days

@@ -278,6 +278,35 @@ object Sanity {
     "pipe15_epoch_spine" -> { (s, d) =>
       pipe15Violations(pipe15Rows(q("pipe15_epoch_spine")(s, d)))
     },
+    "pipe16_stream_epoch" -> { (s, d) =>
+      val rows = q("pipe16_stream_epoch")(s, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      def stage(st: String) = rows.collect {
+        case ("funnel", k, c, _, _) if k.endsWith("|" + st) => k -> c }
+      val v = scala.collection.mutable.Buffer.empty[String]
+      val batches = rows.collect { case ("funnel", k, _, _, _) =>
+        k.split('|')(0) }.distinct
+      if (batches.length != Pipe16Batches.toInt)
+        v += s"${batches.length}/$Pipe16Batches batches produced funnel rows"
+      val cl = stage("1_clean").map(_._2).sum
+      val dc = stage("2_decon").map(_._2).sum
+      val ad = stage("3_admit").map(_._2).sum
+      val mx = stage("4_mix").map(_._2).sum
+      if (cl > 0) v ++= band("pipe16 decon retention", dc, cl, 0.05, 1.0)
+      if (dc > 0) v ++= band("pipe16 admitted/decon-ok", ad, dc, 0.05, 0.99)
+      if (mx <= 0) v += "mix ledger admitted nothing across all batches"
+      // the budget must BIND somewhere (the crossing rule overshoots by at
+      // most one doc, so a bound lang shows toks >= target)
+      val ledg = rows.collect { case ("ledger", l, c, t, tgt) => (l, c, t,
+        tgt) }
+      if (!ledg.exists { case (_, _, t, tgt) => tgt > 0 && t >= tgt })
+        v += "token budget binds for NO lang (the ledger never closed)"
+      val shardCnt = rows.collect { case ("shard", _, c, _, _) => c }.sum
+      if (shardCnt != mx)
+        v += s"shard manifest rollup ($shardCnt docs) != mixed docs ($mx)"
+      v.toSeq
+    },
     "w16_stream_admission" -> { (s, d) =>
       // delta = odd doc_ids; the fixture has real near-dups, so SOME
       // rejection is intended; ~zero admission = the r13 saturation mode
