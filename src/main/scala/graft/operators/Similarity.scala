@@ -383,10 +383,13 @@ object Similarity {
     val tag = epoch * 1000000L + batchId
     val s = batch.sparkSession
     // nprobe probe rows per delta vector + the precomputed fold-norm
-    // (batch-sized — the persist is broadcast scale, not a heap hazard)
+    // (batch-sized — broadcast scale, not a heap hazard). localCheckpoint,
+    // not persist: the k-dot assignment tree would otherwise be
+    // re-ANALYZED by every downstream action (the probed-cell collect,
+    // both joins, two writes) — the pipe16 lineage-tax lesson
     val probes = assignCellsRanked(batch, cents, idCol, vecCol, "id", "v",
         nprobe)
-      .withColumn("nrm", norm(col("v"))).persist()
+      .withColumn("nrm", norm(col("v"))).localCheckpoint()
     val storage = probes.where(col("probe_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
     // in-batch: a smaller-id mate whose stored cell is probed, verified at
@@ -431,7 +434,7 @@ object Similarity {
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cell").parquet(s"$indexPath/vecs")
     admitted.unpersist()
-    probes.unpersist()
+    // probes is a localCheckpoint — released by the ContextCleaner
   }
 
   /** Full Lloyd's k-means over the cosine quantizer: each iteration is a
