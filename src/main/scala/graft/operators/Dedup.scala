@@ -224,9 +224,14 @@ object Dedup {
   /** Build a PERSISTED MinHash-LSH dedup index under `path` — the
     * build-once/serve-many split (s15's pattern, for dedup): two tables,
     * `bands/` = (band, id) for candidate generation and `toks/` =
-    * (id, toks) for exact verification. Build pays one corpus pass
-    * (vocab-grain hashing); every future batch dedups against it in
-    * O(batch), not O(corpus re-hash). */
+    * (id, toks) for exact verification, both BUCKET-PARTITIONED on disk
+    * (the writeTaggedIndex layout, r14): `bands/` by
+    * `pmod(xxhash64(band), B)`, `toks/` by `pmod(xxhash64(id), B)`, so
+    * [[dedupAgainstIndex]]'s serving reads partition-prune to the
+    * delta's own band-buckets and the candidates' id-buckets. Build pays
+    * one corpus pass (vocab-grain hashing) + one shuffle per table to
+    * cluster by bucket; every future batch dedups against it in
+    * O(batch) compute AND O(index × touched/B) bytes read. */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, k: Int = 16, bands: Int = 4): Unit = {
     val toks = Spread(df).select(col(idCol).as("id"),
@@ -235,10 +240,28 @@ object Dedup {
     bandCols(signatures(toks, k), k, bands)
       .select(col("id"), explode(array((0 until bands).map(b =>
         col(s"b$b")): _*)).as("band"))
-      .select(col("band"), col("id"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    toks.write.mode("overwrite").parquet(s"$path/toks")
+      .select(col("band"), col("id"),
+        pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+    toks.select(col("id"), col("toks"),
+        pmod(xxhash64(col("id")), lit(IndexBuckets)).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/toks")
     toks.unpersist(false)
+  }
+
+  /** Pruned read of one UNTAGGED bucket-partitioned index table —
+    * [[readBucketPruned]] without the replay-tag filter (the nightly
+    * index is rebuilt, never appended mid-probe). */
+  private def readBucketOnly(s: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Seq[Long]): DataFrame = {
+    val raw = s.read.parquet(path)
+    val vals: Seq[Any] = raw.schema("bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => buckets.map(_.toInt)
+      case _ => buckets
+    }
+    raw.where(col("bucket").isin(vals: _*)).drop("bucket")
   }
 
   /** Dedup a NEW batch against a persisted index: (delta_id, corpus_id,
@@ -257,21 +280,35 @@ object Dedup {
     val dToks = Spread(delta).select(col(idCol).as("id"),
       tokenSet(col(textCol)).as("toks")).where(size(col("toks")) > 0)
       .persist()
+    // localCheckpoint: dBands feeds the band-bucket collect AND the
+    // candidate join — truncating the signature tree keeps the second
+    // action from re-analyzing it (the lineage-tax lesson)
     val dBands = bandCols(signatures(dToks, k), k, bands)
       .select(col("id").as("delta_id"), explode(array((0 until bands).map(
-        b => col(s"b$b")): _*)).as("band"))
-    // candidates: index scan ⋈ broadcast(batch bands); a pair colliding in
-    // c bands surfaces c times — the distinct is candidate-grain
-    val cand = spark.read.parquet(s"$path/bands")
+        b => col(s"b$b")): _*)).as("band")).localCheckpoint()
+    // candidates: PARTITION-PRUNED bands scan (the delta's own
+    // band-buckets — a driver in-list bounded by IndexBuckets, derived
+    // from the delta side, so the collect is always delta-cheap) ⋈
+    // broadcast(batch bands); a pair colliding in c bands surfaces c
+    // times — the distinct is candidate-grain. The TOKS scan is
+    // deliberately NOT pruned here, unlike admitBatch's: candidate
+    // volume is data-dependent (corpus-sized on a dup-dense corpus —
+    // this fixture), so a candidate-bucket in-list would require
+    // materializing the candidate set just to learn its buckets, and on
+    // dirty data the bucket set saturates anyway; the nightly bulk probe
+    // amortizes one toks pass over the whole delta, which is the batch
+    // analogue of a full table join and the right trade at that grain.
+    val dBandBuckets = dBands
+      .select(pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val cand = readBucketOnly(spark, s"$path/bands", dBandBuckets)
       .join(broadcast(dBands), Seq("band"))
       .select(col("id"), col("delta_id")).distinct()
-    // verify fetch: candidate volume is DATA-DEPENDENT (O(batch × dup
-    // rate) — tiny on a clean corpus, corpus-sized on a dup-dense one),
-    // so the candidate join must NOT hard-code a broadcast: AQE
-    // broadcasts when the runtime size allows and falls back to a
+    // verify fetch: the candidate join must NOT hard-code a broadcast —
+    // AQE broadcasts when the runtime size allows and falls back to a
     // shuffled join when the delta is dirty. The batch token sets
     // (dToks) are genuinely batch-sized and stay broadcast.
-    spark.read.parquet(s"$path/toks")
+    spark.read.parquet(s"$path/toks").drop("bucket")
       .join(cand, Seq("id"))
       .join(broadcast(dToks.select(col("id").as("delta_id"),
         col("toks").as("dtoks"))), Seq("delta_id"))
