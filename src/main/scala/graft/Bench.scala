@@ -175,6 +175,8 @@ object Bench {
     def calibCeil(v: Vector[Double]): Double = math.min(v.max, 1.5 * v.min)
     val cpuSelfNoiseCeil = calibCeil(cpuCalib)
     val bwSelfNoiseCeil = calibCeil(bwCalib)
+    // (recorded in the JSON as the calibration-time value; GRADING uses
+    // the rolling form below, which can only tighten)
     // endpoint "pre" = best calibration read: the closest available
     // estimate of the unloaded band at suite start
     val canaryPre = cpuCalib.min
@@ -183,7 +185,7 @@ object Bench {
     val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
       "w11_stream_dedup", "w12_stream_join", "w14_stateful_cursor",
       "w16_stream_admission", "w19_stream_candles", "w20_vector_admission",
-      "pipe2_stream_funnel", "pipe16_stream_epoch")
+      "m7_stream_media", "pipe2_stream_funnel", "pipe16_stream_epoch")
     // dynamic heavy cutoff: any batch query whose COLD run reaches this
     // many seconds takes its steady runs in the runs-last tier
     val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF")
@@ -246,10 +248,19 @@ object Bench {
     // ceiling term is what keeps a threshold-edge sample (1.3-1.4x of a
     // lucky minimum, still inside the measured self-noise band) from
     // grading a flat host mostly-flat.
+    // The ceiling is RE-EVALUATED at grade time against the rolling
+    // suite minimum (r14 ADVICE): if the calibration block itself ran
+    // contended, its inflated min would otherwise pin an inflated
+    // absolute ceiling for the whole suite — persistent-then-ending
+    // co-tenancy could grade genuinely hot samples flat. min(calibMax,
+    // 1.5 × rolling-min) self-corrects as soon as any flat window
+    // appears, and can only TIGHTEN (rolling-min starts at calib min).
     def cpuHot(c: Double): Boolean =
-      c > math.max(1.3 * minCpuCanary, cpuSelfNoiseCeil)
+      c > math.max(1.3 * minCpuCanary,
+        math.min(cpuCalib.max, 1.5 * minCpuCanary))
     def bwHot(b: Double): Boolean =
-      b > math.max(1.3 * minBwCanary, bwSelfNoiseCeil)
+      b > math.max(1.3 * minBwCanary,
+        math.min(bwCalib.max, 1.5 * minBwCanary))
     // Round-13: a HOT canary read is re-sampled (≤2×) and the MINIMUM of
     // the reads is recorded. Rationale: the canary is fixed work, so only
     // interference can inflate it — and the per-heavy sample runs right
@@ -431,7 +442,7 @@ object Bench {
       s"""{"n":${v.size},"min":${fmt(s.head)},"median":${fmt(s(s.size / 2))},"max":${fmt(s.last)},"ceil":${fmt(ceil)}}"""
     }
     val calibrationJson =
-      s"""{"cpu":${calibJson(cpuCalib, cpuSelfNoiseCeil)},"bw":${calibJson(bwCalib, bwSelfNoiseCeil)},"rule":"a canary sample is hot only above max(1.3x rolling suite-min, ceil); ceil = min(calibration max, 1.5x calibration min)"}"""
+      s"""{"cpu":${calibJson(cpuCalib, cpuSelfNoiseCeil)},"bw":${calibJson(bwCalib, bwSelfNoiseCeil)},"rule":"a canary sample is hot only above max(1.3x rolling suite-min, ceil); ceil = min(calibration max, 1.5x rolling suite-min) re-evaluated per sample so a contended calibration self-corrects"}"""
     // Round-13 (r12 verdict item 2): the three-way rule, MECHANIZED per
     // steady run from data already in the record. A run is host-suspect
     // when its wall exceeds the query's best steady wall by >=30% AND

@@ -1920,12 +1920,15 @@ object Scratch {
           val bands = spark.read.parquet(s"$idx/bands")
           println(s"x$mult: band_rows=${bands.count()} files_total=" +
             bands.select(input_file_name()).distinct().count())
+          // admitBatch returns its admitted-id frame persisted; probes
+          // discard it, so unpersist to keep the measurement loop from
+          // accreting cache entries (r14 ADVICE)
           time(s"w16_admit_x$mult") {
             operators.Dedup.admitBatch(batch, 0L, "doc_id", "text", idx,
               sink, queries.QuerySpec.MinhashK,
               queries.QuerySpec.MinhashBands,
               queries.QuerySpec.W16ShingleK,
-              queries.QuerySpec.MinhashThreshold)
+              queries.QuerySpec.MinhashThreshold).unpersist()
             spark.read.parquet(sink).count()
           }
           time(s"w16_admit2_x$mult") {
@@ -1933,7 +1936,7 @@ object Scratch {
               sink, queries.QuerySpec.MinhashK,
               queries.QuerySpec.MinhashBands,
               queries.QuerySpec.W16ShingleK,
-              queries.QuerySpec.MinhashThreshold)
+              queries.QuerySpec.MinhashThreshold).unpersist()
             spark.read.parquet(sink).count()
           }
         }
@@ -1984,7 +1987,7 @@ object Scratch {
             "clean", idx, root.resolve("sink").toString,
             queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands,
             queries.QuerySpec.W16ShingleK,
-            queries.QuerySpec.MinhashThreshold)
+            queries.QuerySpec.MinhashThreshold).unpersist() // discarded
           spark.read.parquet(root.resolve("sink").toString).count()
         }
         locally {
@@ -2081,6 +2084,129 @@ object Scratch {
               .coalesce(1).write.mode(SaveMode.Append)
               .partitionBy("bucket").parquet(s"$indexPath/toks"); 0L })
         }
+      case Some("o8x") =>
+        // r14 verdict item 5: the exact-percentile queries' 100 TB swap
+        // (approxQuantile boundaries + repartitionByRange), MEASURED at
+        // ×16 data against the exact form the oracle contract needs. The
+        // exact `percentile` buffers every value in ONE aggregation
+        // buffer (o8 is the suite's GC king — 0.44-0.67 s GC/run);
+        // approxQuantile streams a bounded GK sketch per partition.
+        import org.apache.spark.sql.functions._
+        val gcBeans = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans
+        def gcMs: Long = {
+          var t = 0L
+          gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0L))
+          t
+        }
+        val li16 = (0 until 16)
+          .map(_ => Tables.lineitem(spark, sfDir)
+            .select(col("l_extendedprice").as("x")))
+          .reduce(_ unionByName _).persist()
+        println(s"x16 rows: ${li16.count()}")
+        def shardCensus(bnds: org.apache.spark.sql.DataFrame): Long =
+          li16.crossJoin(broadcast(bnds))
+            .select(col("x"), aggregate(col("bnds"), lit(0),
+              (acc, b) => acc + when(col("x") >= b, 1).otherwise(0))
+              .as("shard"))
+            .groupBy(col("shard"))
+            .agg(count(lit(1)).as("n_rows"),
+              min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+            .count()
+        for (round <- 1 to 3) {
+          spark.sharedState.cacheManager.clearCache()
+          li16.persist(); li16.count()
+          System.gc()
+          val g0 = gcMs
+          time(s"exact_r$round") {
+            shardCensus(li16.agg(percentile(col("x"),
+              array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bnds")))
+          }
+          println(s"  exact_r$round gc_ms=${gcMs - g0}")
+          System.gc()
+          val g1 = gcMs
+          time(s"approx_r$round") {
+            val qs = li16.stat.approxQuantile("x",
+              (1 to 7).map(_ / 8.0).toArray, 1e-4)
+            shardCensus(spark.range(1)
+              .select(array(qs.map(lit): _*).as("bnds")))
+          }
+          println(s"  approx_r$round gc_ms=${gcMs - g1}")
+        }
+        // the layout move itself at ×16: repartitionByRange writes with
+        // sampled boundaries — the production form o8's docstring names
+        time("rangewrite_x16") {
+          val out = java.nio.file.Files.createTempDirectory("o8x").toString
+          li16.repartitionByRange(8, col("x"))
+            .sortWithinPartitions(col("x"))
+            .write.mode("overwrite").parquet(out)
+          spark.read.parquet(out).count()
+        }
+        li16.unpersist()
+      case Some("bcurve") =>
+        // r14 verdict item 4: the IndexBuckets tradeoff curve — B ∈ {8,64}
+        // at ×16 index size, reporting files probed/total, admit wall, and
+        // the append commit cost (the multi-file append is the price of
+        // finer pruning; the curve is the measured basis for the "256+ at
+        // 100 TB" claim in Dedup.IndexBuckets' scaladoc).
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.SaveMode
+        val docs = Tables.documents(spark, sfDir)
+        val batch = docs
+          .where(col("doc_id") % 2 === 1 && col("doc_id") < 64)
+          .select(col("doc_id"), col("text")).persist()
+        println(s"batch rows: ${batch.count()}")
+        for (bkts <- Seq(8L, 64L)) {
+          val root = java.nio.file.Files.createTempDirectory(s"bcurve$bkts")
+          val idx = root.resolve("idx").toString
+          val sink = root.resolve("sink").toString
+          val corpus = (0 until 16).map(i =>
+            docs.where(col("doc_id") % 2 === 0)
+              .select((col("doc_id") + lit(i.toLong * 10000000L))
+                .as("doc_id"), col("text")))
+            .reduce(_ unionByName _)
+          operators.Dedup.writeTaggedIndex(corpus, "doc_id", "text", idx,
+            queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands,
+            queries.QuerySpec.W16ShingleK, -1L, SaveMode.Overwrite,
+            idxBuckets = bkts)
+          val bandsT = spark.read.parquet(s"$idx/bands")
+          val totalFiles = bandsT.select(input_file_name()).distinct()
+            .count()
+          // files a probe reads: the delta's own band-buckets (the same
+          // dBands derivation admitBatch runs)
+          val dToksB = batch.select(col("doc_id").as("id"),
+              operators.TextAnalysis.shingleHashes(col("text"),
+                queries.QuerySpec.W16ShingleK).as("toks"))
+            .where(size(col("toks")) > 0)
+          val dBuckets = operators.Dedup.bandCols(
+              operators.Dedup.signatures(dToksB,
+                queries.QuerySpec.MinhashK),
+              queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands)
+            .select(explode(array(
+              (0 until queries.QuerySpec.MinhashBands).map(b =>
+                col(s"b$b")): _*)).as("band"))
+            .select(pmod(xxhash64(col("band")), lit(bkts)).as("bucket"))
+            .distinct().count()
+          println(s"B=$bkts: band_rows=${bandsT.count()} " +
+            s"files_total=$totalFiles delta_buckets=$dBuckets/$bkts")
+          for (r <- 0 to 2) {
+            val nf0 = spark.read.parquet(s"$idx/bands")
+              .select(input_file_name()).distinct().count()
+            time(s"B${bkts}_admit$r") {
+              operators.Dedup.admitBatch(batch, r.toLong, "doc_id",
+                "text", idx, sink, queries.QuerySpec.MinhashK,
+                queries.QuerySpec.MinhashBands,
+                queries.QuerySpec.W16ShingleK,
+                queries.QuerySpec.MinhashThreshold,
+                idxBuckets = bkts).unpersist()
+              spark.read.parquet(sink).count()
+            }
+            val nf1 = spark.read.parquet(s"$idx/bands")
+              .select(input_file_name()).distinct().count()
+            println(s"  B=$bkts admit$r appended_band_files=${nf1 - nf0}")
+          }
+        }
+        batch.unpersist()
       case Some("sanity") =>
         // the r13-pipe15 degeneracy census (round-14 gate): assert every
         // funnel-shaped query is stage-level non-trivial at THIS sf dir —

@@ -107,33 +107,47 @@ object EpochSpine {
       .localCheckpoint()
     mark("decon_plan")
 
-    // 2. near-dup admission (w16's engine — sink + index appends and the
-    // own-tag replay filter live inside admitBatch, which returns the
-    // admitted-id frame persisted)
-    val admitted = Dedup.admitBatch(
-      deconOk.select(col("doc_id"), col("clean")), batchId, "doc_id",
-      "clean", indexPath, sinkPath, k, bands, shingleK, threshold, epoch)
-      .withColumnRenamed("id", "doc_id")
-    mark("admit")
-
-    // 3. mix ledger: prior-batch usage from the census store's ledger
-    // rows (own tag excluded — crash replay), COLLECTED to the driver —
-    // the ledger state is (langs) rows, i.e. model-sized by construction,
-    // and folding it into the targets literal (a) removes a join and (b)
+    // 3a. mix-ledger READ, fired BEFORE the admission phase as a
+    // concurrent driver job (r14 verdict item 3 — per-batch job walls
+    // overlap instead of adding): it touches only the census store's
+    // PRE-BATCH state (own tag excluded — crash replay), which nothing in
+    // the admission phase writes, so the collect races nothing. The
+    // ledger state is (langs) rows, i.e. model-sized by construction, and
+    // folding it into the targets literal (a) removes a join and (b)
     // removes the census store from the census-WRITE plan's inputs, so no
     // pre-write materialization barrier is needed (appending into one's
-    // own scan's source is a listing race). The in-batch exclusive
-    // running total rides the ADMITTED set in doc_id order per lang (the
-    // window rides the candidates, not the mixed outcome, so the rule is
-    // one window with no recursion through a batch-mate's fate).
-    val usedMap: Map[String, Long] =
+    // own scan's source is a listing race).
+    val usedMapF = scala.concurrent.Future {
       if (exists(batch, censusPath))
         s.read.parquet(censusPath)
           .where(col("section") === "ledger" && col("batch_tag") =!= tag)
           .distinct()
           .groupBy(col("lang")).agg(sum(col("toks")).as("used"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      else Map.empty
+      else Map.empty[String, Long]
+    }(scala.concurrent.ExecutionContext.global)
+
+    // 2. near-dup admission (w16's engine — sink + index appends and the
+    // own-tag replay filter live inside admitBatch, which returns the
+    // admitted-id frame persisted)
+    // keep the handle admitBatch PERSISTED and returned: unpersist() is
+    // non-cascading and matches cached plans by sameResult, so calling it
+    // on a projection OVER the cached frame uncaches nothing — a
+    // long-running stream would leak one cached admitted-id frame per
+    // micro-batch (CacheManager holds entries strongly)
+    val admittedRaw = Dedup.admitBatch(
+      deconOk.select(col("doc_id"), col("clean")), batchId, "doc_id",
+      "clean", indexPath, sinkPath, k, bands, shingleK, threshold, epoch)
+    val admitted = admittedRaw.withColumnRenamed("id", "doc_id")
+    mark("admit")
+
+    // 3b. join the ledger read (usually already done — it ran under the
+    // admission phase's wall). The in-batch exclusive running total rides
+    // the ADMITTED set in doc_id order per lang (the window rides the
+    // candidates, not the mixed outcome, so the rule is one window with
+    // no recursion through a batch-mate's fate).
+    val usedMap: Map[String, Long] = scala.concurrent.Await.result(
+      usedMapF, scala.concurrent.duration.Duration.Inf)
     val targetsDf = targets
       .map { case (l, t) => (l, t, usedMap.getOrElse(l, 0L)) }
       .toDF("lang", "target", "used")
@@ -213,7 +227,7 @@ object EpochSpine {
 
     mixed.unpersist()
     mixCand.unpersist()
-    admitted.unpersist()
+    admittedRaw.unpersist()
     // batch/deconOk are localCheckpoints: their blocks are released by the
     // ContextCleaner when the frames go out of scope
   }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** STREAMING MULTIMODAL ADMISSION — the m-family's streaming plane
+  * (r14 verdict item 7): one micro-batch of opaque binary payloads runs
+  * the batch multimodal operators incrementally, under the w16/w20
+  * admission discipline, against three persistent stores:
+  *
+  *   1. EXACT-DUP GATE (m2's sha256, stateful): a payload whose sha256
+  *      matches the sha STORE (base corpus + every exact-fresh payload
+  *      seen before — APPEND-BACK) or a smaller-id batch-mate's sha is
+  *      dropped. The store is PREFIX-PARTITIONED on disk (`spp` = first
+  *      hex char of the digest, 16 uniform dirs — DocStream's layout),
+  *      so the probe reads only the partitions the batch's own digests
+  *      land in. Exact-fresh payloads append their (spp, sha, id, tag)
+  *      rows REGARDLESS of their later vector fate: byte-identical
+  *      content is a duplicate even when its first occurrence lost the
+  *      near-dup cut (pipe2's passage-store discipline).
+  *   2. NEAR-DUP GATE (m3's features + w20's vector admission,
+  *      stateful): exact-fresh payloads get the deterministic 8-dim
+  *      byte-lane feature vector ([[Multimodal.stagedFeatures]] — the
+  *      decode-stub contract: a real image/audio model swaps in behind
+  *      the same `binary → array<double>` signature) and run the IVF
+  *      admission rule against the cell-partitioned feature index
+  *      ([[Similarity]]'s layout): probe the `nprobe` nearest cells of
+  *      the frozen quantizer, reject at round(cosine, 6) >= threshold
+  *      vs any indexed candidate in a probed cell or any smaller-id
+  *      batch-mate whose rank-1 cell is probed. Admitted features
+  *      append back to the index.
+  *   3. MANIFEST + FUNNEL DELTAS (m6's census, append-only): admitted
+  *      payloads append per-shard manifest deltas (portable-hash shard,
+  *      order-independent digest term) plus per-batch funnel counts and
+  *      per-doc admit rows — ONE long-format census store, ONE append
+  *      job per batch (the pipe16 lesson: per-batch job count is the
+  *      streaming tier's real cost, so all three census grains ride one
+  *      union plan).
+  *
+  * Determinism & crash replay (the admitBatch contract): every
+  * persistent write is append-only and tagged with the batch's
+  * namespaced id; every read of own state excludes rows carrying the
+  * CURRENT tag; in-batch rules never recurse through a batch-mate's own
+  * fate. A replay after a crash between any subset of the three appends
+  * recomputes from the state of its first attempt and appends byte-equal
+  * rows, which read-side `distinct()` collapses — so the batch outcome
+  * is a pure function of (batch, state-before-batch) and a DuckDB oracle
+  * unrolls the rounds from scratch (the w16/w20 proof shape).
+  *
+  * Scale shape: everything batch-sized broadcasts or localCheckpoints;
+  * the sha store is touched by PARTITION-PRUNED scan only (the batch's
+  * own spp dirs — a driver in-list bounded by 16); the feature index by
+  * partition-pruned scan of the probed cells (bounded by the quantizer
+  * k); the census append is census-grain. Per batch the stores are
+  * never fully read — probe I/O is O(store × touched/partitions). */
+object MediaSpine {
+
+  /** One micro-batch. `batch` = (idCol, payloadCol binary). `cents` =
+    * the frozen feature quantizer (model-sized, computed offline from
+    * yesterday's corpus). All census output lands in ONE long-format
+    * store at `censusPath` — rows (batch_tag, batch, section, k, cnt,
+    * toks, aux). */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      payloadCol: String, shaPath: String, vecIdxPath: String,
+      censusPath: String, cents: Array[(Long, Array[Double])],
+      nprobe: Int, threshold: Double, shards: Long,
+      epoch: Long = 0L): Unit = {
+    require(epoch >= 0 && batchId >= 0 && batchId < 1000000L,
+      s"media-spine tag namespacing requires 0 <= batchId < 1e6 and " +
+        s"epoch >= 0 (got epoch=$epoch, batchId=$batchId)")
+    val tag = epoch * 1000000L + batchId
+    val s = batch.sparkSession
+    // localCheckpoint: meta feeds the spp collect, the exact gate, the
+    // funnel census, and (via exactFresh) the feature chain — truncating
+    // the lineage keeps each downstream plan a leaf scan (the pipe16
+    // lineage-tax lesson)
+    val meta = batch.select(col(idCol).cast("long").as("id"),
+        col(payloadCol).as("payload"),
+        sha2(col(payloadCol), 256).as("sha"),
+        octet_length(col(payloadCol)).cast("long").as("n_bytes"))
+      // "p" guard (DocStream's rule): an all-numeric prefix dir set
+      // would make partition discovery infer an INT column
+      .withColumn("spp", concat(lit("p"), substring(col("sha"), 1, 1)))
+      .localCheckpoint()
+
+    // 1. exact gate: smaller-id batch-mate wins in-batch; the store
+    // probe partition-prunes to the batch's own sha-prefix dirs (driver
+    // in-list bounded by the 16-dir layout), excluding own-tag rows
+    // (crash replay)
+    val w = Window.partitionBy(col("sha")).orderBy(col("id"))
+    val inBatchWinners = meta.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    val batchSpps = meta.select(col("spp")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val exactFresh = (if (exists(s, shaPath)) {
+      val stored = s.read.parquet(shaPath)
+        .where(col("spp").isin(batchSpps: _*) && col("batch_id") =!= tag)
+        .select(col("sha"))
+      inBatchWinners.join(stored, Seq("sha"), "left_anti")
+    } else inBatchWinners).persist()
+    exactFresh.count() // fill before concurrent consumers race for it
+
+    // 2. near-dup gate on the deterministic features (w20's rule). Only
+    // `probes` is checkpointed: its one materialization runs the staged
+    // feature chain once; storage/candidates are projections of it.
+    val probes = Similarity.assignCellsRanked(
+        Multimodal.stagedFeatures(exactFresh, "id", "payload"),
+        cents, "id", "f", "id", "v", nprobe)
+      .withColumn("nrm", Similarity.norm(col("v"))).localCheckpoint()
+    val storage = probes.where(col("probe_rank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+    val inbRejected = storage.alias("a").join(probes.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(round(Similarity.dot(col("a.v"), col("b.v"))
+        / (col("a.nrm") * col("b.nrm")), 6) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val idxMatched = Similarity.readVecIndexPruned(s, vecIdxPath,
+        probedCells, tag)
+      .join(broadcast(probes.select(col("id").as("delta_id"),
+        col("v").as("dv"), col("nrm").as("dnrm"), col("cell"))),
+        Seq("cell"))
+      .where(round(Similarity.dot(col("v"), col("dv"))
+        / (col("nrm") * col("dnrm")), 6) >= threshold)
+      .select(col("delta_id").as("id")).distinct()
+    val admitted = exactFresh.select(col("id"))
+      .join(inbRejected.unionByName(idxMatched).distinct(),
+        Seq("id"), "left_anti")
+      .persist()
+    admitted.count() // fill before the appends race for it
+
+    // 3. the three appends as CONCURRENT Spark jobs (disjoint outputs,
+    // materialized inputs — the admitBatch r15 discipline); replay is
+    // idempotent under ANY completed subset (see object doc)
+    def censusRow(section: String, k: org.apache.spark.sql.Column,
+        cnt: org.apache.spark.sql.Column,
+        toks: org.apache.spark.sql.Column,
+        aux: org.apache.spark.sql.Column) =
+      Seq(lit(tag).as("batch_tag"), lit(batchId).as("batch"),
+        lit(section).as("section"), k.cast("string").as("k"),
+        cnt.cast("long").as("cnt"), toks.cast("long").as("toks"),
+        aux.cast("long").as("aux"))
+    def stageAgg(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("c"), sum(col("n_bytes")).as("t"))
+        .select(censusRow("funnel", lit(s"$batchId|$stage"), col("c"),
+          coalesce(col("t"), lit(0L)), lit(0L)): _*)
+    val admittedMeta = exactFresh.join(admitted, Seq("id"), "left_semi")
+    val h = conv(substring(md5(concat(lit("m7shard:"),
+      col("id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val funnelDelta = stageAgg(meta, "0_arrived")
+      .unionByName(stageAgg(exactFresh, "1_exact"))
+      .unionByName(stageAgg(admittedMeta, "2_admit"))
+    val admitDelta = admittedMeta
+      .select(censusRow("admit", col("id"), lit(1L), col("n_bytes"),
+        lit(batchId)): _*)
+    val shardDelta = admittedMeta.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), sum(col("n_bytes")).as("t"),
+        sum(col("h") % 1000000007L).as("hs"))
+      .select(censusRow("shard", col("shard"), col("c"), col("t"),
+        col("hs")): _*)
+    SparkJobs.inParallel(
+      () => exactFresh
+        .select(col("spp"), col("sha"), col("id"),
+          lit(tag).as("batch_id"))
+        .repartition(col("spp"))
+        .write.mode(SaveMode.Append).partitionBy("spp").parquet(shaPath),
+      () => storage.join(admitted, Seq("id"), "left_semi")
+        .select(col("id"), col("v"), col("nrm"), lit(tag).as("batch_id"),
+          col("cell"))
+        .coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("cell").parquet(s"$vecIdxPath/vecs"),
+      () => funnelDelta.unionByName(admitDelta).unionByName(shardDelta)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(censusPath))
+    admitted.unpersist()
+    exactFresh.unpersist()
+  }
+
+  private def exists(s: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

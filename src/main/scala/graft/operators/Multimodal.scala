@@ -160,6 +160,23 @@ object Multimodal {
       }.toDF(idCol, "sums", "n_bytes")
   }
 
+  /** The m3 feature chain as STAGED projections over a whole table:
+    * hex → sums → normalized vector, each stage materializing an
+    * attribute the next reads so the payload is hexed ONCE and the folds
+    * run once per row (inline composition re-evaluates shared subtrees
+    * per consumer — expression trees don't memoize; measured ~50×). The
+    * output is (idCol, passthrough..., `f` array<double>) — the shape the
+    * ANN/admission operators consume. */
+  def stagedFeatures(df: DataFrame, idCol: String, payloadCol: String,
+      dim: Int = 8, stride: Int = 4, keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = keep.map(col)
+    df.select(col(idCol) +: keepCols :+ hex(col(payloadCol)).as("hx") :+
+        octet_length(col(payloadCol)).as("n"): _*)
+      .select(col(idCol) +: keepCols :+
+        byteSums(col("hx"), col("n"), dim, stride).as("s"): _*)
+      .select(col(idCol) +: keepCols :+ normalizeVec(col("s")).as("f"): _*)
+  }
+
   /** Full metadata extraction over a table with a binary `payloadCol`:
     * one narrow map stage, fully codegen'd except the stub decode. */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String,

@@ -2744,6 +2744,142 @@ object Oracles {
          |FROM ($admAll) a ORDER BY vec_id""".stripMargin
     },
 
+    // m7: all three multimodal-admission rounds unrolled from scratch —
+    // the m3 staged-feature arithmetic (uppercase-hex byte lanes, stride-4,
+    // 6dp-rounded L2 normalization), the m2 sha256 chain (in-batch min-id
+    // winner, store append-back of every exact-fresh payload), the w20
+    // probe/verify discipline on the features (arn <= M7Probe, rank-1
+    // stored cells, round-6 cosine cut, index append-back through the
+    // admitted sets), and every census grain (per-batch funnel counts
+    // incl. empty-stage zero rows, per-doc admit rows, the cross-batch
+    // shard-manifest rollup with its order-independent digest sum)
+    "m7_stream_media" -> {
+      val byteVal = "(16.0 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)" +
+        " + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)"
+      val dims = (0 until 8).map(d =>
+        s"""coalesce(list_sum(list_transform(range(${d + 1}, n + 1, 32), i ->
+           |      $byteVal / 255.0)), 0.0) AS s$d""".stripMargin)
+        .mkString(",\n")
+      val normChain = (0 until 8).map(d => s"(s$d * s$d)")
+        .mkString("sqrt(0.0 + ", " + ", ")")
+      val fvList = (0 until 8).map(d =>
+        s"round(CASE WHEN nrm > 0 THEN s$d / nrm ELSE 0.0 END, 6)")
+        .mkString("[", ", ", "]")
+      def dot8(a: String, b: String) = (1 to 8).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+        .mkString("0.0 + ", " + ", "")
+      def cos8(a: String, b: String) =
+        s"((${dot8(a, b)}) / (sqrt(${dot8(a, a)}) * sqrt(${dot8(b, b)})))"
+      val rounds = (0 until M7Batches).map { b =>
+        s"""win$b AS (SELECT nid, sha FROM (
+           |    SELECT d.nid, s.sha,
+           |      row_number() OVER (PARTITION BY s.sha ORDER BY d.nid)
+           |        AS rn
+           |    FROM dd d JOIN shn s ON s.nid = d.nid WHERE d.b = $b) w
+           |  WHERE rn = 1),
+           |ef$b AS MATERIALIZED (SELECT nid, sha FROM win$b
+           |  WHERE sha NOT IN (SELECT sha FROM sha$b)),
+           |sha${b + 1} AS (SELECT sha FROM sha$b
+           |  UNION ALL SELECT sha FROM ef$b),
+           |inb$b AS (SELECT DISTINCT p.nid FROM pb p
+           |  JOIN ef$b ep ON ep.nid = p.nid
+           |  JOIN st a ON a.cell = p.cell
+           |  JOIN ef$b ea ON ea.nid = a.nid
+           |  WHERE a.nid < p.nid
+           |    AND round(${cos8("a.cv", "p.cv")}, 6) >= $M7Threshold),
+           |im$b AS (SELECT DISTINCT p.nid FROM pb p
+           |  JOIN ef$b ep ON ep.nid = p.nid
+           |  JOIN idx$b i ON i.cell = p.cell
+           |  WHERE round(${cos8("i.cv", "p.cv")}, 6) >= $M7Threshold),
+           |adm$b AS MATERIALIZED (SELECT nid FROM ef$b
+           |  WHERE nid NOT IN (SELECT nid FROM inb$b)
+           |  AND nid NOT IN (SELECT nid FROM im$b)),
+           |idx${b + 1} AS (SELECT nid, cell, cv FROM idx$b
+           |  UNION ALL SELECT s.nid, s.cell, s.cv FROM st s
+           |  JOIN adm$b a ON a.nid = s.nid)""".stripMargin
+      }.mkString(",\n")
+      val funnel = (0 until M7Batches).flatMap { b =>
+        Seq(
+          s"""SELECT '$b|0_arrived' AS k, count(*) AS cnt,
+             |  coalesce(sum(nbn.n_bytes), 0) AS toks
+             |FROM dd JOIN nbn ON nbn.nid = dd.nid WHERE dd.b = $b""",
+          s"""SELECT '$b|1_exact', count(*), coalesce(sum(nbn.n_bytes), 0)
+             |FROM ef$b JOIN nbn ON nbn.nid = ef$b.nid""",
+          s"""SELECT '$b|2_admit', count(*), coalesce(sum(nbn.n_bytes), 0)
+             |FROM adm$b JOIN nbn ON nbn.nid = adm$b.nid""")
+          .map(_.stripMargin)
+      }.mkString("\nUNION ALL ")
+      val admRows = (0 until M7Batches).map { b =>
+        s"""SELECT CAST(adm$b.nid AS VARCHAR) AS k, 1 AS cnt,
+           |  nbn.n_bytes AS toks, $b AS aux
+           |FROM adm$b JOIN nbn ON nbn.nid = adm$b.nid""".stripMargin
+      }.mkString("\nUNION ALL ")
+      val admAll = (0 until M7Batches)
+        .map(b => s"SELECT nid FROM adm$b").mkString(" UNION ALL ")
+      s"""WITH bx AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents),
+         |sm AS (SELECT doc_id,
+         |$dims
+         |  FROM bx),
+         |wn AS (SELECT doc_id, s0, s1, s2, s3, s4, s5, s6, s7,
+         |  $normChain AS nrm FROM sm),
+         |fv AS MATERIALIZED (SELECT doc_id, $fvList AS cv FROM wn),
+         |sh AS MATERIALIZED (SELECT doc_id, sha256(text) AS sha
+         |  FROM documents),
+         |nb AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+         |    AS n_bytes FROM documents),
+         |cent AS (SELECT doc_id AS cent_id, cv AS cvec FROM fv
+         |  WHERE doc_id < $M7Centroids),
+         |dd AS (SELECT doc_id AS nid, doc_id AS src,
+         |    (doc_id // 2) % $M7Batches AS b
+         |  FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + $M7RedeliverOffset, doc_id,
+         |    (doc_id // 2) % $M7Batches + 1
+         |  FROM documents WHERE doc_id % 2 = 1
+         |    AND doc_id % $M7RedeliverMod = 0
+         |    AND (doc_id // 2) % $M7Batches < ${M7Batches - 1}),
+         |au AS (SELECT doc_id AS nid, doc_id AS src FROM documents
+         |  WHERE doc_id % 2 = 0
+         |  UNION ALL SELECT nid, src FROM dd),
+         |fvn AS (SELECT au.nid, fv.cv FROM au
+         |  JOIN fv ON fv.doc_id = au.src),
+         |shn AS MATERIALIZED (SELECT au.nid, sh.sha FROM au
+         |  JOIN sh ON sh.doc_id = au.src),
+         |nbn AS (SELECT au.nid, nb.n_bytes FROM au
+         |  JOIN nb ON nb.doc_id = au.src),
+         |pr AS MATERIALIZED (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cos8("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM fvn CROSS JOIN cent),
+         |pb AS (SELECT nid, cv, cent_id AS cell FROM pr
+         |  WHERE arn <= $M7Probe),
+         |st AS MATERIALIZED (SELECT nid, cv, cent_id AS cell FROM pr
+         |  WHERE arn = 1),
+         |sha0 AS (SELECT DISTINCT sha FROM sh WHERE doc_id % 2 = 0),
+         |idx0 AS (SELECT nid, cell, cv FROM st WHERE nid % 2 = 0),
+         |$rounds,
+         |fun AS ($funnel),
+         |ar AS ($admRows),
+         |shard AS (SELECT ${md5Hash15("'m7shard:' || CAST(a.nid AS VARCHAR)")}
+         |    AS h, nbn.n_bytes
+         |  FROM ($admAll) a JOIN nbn ON nbn.nid = a.nid),
+         |sr AS (SELECT h % $M7Shards AS shd,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(n_bytes) AS BIGINT) AS toks,
+         |    CAST(sum(h % 1000000007) AS BIGINT) AS aux
+         |  FROM shard GROUP BY 1)
+         |SELECT section, k, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(toks AS BIGINT) AS toks, CAST(aux AS BIGINT) AS aux
+         |FROM (
+         |  SELECT 'funnel' AS section, k, cnt, toks, 0 AS aux FROM fun
+         |  UNION ALL
+         |  SELECT 'admit', k, cnt, toks, aux FROM ar
+         |  UNION ALL
+         |  SELECT 'shard', CAST(shd AS VARCHAR), cnt, toks, aux FROM sr)
+         |ORDER BY section, k""".stripMargin
+    },
+
     "d15_incremental_dedup" -> {
       val rows = MinhashK / MinhashBands
       val sigs = (0 until MinhashK).map(i =>

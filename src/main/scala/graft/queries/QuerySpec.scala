@@ -259,6 +259,35 @@ object QuerySpec {
   // engaging)
   val Pipe16Batches = 3
 
+  // M7 streaming multimodal admission (the m-family's streaming plane):
+  // payloads = text bytes (the m1/m2 convention); base corpus = even
+  // doc_ids, odd doc_ids stream in M7Batches ordered micro-batches
+  // (batch = (doc_id div 2) % M7Batches — the w16 slicing). Per batch:
+  // m2's sha256 exact-dup gate (vs the prefix-partitioned sha store +
+  // smaller-id batch-mates), m3's 8-dim byte-lane features, then w20's
+  // vector-admission discipline on the features (probe M7Probe cells of
+  // the M7Centroids-doc quantizer, reject at round(cosine,6) >=
+  // M7Threshold), and m6-style shard-manifest deltas. The threshold is
+  // fixture-measured: byte-histogram features of same-distribution text
+  // cluster tightly (cosine p50 ~0.99 on the corpus), so the near-dup
+  // cut sits in the upper tail — the honest regime for low-dim content
+  // fingerprints, where only near-identical byte streams exceed it.
+  val M7Batches = 3
+  val M7Centroids = 8
+  val M7Probe = 2
+  val M7Threshold = 0.9995
+  val M7Shards = 8L
+  // RE-DELIVERY synthesis: the fixture has no byte-identical odd docs
+  // below sf0.1 (measured), so the exact gate's production trigger —
+  // the same payload re-ingested under a fresh id (re-crawl, retried
+  // upload) — is synthesized deterministically: every odd doc with
+  // doc_id % M7RedeliverMod == 0 is delivered AGAIN in the next batch
+  // as (doc_id + M7RedeliverOffset, same bytes). The sha store's
+  // append-back rejects every one cross-batch; the oracle synthesizes
+  // the same rows from the same rule.
+  val M7RedeliverMod = 7
+  val M7RedeliverOffset = 10000000L
+
   // K8 retention vacuum: day age measured from the fixed corpus end
   // (RangeEndMs — deterministic "now"); the last RetentionKeepDays days
   // stay, older days archive on the weekly grid (day % 7 == 0) and

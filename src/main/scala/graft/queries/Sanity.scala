@@ -321,6 +321,34 @@ object Sanity {
         .count()
       band("w20 admitted/delta", admitted, delta, 0.05, 0.99)
     },
+    "m7_stream_media" -> { (s, d) =>
+      // three-gate funnel: arrivals > exact-fresh > admitted, none empty,
+      // neither gate dead (the fixture has byte-identical near-dup text
+      // AND tightly-clustered byte features — both cuts must bite)
+      val rows = q("m7_stream_media")(s, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      def stage(st: String) = rows.collect {
+        case ("funnel", k, c, _, _) if k.endsWith("|" + st) => c }.sum
+      val v = scala.collection.mutable.Buffer.empty[String]
+      val batches = rows.collect { case ("funnel", k, _, _, _) =>
+        k.split('|')(0) }.distinct
+      if (batches.length != M7Batches)
+        v += s"${batches.length}/$M7Batches batches produced funnel rows"
+      val arrived = stage("0_arrived"); val exact = stage("1_exact")
+      val adm = stage("2_admit")
+      if (arrived > 0) v ++= band("m7 exact-fresh/arrived", exact,
+        arrived, 0.05, 0.999)
+      if (exact > 0) v ++= band("m7 admitted/exact-fresh", adm, exact,
+        0.05, 0.999)
+      val admRows = rows.count(_._1 == "admit")
+      if (admRows != adm)
+        v += s"admit rows ($admRows) != funnel 2_admit total ($adm)"
+      val shardCnt = rows.collect { case ("shard", _, c, _, _) => c }.sum
+      if (shardCnt != adm)
+        v += s"shard manifest rollup ($shardCnt docs) != admitted ($adm)"
+      v.toSeq
+    },
     "t13_mix_rebalance" -> { (s, d) =>
       val rows = q("t13_mix_rebalance")(s, d).collect()
       rows.toSeq.flatMap { r =>
@@ -374,11 +402,15 @@ object Sanity {
     })
 
   /** Runs the selected checks; prints one line per check and a summary;
-    * returns the number of FAILED checks. */
+    * returns the number of FAILED checks. When `SPARK_GRAFT_SANITY_OUT`
+    * is set, also writes the census as a driver-readable JSON artifact
+    * (per-check name/status/seconds/violations — the r14 verdict item 6:
+    * the gate was previously auditable only by re-running it), so the
+    * round record carries `SANITY_rN.json` next to `BENCH_compact.json`. */
   def run(s: SparkSession, d: String, only: Set[String] = Set.empty): Int = {
     val sel = checks.filter { case (n, _) => only.isEmpty || only(n) }
     var bad = 0
-    sel.foreach { case (n, c) =>
+    val results = sel.map { case (n, c) =>
       val t0 = System.nanoTime()
       val vs = try c(s, d)
       catch { case e: Throwable => Seq(s"check crashed: $e") }
@@ -388,8 +420,21 @@ object Sanity {
         bad += 1
         vs.foreach(v => println(f"SANITY $n%-26s FAIL $v"))
       }
+      (n, vs, dt)
     }
     println(s"SANITY: ${sel.size - bad}/${sel.size} checks ok ($d)")
+    sys.env.get("SPARK_GRAFT_SANITY_OUT").foreach { out =>
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val rows = results.map { case (n, vs, dt) =>
+        val vjson = vs.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
+        f"""{"name":"${esc(n)}","status":"${if (vs.isEmpty) "ok" else "fail"}","sec":$dt%.2f,"violations":$vjson}"""
+      }.mkString("[", ",", "]")
+      val json =
+        s"""{"sf_dir":"${esc(d)}","checks_total":${sel.size},"checks_ok":${sel.size - bad},"checks":$rows}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+      println(s"SANITY census written to $out")
+    }
     bad
   }
 }

@@ -117,9 +117,9 @@ class DocStreamSpec extends SparkSpec {
     val b2 = Seq((13L, "z1 z2 z3 z4 z5"), (15L, "v1 v2 v3 v4 v5"))
       .toDF("doc_id", "text")
     graft.operators.Dedup.admitBatch(b2, 2L, "doc_id", "text", idx, sink,
-      k = 16, bands = 4, shingleK = 3, threshold = 0.6)
+      k = 16, bands = 4, shingleK = 3, threshold = 0.6).unpersist()
     graft.operators.Dedup.admitBatch(b2, 2L, "doc_id", "text", idx, sink,
-      k = 16, bands = 4, shingleK = 3, threshold = 0.6)
+      k = 16, bands = 4, shingleK = 3, threshold = 0.6).unpersist()
     val replayed = spark.read.parquet(sink).distinct()
       .select($"doc_id", $"batch").as[(Long, Long)]
       .collect().sortBy(_._1).toList
