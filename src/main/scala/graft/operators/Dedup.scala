@@ -316,11 +316,16 @@ object Dedup {
   /** Bucket count for the tagged index's on-disk partitioning. A constant
     * (not data-scale): partition directories stay enumerable, and the
     * driver-side pruning in-lists in [[admitBatch]] are bounded by it.
-    * A DEPLOY-TIME knob: every micro-batch append pays one file per
-    * touched bucket per table (measured ~30 ms/file of commit overhead on
-    * the fixture host), so the fixture default stays small; a 100 TB
-    * deployment raises it (256+) for finer probe pruning and amortizes
-    * the commit cost over real batch volume. */
+    * A DEPLOY-TIME knob with a MEASURED curve (`Scratch bcurve`, r15):
+    * dirs touched per probe ≈ B·(1−(1−1/B)^bandKeys), so pruning engages
+    * only when B ≫ the batch's band-key count — a 32-doc batch (128
+    * band keys) saturates B=8 (8/8 dirs) and nearly saturates B=64
+    * (52/64, 19% pruned) while appending 6× the files (~30 ms/file of
+    * commit overhead), a net loss at fixture batch sizes. Raising B
+    * (256+) pays off for small trickle batches probing a huge index,
+    * where touched ≪ B and bytes-read dominates file-count overhead;
+    * bulk batches saturate any B (the [[dedupAgainstIndex]]
+    * unpruned-toks rationale). */
   val IndexBuckets = 8L
 
   /** Batch-TAGGED MinHash index at SHINGLE grain — the streaming-admission

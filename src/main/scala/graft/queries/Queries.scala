@@ -96,6 +96,52 @@ object Queries {
       root
     })
 
+  /** Stage a streaming DROP DIR once per (query, sf): `write` stages the
+    * batch-partitioned frame under `<root>/stage`, then one part file
+    * per batch moves into `<root>/drop` with a PINNED mtime (file-source
+    * order is (mtime, path), so discovery order == batch order). Drop
+    * files are deterministic fixture INPUT — re-staging them per bench
+    * run paid one Spark job per run for identical bytes (r15) — and the
+    * memoized dir is READ-ONLY to the stream: every run's own checkpoint
+    * re-discovers the same files, while all mutable state (ckpt, sinks,
+    * index copies) stays per-run scratch. `ext` selects the part-file
+    * suffix ("parquet"/"txt"); `allowEmpty` tolerates an empty batch
+    * residue by creating an empty drop file in its slot (the w16 text
+    * contract) instead of failing loud (the w19/w20 staging rule). */
+  private def stagedDropDir(query: String, d: String, batches: Int,
+      ext: String, allowEmpty: Boolean = false)(
+      write: String => Unit): String =
+    stagedDir(query, d) { root =>
+      val tmp = java.nio.file.Paths.get(root, "stage")
+      write(tmp.toString)
+      val drop = java.nio.file.Paths.get(root, "drop")
+      java.nio.file.Files.createDirectories(drop)
+      import scala.jdk.CollectionConverters._
+      for (b <- 0 until batches) {
+        val bDir = tmp.resolve(s"batch=$b")
+        val part = if (java.nio.file.Files.isDirectory(bDir)) {
+          val ls = java.nio.file.Files.list(bDir)
+          try ls.iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-") &&
+              (ext == "txt" || p.getFileName.toString.endsWith(s".$ext")))
+            finally ls.close()
+        } else None
+        val f = drop.resolve(s"batch$b.$ext")
+        part match {
+          case Some(p) => java.nio.file.Files.move(p, f)
+          case None if allowEmpty =>
+            // an empty batch writes no dir; an empty drop file keeps the
+            // batch-id <-> file-order correspondence intact
+            java.nio.file.Files.createFile(f)
+          case None => throw new IllegalStateException(
+            s"$query staging: residue class for batch $b is empty under " +
+              s"$d — the drop-file <-> batch-id correspondence breaks")
+        }
+        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
+          s"could not pin mtime on drop file $f")
+      }
+    } + "/drop"
+
   /** Per-invocation scratch root (streaming drop dirs / checkpoints /
     * sinks — state that must NOT be memoized across runs): same
     * createTempDirectory, but registered for recursive deletion at JVM
@@ -1466,47 +1512,20 @@ object Queries {
         else java.nio.file.Files.copy(p, dst)
       }
     }
-    val drop = root.resolve("drop")
-    java.nio.file.Files.createDirectories(drop)
-    val lines = docs.where(col("doc_id") % 2 === 1)
-      .select((expr("doc_id div 2") % W16Batches).as("batch"),
-        concat_ws("\t", col("doc_id"), col("text")).as("value_line"))
-    // ONE job stages all batch files (partitionBy fans out batch=b dirs);
-    // each part file then moves into the flat drop dir with a pinned
-    // mtime — file-source ordering is (mtime, path), so discovery order
-    // == admission order regardless of write timing
-    locally {
-      val tmp = root.resolve("stage")
-      // repartition(1): hash-clustering by batch value cannot guarantee
-      // one file per dir; a single task writing all three dirs can (the
-      // staging frame is fixture-prep, delta-sized, not the operator)
-      lines.repartition(1).sortWithinPartitions(col("value_line"))
-        .write.mode("overwrite").partitionBy("batch").text(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      for (b <- 0 until W16Batches) {
-        val bDir = tmp.resolve(s"batch=$b")
-        val part = if (java.nio.file.Files.isDirectory(bDir)) {
-          val ls = java.nio.file.Files.list(bDir)
-          try ls.iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-"))
-          finally ls.close()
-        } else None
-        val f = drop.resolve(s"batch$b.txt")
-        part match {
-          case Some(p) => java.nio.file.Files.move(p, f)
-          // an empty batch writes no dir; an empty drop file keeps the
-          // batch-id ↔ file-order correspondence intact
-          case None => java.nio.file.Files.createFile(f)
-        }
-        // batch order rides the pinned mtime — fail loud if the pin fails
-        // (r13 ADVICE: a silent fallback to near-identical staging mtimes
-        // can scramble the batch↔file correspondence)
-        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
-          s"could not pin mtime on drop file $f")
-      }
+    // the drop dir is a memoized staged artifact (see stagedDropDir);
+    // repartition(1): hash-clustering by batch value cannot guarantee
+    // one file per dir; a single task writing all three dirs can (the
+    // staging frame is fixture-prep, delta-sized, not the operator)
+    val drop = stagedDropDir("w16drop", d, W16Batches, "txt",
+      allowEmpty = true) { tmp =>
+        docs.where(col("doc_id") % 2 === 1)
+          .select((expr("doc_id div 2") % W16Batches).as("batch"),
+            concat_ws("\t", col("doc_id"), col("text")).as("value_line"))
+          .repartition(1).sortWithinPartitions(col("value_line"))
+          .write.mode("overwrite").partitionBy("batch").text(tmp)
     }
     val sink = root.resolve("sink").toString
-    graft.streaming.DocStream.admitNearDup(s, drop.toString,
+    graft.streaming.DocStream.admitNearDup(s, drop,
       root.resolve("ckpt").toString, idx.toString, sink,
       MinhashK, MinhashBands, W16ShingleK, MinhashThreshold,
       statePartitions = 8)
@@ -1561,42 +1580,13 @@ object Queries {
         else java.nio.file.Files.copy(p, dst)
       }
     }
-    val drop = root.resolve("drop")
-    java.nio.file.Files.createDirectories(drop)
-    // ONE job stages all batch files (partitionBy fans out batch=b dirs);
-    // each part file then moves into the flat drop dir with a pinned
-    // mtime — file-source ordering is (mtime, path), so discovery order
-    // == admission order regardless of write timing
-    locally {
-      val tmp = root.resolve("stage")
+    // the drop dir is a memoized staged artifact (see stagedDropDir)
+    val drop = stagedDropDir("w20drop", d, W20Batches, "parquet") { tmp =>
       Tables.embeddings(s, d).where(col("vec_id") % 2 === 1)
         .select(col("vec_id"), col("embedding"),
           (expr("vec_id div 2") % W20Batches).as("batch"))
         .repartition(1).sortWithinPartitions(col("vec_id"))
-        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      for (b <- 0 until W20Batches) {
-        val bDir = tmp.resolve(s"batch=$b")
-        // fail loud on an empty residue class (the w19 staging rule): a
-        // missing drop file would silently shift every later batch id
-        require(java.nio.file.Files.isDirectory(bDir),
-          s"w20 staging: vec_id residue class for batch $b is empty " +
-            s"under $d — the drop-file <-> batch-id correspondence breaks")
-        val ls = java.nio.file.Files.list(bDir)
-        val part = try ls.iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          finally ls.close()
-        require(part.isDefined,
-          s"w20 staging: no part file in $bDir")
-        val f = drop.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(part.get, f)
-        // batch order rides the pinned mtime — fail loud if the pin fails
-        // (r13 ADVICE: a silent fallback to near-identical staging mtimes
-        // can scramble the batch↔file correspondence)
-        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
-          s"could not pin mtime on drop file $f")
-      }
+        .write.mode("overwrite").partitionBy("batch").parquet(tmp)
     }
     val sink = root.resolve("sink").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1605,7 +1595,7 @@ object Queries {
       org.apache.spark.sql.types.StructField("embedding",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
-    graft.streaming.VecStream.admitNearDup(s, drop.toString,
+    graft.streaming.VecStream.admitNearDup(s, drop,
       root.resolve("ckpt").toString, idx.toString, sink, cents,
       W20Probe, SemThreshold, schema)
       .awaitTermination()
@@ -1670,12 +1660,8 @@ object Queries {
         else java.nio.file.Files.copy(p, dst)
       }
     }
-    val drop = root.resolve("drop")
-    java.nio.file.Files.createDirectories(drop)
-    // ONE job stages all batch files; each part file moves into the flat
-    // drop dir with a pinned mtime (file-source order = (mtime, path))
-    locally {
-      val tmp = root.resolve("stage")
+    // the drop dir is a memoized staged artifact (see stagedDropDir)
+    val drop = stagedDropDir("m7drop", d, M7Batches, "parquet") { tmp =>
       val odds = payloads.where(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("payload"),
           (expr("doc_id div 2") % M7Batches).as("batch"))
@@ -1690,24 +1676,7 @@ object Queries {
           col("payload"), (col("batch") + 1).as("batch"))
       odds.unionByName(redelivered)
         .repartition(1).sortWithinPartitions(col("doc_id"))
-        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      for (b <- 0 until M7Batches) {
-        val bDir = tmp.resolve(s"batch=$b")
-        require(java.nio.file.Files.isDirectory(bDir),
-          s"m7 staging: doc_id residue class for batch $b is empty " +
-            s"under $d — the drop-file <-> batch-id correspondence breaks")
-        val ls = java.nio.file.Files.list(bDir)
-        val part = try ls.iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          finally ls.close()
-        require(part.isDefined, s"m7 staging: no part file in $bDir")
-        val f = drop.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(part.get, f)
-        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
-          s"could not pin mtime on drop file $f")
-      }
+        .write.mode("overwrite").partitionBy("batch").parquet(tmp)
     }
     val census = root.resolve("census").toString
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1715,7 +1684,7 @@ object Queries {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("payload",
         org.apache.spark.sql.types.BinaryType)))
-    graft.streaming.MediaStream.admitMedia(s, drop.toString,
+    graft.streaming.MediaStream.admitMedia(s, drop,
       root.resolve("ckpt").toString, sha.toString, vecIdx.toString,
       census, cents, M7Probe, M7Threshold, M7Shards, schema,
       statePartitions = 8)
@@ -6661,34 +6630,15 @@ object Queries {
         else java.nio.file.Files.copy(p, dst)
       }
     }
-    val drop = root.resolve("drop")
-    java.nio.file.Files.createDirectories(drop)
-    // ONE job stages all batch files with pinned mtimes (the w20 contract:
-    // file-source order is (mtime, path) ⇒ discovery order == batch order)
-    locally {
-      val tmp = root.resolve("stage")
-      Tables.documents(s, d).where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          (expr("doc_id div 2") % Pipe16Batches).as("batch"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
-        .write.mode("overwrite").partitionBy("batch").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      for (b <- 0 until Pipe16Batches) {
-        val bDir = tmp.resolve(s"batch=$b")
-        require(java.nio.file.Files.isDirectory(bDir),
-          s"pipe16 staging: doc_id residue class for batch $b is empty " +
-            s"under $d — the drop-file <-> batch-id correspondence breaks")
-        val ls = java.nio.file.Files.list(bDir)
-        val part = try ls.iterator().asScala
-          .find(p => p.getFileName.toString.startsWith("part-") &&
-            p.getFileName.toString.endsWith(".parquet"))
-          finally ls.close()
-        require(part.isDefined, s"pipe16 staging: no part file in $bDir")
-        val f = drop.resolve(s"batch$b.parquet")
-        java.nio.file.Files.move(part.get, f)
-        require(f.toFile.setLastModified(1700000000000L + b * 1000L),
-          s"could not pin mtime on drop file $f")
-      }
+    // the drop dir is a memoized staged artifact (deterministic fixture
+    // input — see stagedDropDir); only mutable state is per-run scratch
+    val drop = stagedDropDir("pipe16drop", d, Pipe16Batches, "parquet") {
+      tmp =>
+        Tables.documents(s, d).where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            (expr("doc_id div 2") % Pipe16Batches).as("batch"))
+          .repartition(1).sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").partitionBy("batch").parquet(tmp)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -6700,7 +6650,7 @@ object Queries {
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
     val census = root.resolve("census").toString
-    graft.streaming.EpochStream.runEpoch(s, drop.toString,
+    graft.streaming.EpochStream.runEpoch(s, drop,
       root.resolve("ckpt").toString, b => curationCleaned(b),
       s"$staged/bench", idx.toString, root.resolve("sink").toString,
       census, targets, MinhashK, MinhashBands, W16ShingleK,
