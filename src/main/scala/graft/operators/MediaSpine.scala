@@ -70,6 +70,13 @@ object MediaSpine {
       s"media-spine tag namespacing requires 0 <= batchId < 1e6 and " +
         s"epoch >= 0 (got epoch=$epoch, batchId=$batchId)")
     val tag = epoch * 1000000L + batchId
+    val debug = sys.env.contains("SPARK_GRAFT_P16_DEBUG")
+    var tPrev = System.nanoTime()
+    def mark(what: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"M7DEBUG batch=$batchId $what%-12s ${(now - tPrev) / 1e9}%6.2f s")
+      tPrev = now
+    }
     val s = batch.sparkSession
     // localCheckpoint: meta feeds the spp collect, the exact gate, the
     // funnel census, and (via exactFresh) the feature chain — truncating
@@ -83,6 +90,7 @@ object MediaSpine {
       // would make partition discovery infer an INT column
       .withColumn("spp", concat(lit("p"), substring(col("sha"), 1, 1)))
       .localCheckpoint()
+    mark("meta_ckpt")
 
     // 1. exact gate: smaller-id batch-mate wins in-batch; the store
     // probe partition-prunes to the batch's own sha-prefix dirs (driver
@@ -100,6 +108,7 @@ object MediaSpine {
       inBatchWinners.join(stored, Seq("sha"), "left_anti")
     } else inBatchWinners).persist()
     exactFresh.count() // fill before concurrent consumers race for it
+    mark("exact_gate")
 
     // 2. near-dup gate on the deterministic features (w20's rule). Only
     // `probes` is checkpointed: its one materialization runs the staged
@@ -108,6 +117,7 @@ object MediaSpine {
         Multimodal.stagedFeatures(exactFresh, "id", "payload"),
         cents, "id", "f", "id", "v", nprobe)
       .withColumn("nrm", Similarity.norm(col("v"))).localCheckpoint()
+    mark("features")
     val storage = probes.where(col("probe_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
     val inbRejected = storage.alias("a").join(probes.alias("b"),
@@ -130,6 +140,7 @@ object MediaSpine {
         Seq("id"), "left_anti")
       .persist()
     admitted.count() // fill before the appends race for it
+    mark("vec_gate")
 
     // 3. the three appends as CONCURRENT Spark jobs (disjoint outputs,
     // materialized inputs — the admitBatch r15 discipline); replay is
@@ -175,6 +186,7 @@ object MediaSpine {
         .partitionBy("cell").parquet(s"$vecIdxPath/vecs"),
       () => funnelDelta.unionByName(admitDelta).unionByName(shardDelta)
         .coalesce(1).write.mode(SaveMode.Append).parquet(censusPath))
+    mark("appends")
     admitted.unpersist()
     exactFresh.unpersist()
   }
