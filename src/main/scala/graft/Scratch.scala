@@ -2211,8 +2211,17 @@ object Scratch {
         // the r13-pipe15 degeneracy census (round-14 gate): assert every
         // funnel-shaped query is stage-level non-trivial at THIS sf dir —
         // run at both sf0.01 and sf0.1 each round; the oracle gate is
-        // blind to semantically-empty pipelines by construction
-        val bad = queries.Sanity.run(spark, sfDir, args.drop(1).toSet)
+        // blind to semantically-empty pipelines by construction.
+        // `Scratch sanity [sfDir] [checkName …]`: a directory-looking arg
+        // selects the sf dir POSITIONALLY (like every other mode — the
+        // r15 judge's natural invocation used to be swallowed as a
+        // check-name filter, printing a vacuous "0/0 checks ok"); every
+        // other arg is a check-name filter, and Sanity.run fails loudly
+        // on a filter name that matches no check
+        val (dirArgs, filterArgs) = args.drop(1).partition(a =>
+          a.contains("/") || new java.io.File(a).isDirectory)
+        val bad = queries.Sanity.run(spark,
+          dirArgs.lastOption.getOrElse(sfDir), filterArgs.toSet)
         if (bad > 0) { spark.stop(); sys.exit(1) }
       case Some("sanity3g") =>
         // detector SELF-TEST: re-introduce the known-degenerate 3-gram

@@ -135,9 +135,22 @@ object EpochSpine {
     // on a projection OVER the cached frame uncaches nothing — a
     // long-running stream would leak one cached admitted-id frame per
     // micro-batch (CacheManager holds entries strongly)
-    val admittedRaw = Dedup.admitBatch(
-      deconOk.select(col("doc_id"), col("clean")), batchId, "doc_id",
-      "clean", indexPath, sinkPath, k, bands, shingleK, threshold, epoch)
+    val admittedRaw = try {
+      Dedup.admitBatch(
+        deconOk.select(col("doc_id"), col("clean")), batchId, "doc_id",
+        "clean", indexPath, sinkPath, k, bands, shingleK, threshold, epoch)
+    } catch {
+      case e: Throwable =>
+        // settle the ledger future before surfacing the admission failure:
+        // abandoning it would leave a driver job running a Spark collect
+        // against the census store after the batch has failed, and its own
+        // failure (if any) would vanish — attach it as suppressed instead
+        try scala.concurrent.Await
+          .ready(usedMapF, scala.concurrent.duration.Duration.Inf)
+          .value.get.failed.foreach { le => if (le ne e) e.addSuppressed(le) }
+        catch { case _: InterruptedException => () }
+        throw e
+    }
     val admitted = admittedRaw.withColumnRenamed("id", "doc_id")
     mark("admit")
 

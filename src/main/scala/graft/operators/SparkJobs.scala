@@ -29,23 +29,38 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * fails the micro-batch exactly as it did sequentially. */
 private[graft] object SparkJobs {
 
-  private lazy val pool = ExecutionContext.fromExecutorService(
-    Executors.newFixedThreadPool(4, r => {
+  /** Run the given actions as concurrent Spark jobs; block until ALL have
+    * settled; rethrow the first failure (if any).
+    *
+    * The worker threads are created PER CALL, by the calling thread —
+    * never pooled across callers: SparkContext's local properties (job
+    * group, job description, scheduler pool, streaming run-id tags) live
+    * in an `InheritableThreadLocal` that clones parent→child at thread
+    * CREATION, so per-call threads inherit exactly the submitting
+    * caller's properties. A shared lazy pool inherits whichever caller
+    * first forced it and serves every later stream/query under those
+    * STALE tags — job-group cancellation (StreamingQuery.stop) can then
+    * not reach in-flight appends — and a fixed-size shared pool can
+    * deadlock under nested inParallel calls. Per-call threads also make
+    * nesting trivially safe (each level owns its own executor). Thread
+    * creation costs microseconds against appends that each carry
+    * ~0.3-0.6 s of fixed job overhead. */
+  def inParallel(work: (() => Unit)*): Unit = {
+    if (work.size <= 1) { work.foreach(_.apply()); return }
+    val exec = Executors.newFixedThreadPool(work.size, r => {
       val t = new Thread(r, "graft-parallel-append")
       t.setDaemon(true)
       t
-    }))
-
-  /** Run the given actions as concurrent Spark jobs; block until ALL have
-    * settled; rethrow the first failure (if any). */
-  def inParallel(work: (() => Unit)*): Unit = {
-    if (work.size <= 1) { work.foreach(_.apply()); return }
-    val futures = work.map(w => Future(w())(pool))
-    // await ALL (not firstFailure): a half-settled batch must not leave
-    // appends racing a caller that believes the batch is over
-    val results = futures.map(f =>
-      Await.ready(f, Duration.Inf).value.get)
-    results.collectFirst { case scala.util.Failure(e) => throw e }
-    ()
+    })
+    val pool = ExecutionContext.fromExecutorService(exec)
+    try {
+      val futures = work.map(w => Future(w())(pool))
+      // await ALL (not firstFailure): a half-settled batch must not leave
+      // appends racing a caller that believes the batch is over
+      val results = futures.map(f =>
+        Await.ready(f, Duration.Inf).value.get)
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    } finally pool.shutdown()
   }
 }

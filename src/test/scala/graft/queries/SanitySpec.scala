@@ -28,6 +28,17 @@ class SanitySpec extends SparkSpec {
       s"wrong violation class: $vs")
   }
 
+  test("a filter name matching NO check fails the census loudly — never " +
+      "a vacuous 0/0-ok green (the r15 judge hit the silent form live)") {
+    // a pure typo: zero checks run, but the census must report a failure
+    assert(Sanity.run(spark, "/root/testdata/sf0.001",
+      Set("no_such_check")) > 0)
+    // a mixed filter (one real name + one typo) must ALSO fail: the typo'd
+    // half of the intent silently vanishing is the same footgun
+    assert(Sanity.run(spark, "/root/testdata/sf0.001",
+      Set("pipe15_epoch_spine_typo", "w16_stream_admission_typo")) === 2)
+  }
+
   test("each violation class fires on synthetic funnel rows") {
     def funnel(lang: String, st: String, c: Long, t: Long) =
       ("funnel", s"$lang|$st", c, t, 0L)
