@@ -185,7 +185,8 @@ object Bench {
     val streamingFirst = Set("w9_stream_windows", "w10_stream_sessions",
       "w11_stream_dedup", "w12_stream_join", "w14_stateful_cursor",
       "w16_stream_admission", "w19_stream_candles", "w20_vector_admission",
-      "m7_stream_media", "pipe2_stream_funnel", "pipe16_stream_epoch")
+      "w21_stream_requant", "m7_stream_media", "pipe2_stream_funnel",
+      "pipe16_stream_epoch")
     // dynamic heavy cutoff: any batch query whose COLD run reaches this
     // many seconds takes its steady runs in the runs-last tier
     val heavyCutoff = sys.env.get("SPARK_GRAFT_HEAVY_CUTOFF")

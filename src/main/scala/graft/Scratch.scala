@@ -1895,6 +1895,103 @@ object Scratch {
           }
         }
         batch.unpersist()
+      case Some("w21dens") =>
+        // r15 verdict item 1 probe: does the epoch-boundary quantizer
+        // refresh hold per-cell density flat where the FROZEN quantizer
+        // degrades? Emulate admitted-data drift: grow the index ×16 with
+        // perturbed copies of the vectors living in the 4 HOTTEST cells
+        // (the m7-measured failure mode — replica near-dups concentrate),
+        // then census the cell sizes and a trailing batch's probe cost
+        // under (a) the frozen base model and (b) one refreshQuantizer +
+        // rebuild. Report max/mean cell density, candidate rows a probe
+        // touches, and the admit wall for each.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.SaveMode
+        val emb = Tables.embeddings(spark, sfDir)
+        val k = 64
+        val nprobe = 2
+        val cents0 = operators.Similarity.collectCentroids(
+          emb.where(col("vec_id") < k), "vec_id", "embedding")
+        val assigned = operators.Similarity.assignCells(
+          emb.where(col("vec_id") % 2 === 0), cents0, "vec_id",
+          "embedding", "id", "v", 1).persist()
+        val hot4 = assigned.groupBy(col("cell")).count()
+          .orderBy(col("count").desc, col("cell")).limit(4)
+          .collect().map(_.getLong(0)).toSeq
+        println(s"hottest cells under frozen model: ${hot4.mkString(",")}")
+        // drift corpus: ×16 perturbed copies of the hot-cell vectors
+        // (deterministic per-dim tilt — direction moves a little, so the
+        // copies stay clustered but not byte-identical)
+        val hotVecs = assigned.where(col("cell").isin(hot4: _*))
+          .select(col("id"), col("v"))
+        val drift = (1 to 16).map { i =>
+          hotVecs.select((col("id") + lit(i.toLong * 10000000L)).as("id"),
+            transform(col("v"), (x, d) =>
+              (x.cast("double") *
+                (lit(1.0) + ((lit(i) * 31 + d) % 7 - 3) * lit(0.01)))
+                .cast("float")).as("v"))
+        }.reduce(_ unionByName _)
+        // trailing batch: 32 odd vectors (not in the growth slice)
+        val batch = emb.where(col("vec_id") % 2 === 1 && col("vec_id") < 64)
+          .select(col("vec_id"), col("embedding")).persist()
+        println(s"batch rows: ${batch.count()}")
+        val root = java.nio.file.Files.createTempDirectory("w21dens")
+        val idx0 = root.resolve("idx0").toString
+        operators.Similarity.writeVecIndex(
+          assigned.select(col("id").as("vec_id"), col("v").as("embedding"))
+            .unionByName(drift.select(col("id").as("vec_id"),
+              col("v").as("embedding"))),
+          "vec_id", "embedding", idx0, cents0, -1L, SaveMode.Overwrite)
+        def census(idx: String, cents: Array[(Long, Array[Double])],
+            label: String): Unit = {
+          val vecs = spark.read.parquet(s"$idx/vecs")
+          val cellCounts = vecs.groupBy(col("cell").cast("long").as("cell"))
+            .count().collect().map(r => r.getLong(0) -> r.getLong(1))
+          val n = cellCounts.map(_._2).sum
+          val mx = cellCounts.map(_._2).max
+          val mean = n.toDouble / k
+          val probed = operators.Similarity.assignCellsRanked(batch,
+              cents, "vec_id", "embedding", "id", "v", nprobe)
+            .select(col("cell")).distinct().collect()
+            .map(_.getLong(0)).toSet
+          val cand = cellCounts.collect {
+            case (c, cnt) if probed(c) => cnt }.sum
+          println(f"$label%-9s rows=$n%7d cells_used=${cellCounts.size}%3d" +
+            f" max_cell=$mx%7d max/mean=${mx / mean}%6.2f" +
+            f" probe_cells=${probed.size}%3d probe_candidates=$cand%7d")
+          // admit into a throwaway COPY: the append must not contaminate
+          // the index the refresh is measured against
+          val scratch = java.nio.file.Files
+            .createTempDirectory(s"w21dens_admit")
+          val idxCopy = scratch.resolve("idx")
+          val srcP = java.nio.file.Paths.get(idx)
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(srcP)
+          val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
+            finally walk.close()
+          paths.foreach { p =>
+            val dst = idxCopy.resolve(srcP.relativize(p).toString)
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.createDirectories(dst)
+            else java.nio.file.Files.copy(p, dst)
+          }
+          val sink = scratch.resolve("s").toString
+          time(s"admit_$label") {
+            operators.Similarity.admitVecBatch(batch, 999999L, "vec_id",
+              "embedding", idxCopy.toString, sink, cents, nprobe,
+              queries.QuerySpec.SemThreshold)
+            spark.read.parquet(sink).count()
+          }
+        }
+        census(idx0, cents0, "frozen")
+        val tRef0 = System.nanoTime()
+        val cents1 = operators.Similarity.refreshQuantizer(spark, idx0,
+          cents0, queries.QuerySpec.EmbeddingDim)
+        val idx1 = root.resolve("idx1").toString
+        operators.Similarity.rebuildVecIndex(spark, idx0, idx1, cents1)
+        println(f"refresh+rebuild wall: ${(System.nanoTime() - tRef0) / 1e9}%.2f s")
+        census(idx1, cents1, "refreshed")
+        assigned.unpersist(); batch.unpersist()
       case Some("w16prune") =>
         // the text-plane twin of w20prune: bands read prunes to the
         // delta's band-buckets, toks read to the candidates' id-buckets

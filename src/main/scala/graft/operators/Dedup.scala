@@ -504,7 +504,10 @@ object Dedup {
       .join(broadcast(dToks.select(col("id").as("delta_id"),
         col("toks").as("dtoks"))), Seq("delta_id"))
       .where(jaccard(col("toks"), col("dtoks")) >= threshold)
-      .select(col("delta_id").as("id")).distinct()
+      // no distinct(): `rejected` feeds a LEFT ANTI join — set-semantics
+      // on the left regardless of right-side duplicates; the distinct was
+      // a tiny-data shuffle stage paying a fixed wall every micro-batch
+      .select(col("delta_id").as("id"))
     val admitted = batch.select(col(idCol).as("id"))
       .join(rejected, Seq("id"), "left_anti")
       .persist()

@@ -78,10 +78,12 @@ object MediaSpine {
       tPrev = now
     }
     val s = batch.sparkSession
-    // localCheckpoint: meta feeds the spp collect, the exact gate, the
-    // funnel census, and (via exactFresh) the feature chain — truncating
-    // the lineage keeps each downstream plan a leaf scan (the pipe16
-    // lineage-tax lesson)
+    // persist (NOT localCheckpoint — r15 verdict item 4, the serial-chain
+    // shave): meta's plan is a shallow projection over the drop-file scan,
+    // so the lineage-analysis tax a checkpoint buys off is ~nothing here,
+    // while the checkpoint itself cost one full materialization JOB per
+    // batch. The cache instead fills as a side effect of the spp collect
+    // below — the first driver-side action this batch needs anyway.
     val meta = batch.select(col(idCol).cast("long").as("id"),
         col(payloadCol).as("payload"),
         sha2(col(payloadCol), 256).as("sha"),
@@ -89,25 +91,28 @@ object MediaSpine {
       // "p" guard (DocStream's rule): an all-numeric prefix dir set
       // would make partition discovery infer an INT column
       .withColumn("spp", concat(lit("p"), substring(col("sha"), 1, 1)))
-      .localCheckpoint()
-    mark("meta_ckpt")
-
+      .persist()
     // 1. exact gate: smaller-id batch-mate wins in-batch; the store
     // probe partition-prunes to the batch's own sha-prefix dirs (driver
     // in-list bounded by the 16-dir layout), excluding own-tag rows
-    // (crash replay)
+    // (crash replay). This collect is the batch's FIRST action — it
+    // fills meta's cache, so every later consumer reads cached rows.
+    val batchSpps = meta.select(col("spp")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    mark("meta_spps")
     val w = Window.partitionBy(col("sha")).orderBy(col("id"))
     val inBatchWinners = meta.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
-    val batchSpps = meta.select(col("spp")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    // persisted but NOT force-counted: the fill rides the probes
+    // checkpoint job below (the batch's next serial action — no
+    // concurrent consumer exists before it), saving one fixed job wall
+    // per batch; the concurrent appends at the end read a filled cache
     val exactFresh = (if (exists(s, shaPath)) {
       val stored = s.read.parquet(shaPath)
         .where(col("spp").isin(batchSpps: _*) && col("batch_id") =!= tag)
         .select(col("sha"))
       inBatchWinners.join(stored, Seq("sha"), "left_anti")
     } else inBatchWinners).persist()
-    exactFresh.count() // fill before concurrent consumers race for it
     mark("exact_gate")
 
     // 2. near-dup gate on the deterministic features (w20's rule). Only
@@ -120,11 +125,15 @@ object MediaSpine {
     mark("features")
     val storage = probes.where(col("probe_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
+    // no distinct() on either rejection arm (or their union): they feed
+    // a LEFT ANTI join, which is set-semantics on the left regardless of
+    // right-side duplicates — each removed distinct was a shuffle stage
+    // of tiny data paying a fixed per-stage wall every micro-batch
     val inbRejected = storage.alias("a").join(probes.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(round(Similarity.dot(col("a.v"), col("b.v"))
         / (col("a.nrm") * col("b.nrm")), 6) >= threshold)
-      .select(col("b.id").as("id")).distinct()
+      .select(col("b.id").as("id"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val idxMatched = Similarity.readVecIndexPruned(s, vecIdxPath,
@@ -134,10 +143,9 @@ object MediaSpine {
         Seq("cell"))
       .where(round(Similarity.dot(col("v"), col("dv"))
         / (col("nrm") * col("dnrm")), 6) >= threshold)
-      .select(col("delta_id").as("id")).distinct()
+      .select(col("delta_id").as("id"))
     val admitted = exactFresh.select(col("id"))
-      .join(inbRejected.unionByName(idxMatched).distinct(),
-        Seq("id"), "left_anti")
+      .join(inbRejected.unionByName(idxMatched), Seq("id"), "left_anti")
       .persist()
     admitted.count() // fill before the appends race for it
     mark("vec_gate")
@@ -189,6 +197,7 @@ object MediaSpine {
     mark("appends")
     admitted.unpersist()
     exactFresh.unpersist()
+    meta.unpersist() // persisted above — a long stream must not accrete
   }
 
   private def exists(s: org.apache.spark.sql.SparkSession,

@@ -393,12 +393,16 @@ object Similarity {
     val storage = probes.where(col("probe_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
     // in-batch: a smaller-id mate whose stored cell is probed, verified at
-    // the d10 round-6 cosine cut
+    // the d10 round-6 cosine cut. No distinct() on either rejection arm
+    // (or their union): they feed a LEFT ANTI join, which is set-semantics
+    // on the left regardless of right-side duplicates — each removed
+    // distinct was a shuffle stage of tiny data paying a fixed per-stage
+    // wall every micro-batch (the r15 m7-shave finding)
     val inbRejected = storage.alias("a").join(probes.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(round(dot(col("a.v"), col("b.v"))
         / (col("a.nrm") * col("b.nrm")), 6) >= threshold)
-      .select(col("b.id").as("id")).distinct()
+      .select(col("b.id").as("id"))
     // index probe: PARTITION-PRUNED scan of the probed cells only (the
     // probed-cell set collects to the driver — bounded by min(nprobe ×
     // batch, k), i.e. by the quantizer hyperparameter, never data-sized),
@@ -411,10 +415,9 @@ object Similarity {
         col("v").as("dv"), col("nrm").as("dnrm"), col("cell"))), Seq("cell"))
       .where(round(dot(col("v"), col("dv"))
         / (col("nrm") * col("dnrm")), 6) >= threshold)
-      .select(col("delta_id").as("id")).distinct()
+      .select(col("delta_id").as("id"))
     val admitted = batch.select(col(idCol).as("id"))
-      .join(inbRejected.unionByName(idxMatched).distinct(),
-        Seq("id"), "left_anti")
+      .join(inbRejected.unionByName(idxMatched), Seq("id"), "left_anti")
       .persist()
     // sink first, then index: a crash between the two replays as the same
     // admitted set (probe is tag-filtered); sink re-appends are exact
@@ -436,6 +439,77 @@ object Similarity {
     admitted.unpersist()
     // probes is a localCheckpoint — released by the ContextCleaner
   }
+
+  /** QUANTIZER REFRESH — the epoch-boundary re-cluster of the streaming
+    * admission planes' coarse quantizer (the r15 verdict's one named
+    * 100 TB caveat: a FROZEN quantizer's probe selectivity degrades
+    * monotonically as admitted data drifts away from the base corpus).
+    *
+    * One exact-decimal Lloyd step over the PERSISTED index: the index
+    * already stores every vector's rank-1 cell under the frozen model
+    * ([[writeVecIndex]]/[[admitVecBatch]] both write it), so the Lloyd
+    * ASSIGNMENT pass is free — the refresh is a single per-cell mean
+    * rollup over `path/vecs` plus a k-row collect. At 100 TB that is one
+    * partition-local scan (the index is cell-partitioned on disk, so the
+    * per-cell rollup needs NO shuffle of vector data beyond the k-row
+    * partial-aggregate merge) against a nightly cadence — the cheapest
+    * honest refresh there is. Cells with no stored vectors carry the
+    * previous centroid (Lloyd's empty-cell convention; k never shrinks).
+    *
+    * Determinism (the cross-engine contract): per-dim sums accumulate as
+    * DECIMAL(27,9) — the s9 rule: the shuffle key is the cell id and
+    * decimal addition is exact, so partial-aggregation ORDER cannot
+    * perturb the sums — and the mean is rounded to 6 dp IN the engine
+    * (`round(sum/n, 6)`, the same expression s9's green oracle row pins),
+    * so the refreshed model is a bit-stable pure function of the index
+    * CONTENTS, replayable by the DuckDB twin from scratch.
+    *
+    * Epoch seam (replay determinism): epoch N admits against the model
+    * frozen at epoch N−1's close — the refresh runs BETWEEN streaming
+    * lifecycles, never under one, so within an epoch every batch still
+    * probes one immutable model and crash replay is untouched
+    * (spec-pinned across the boundary by RequantSpec). */
+  def refreshQuantizer(s: org.apache.spark.sql.SparkSession,
+      indexPath: String, init: Array[(Long, Array[Double])],
+      dim: Int): Array[(Long, Array[Double])] = {
+    val vecs = s.read.parquet(s"$indexPath/vecs")
+    val agged = vecs.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("double")
+            .cast("decimal(27,9)")).cast("double").as(s"s$i")): _*)
+    val means = agged.select(col("cell") +:
+        (0 until dim).map(i =>
+          round(col(s"s$i") / col("n"), 6).as(s"c$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        Array.tabulate(dim)(i => r.getDouble(1 + i)))
+      .toMap
+    init.map { case (id, v) => (id, means.getOrElse(id, v)) }.sortBy(_._1)
+  }
+
+  /** Rebuild the cell-partitioned index under a refreshed quantizer: same
+    * membership, same `batch_id` tags (the crash-replay contract survives
+    * the boundary — a replayed post-refresh batch still excludes its OWN
+    * tag and only its own), same stored vectors and fold-norms (`nrm` is
+    * a pure function of `v` — carried, not recomputed), but every row's
+    * rank-1 cell re-assigned under the NEW model and the files re-laid
+    * under the new `cell=` directories (the partition-pruned serving
+    * contract must hold against the model that serving probes with). The
+    * write lands in a NEW index root (epoch-namespaced by the caller):
+    * overwrite-replayable if the rebuild itself crashes, and the previous
+    * epoch's index stays immutable for audits/late replays. */
+  def rebuildVecIndex(s: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String,
+      cents: Array[(Long, Array[Double])]): Unit =
+    assignCells(
+      s.read.parquet(s"$oldPath/vecs")
+        .select(col("id"), col("v"), col("nrm"), col("batch_id")),
+      cents, "id", "v", "id", "v", 1, carry = Seq("nrm", "batch_id"))
+      .select(col("id"), col("v"), col("nrm"), col("batch_id"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$newPath/vecs")
 
   /** Full Lloyd's k-means over the cosine quantizer: each iteration is a
     * map-side [[assignCells]] pass (zero shuffle before the rollup) + one

@@ -2744,6 +2744,90 @@ object Oracles {
          |FROM ($admAll) a ORDER BY vec_id""".stripMargin
     },
 
+    // w21: BOTH admission lifecycles of the quantizer-refresh seam
+    // unrolled from scratch — epoch-0 rounds under the frozen base model
+    // (w20's proof shape), then the refresh itself re-derived numerically
+    // (per-stored-cell DECIMAL(27,9) sums → double mean → round 6, the s9
+    // rule, with empty cells carrying the old centroid), the rebuild's
+    // re-assignment of the whole index under the refreshed model, and
+    // epoch-1 rounds probing the refreshed model against the rebuilt
+    // index. A single wrongly-refreshed centroid component moves rank-1
+    // cells and hash-fails on the result's `cell` column. Chain-state
+    // CTEs are MATERIALIZED (the r7 inline-explosion rule: every epoch-1
+    // CTE references the full epoch-0 unroll through cent1).
+    "w21_stream_requant" -> {
+      def rounds(ep: Int, pb: String, st: String, start: String): String =
+        (0 until W21Batches).map { b =>
+          val p = s"e${ep}b$b"
+          val prev = if (b == 0) start else s"idxe${ep}_$b"
+          s"""inb$p AS MATERIALIZED (SELECT DISTINCT p.nid FROM $pb p
+             |  JOIN dd db ON db.nid = p.nid AND db.e = $ep AND db.b = $b
+             |  JOIN $st a ON a.cell = p.cell
+             |  JOIN dd da ON da.nid = a.nid AND da.e = $ep AND da.b = $b
+             |  WHERE a.nid < p.nid
+             |    AND round(${cosChain("a.cv", "p.cv")}, 6) >= $SemThreshold),
+             |im$p AS MATERIALIZED (SELECT DISTINCT p.nid FROM $pb p
+             |  JOIN dd db ON db.nid = p.nid AND db.e = $ep AND db.b = $b
+             |  JOIN $prev i ON i.cell = p.cell
+             |  WHERE round(${cosChain("i.cv", "p.cv")}, 6) >= $SemThreshold),
+             |adm$p AS MATERIALIZED (SELECT nid FROM dd
+             |  WHERE e = $ep AND b = $b
+             |  AND nid NOT IN (SELECT nid FROM inb$p)
+             |  AND nid NOT IN (SELECT nid FROM im$p)),
+             |idxe${ep}_${b + 1} AS MATERIALIZED (
+             |  SELECT nid, cell, cv FROM $prev
+             |  UNION ALL SELECT s.nid, s.cell, s.cv FROM $st s
+             |  JOIN adm$p a ON a.nid = s.nid)""".stripMargin
+        }.mkString(",\n")
+      val meanDims = (0 until EmbeddingDim).map(i =>
+        s"round(CAST(sum(CAST(CAST(cv[${i + 1}] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6)")
+        .mkString("[", ",\n    ", "]")
+      val admAll = (for (e <- 0 until W21Epochs; b <- 0 until W21Batches)
+        yield s"SELECT nid, $e AS e, $b AS b FROM adme${e}b$b")
+        .mkString(" UNION ALL ")
+      s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |corp AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+         |pr0 AS MATERIALIZED (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent),
+         |pb0 AS MATERIALIZED (SELECT nid, cv, cent_id AS cell FROM pr0
+         |  WHERE arn <= $W21Probe),
+         |st0 AS MATERIALIZED (SELECT nid, cv, cent_id AS cell FROM pr0
+         |  WHERE arn = 1),
+         |dd AS MATERIALIZED (SELECT vec_id AS nid,
+         |  (vec_id // 2) % $W21Epochs AS e,
+         |  (vec_id // 4) % $W21Batches AS b
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |idxe0_0 AS MATERIALIZED (SELECT nid, cell, cv FROM st0
+         |  WHERE nid % 2 = 0),
+         |${rounds(0, "pb0", "st0", "idxe0_0")},
+         |c1c AS MATERIALIZED (SELECT cell AS cent_id,
+         |  $meanDims AS cvec
+         |  FROM idxe0_$W21Batches GROUP BY cell),
+         |cent1 AS MATERIALIZED (SELECT cent_id, cvec FROM c1c
+         |  UNION ALL SELECT cent_id,
+         |    list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM cent WHERE cent_id NOT IN (SELECT cent_id FROM c1c)),
+         |pr1 AS MATERIALIZED (SELECT nid, cv, cent_id,
+         |  row_number() OVER (PARTITION BY nid
+         |    ORDER BY ${cosChain("cv", "cvec")} DESC, cent_id) AS arn
+         |  FROM corp CROSS JOIN cent1),
+         |pb1 AS MATERIALIZED (SELECT nid, cv, cent_id AS cell FROM pr1
+         |  WHERE arn <= $W21Probe),
+         |st1 AS MATERIALIZED (SELECT nid, cv, cent_id AS cell FROM pr1
+         |  WHERE arn = 1),
+         |idxe1_0 AS MATERIALIZED (SELECT i.nid, s.cell, i.cv
+         |  FROM idxe0_$W21Batches i JOIN st1 s ON s.nid = i.nid),
+         |${rounds(1, "pb1", "st1", "idxe1_0")}
+         |SELECT a.nid AS vec_id, CAST(a.e AS BIGINT) AS epoch,
+         |  CAST(a.b AS BIGINT) AS batch, f.cell
+         |FROM ($admAll) a
+         |JOIN idxe1_$W21Batches f ON f.nid = a.nid
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // m7: all three multimodal-admission rounds unrolled from scratch —
     // the m3 staged-feature arithmetic (uppercase-hex byte lanes, stride-4,
     // 6dp-rounded L2 normalization), the m2 sha256 chain (in-batch min-id

@@ -152,6 +152,25 @@ object Queries {
     p
   }
 
+  /** Bench-run isolation for the streaming admission queries: copy a
+    * STAGED base store into per-run scratch so stream appends never leak
+    * across runs (the staged tree is read-only; a file copy is cheap
+    * against re-hashing/re-assigning the base corpus). One helper for the
+    * w16/w20/m7/pipe16/w21 call sites — one copy contract, no drift. */
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(src)
+    val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
+      finally walk.close()
+    paths.foreach { p =>
+      val d = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(d)
+      else java.nio.file.Files.copy(p, d)
+    }
+  }
+
   /** exact money sum: decimal accumulate, double out. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -1498,20 +1517,8 @@ object Queries {
     val root = scratchDir("w16q")
     val idx = root.resolve("idx")
     // bench-run isolation: copy the staged base, stream appends into the
-    // copy (java.nio walk — the index is file-copy cheap vs a re-hash)
-    locally {
-      val src = java.nio.file.Paths.get(baseIdx)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(src)
-      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
-        finally walk.close()
-      paths.foreach { p =>
-        val dst = idx.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(dst)
-        else java.nio.file.Files.copy(p, dst)
-      }
-    }
+    // copy (see copyTree)
+    copyTree(java.nio.file.Paths.get(baseIdx), idx)
     // the drop dir is a memoized staged artifact (see stagedDropDir);
     // repartition(1): hash-clustering by batch value cannot guarantee
     // one file per dir; a single task writing all three dirs can (the
@@ -1566,20 +1573,8 @@ object Queries {
     val root = scratchDir("w20q")
     val idx = root.resolve("idx")
     // bench-run isolation: copy the staged base, stream appends into the
-    // copy (java.nio walk — the w16 discipline)
-    locally {
-      val src = java.nio.file.Paths.get(baseIdx)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(src)
-      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
-        finally walk.close()
-      paths.foreach { p =>
-        val dst = idx.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(dst)
-        else java.nio.file.Files.copy(p, dst)
-      }
-    }
+    // copy (see copyTree)
+    copyTree(java.nio.file.Paths.get(baseIdx), idx)
     // the drop dir is a memoized staged artifact (see stagedDropDir)
     val drop = stagedDropDir("w20drop", d, W20Batches, "parquet") { tmp =>
       Tables.embeddings(s, d).where(col("vec_id") % 2 === 1)
@@ -1601,6 +1596,106 @@ object Queries {
       .awaitTermination()
     s.read.parquet(sink).select(col("vec_id"), col("batch"))
       .distinct().orderBy(col("vec_id"))
+  }
+
+  /** W21 (streaming semantics through the oracle, part 9): the streaming
+    * QUANTIZER-REFRESH lifecycle — the r15 verdict's one named 100 TB
+    * caveat closed. All three admission planes (w20/m7/d10's semantic
+    * side) previously ran against a FROZEN coarse quantizer forever; at
+    * 100 TB that degrades probe selectivity monotonically as admitted
+    * data drifts (m7's own ×16 probe measured the density cost). This
+    * query runs TWO full admission lifecycles across a refresh boundary:
+    *
+    *   epoch 0: w20's admission under the frozen base quantizer Q0;
+    *   boundary: Q1 = ONE exact-decimal Lloyd step over the index's
+    *     STORED assignments ([[Similarity.refreshQuantizer]] — the
+    *     assignment pass is free because the index stores rank-1 cells),
+    *     then the index is REBUILT under Q1's cells into an
+    *     epoch-namespaced root ([[Similarity.rebuildVecIndex]] — same
+    *     membership, same batch_id tags, new `cell=` layout so the
+    *     partition-pruned serving contract holds against the model that
+    *     serving actually probes with);
+    *   epoch 1: the same admission engine, NEW checkpoint lifecycle,
+    *     probing Q1 against the rebuilt index (tag namespace epoch=1 —
+    *     micro-batch ids restart at 0 per checkpoint, the
+    *     [[Similarity.admitVecBatch]] epoch seam).
+    *
+    * Replay determinism survives the boundary because the refresh runs
+    * BETWEEN lifecycles, never under one: within an epoch every batch
+    * probes one immutable model, and a replayed epoch-1 batch excludes
+    * its own (epoch-namespaced) tag exactly as before — RequantSpec runs
+    * an epoch-1 batch twice across the boundary and pins the end state.
+    *
+    * The result carries each admitted vector's FINAL stored cell (the
+    * rebuild reassigned epoch-0 admissions too), so the DuckDB twin must
+    * reproduce the refreshed model NUMERICALLY: it unrolls both epochs
+    * from scratch — epoch-0 rounds under Q0, the decimal-sum/round-6
+    * per-cell means (the s9 rule: decimal addition is exact, so partial
+    * aggregation order cannot perturb the model), the rebuild
+    * re-assignment, then epoch-1 rounds under Q1 — and a single
+    * wrongly-refreshed centroid component moves cells and hash-fails. */
+  def w21StreamRequant(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents0 = Similarity.collectCentroids(
+      emb.where(col("vec_id") < NumCentroids), "vec_id", "embedding")
+    val baseIdx = stagedDir("w21base", d) { root =>
+      Similarity.writeVecIndex(emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", s"$root/idx", cents0, tag = -1L,
+        org.apache.spark.sql.SaveMode.Overwrite)
+    } + "/idx"
+    val root = scratchDir("w21q")
+    val idx0 = root.resolve("idx_e0")
+    // bench-run isolation: copy the staged base, stream appends into the
+    // copy (see copyTree)
+    copyTree(java.nio.file.Paths.get(baseIdx), idx0)
+    // the drop dirs are memoized staged artifacts (see stagedDropDir),
+    // one per epoch — epoch/batch residues interleave the odd ids so
+    // cross-batch admission interactions exist in BOTH epochs
+    val drops = (0 until W21Epochs).map { e =>
+      stagedDropDir(s"w21drop_e$e", d, W21Batches, "parquet") { tmp =>
+        Tables.embeddings(s, d)
+          .where(col("vec_id") % 2 === 1 &&
+            (expr("vec_id div 2") % W21Epochs) === e)
+          .select(col("vec_id"), col("embedding"),
+            (expr("vec_id div 4") % W21Batches).as("batch"))
+          .repartition(1).sortWithinPartitions(col("vec_id"))
+          .write.mode("overwrite").partitionBy("batch").parquet(tmp)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    // epoch 0: admit under the frozen base quantizer
+    graft.streaming.VecStream.admitNearDup(s, drops(0),
+      root.resolve("ckpt_e0").toString, idx0.toString,
+      root.resolve("sink_e0").toString, cents0, W21Probe, SemThreshold,
+      schema, epoch = 0L).awaitTermination()
+    // epoch boundary: refresh the model off the index's own stored
+    // assignments, rebuild the serving layout under the new cells
+    val cents1 = Similarity.refreshQuantizer(s, idx0.toString, cents0,
+      EmbeddingDim)
+    val idx1 = root.resolve("idx_e1")
+    Similarity.rebuildVecIndex(s, idx0.toString, idx1.toString, cents1)
+    // epoch 1: the same engine, new checkpoint lifecycle, refreshed model
+    graft.streaming.VecStream.admitNearDup(s, drops(1),
+      root.resolve("ckpt_e1").toString, idx1.toString,
+      root.resolve("sink_e1").toString, cents1, W21Probe, SemThreshold,
+      schema, epoch = 1L).awaitTermination()
+    // every admitted vector with its admitting epoch/batch and its FINAL
+    // stored cell under the refreshed quantizer — the join pins the
+    // refresh arithmetic itself, not just the admission outcomes
+    val finalCells = s.read.parquet(s"$idx1/vecs")
+      .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"))
+    val adm = (0 until W21Epochs).map { e =>
+      s.read.parquet(root.resolve(s"sink_e$e").toString)
+        .select(col("vec_id"), lit(e.toLong).as("epoch"), col("batch"))
+    }.reduce(_ unionByName _).distinct()
+    adm.join(finalCells, Seq("vec_id"))
+      .select(col("vec_id"), col("epoch"), col("batch"), col("cell"))
+      .orderBy(col("vec_id"))
   }
 
   /** M7 (streaming semantics through the oracle, part 8): STREAMING
@@ -1646,20 +1741,8 @@ object Queries {
     val root = scratchDir("m7q")
     val sha = root.resolve("sha"); val vecIdx = root.resolve("vecIdx")
     // bench-run isolation: copy the staged base stores, stream appends
-    // into the copies (the w16/w20 discipline)
-    locally {
-      val src = java.nio.file.Paths.get(base)
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(src)
-      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
-        finally walk.close()
-      paths.foreach { p =>
-        val dst = root.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(dst)
-        else java.nio.file.Files.copy(p, dst)
-      }
-    }
+    // into the copies (see copyTree)
+    copyTree(java.nio.file.Paths.get(base), root)
     // the drop dir is a memoized staged artifact (see stagedDropDir)
     val drop = stagedDropDir("m7drop", d, M7Batches, "parquet") { tmp =>
       val odds = payloads.where(col("doc_id") % 2 === 1)
@@ -6616,20 +6699,8 @@ object Queries {
     val root = scratchDir("pipe16q")
     val idx = root.resolve("idx")
     // bench-run isolation: copy the staged base index, stream appends
-    // into the copy (the w16 discipline)
-    locally {
-      val src = java.nio.file.Paths.get(s"$staged/idx")
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(src)
-      val paths = try walk.iterator().asScala.toSeq.sortBy(_.toString)
-        finally walk.close()
-      paths.foreach { p =>
-        val dst = idx.resolve(src.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(dst)
-        else java.nio.file.Files.copy(p, dst)
-      }
-    }
+    // into the copy (see copyTree)
+    copyTree(java.nio.file.Paths.get(s"$staged/idx"), idx)
     // the drop dir is a memoized staged artifact (deterministic fixture
     // input — see stagedDropDir); only mutable state is per-run scratch
     val drop = stagedDropDir("pipe16drop", d, Pipe16Batches, "parquet") {
@@ -7034,6 +7105,7 @@ object Queries {
     "w15_interpolate" -> w15Interpolate _,
     "w16_stream_admission" -> w16StreamAdmission _,
     "w20_vector_admission" -> w20VectorAdmission _,
+    "w21_stream_requant" -> w21StreamRequant _,
     "m7_stream_media" -> m7StreamMedia _,
     "w17_ohlcv_candles" -> w17OhlcvCandles _,
     "w18_candle_cascade" -> w18CandleCascade _,

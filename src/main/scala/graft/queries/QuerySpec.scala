@@ -91,6 +91,19 @@ object QuerySpec {
   // round(cosine, 6) >= SemThreshold.
   val W20Batches = 3
   val W20Probe = 2
+  // W21 streaming QUANTIZER-REFRESH lifecycle (the r15 verdict's one
+  // named 100 TB caveat closed): odd vec_ids stream in W21Epochs
+  // checkpoint lifecycles of W21Batches micro-batches each (epoch =
+  // (vec_id div 2) % W21Epochs, batch = (vec_id div 4) % W21Batches —
+  // interleaved residues, so cross-batch admission interactions exist in
+  // both epochs). Epoch 0 admits under the frozen base quantizer; at the
+  // boundary the model takes ONE exact-decimal Lloyd step over the
+  // index's STORED assignments (Similarity.refreshQuantizer) and the
+  // index is rebuilt under the new cells; epoch 1 admits under the
+  // refreshed model. Probe/threshold semantics are w20's.
+  val W21Epochs = 2
+  val W21Batches = 2
+  val W21Probe = 2
   // S12 product quantization: m subspaces of EmbeddingDim/m dims each
   val PqM = 8
   val IvfTopK = 5

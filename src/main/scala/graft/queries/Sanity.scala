@@ -321,6 +321,23 @@ object Sanity {
         .count()
       band("w20 admitted/delta", admitted, delta, 0.05, 0.99)
     },
+    "w21_stream_requant" -> { (s, d) =>
+      // both epochs must admit SOMETHING (a dead epoch means the refresh
+      // or the rebuilt index broke admission wholesale), and the overall
+      // rate sits in the w20 band
+      val rows = q("w21_stream_requant")(s, d)
+        .groupBy(col("epoch")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val delta = Tables.embeddings(s, d).where(col("vec_id") % 2 === 1)
+        .count()
+      val v = scala.collection.mutable.ListBuffer.empty[String]
+      (0 until QuerySpec.W21Epochs).foreach { e =>
+        if (rows.getOrElse(e.toLong, 0L) == 0L)
+          v += s"epoch $e admitted nothing"
+      }
+      v ++= band("w21 admitted/delta", rows.values.sum, delta, 0.05, 0.99)
+      v.toSeq
+    },
     "m7_stream_media" -> { (s, d) =>
       // three-gate funnel: arrivals > exact-fresh > admitted, none empty,
       // neither gate dead (the fixture has byte-identical near-dup text
