@@ -2304,6 +2304,74 @@ object Scratch {
           }
         }
         batch.unpersist()
+      case Some("bcurvet") =>
+        // r15 verdict item 3: the B-curve's claimed TRICKLE-BATCH pay-off
+        // regime, measured — the bcurve run above measured the saturating
+        // side (a 32-doc batch touches most dirs at any B); the scaladoc's
+        // "256+ at 100 TB" conclusion rests on touched ≪ B for SMALL
+        // batches, which had no measured point. batch ∈ {1, 4} docs ×
+        // B ∈ {8, 64, 256} × ×16 index, reporting dirs touched/total,
+        // probe wall, files appended per admit.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.SaveMode
+        val docs = Tables.documents(spark, sfDir)
+        for (bkts <- Seq(8L, 64L, 256L)) {
+          val root = java.nio.file.Files.createTempDirectory(s"bct$bkts")
+          val idx = root.resolve("idx").toString
+          val corpus = (0 until 16).map(i =>
+            docs.where(col("doc_id") % 2 === 0)
+              .select((col("doc_id") + lit(i.toLong * 10000000L))
+                .as("doc_id"), col("text")))
+            .reduce(_ unionByName _)
+          operators.Dedup.writeTaggedIndex(corpus, "doc_id", "text", idx,
+            queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands,
+            queries.QuerySpec.W16ShingleK, -1L, SaveMode.Overwrite,
+            idxBuckets = bkts)
+          val totalFiles = spark.read.parquet(s"$idx/bands")
+            .select(input_file_name()).distinct().count()
+          println(s"B=$bkts: files_total=$totalFiles")
+          for (bsz <- Seq(1, 4)) {
+            val batch = docs
+              .where(col("doc_id") % 2 === 1 && col("doc_id") < 2 * bsz)
+              .select(col("doc_id"), col("text")).persist()
+            val n = batch.count()
+            val dBuckets = operators.Dedup.bandCols(
+                operators.Dedup.signatures(
+                  batch.select(col("doc_id").as("id"),
+                    operators.TextAnalysis.shingleHashes(col("text"),
+                      queries.QuerySpec.W16ShingleK).as("toks"))
+                    .where(size(col("toks")) > 0),
+                  queries.QuerySpec.MinhashK),
+                queries.QuerySpec.MinhashK, queries.QuerySpec.MinhashBands)
+              .select(explode(array(
+                (0 until queries.QuerySpec.MinhashBands).map(b =>
+                  col(s"b$b")): _*)).as("band"))
+              .select(pmod(xxhash64(col("band")), lit(bkts)).as("bucket"))
+              .distinct().count()
+            val sink = root.resolve(s"sink$bsz").toString
+            println(s"  B=$bkts batch=$n dirs_touched=$dBuckets/$bkts")
+            for (r <- 0 to 1) {
+              val nf0 = spark.read.parquet(s"$idx/bands")
+                .select(input_file_name()).distinct().count()
+              time(s"B${bkts}_n${bsz}_admit$r") {
+                // tag namespaced per (bsz, r): reusing a tag across the
+                // bsz loops would replay-exclude the other loop's appends
+                operators.Dedup.admitBatch(batch, (bsz * 10 + r).toLong,
+                  "doc_id", "text", idx, sink, queries.QuerySpec.MinhashK,
+                  queries.QuerySpec.MinhashBands,
+                  queries.QuerySpec.W16ShingleK,
+                  queries.QuerySpec.MinhashThreshold,
+                  idxBuckets = bkts).unpersist()
+                spark.read.parquet(sink).count()
+              }
+              val nf1 = spark.read.parquet(s"$idx/bands")
+                .select(input_file_name()).distinct().count()
+              println(s"  B=$bkts batch=$n admit$r " +
+                s"appended_band_files=${nf1 - nf0}")
+            }
+            batch.unpersist()
+          }
+        }
       case Some("sanity") =>
         // the r13-pipe15 degeneracy census (round-14 gate): assert every
         // funnel-shaped query is stage-level non-trivial at THIS sf dir —

@@ -321,11 +321,21 @@ object Dedup {
     * only when B ≫ the batch's band-key count — a 32-doc batch (128
     * band keys) saturates B=8 (8/8 dirs) and nearly saturates B=64
     * (52/64, 19% pruned) while appending 6× the files (~30 ms/file of
-    * commit overhead), a net loss at fixture batch sizes. Raising B
-    * (256+) pays off for small trickle batches probing a huge index,
-    * where touched ≪ B and bytes-read dominates file-count overhead;
-    * bulk batches saturate any B (the [[dedupAgainstIndex]]
-    * unpruned-toks rationale). */
+    * commit overhead), a net loss at fixture batch sizes. The TRICKLE
+    * regime is MEASURED too (`Scratch bcurvet`, r16, ×16 index): a 1-doc
+    * batch (4 band keys) touches 4 dirs at EVERY B — 4/8, 4/64, 4/256,
+    * the formula's touched ≪ B side — and appends only its own band-key
+    * count of files at any B (the append side never punishes trickle
+    * batches). Probe wall: 4.5 s at B=8 → 2.9 s at B=64 (scanned
+    * fraction 50% → 6%) but BACK UP to 4.7 s at B=256: partition
+    * DISCOVERY lists all B dirs regardless of how few are read, and at
+    * fixture scale that O(B) listing eats the bytes-read gain past
+    * B ≈ 64. Honest 100 TB guidance: raise B until the per-dir listing
+    * cost (metastore-amortized on a real deployment; bare-FS O(B) here)
+    * matches the bytes saved — the bytes-read term shrinks as touched/B,
+    * so "256+" is a bytes claim, not a fixture-scale wall claim. Bulk
+    * batches saturate any B (the [[dedupAgainstIndex]] unpruned-toks
+    * rationale). */
   val IndexBuckets = 8L
 
   /** Batch-TAGGED MinHash index at SHINGLE grain — the streaming-admission
