@@ -168,6 +168,61 @@ class MediaStreamSpec extends SparkSpec {
     assert(shaIds == List(1L, 3L), s"sha store: $shaIds")
   }
 
+  test("m7 across a quantizer-refresh boundary: the feature index is the " +
+      "same Similarity layout, so refreshQuantizer + rebuildVecIndex " +
+      "serve the multimodal plane unchanged; epoch-1 replay idempotent") {
+    val base = Files.createTempDirectory("mediarequant")
+    val sha = base.resolve("sha").toString
+    val vecIdx0 = base.resolve("vecIdx_e0").toString
+    val vecIdx1 = base.resolve("vecIdx_e1").toString
+    val census = base.resolve("census").toString
+    val cents0 = centsOf(Seq(0L -> pA, 1L -> pB, 2L -> pC))
+    Similarity.writeVecIndex(
+      Multimodal.stagedFeatures(Seq(100L -> pB).toDF("doc_id", "payload"),
+        "doc_id", "payload"), "doc_id", "f", vecIdx0, cents0, tag = -1L,
+      SaveMode.Overwrite)
+    // epoch 0, batch 0: 1 = pA fresh + feature-fresh → admitted;
+    // 3 = pB exact-fresh but near-dups indexed 100 → vector rejected
+    MediaSpine.ingestBatch(
+      Seq(1L -> pA, 3L -> pB).toDF("doc_id", "payload"), 0L, "doc_id",
+      "payload", sha, vecIdx0, census, cents0, nprobe = 2,
+      threshold = 0.99999, shards = 4L, epoch = 0L)
+    // boundary: the refresh/rebuild pair is plane-agnostic — it reads the
+    // SAME `vecs` layout MediaSpine appends to (8-dim byte-lane features)
+    val cents1 = Similarity.refreshQuantizer(spark, vecIdx0, cents0,
+      dim = 8)
+    Similarity.rebuildVecIndex(spark, vecIdx0, vecIdx1, cents1)
+    // epoch 1, batch 0 (tag namespace restarts), applied TWICE — the
+    // cross-boundary replay shape: 5 = pA2 (exact-fresh BYTES, but its
+    // feature direction is identical to epoch-0-admitted 1 — cosine 1.0
+    // under ANY quantizer — so the vector gate rejects it against the
+    // rebuilt index); 7 = pC fresh in its own cell → admitted
+    val b1 = Seq(5L -> pA2, 7L -> pC).toDF("doc_id", "payload")
+    MediaSpine.ingestBatch(b1, 0L, "doc_id", "payload", sha, vecIdx1,
+      census, cents1, nprobe = 2, threshold = 0.99999, shards = 4L,
+      epoch = 1L)
+    MediaSpine.ingestBatch(b1, 0L, "doc_id", "payload", sha, vecIdx1,
+      census, cents1, nprobe = 2, threshold = 0.99999, shards = 4L,
+      epoch = 1L)
+    val rows = spark.read.parquet(census).distinct()
+    val admitted = rows.where($"section" === "admit")
+      .select($"k", $"batch_tag").as[(String, Long)].collect()
+      .sortBy(_._1).toList
+    assert(admitted == List(("1", 0L), ("7", 1000000L)),
+      s"admitted: $admitted")
+    // rebuilt index: epoch-0 rows keep their tags; the epoch-1 admit
+    // lands under its namespaced tag; the replay appended nothing new
+    val idxState = spark.read.parquet(s"$vecIdx1/vecs")
+      .select($"id", $"batch_id").distinct()
+      .as[(Long, Long)].collect().sortBy(_._1).toList
+    assert(idxState == List((1L, 0L), (7L, 1000000L), (100L, -1L)),
+      s"vec index: $idxState")
+    // sha store: every exact-fresh payload across both epochs, once
+    val shaIds = spark.read.parquet(sha)
+      .select($"id").distinct().as[Long].collect().sorted.toList
+    assert(shaIds == List(1L, 3L, 5L, 7L), s"sha store: $shaIds")
+  }
+
   test("m7 tag namespacing is enforced (batchId < 1e6)") {
     val base = Files.createTempDirectory("mediatagns")
     val cents = centsOf(Seq(0L -> pA, 1L -> pB, 2L -> pC))
