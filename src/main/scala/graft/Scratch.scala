@@ -2392,8 +2392,10 @@ object Scratch {
         // detector SELF-TEST: re-introduce the known-degenerate 3-gram
         // pipe15 decon grain and require the census to flag it (r13's
         // incident is scale-dependent — run this at sf0.1, where the
-        // 3-gram grain saturates; SanitySpec covers the same path in-suite)
-        val vs = queries.Sanity.pipe15CheckAt(spark, sfDir, deconK = 3)
+        // 3-gram grain saturates; SanitySpec covers the same path
+        // in-suite). Takes the sf dir positionally like `sanity` does.
+        val vs = queries.Sanity.pipe15CheckAt(spark,
+          args.drop(1).lastOption.getOrElse(sfDir), deconK = 3)
         if (vs.isEmpty) {
           println("SANITY3G FAIL: detector did NOT flag the 3-gram spine " +
             s"at $sfDir (expected violations)")
