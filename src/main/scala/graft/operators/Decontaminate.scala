@@ -57,16 +57,21 @@ object Decontaminate {
     * overshooting wastes sketch bytes, undershooting degrades fpp toward
     * the plain join's shuffle (still exact — the verify join holds). */
   /** [[contaminatedDocs]] against a PRE-STAGED benchmark shingle-hash set
-    * (one `sh` string column) — the streaming serving form: the eval set
-    * is shingled once offline (it changes on benchmark-release cadence,
-    * not per batch) and every micro-batch meets it in one equi-join; the
-    * set side broadcasts under AQE at eval-set scale. Same output contract
-    * as [[contaminatedDocs]]: (doc_id, n_shared), clean docs absent. */
+    * (one `sh` string column, DISTINCT — the staging step writes the set
+    * deduped, which is what makes it a set; that contract is load-bearing
+    * for the count semantics AND for cost: re-distincting here would
+    * shuffle the benchmark-sized set on EVERY micro-batch for rows that
+    * were already unique, a pure fixed tax on the streaming plane) — the
+    * streaming serving form: the eval set is shingled once offline (it
+    * changes on benchmark-release cadence, not per batch) and every
+    * micro-batch meets it in one equi-join; the set side broadcasts
+    * under AQE at eval-set scale. Same output contract as
+    * [[contaminatedDocs]]: (doc_id, n_shared), clean docs absent. */
   def contaminatedAgainstSet(corpus: DataFrame, benchShingles: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame =
     corpus.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
-      .join(benchShingles.select(col("sh")).distinct(), Seq("sh"))
+      .join(benchShingles.select(col("sh")), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
 
