@@ -397,7 +397,7 @@ object Similarity {
     // (or their union): they feed a LEFT ANTI join, which is set-semantics
     // on the left regardless of right-side duplicates — each removed
     // distinct was a shuffle stage of tiny data paying a fixed per-stage
-    // wall every micro-batch (the r15 m7-shave finding)
+    // wall every micro-batch (the r16 m7-shave finding)
     val inbRejected = storage.alias("a").join(probes.alias("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(round(dot(col("a.v"), col("b.v"))
