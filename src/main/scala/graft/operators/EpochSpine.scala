@@ -144,11 +144,20 @@ object EpochSpine {
         // settle the ledger future before surfacing the admission failure:
         // abandoning it would leave a driver job running a Spark collect
         // against the census store after the batch has failed, and its own
-        // failure (if any) would vanish — attach it as suppressed instead
+        // failure (if any) would vanish — attach it as suppressed instead.
+        // BOUNDED await: if the failure that killed admission also wedged
+        // the context, an unbounded wait here would hang the stream
+        // silently instead of failing the batch
         try scala.concurrent.Await
-          .ready(usedMapF, scala.concurrent.duration.Duration.Inf)
+          .ready(usedMapF, scala.concurrent.duration.Duration(60,
+            java.util.concurrent.TimeUnit.SECONDS))
           .value.get.failed.foreach { le => if (le ne e) e.addSuppressed(le) }
-        catch { case _: InterruptedException => () }
+        catch {
+          case te: java.util.concurrent.TimeoutException =>
+            e.addSuppressed(te)
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt()
+        }
         throw e
     }
     val admitted = admittedRaw.withColumnRenamed("id", "doc_id")

@@ -472,7 +472,16 @@ object Similarity {
   def refreshQuantizer(s: org.apache.spark.sql.SparkSession,
       indexPath: String, init: Array[(Long, Array[Double])],
       dim: Int): Array[(Long, Array[Double])] = {
-    val vecs = s.read.parquet(s"$indexPath/vecs")
+    val raw = s.read.parquet(s"$indexPath/vecs")
+    // Crash-replay tolerance (the read-side-distinct contract the serving
+    // joins already honor): a replayed micro-batch re-appends byte-equal
+    // rows, and without collapsing them the per-cell mean double-weights
+    // that batch's vectors — the refreshed model would diverge from the
+    // duplicate-free unroll. Only stream-tagged rows can carry replay
+    // duplicates (base builds and rebuilds write Overwrite), so the
+    // distinct shuffles the streamed tail only, never the base plane.
+    val vecs = raw.where(col("batch_id") === -1L)
+      .unionByName(raw.where(col("batch_id") =!= -1L).distinct())
     val agged = vecs.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"),
         (0 until dim).map(i =>
@@ -501,15 +510,21 @@ object Similarity {
     * epoch's index stays immutable for audits/late replays. */
   def rebuildVecIndex(s: org.apache.spark.sql.SparkSession,
       oldPath: String, newPath: String,
-      cents: Array[(Long, Array[Double])]): Unit =
-    assignCells(
-      s.read.parquet(s"$oldPath/vecs")
-        .select(col("id"), col("v"), col("nrm"), col("batch_id")),
+      cents: Array[(Long, Array[Double])]): Unit = {
+    val rows = s.read.parquet(s"$oldPath/vecs")
+      .select(col("id"), col("v"), col("nrm"), col("batch_id"))
+    // collapse crash-replay duplicates (byte-equal re-appended rows) so
+    // they are not carried into the new epoch's index — the
+    // refreshQuantizer rationale; only stream-tagged rows can be replayed
+    val uniq = rows.where(col("batch_id") === -1L)
+      .unionByName(rows.where(col("batch_id") =!= -1L).distinct())
+    assignCells(uniq,
       cents, "id", "v", "id", "v", 1, carry = Seq("nrm", "batch_id"))
       .select(col("id"), col("v"), col("nrm"), col("batch_id"), col("cell"))
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$newPath/vecs")
+  }
 
   /** Full Lloyd's k-means over the cosine quantizer: each iteration is a
     * map-side [[assignCells]] pass (zero shuffle before the rollup) + one

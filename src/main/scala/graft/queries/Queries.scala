@@ -1689,6 +1689,10 @@ object Queries {
     // refresh arithmetic itself, not just the admission outcomes
     val finalCells = s.read.parquet(s"$idx1/vecs")
       .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"))
+      // read-side-distinct replay contract: a replayed post-refresh batch
+      // leaves byte-equal duplicate (id, cell) rows in the index, and this
+      // join is NOT an anti-join — duplicates would multiply result rows
+      .distinct()
     val adm = (0 until W21Epochs).map { e =>
       s.read.parquet(root.resolve(s"sink_e$e").toString)
         .select(col("vec_id"), lit(e.toLong).as("epoch"), col("batch"))

@@ -83,6 +83,42 @@ class RequantSpec extends SparkSpec {
       0.8f.toDouble * 0.8f.toDouble)) < 1e-12)
   }
 
+  test("an epoch-0 batch replayed BEFORE the refresh does not " +
+      "double-weight the refreshed model, and the rebuild does not carry " +
+      "the duplicate rows into the new epoch's index") {
+    val base = Files.createTempDirectory("requantpre")
+    val idxA = base.resolve("idx_clean").toString
+    val idxB = base.resolve("idx_replayed").toString
+    val mk = Seq(100L -> Array(1.0f, 0.0f)).toDF("vec_id", "embedding")
+    Similarity.writeVecIndex(mk, "vec_id", "embedding", idxA, cents,
+      tag = -1L, SaveMode.Overwrite)
+    Similarity.writeVecIndex(mk, "vec_id", "embedding", idxB, cents,
+      tag = -1L, SaveMode.Overwrite)
+    // batch 0 admits 1=(0.1,1) into cell 1; on idxB the batch crash-replays
+    // (applied twice), appending byte-equal duplicate index rows
+    val b0 = Seq(1L -> Array(0.1f, 1.0f)).toDF("vec_id", "embedding")
+    Similarity.admitVecBatch(b0, 0L, "vec_id", "embedding", idxA,
+      base.resolve("sinkA").toString, cents, 2, 0.9, epoch = 0L)
+    Similarity.admitVecBatch(b0, 0L, "vec_id", "embedding", idxB,
+      base.resolve("sinkB").toString, cents, 2, 0.9, epoch = 0L)
+    Similarity.admitVecBatch(b0, 0L, "vec_id", "embedding", idxB,
+      base.resolve("sinkB").toString, cents, 2, 0.9, epoch = 0L)
+    // the duplicate rows exist on disk (the replay appended byte-equal
+    // rows) — the refresh must collapse them, not average over them
+    assert(spark.read.parquet(s"$idxB/vecs").where($"id" === 1L).count()
+      >= 2L)
+    val refA = Similarity.refreshQuantizer(spark, idxA, cents, dim = 2)
+    val refB = Similarity.refreshQuantizer(spark, idxB, cents, dim = 2)
+    assert(refA.map(t => (t._1, t._2.toList)).toList ==
+      refB.map(t => (t._1, t._2.toList)).toList)
+    // and the rebuild writes each id exactly once into the new epoch root
+    val idxB1 = base.resolve("idx_replayed_e1").toString
+    Similarity.rebuildVecIndex(spark, idxB, idxB1, refB)
+    val perId = spark.read.parquet(s"$idxB1/vecs")
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    assert(perId == Map(100L -> 1L, 1L -> 1L))
+  }
+
   test("cross-boundary crash replay: an epoch-1 batch applied twice " +
       "after refresh+rebuild lands in the identical end state") {
     val base = Files.createTempDirectory("requantreplay")
