@@ -460,19 +460,47 @@ object Dedup {
       tPrev = now
     }
     val s = batch.sparkSession
-    // localCheckpoint, not persist: the 16-hash signature/band trees are
-    // the widest expression trees in the engine, and every downstream
-    // action (two collects, the candidate join, the sink/index appends)
-    // would re-ANALYZE them per action — measured ~1-2 s/batch of pure
-    // driver time; truncating the lineage makes each downstream plan a
-    // leaf scan (the mixSelectOn/s18 plan-duplication lesson)
-    val dToks = Spread(batch).select(col(idCol).as("id"),
+    // TWO distributed jobs materialize the batch's admission state to the
+    // driver — these rows are batch-sized by the admission contract (they
+    // broadcast into every candidate/verify join below), so holding them
+    // as LocalRelations is the same driver footprint the broadcasts
+    // already paid. Job 1 computes the shingle sets ONCE and collects
+    // them; job 2 runs the signature/band chain over the collected rows
+    // (a LocalRelation input — no second pass over the text) and collects
+    // each band with its bucket. This replaces the dToks and dBands
+    // localCheckpoints plus the separate band-bucket collect — three
+    // serial job walls, measured ~1.9 s/batch as ADMITDEBUG collect1 at
+    // sf0.1 — and makes every downstream read of batch state a
+    // LocalTableScan instead of a checkpoint-block scan. All hashing
+    // stays IN the engine (md5 / xxhash64 computed by Spark expressions
+    // before the collects), so nothing can drift against the index
+    // layout or the oracle.
+    import scala.jdk.CollectionConverters._
+    def local(rows: Seq[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType) =
+      s.createDataFrame(rows.asJava, schema)
+    val toksPlan = Spread(batch).select(col(idCol).as("id"),
       graft.operators.TextAnalysis.shingleHashes(col(textCol), shingleK)
         .as("toks"))
-      .where(size(col("toks")) > 0).localCheckpoint()
-    val dBands = bandCols(signatures(dToks, k), k, bands)
-      .select(col("id"), explode(array((0 until bands).map(b =>
-        col(s"b$b")): _*)).as("band")).localCheckpoint()
+      .where(size(col("toks")) > 0)
+    val toksRows = toksPlan.collect()
+    val idType = toksPlan.schema("id").dataType
+    val toksType = toksPlan.schema("toks").dataType
+    val dToks = local(toksRows.toSeq, toksPlan.schema)
+    val bandsArr = array((0 until bands).map(b => col(s"b$b")): _*)
+    val bandPlan = bandCols(signatures(dToks, k), k, bands)
+      .select(col("id"), bandsArr.as("bands"),
+        transform(bandsArr, b => pmod(xxhash64(b), lit(idxBuckets)))
+          .as("bkts"),
+        pmod(xxhash64(col("id")), lit(idxBuckets)).as("idb"))
+    val bandRows = bandPlan.collect()
+    val toksById = toksRows.map(r => r.get(0) -> r.get(1)).toMap
+    val dBands = local(bandRows.toSeq.flatMap(r =>
+        r.getSeq[String](1).map(b => org.apache.spark.sql.Row(r.get(0), b))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.StringType))))
     // ONE fused candidate surface for BOTH rejection sources (the r14 job
     // squeeze: the in-batch chain and the index probe were separate 2-3
     // job subtrees; a streaming micro-batch pays per-job overhead, so they
@@ -483,12 +511,11 @@ object Dedup {
     // bands scan to the delta's own band-buckets, the toks scan to the
     // candidates' id-buckets — each driver in-list is bounded by
     // IndexBuckets (a constant), never by data (`Scratch w16prune`
-    // measures probe wall ~flat as the index grows ×16). The first
-    // collect doubles as dBands' persist fill; candidates persist
-    // batch-collision scale and feed the second O(B) collect + the verify.
-    val dBandBuckets = dBands
-      .select(pmod(xxhash64(col("band")), lit(idxBuckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // measures probe wall ~flat as the index grows ×16). Candidates
+    // persist batch-collision scale and feed the O(B) collect + the
+    // verify.
+    val dBandBuckets = bandRows.flatMap(_.getSeq[Long](2)).distinct
+      .toSeq.sorted
     mark("collect1")
     val candAll = readBucketPruned(s, s"$indexPath/bands", dBandBuckets,
         tag)
@@ -518,23 +545,33 @@ object Dedup {
       // on the left regardless of right-side duplicates; the distinct was
       // a tiny-data shuffle stage paying a fixed wall every micro-batch
       .select(col("delta_id").as("id"))
-    val admitted = batch.select(col(idCol).as("id"))
+    // the anti-join COLLECTS (batch-id-sized — the same rows the sink
+    // append was about to broadcast anyway): the admitted set then serves
+    // every consumer as a LocalRelation, replacing the persist + dedicated
+    // fill-count job, and the appends below become pure local writes with
+    // no joins and no cache to race for
+    val admittedPlan = batch.select(col(idCol).as("id"))
       .join(rejected, Seq("id"), "left_anti")
-      .persist()
-    // fill the cache with ONE dedicated job before the appends race for
-    // it (unfilled, concurrent consumers each recompute the anti-join)
-    admitted.count()
+    val admittedRows = admittedPlan.collect()
+    val admittedIds = admittedRows.map(_.get(0)).toSet
+    val admitted = local(admittedRows.toSeq, admittedPlan.schema)
     mark("admit_fill")
+    val admittedBandRows = bandRows.filter(r => admittedIds(r.get(0)))
+    val longT = org.apache.spark.sql.types.LongType
+    def field(n: String, t: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.types.StructField(n, t)
     // The three appends (sink, bands, toks) run as CONCURRENT Spark jobs
     // (r14 verdict item 3 — the streaming tier's per-batch commit floor):
-    // their inputs are all materialized (admitted persisted, dBands/dToks
-    // localCheckpointed), their outputs are disjoint tables, and their
-    // fixed per-job overhead (~0.3-0.6 s each at fixture scale) overlaps
-    // instead of adding. Replay stays idempotent under ANY completed
-    // subset: the probe excludes rows tagged with its OWN batch id and
-    // the sink is read through a distinct, so a crash between appends
-    // replays to the identical end state regardless of which append(s)
-    // landed (spec-pinned by running the same batch twice).
+    // each writes a driver-built LocalRelation (band/toks rows filtered to
+    // the admitted set driver-side — every value, including the bucket,
+    // was engine-computed in the collect job above), their outputs are
+    // disjoint tables, and their fixed per-job overhead (~0.3-0.6 s each
+    // at fixture scale) overlaps instead of adding. Replay stays
+    // idempotent under ANY completed subset: the probe excludes rows
+    // tagged with its OWN batch id and the sink is read through a
+    // distinct, so a crash between appends replays to the identical end
+    // state regardless of which append(s) landed (spec-pinned by running
+    // the same batch twice).
     // coalesce(1) + partitionBy on the index appends: ONE task writes at
     // most one file per touched bucket dir per batch, so pruned probes
     // read O(batches) files per probed bucket, not O(batches × partitions)
@@ -543,21 +580,28 @@ object Dedup {
           lit(batchId).cast("long").as("batch"))
         .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(sinkPath),
-      () => dBands.join(admitted, Seq("id"), "left_semi")
-        .select(col("band"), col("id"), lit(tag).as("batch_id"),
-          pmod(xxhash64(col("band")), lit(idxBuckets)).as("bucket"))
+      () => local(admittedBandRows.toSeq.flatMap { r =>
+          val bs = r.getSeq[String](1); val ks = r.getSeq[Long](2)
+          bs.indices.map(i =>
+            org.apache.spark.sql.Row(bs(i), r.get(0), tag, ks(i)))
+        }, org.apache.spark.sql.types.StructType(Seq(
+          field("band", org.apache.spark.sql.types.StringType),
+          field("id", idType), field("batch_id", longT),
+          field("bucket", longT))))
         .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("bucket").parquet(s"$indexPath/bands"),
-      () => dToks.join(admitted, Seq("id"), "left_semi")
-        .select(col("id"), col("toks"), lit(tag).as("batch_id"),
-          pmod(xxhash64(col("id")), lit(idxBuckets)).as("bucket"))
+      () => local(admittedBandRows.toSeq.map(r =>
+          org.apache.spark.sql.Row(r.get(0), toksById(r.get(0)), tag,
+            r.getLong(3))),
+        org.apache.spark.sql.types.StructType(Seq(
+          field("id", idType), field("toks", toksType),
+          field("batch_id", longT), field("bucket", longT))))
         .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("bucket").parquet(s"$indexPath/toks"))
     mark("appends")
     candAll.unpersist()
-    // the admitted-id frame, STILL PERSISTED (filled by the writes above):
-    // composing callers (pipe16's mix ledger) read it instead of
-    // re-listing the sink; callers must unpersist it when done
+    // the admitted-id frame as a LocalRelation: composing callers
+    // (pipe16's mix ledger) read it instead of re-listing the sink
     admitted
   }
 

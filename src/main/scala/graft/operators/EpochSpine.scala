@@ -129,12 +129,8 @@ object EpochSpine {
 
     // 2. near-dup admission (w16's engine — sink + index appends and the
     // own-tag replay filter live inside admitBatch, which returns the
-    // admitted-id frame persisted)
-    // keep the handle admitBatch PERSISTED and returned: unpersist() is
-    // non-cascading and matches cached plans by sameResult, so calling it
-    // on a projection OVER the cached frame uncaches nothing — a
-    // long-running stream would leak one cached admitted-id frame per
-    // micro-batch (CacheManager holds entries strongly)
+    // admitted-id frame as a driver-local relation: batch-id-sized,
+    // nothing cached to leak across micro-batches)
     val admittedRaw = try {
       Dedup.admitBatch(
         deconOk.select(col("doc_id"), col("clean")), batchId, "doc_id",
@@ -175,12 +171,24 @@ object EpochSpine {
       .toDF("lang", "target", "used")
     val bw = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // the admitted set WITH lang/words — the mix candidates AND the
-    // 3_admit census grain share this one persisted frame
-    val mixCand = deconOk.join(broadcast(admitted), Seq("doc_id"),
+    // the admitted set WITH lang/words — COLLECTED (admitted-batch-sized:
+    // three long/string columns, bounded by the batch) so the mix
+    // candidates AND the 3_admit census grain read a LocalRelation: the
+    // census union below scans mixCand once and mixed three times
+    // (ledger/manifest/4_mix subtrees) inside ONE job, and local rows
+    // replace the persist + dedicated fill-count job those concurrent
+    // subtree scans used to race for. `mixed` stays a Spark plan over the
+    // local rows (the crossing rule's window/join arithmetic remains
+    // engine-evaluated — recomputing it per subtree is a tiny local
+    // shuffle, no corpus scans).
+    val mixCandPlan = deconOk.join(broadcast(admitted), Seq("doc_id"),
         "left_semi")
       .select(col("doc_id"), col("lang"), col("words"))
-      .persist()
+    val mixCand = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(mixCandPlan.collect().toSeq.asJava,
+        mixCandPlan.schema)
+    }
     val mixed = mixCand
       .withColumn("cum_before", coalesce(sum(col("words")).over(bw),
         lit(0L)))
@@ -188,12 +196,6 @@ object EpochSpine {
       .where(coalesce(col("used"), lit(0L)) + col("cum_before") <
         coalesce(col("target"), lit(0L)))
       .select(col("doc_id"), col("lang"), col("words"))
-      .persist()
-    // fill both caches NOW: the census union below scans mixCand once and
-    // mixed three times (ledger/manifest/4_mix subtrees) inside ONE job —
-    // unfilled, the concurrent subtree scans race to compute the same
-    // partitions and each loser re-runs the window chain
-    mixed.count()
     mark("mix")
 
     // 4. ONE census append: ledger + manifest + funnel deltas unioned
@@ -246,11 +248,8 @@ object EpochSpine {
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(censusPath)
     mark("census")
-
-    mixed.unpersist()
-    mixCand.unpersist()
-    admittedRaw.unpersist()
-    // batch/deconOk are localCheckpoints: their blocks are released by the
+    // admitted/mixCand are LocalRelations (nothing cached); batch/deconOk
+    // are localCheckpoints — their blocks are released by the
     // ContextCleaner when the frames go out of scope
   }
 }

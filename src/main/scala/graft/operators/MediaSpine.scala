@@ -48,7 +48,8 @@ import org.apache.spark.sql.functions._
   * is a pure function of (batch, state-before-batch) and a DuckDB oracle
   * unrolls the rounds from scratch (the w16/w20 proof shape).
   *
-  * Scale shape: everything batch-sized broadcasts or localCheckpoints;
+  * Scale shape: everything batch-sized broadcasts or collects to
+  * driver-local relations (the same footprint the broadcasts pay);
   * the sha store is touched by PARTITION-PRUNED scan only (the batch's
   * own spp dirs — a driver in-list bounded by 16); the feature index by
   * partition-pruned scan of the probed cells (bounded by the quantizer
@@ -104,7 +105,7 @@ object MediaSpine {
     val inBatchWinners = meta.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
     // persisted but NOT force-counted: the fill rides the probes
-    // checkpoint job below (the batch's next serial action — no
+    // collect job below (the batch's next serial action — no
     // concurrent consumer exists before it), saving one fixed job wall
     // per batch; the concurrent appends at the end read a filled cache
     val exactFresh = (if (exists(s, shaPath)) {
@@ -115,13 +116,25 @@ object MediaSpine {
     } else inBatchWinners).persist()
     mark("exact_gate")
 
-    // 2. near-dup gate on the deterministic features (w20's rule). Only
-    // `probes` is checkpointed: its one materialization runs the staged
-    // feature chain once; storage/candidates are projections of it.
-    val probes = Similarity.assignCellsRanked(
+    // 2. near-dup gate on the deterministic features (w20's rule). The
+    // probe rows COLLECT in one job (batch × nprobe rows — broadcast
+    // scale: the same rows ship into the index join below either way) and
+    // serve every consumer as a LocalRelation: this fuses the old probes
+    // localCheckpoint and the separate probed-cell collect — two serial
+    // job walls — into one, and its materialization runs the staged
+    // feature chain once AND fills exactFresh's cache (the batch's next
+    // serial action either way).
+    val probesPlan = Similarity.assignCellsRanked(
         Multimodal.stagedFeatures(exactFresh, "id", "payload"),
         cents, "id", "f", "id", "v", nprobe)
-      .withColumn("nrm", Similarity.norm(col("v"))).localCheckpoint()
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val probesRows = probesPlan.collect()
+    import scala.jdk.CollectionConverters._
+    val probes = s.createDataFrame(probesRows.toSeq.asJava,
+      probesPlan.schema)
+    val probedCells = probesRows
+      .map(_.getLong(probesPlan.schema.fieldIndex("cell")))
+      .distinct.toSeq.sorted
     mark("features")
     val storage = probes.where(col("probe_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
@@ -134,8 +147,6 @@ object MediaSpine {
       .where(round(Similarity.dot(col("a.v"), col("b.v"))
         / (col("a.nrm") * col("b.nrm")), 6) >= threshold)
       .select(col("b.id").as("id"))
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
     val idxMatched = Similarity.readVecIndexPruned(s, vecIdxPath,
         probedCells, tag)
       .join(broadcast(probes.select(col("id").as("delta_id"),
@@ -144,10 +155,13 @@ object MediaSpine {
       .where(round(Similarity.dot(col("v"), col("dv"))
         / (col("nrm") * col("dnrm")), 6) >= threshold)
       .select(col("delta_id").as("id"))
-    val admitted = exactFresh.select(col("id"))
+    // the anti-join COLLECTS (admitted ids — batch-bounded): the admitted
+    // set then serves the census joins and both appends as a
+    // LocalRelation, replacing the persist + dedicated fill-count job
+    val admittedPlan = exactFresh.select(col("id"))
       .join(inbRejected.unionByName(idxMatched), Seq("id"), "left_anti")
-      .persist()
-    admitted.count() // fill before the appends race for it
+    val admitted = s.createDataFrame(
+      admittedPlan.collect().toSeq.asJava, admittedPlan.schema)
     mark("vec_gate")
 
     // 3. the three appends as CONCURRENT Spark jobs (disjoint outputs,
@@ -195,7 +209,6 @@ object MediaSpine {
       () => funnelDelta.unionByName(admitDelta).unionByName(shardDelta)
         .coalesce(1).write.mode(SaveMode.Append).parquet(censusPath))
     mark("appends")
-    admitted.unpersist()
     exactFresh.unpersist()
     meta.unpersist() // persisted above — a long stream must not accrete
   }

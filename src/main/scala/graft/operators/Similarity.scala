@@ -383,13 +383,22 @@ object Similarity {
     val tag = epoch * 1000000L + batchId
     val s = batch.sparkSession
     // nprobe probe rows per delta vector + the precomputed fold-norm
-    // (batch-sized — broadcast scale, not a heap hazard). localCheckpoint,
-    // not persist: the k-dot assignment tree would otherwise be
-    // re-ANALYZED by every downstream action (the probed-cell collect,
-    // both joins, two writes) — the pipe16 lineage-tax lesson
-    val probes = assignCellsRanked(batch, cents, idCol, vecCol, "id", "v",
-        nprobe)
-      .withColumn("nrm", norm(col("v"))).localCheckpoint()
+    // (batch-sized — broadcast scale, not a heap hazard). The rows
+    // COLLECT in one job and serve every consumer as a LocalRelation:
+    // this fuses the old probes localCheckpoint and the separate
+    // probed-cell collect — two serial job walls per micro-batch — into
+    // one, with the same lineage-truncation benefit (the k-dot assignment
+    // tree is analyzed once, by the collect).
+    val probesPlan = assignCellsRanked(batch, cents, idCol, vecCol, "id",
+        "v", nprobe)
+      .withColumn("nrm", norm(col("v")))
+    val probesRows = probesPlan.collect()
+    import scala.jdk.CollectionConverters._
+    val probes = s.createDataFrame(probesRows.toSeq.asJava,
+      probesPlan.schema)
+    val probedCells = probesRows
+      .map(_.getLong(probesPlan.schema.fieldIndex("cell")))
+      .distinct.toSeq.sorted
     val storage = probes.where(col("probe_rank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
     // in-batch: a smaller-id mate whose stored cell is probed, verified at
@@ -404,40 +413,43 @@ object Similarity {
         / (col("a.nrm") * col("b.nrm")), 6) >= threshold)
       .select(col("b.id").as("id"))
     // index probe: PARTITION-PRUNED scan of the probed cells only (the
-    // probed-cell set collects to the driver — bounded by min(nprobe ×
-    // batch, k), i.e. by the quantizer hyperparameter, never data-sized),
-    // then the cell equi-join, delta side broadcast, own-tag rows
-    // excluded (crash replay)
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // probed-cell set derives driver-side from the collected probe rows —
+    // bounded by min(nprobe × batch, k), i.e. by the quantizer
+    // hyperparameter, never data-sized), then the cell equi-join, delta
+    // side broadcast, own-tag rows excluded (crash replay)
     val idxMatched = readVecIndexPruned(s, indexPath, probedCells, tag)
       .join(broadcast(probes.select(col("id").as("delta_id"),
         col("v").as("dv"), col("nrm").as("dnrm"), col("cell"))), Seq("cell"))
       .where(round(dot(col("v"), col("dv"))
         / (col("nrm") * col("dnrm")), 6) >= threshold)
       .select(col("delta_id").as("id"))
-    val admitted = batch.select(col(idCol).as("id"))
+    // the anti-join COLLECTS (admitted ids — batch-bounded): the admitted
+    // set then serves both appends as a LocalRelation, replacing the
+    // persist whose fill used to ride the sink write
+    val admittedPlan = batch.select(col(idCol).as("id"))
       .join(inbRejected.unionByName(idxMatched), Seq("id"), "left_anti")
-      .persist()
-    // sink first, then index: a crash between the two replays as the same
-    // admitted set (probe is tag-filtered); sink re-appends are exact
-    // duplicates removed at read time. coalesce(1): batch-sized appends —
-    // one file per batch, so later probes scan O(batches) files.
-    admitted.select(col("id").as("vec_id"),
-        lit(batchId).cast("long").as("batch"))
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(sinkPath)
-    // append under the same cell partitioning: coalesce(1) + partitionBy
-    // = ONE task writing one file per touched cell dir, so a cell dir
-    // gains at most one file per batch and pruned probes read
-    // O(batches) files per probed cell, never O(batches × partitions)
-    storage.join(admitted, Seq("id"), "left_semi")
-      .select(col("id"), col("v"), col("nrm"), lit(tag).as("batch_id"),
-        col("cell"))
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(s"$indexPath/vecs")
-    admitted.unpersist()
-    // probes is a localCheckpoint — released by the ContextCleaner
+    val admitted = s.createDataFrame(
+      admittedPlan.collect().toSeq.asJava, admittedPlan.schema)
+    // the two appends run as CONCURRENT Spark jobs (the admitBatch /
+    // MediaSpine discipline — their fixed per-job overhead overlaps
+    // instead of adding): inputs are LocalRelations, outputs disjoint
+    // tables. Replay is idempotent under ANY completed subset — the probe
+    // excludes rows tagged with its OWN batch id and the sink is read
+    // through a distinct, so a crash after either append (or both, or
+    // neither) replays to the identical end state (spec-pinned by running
+    // a batch twice). coalesce(1): batch-sized appends — one file per
+    // batch (per touched cell dir on the index side), so later probes
+    // scan O(batches) files, never O(batches × partitions).
+    SparkJobs.inParallel(
+      () => admitted.select(col("id").as("vec_id"),
+          lit(batchId).cast("long").as("batch"))
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(sinkPath),
+      () => storage.join(admitted, Seq("id"), "left_semi")
+        .select(col("id"), col("v"), col("nrm"), lit(tag).as("batch_id"),
+          col("cell"))
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell").parquet(s"$indexPath/vecs"))
   }
 
   /** QUANTIZER REFRESH — the epoch-boundary re-cluster of the streaming

@@ -222,11 +222,10 @@ object DocStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // admitBatch returns its admitted-id frame persisted (composing
-        // callers reuse it); this wrapper doesn't, so release it
+        // admitBatch returns its admitted-id frame as a driver-local
+        // relation (composing callers reuse it); nothing to release here
         graft.operators.Dedup.admitBatch(batch, batchId, "doc_id", "text",
           indexPath, sinkPath, k, bands, shingleK, threshold, epoch)
-          .unpersist()
         ()
       }
       .start()
