@@ -2208,8 +2208,10 @@ object Queries {
   /** K4: small-file compaction EXERCISED through the oracle gate — the
     * maintenance op a streaming sink needs, proven content-preserving by
     * the correctness hash. A lang-partitioned copy of documents is
-    * deliberately fragmented (8 appends → up to 8 files per partition
-    * dir), [[graft.sinks.Compaction.compactPartitions]] rewrites the
+    * deliberately fragmented (8 doc_id-range tasks → 8 files per
+    * partition dir — ONE corpus scan; the earlier 8-append loop paid
+    * eight scans + eight commit rounds for the same fragmented layout),
+    * [[graft.sinks.Compaction.compactPartitions]] rewrites the
     * oversized dirs to one file each via the rename-aside swap, and the
     * query aggregates the COMPACTED table; the oracle aggregates the
     * original documents, so a lost, duplicated, or corrupted row breaks
@@ -2217,9 +2219,8 @@ object Queries {
   def k4Compaction(s: SparkSession, d: String): DataFrame = {
     val root = scratchDir("k4c").resolve("docs_by_lang").toString
     val docs = Tables.documents(s, d)
-    for (i <- 0 until 8)
-      docs.where(col("doc_id") % 8 === i)
-        .write.mode("append").partitionBy("lang").parquet(root)
+    docs.repartitionByRange(8, col("doc_id"))
+      .write.partitionBy("lang").parquet(root)
     graft.sinks.Compaction.compactPartitions(s, root,
       targetFiles = 1, maxFiles = 2)
     s.read.parquet(root)
