@@ -276,12 +276,26 @@ object Dedup {
     val dToks = Spread(delta).select(col(idCol).as("id"),
       tokenSet(col(textCol)).as("toks")).where(size(col("toks")) > 0)
       .persist()
-    // localCheckpoint: dBands feeds the band-bucket collect AND the
-    // candidate join — truncating the signature tree keeps the second
-    // action from re-analyzing it (the lineage-tax lesson)
-    val dBands = bandCols(signatures(dToks, k), k, bands)
+    // ONE collect materializes the delta's band keys WITH their
+    // engine-computed buckets (delta-sized — these same rows broadcast
+    // into the candidate join either way) and serves them back as a
+    // LocalRelation: this fuses the old dBands localCheckpoint and the
+    // separate band-bucket collect — two serial job walls — into one,
+    // with the same lineage-truncation effect (the signature tree is
+    // analyzed once, by the collect). The collect also fills dToks'
+    // cache for the verify below.
+    val dBandsPlan = bandCols(signatures(dToks, k), k, bands)
       .select(col("id").as("delta_id"), explode(array((0 until bands).map(
-        b => col(s"b$b")): _*)).as("band")).localCheckpoint()
+        b => col(s"b$b")): _*)).as("band"))
+      .withColumn("bucket", pmod(xxhash64(col("band")), lit(IndexBuckets)))
+    val dBandRows = dBandsPlan.collect()
+    val dBands = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        dBandRows.toSeq.map(r => org.apache.spark.sql.Row(r.get(0),
+          r.get(1))).asJava,
+        org.apache.spark.sql.types.StructType(dBandsPlan.schema.take(2)))
+    }
     // candidates: PARTITION-PRUNED bands scan (the delta's own
     // band-buckets — a driver in-list bounded by IndexBuckets, derived
     // from the delta side, so the collect is always delta-cheap) ⋈
@@ -294,9 +308,7 @@ object Dedup {
     // dirty data the bucket set saturates anyway; the nightly bulk probe
     // amortizes one toks pass over the whole delta, which is the batch
     // analogue of a full table join and the right trade at that grain.
-    val dBandBuckets = dBands
-      .select(pmod(xxhash64(col("band")), lit(IndexBuckets)).as("bucket"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val dBandBuckets = dBandRows.map(_.getLong(2)).distinct.toSeq.sorted
     val cand = readBucketOnly(spark, s"$path/bands", dBandBuckets)
       .join(broadcast(dBands), Seq("band"))
       .select(col("id"), col("delta_id")).distinct()

@@ -145,23 +145,27 @@ object DocStream {
             .join(broadcast(pprefixes), Seq("pp"), "left_semi")
             .select(col("pfp"))
         } else passages.select(col("pfp")).where(lit(false))
-        // record this batch's NEW fingerprints before touching the doc sink
-        val newPfps = passages.select(col("pp"), col("pfp")).distinct()
+        // record this batch's NEW fingerprints before touching the doc sink.
+        // The anti-join COLLECTS (batch-fingerprint-sized — two short hash
+        // strings per row): emptiness is then a driver-side check instead
+        // of a dedicated isEmpty job, the write is a pure LocalRelation
+        // append, and the collect doubles as passages' cache fill.
+        val newPfpsPlan = passages.select(col("pp"), col("pfp")).distinct()
           .join(storedPfps, Seq("pfp"), "left_anti")
           .withColumn("batch_id", lit(batchId))
+        val newPfpsRows = newPfpsPlan.collect()
         // repartition BY the partition column before a partitionBy write:
         // otherwise every task writes a sliver into every prefix dir it
         // holds rows for (up to 256 dirs × tasks tiny files PER BATCH —
         // the small-files debt Compaction exists to clean). Clustered, a
-        // prefix dir is written by exactly one task. Persist before the
-        // emptiness probe: the guard and the write would otherwise each
-        // run the distinct+anti-join subtree once, and the result is
-        // batch-fingerprint-sized.
-        newPfps.persist()
-        if (!newPfps.isEmpty)
-          newPfps.repartition(col("pp"))
+        // prefix dir is written by exactly one task.
+        if (newPfpsRows.nonEmpty) {
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(newPfpsRows.toSeq.asJava, newPfpsPlan.schema)
+            .repartition(col("pp"))
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .partitionBy("pp").parquet(passageStorePath)
+        }
         val wp = Window.partitionBy(col("pfp"))
           .orderBy(col("doc_id"), col("idx"))
         val keptP = passages.withColumn("_rn", row_number().over(wp))
@@ -185,7 +189,6 @@ object DocStream {
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .partitionBy("fpp").parquet(sinkPath)
         sampled.unpersist()
-        newPfps.unpersist()
         passages.unpersist()
         freshDocs.unpersist()
         ()
